@@ -1,0 +1,135 @@
+"""Hash-aggregation parity tests (engine vs oracle).
+
+Role analog: ``Flash/tests/gtest_aggregation_executor.cpp`` — randomized
+inputs across key-type shapes, both aggregation methods exercised.
+"""
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.ops.aggregate import AggDesc, hash_aggregate, aggregate_sort, aggregate_direct, pack_keys_direct
+from tiflash_tpu.testing import oracle as O
+
+
+def run_agg(schema, keys, aggs, n=500, null_prob=0.15, seed=0, force=None, sel_expr=None):
+    rng = np.random.default_rng(seed)
+    table = O.random_pytable(rng, n, schema, null_prob=null_prob)
+    block = O.pytable_to_block(table, schema)
+    if force == "sort":
+        res = aggregate_sort(block, keys, aggs, num_slots=n)
+    elif force == "direct":
+        packed = pack_keys_direct([block[k] for k in keys])
+        assert packed is not None
+        res = aggregate_direct(block, keys, aggs, packed)
+    else:
+        res = hash_aggregate(block, keys, aggs)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(table, keys, [(a.func, a.arg, a.name) for a in aggs])
+    O.assert_tables_equal(got, want, approx_cols=[a.name for a in aggs
+                                                 if a.func in ("sum", "avg")
+                                                 and schema.get(a.arg, dt.INT64).is_float])
+    assert int(res.num_groups) == len(want[keys[0]] if keys else [0])
+    assert not bool(res.overflow)
+
+
+AGGS = [
+    AggDesc("sum", "v", "sum_v"),
+    AggDesc("count", None, "cnt"),
+    AggDesc("count", "v", "cnt_v"),
+    AggDesc("min", "v", "min_v"),
+    AggDesc("max", "v", "max_v"),
+    AggDesc("avg", "v", "avg_v"),
+]
+
+
+def test_agg_int_key_sort_path():
+    run_agg({"k": dt.INT32, "v": dt.INT64.with_nullable(True)}, ["k"], AGGS, force="sort")
+
+
+def test_agg_string_key_direct_path():
+    run_agg({"k": dt.STRING, "v": dt.Decimal(12, 2, nullable=True)}, ["k"], AGGS, force="direct")
+
+
+def test_agg_nullable_string_key():
+    run_agg({"k": dt.STRING.with_nullable(True), "v": dt.INT64}, ["k"], AGGS)
+
+
+def test_agg_multi_key_mixed():
+    run_agg(
+        {"k1": dt.STRING, "k2": dt.BOOL.with_nullable(True), "v": dt.Decimal(10, 2)},
+        ["k1", "k2"],
+        AGGS,
+        force="direct",
+    )
+
+
+def test_agg_multi_key_sort():
+    run_agg(
+        {"k1": dt.INT64.with_nullable(True), "k2": dt.INT32, "v": dt.FLOAT64.with_nullable(True)},
+        ["k1", "k2"],
+        [AggDesc("sum", "v", "s"), AggDesc("count", None, "c"),
+         AggDesc("min", "v", "mn"), AggDesc("max", "v", "mx")],
+        force="sort",
+    )
+
+
+def test_agg_decimal_avg_scale():
+    # avg over decimal(10,2) must produce scale 6 with half-up rounding
+    run_agg({"k": dt.INT8, "v": dt.Decimal(10, 2)}, ["k"], [AggDesc("avg", "v", "a")])
+
+
+def test_agg_scalar_no_keys():
+    run_agg({"v": dt.INT64.with_nullable(True)}, [], AGGS[:4])
+
+
+def test_agg_with_selection_mask():
+    """Aggregation must honor a pre-existing filter mask (lazy filters)."""
+    schema = {"k": dt.INT8, "v": dt.INT64}
+    rng = np.random.default_rng(3)
+    table = O.random_pytable(rng, 400, schema, null_prob=0)
+    block = O.pytable_to_block(table, schema)
+    import jax.numpy as jnp
+
+    mask = jnp.asarray(np.array(table["v"]) % 2 == 0)
+    block = block.and_sel(mask)
+    res = hash_aggregate(block, ["k"], [AggDesc("sum", "v", "s"), AggDesc("count", None, "c")])
+    got = O.block_to_pytable(res.block)
+    ftable = {k: [v for v, m in zip(vs, np.asarray(mask)) if m] for k, vs in table.items()}
+    want = O.o_aggregate(ftable, ["k"], [("sum", "v", "s"), ("count", None, "c")])
+    O.assert_tables_equal(got, want)
+
+
+def test_agg_all_rows_filtered_out():
+    schema = {"k": dt.INT8, "v": dt.INT64}
+    rng = np.random.default_rng(4)
+    table = O.random_pytable(rng, 64, schema, null_prob=0)
+    block = O.pytable_to_block(table, schema)
+    import jax.numpy as jnp
+
+    block = block.and_sel(jnp.zeros(64, dtype=bool))
+    res = hash_aggregate(block, ["k"], [AggDesc("sum", "v", "s")])
+    assert int(res.num_groups) == 0
+    got = O.block_to_pytable(res.block)
+    assert got["s"] == []
+
+
+def test_agg_under_jit():
+    """The whole aggregation must be jittable (block pytree in/out)."""
+    import jax
+
+    schema = {"k": dt.INT16, "v": dt.Decimal(12, 2)}
+    rng = np.random.default_rng(5)
+    table = O.random_pytable(rng, 256, schema, null_prob=0)
+    block = O.pytable_to_block(table, schema)
+    aggs = [AggDesc("sum", "v", "s"), AggDesc("count", None, "c")]
+
+    @jax.jit
+    def run(b):
+        r = hash_aggregate(b, ["k"], aggs, num_slots=256)
+        return r.block, r.num_groups
+
+    out, ng = run(block)
+    want = O.o_aggregate(table, ["k"], [("sum", "v", "s"), ("count", None, "c")])
+    O.assert_tables_equal(O.block_to_pytable(out), want)
+    assert int(ng) == len(want["k"])

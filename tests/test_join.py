@@ -1,0 +1,124 @@
+"""Hash-join parity tests (engine vs oracle).
+
+Role analog: ``Flash/tests/gtest_join_executor.cpp`` — join kinds ×
+key shapes, unique-build fast path and general N:M expansion.
+"""
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.ops import join as J
+from tiflash_tpu.testing import oracle as O
+
+
+def make_tables(seed=0, nl=300, nr=120, key_dt=dt.INT32, unique_build=False,
+                null_keys=True, nr_extra_cols=True):
+    rng = np.random.default_rng(seed)
+    lschema = {"lk": key_dt.with_nullable(null_keys), "lv": dt.INT64}
+    rschema = {"rk": key_dt.with_nullable(null_keys), "rv": dt.Decimal(10, 2)}
+    left = O.random_pytable(rng, nl, lschema, int_range=(0, 40))
+    right = O.random_pytable(rng, nr, rschema, int_range=(0, 40))
+    if unique_build:
+        seen = set()
+        ks, vs = [], []
+        for k, v in zip(right["rk"], right["rv"]):
+            if k is not None and k not in seen:
+                seen.add(k)
+                ks.append(k)
+                vs.append(v)
+        right = {"rk": ks, "rv": vs}
+    lb = O.pytable_to_block(left, lschema)
+    rb = O.pytable_to_block(
+        right, {"rk": rschema["rk"], "rv": rschema["rv"]}
+    )
+    return left, right, lb, rb
+
+
+@pytest.mark.parametrize("kind", ["inner", "left", "semi", "anti"])
+def test_join_unique_build(kind):
+    left, right, lb, rb = make_tables(seed=1, unique_build=True)
+    joined, _ = J.hash_join(lb, rb, ["lk"], ["rk"], kind=kind)
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["lk"], ["rk"], kind=kind)
+    O.assert_tables_equal(got, want)
+
+
+@pytest.mark.parametrize("kind", ["inner", "left", "semi", "anti"])
+def test_join_general_nm(kind):
+    left, right, lb, rb = make_tables(seed=2)
+    joined, extras = J.hash_join(lb, rb, ["lk"], ["rk"], kind=kind, output_capacity=4096)
+    assert not bool(extras["overflow"])
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["lk"], ["rk"], kind=kind)
+    O.assert_tables_equal(got, want)
+
+
+def test_join_right_outer_scan():
+    left, right, lb, rb = make_tables(seed=3)
+    joined, extras = J.hash_join(lb, rb, ["lk"], ["rk"], kind="inner", output_capacity=4096)
+    tail = J.scan_non_matched(extras["build"], extras["matched_flags"], lb.names, lb)
+    got = O.block_to_pytable(joined)
+    tail_py = O.block_to_pytable(tail)
+    for k in got:
+        got[k] = got[k] + tail_py[k]
+    want = O.o_join(left, right, ["lk"], ["rk"], kind="right")
+    O.assert_tables_equal(got, want)
+
+
+def test_join_string_keys_cross_dictionary():
+    rng = np.random.default_rng(4)
+    lschema = {"lk": dt.STRING.with_nullable(True), "lv": dt.INT64}
+    rschema = {"rk": dt.STRING, "rv": dt.INT32}
+    left = O.random_pytable(rng, 200, lschema, str_pool=["aa", "bb", "cc", "xx"])
+    right = O.random_pytable(rng, 50, rschema, str_pool=["bb", "cc", "dd"])
+    lb = O.pytable_to_block(left, lschema)
+    rb = O.pytable_to_block(right, rschema)
+    joined, extras = J.hash_join(lb, rb, ["lk"], ["rk"], kind="inner", output_capacity=8192)
+    assert not bool(extras["overflow"])
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_join_multi_column_key():
+    rng = np.random.default_rng(5)
+    lschema = {"k1": dt.INT32, "k2": dt.STRING, "lv": dt.INT64}
+    rschema = {"j1": dt.INT32, "j2": dt.STRING, "rv": dt.INT64}
+    left = O.random_pytable(rng, 150, lschema, int_range=(0, 10), str_pool=["a", "b"])
+    right = O.random_pytable(rng, 60, rschema, int_range=(0, 10), str_pool=["a", "b", "c"])
+    lb = O.pytable_to_block(left, lschema)
+    rb = O.pytable_to_block(right, rschema)
+    joined, extras = J.hash_join(
+        lb, rb, ["k1", "k2"], ["j1", "j2"], kind="inner", output_capacity=16384
+    )
+    assert not bool(extras["overflow"])
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["k1", "k2"], ["j1", "j2"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_join_overflow_reported():
+    left = {"lk": [1] * 50, "lv": list(range(50))}
+    right = {"rk": [1] * 50, "rv": list(range(50))}
+    lschema = {"lk": dt.INT32, "lv": dt.INT64}
+    rschema = {"rk": dt.INT32, "rv": dt.INT64}
+    lb = O.pytable_to_block(left, lschema)
+    rb = O.pytable_to_block(right, rschema)
+    _, extras = J.hash_join(lb, rb, ["lk"], ["rk"], kind="inner", output_capacity=100)
+    assert bool(extras["overflow"])  # 2500 matches > 100
+
+
+def test_join_under_jit():
+    import jax
+
+    left, right, lb, rb = make_tables(seed=6, unique_build=True)
+
+    @jax.jit
+    def run(l, r):
+        joined, _ = J.hash_join(l, r, ["lk"], ["rk"], kind="inner")
+        return joined
+
+    got = O.block_to_pytable(run(lb, rb))
+    want = O.o_join(left, right, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)

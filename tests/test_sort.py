@@ -1,0 +1,91 @@
+"""Sort / Top-N / Limit parity tests.
+
+Role analog: ``Flash/tests/gtest_topn_executor.cpp``.
+"""
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.ops.sort import SortKey, limit_block, sort_block, top_n
+from tiflash_tpu.testing import oracle as O
+
+
+SCHEMA = {
+    "a": dt.INT64.with_nullable(True),
+    "b": dt.Decimal(10, 2),
+    "s": dt.STRING,
+    "v": dt.INT32,
+}
+
+
+def make(seed=0, n=300):
+    rng = np.random.default_rng(seed)
+    table = O.random_pytable(rng, n, SCHEMA, int_range=(-50, 50))
+    return table, O.pytable_to_block(table, SCHEMA)
+
+
+@pytest.mark.parametrize(
+    "keys",
+    [
+        [("a", False)],
+        [("a", True)],
+        [("b", False), ("a", True)],
+        [("s", True), ("v", False)],
+    ],
+)
+def test_sort_orders(keys):
+    table, block = make()
+    sks = [SortKey(n, desc) for n, desc in keys]
+    # MySQL: NULLs first asc, last desc
+    sks = [SortKey(n, desc, nulls_first=not desc) for n, desc in keys]
+    out = sort_block(block, sks)
+    got = O.block_to_pytable(out)
+    want = O.o_sort(table, keys)
+    O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_topn_fast_path():
+    table, block = make(seed=1)
+    out = top_n(block, [SortKey("v", desc=True)], 10)
+    got = O.block_to_pytable(out)
+    want = O.o_sort(table, [("v", True)], limit=10)
+    # ties make exact row sets ambiguous; compare sorted key column only
+    assert sorted(got["v"]) == sorted(want["v"])
+
+
+def test_topn_general():
+    table, block = make(seed=2)
+    out = top_n(block, [SortKey("a", nulls_first=True), SortKey("v", desc=True)], 17)
+    got = O.block_to_pytable(out)
+    want = O.o_sort(table, [("a", False), ("v", True)], limit=17)
+    O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_topn_limit_larger_than_rows():
+    table, block = make(seed=3, n=8)
+    out = top_n(block, [SortKey("v")], 100)
+    got = O.block_to_pytable(out)
+    want = O.o_sort(table, [("v", False)], limit=100)
+    assert got["v"] == want["v"]
+
+
+def test_limit():
+    table, block = make(seed=4)
+    out = limit_block(block, 25)
+    got = O.block_to_pytable(out)
+    # limit keeps the first 25 live rows in input order
+    assert got["v"] == table["v"][:25]
+
+
+def test_sort_after_filter_mask():
+    import jax.numpy as jnp
+
+    table, block = make(seed=5)
+    mask = np.array(table["v"]) > 0
+    block = block.and_sel(jnp.asarray(mask))
+    out = sort_block(block, [SortKey("v")])
+    got = O.block_to_pytable(out)
+    ftable = {k: [x for x, m in zip(vs, mask) if m] for k, vs in table.items()}
+    want = O.o_sort(ftable, [("v", False)])
+    O.assert_tables_equal(got, want, ordered=True)

@@ -1,0 +1,269 @@
+"""Columnar batch types: ``Column`` and ``Block``.
+
+Role analog: ``dbms/src/Core/Block.h:41`` and ``dbms/src/Columns/IColumn.h:61``
+in the reference.  Key re-design decisions for TPU:
+
+- A column is a fixed-width device array plus an optional validity mask
+  (reference ``ColumnNullable`` null-map, inverted: here True == valid).
+- A block optionally carries a row-selection mask ``sel`` instead of
+  physically compacting rows (reference ``BlockInfo::selective``,
+  ``Core/BlockInfo.h:47-49``).  On TPU compaction costs a gather, while a
+  mask fuses into downstream elementwise work for free, so *every* operator
+  honors ``sel`` and filters stay lazy until a shuffle or an output forces
+  materialization.
+- All shapes are static: a block has a fixed row *capacity*; the live row
+  count is the popcount of ``sel`` (a traced scalar).  Data-dependent row
+  counts (filter/join/group-by) therefore produce full-capacity blocks with
+  a mask — the "bounded output + count" pattern from SURVEY.md §7.
+
+Columns/Blocks are registered pytrees so whole blocks flow through
+``jax.jit`` / ``shard_map`` directly.  String dictionaries are host-side
+aux data (hashable tuples) — the device only ever sees int32 codes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import DataType, TypeKind, STRING
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Column:
+    """One column: fixed-width values + optional validity mask.
+
+    ``data``     — jnp array, shape (n,), physical dtype of ``dtype``.
+    ``validity`` — optional bool array (n,); True = value present.  None
+                   means all-valid (non-nullable fast path).
+    ``dtype``    — logical type (aux data, static under jit).
+    ``dictionary`` — for STRING columns, tuple of python strings; device
+                   data are int32 indexes into it.  -1 is never used; NULL
+                   strings are NULL via validity.
+    """
+
+    data: jnp.ndarray
+    validity: Optional[jnp.ndarray] = None
+    dtype: DataType = dataclasses.field(default=None)  # type: ignore[assignment]
+    dictionary: Optional[Tuple[str, ...]] = None
+
+    # -- pytree protocol --
+    def tree_flatten(self):
+        return (self.data, self.validity), (self.dtype, self.dictionary)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, validity = children
+        dtype, dictionary = aux
+        return cls(data=data, validity=validity, dtype=dtype, dictionary=dictionary)
+
+    # -- basics --
+    def __len__(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def capacity(self) -> int:
+        return int(self.data.shape[0])
+
+    def valid_mask(self) -> jnp.ndarray:
+        """Always-materialized bool mask (all-True if validity is None)."""
+        if self.validity is None:
+            return jnp.ones(self.data.shape[0], dtype=jnp.bool_)
+        return self.validity
+
+    def with_data(self, data, validity="_keep") -> "Column":
+        v = self.validity if validity == "_keep" else validity
+        return Column(data=data, validity=v, dtype=self.dtype, dictionary=self.dictionary)
+
+    def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Column":
+        """Gather rows (reference ``IColumn::permute`` / ``index``).
+
+        If ``fill_invalid`` the caller passes indices that may be negative;
+        those rows become NULL."""
+        safe = jnp.maximum(indices, 0)
+        data = jnp.take(self.data, safe, axis=0)
+        validity = None if self.validity is None else jnp.take(self.validity, safe, axis=0)
+        if fill_invalid:
+            ok = indices >= 0
+            validity = ok if validity is None else (validity & ok)
+        return self.with_data(data, validity)
+
+    # -- host conversion (testing / output) --
+    def to_numpy(self) -> np.ndarray:
+        """Materialize to a numpy array; NULLs become a masked numpy array's
+        fill is left to the caller — here NULL slots keep raw values."""
+        return np.asarray(self.data)
+
+    def to_pylist(self, sel: Optional[np.ndarray] = None) -> list:
+        """Decode to python values (strings decoded, decimals as scaled int
+        left intact — formatting is the responsibility of the printer)."""
+        data = np.asarray(self.data)
+        valid = (
+            np.ones(len(data), dtype=bool)
+            if self.validity is None
+            else np.asarray(self.validity)
+        )
+        if sel is not None:
+            data = data[sel]
+            valid = valid[sel]
+        out = []
+        for v, ok in zip(data.tolist(), valid.tolist()):
+            if not ok:
+                out.append(None)
+            elif self.dictionary is not None:
+                out.append(self.dictionary[v])
+            else:
+                out.append(v)
+        return out
+
+
+def column_from_numpy(
+    values: Sequence, dtype: DataType, validity: Optional[Sequence[bool]] = None
+) -> Column:
+    """Build a device Column from host data.  For STRING dtype, ``values``
+    are python strings and get dictionary-encoded here."""
+    if dtype.is_string:
+        # Order-preserving dictionary: codes are ranks in the sorted set of
+        # distinct strings, so integer comparisons on codes == binary-collation
+        # string comparisons (reference: ``TiDB/Collation`` binary collator).
+        values = list(values)
+        arr = np.array(["" if s is None else s for s in values], dtype=object)
+        uniq_sorted = sorted(set(arr.tolist()))
+        rank = {s: i for i, s in enumerate(uniq_sorted)}
+        codes = np.fromiter((rank[s] for s in arr.tolist()), dtype=np.int32, count=len(arr))
+        data = jnp.asarray(codes)
+        dictionary = tuple(uniq_sorted)
+    else:
+        data = jnp.asarray(np.asarray(values, dtype=dtype.physical))
+        dictionary = None
+    v = None
+    if validity is not None:
+        v = jnp.asarray(np.asarray(validity, dtype=bool))
+    elif dtype.is_string and any(s is None for s in values):
+        v = jnp.asarray(np.array([s is not None for s in values]))
+    return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Block:
+    """An ordered set of equal-length named columns + optional row mask.
+
+    Reference: ``Core/Block.h:41``.  ``sel`` plays the role of
+    ``BlockInfo::selective``: rows where sel is False are dead (filtered
+    out or padding) and must be ignored by every consumer.
+    """
+
+    names: Tuple[str, ...]
+    columns: Tuple[Column, ...]
+    sel: Optional[jnp.ndarray] = None  # bool (n,) or None == all rows live
+
+    # -- pytree protocol --
+    def tree_flatten(self):
+        return (self.columns, self.sel), self.names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        columns, sel = children
+        return cls(names=names, columns=columns, sel=sel)
+
+    # -- construction --
+    @staticmethod
+    def from_dict(cols: Dict[str, Column], sel=None) -> "Block":
+        return Block(names=tuple(cols.keys()), columns=tuple(cols.values()), sel=sel)
+
+    # -- access --
+    def __contains__(self, name: str) -> bool:
+        return name in self.names
+
+    def __getitem__(self, name: str) -> Column:
+        try:
+            return self.columns[self.names.index(name)]
+        except ValueError:
+            raise KeyError(f"column {name!r} not in block {self.names}") from None
+
+    def as_dict(self) -> Dict[str, Column]:
+        return dict(zip(self.names, self.columns))
+
+    @property
+    def capacity(self) -> int:
+        if not self.columns:
+            return 0
+        return self.columns[0].capacity
+
+    def num_rows(self) -> jnp.ndarray:
+        """Live row count — a traced scalar under jit."""
+        if self.sel is None:
+            return jnp.int32(self.capacity)
+        return jnp.sum(self.sel, dtype=jnp.int32)
+
+    def sel_mask(self) -> jnp.ndarray:
+        if self.sel is None:
+            return jnp.ones(self.capacity, dtype=jnp.bool_)
+        return self.sel
+
+    # -- transformation --
+    def with_sel(self, sel: Optional[jnp.ndarray]) -> "Block":
+        return Block(names=self.names, columns=self.columns, sel=sel)
+
+    def and_sel(self, mask: jnp.ndarray) -> "Block":
+        """Narrow the selection (a lazy filter)."""
+        new = mask if self.sel is None else (self.sel & mask)
+        return self.with_sel(new)
+
+    def select(self, names: Sequence[str]) -> "Block":
+        cols = self.as_dict()
+        return Block(
+            names=tuple(names),
+            columns=tuple(cols[n] for n in names),
+            sel=self.sel,
+        )
+
+    def with_column(self, name: str, col: Column) -> "Block":
+        d = self.as_dict()
+        d[name] = col
+        return Block.from_dict(d, sel=self.sel)
+
+    def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Block":
+        """Gather rows by index into a new block (sel dropped/absorbed)."""
+        cols = tuple(c.take(indices, fill_invalid) for c in self.columns)
+        return Block(names=self.names, columns=cols, sel=None)
+
+    def compact(self) -> "Block":
+        """Physically pack live rows to the front (same capacity).
+
+        Prefix-sum + gather: the TPU analog of the two-pass
+        ``countBytesInFilter`` + ``filterColumn`` split
+        (``Columns/countBytesInFilter.cpp``).  Output keeps static capacity;
+        rows >= count are marked dead in sel.
+        """
+        if self.sel is None:
+            return self
+        n = self.capacity
+        mask = self.sel
+        count = jnp.sum(mask, dtype=jnp.int32)
+        # position of each live row in the packed output
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        # scatter row index i -> pos[i] for live rows; dead rows write to a
+        # trash slot (n) that gets dropped.
+        src = jnp.where(mask, pos, n)
+        gather_idx = jnp.zeros(n + 1, dtype=jnp.int32).at[src].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )[:n]
+        out = self.take(gather_idx)
+        live = jnp.arange(n, dtype=jnp.int32) < count
+        return out.with_sel(live)
+
+    # -- host conversion --
+    def to_pylists(self) -> Dict[str, list]:
+        """Decode live rows to python lists (host sync; tests/output only)."""
+        sel = None if self.sel is None else np.asarray(self.sel)
+        return {n: c.to_pylist(sel) for n, c in zip(self.names, self.columns)}
+
+
+__all__ = ["Column", "Block", "column_from_numpy"]

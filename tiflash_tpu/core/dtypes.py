@@ -1,0 +1,199 @@
+"""Logical data types for the TPU-native columnar engine.
+
+Role analog: ``dbms/src/DataTypes/IDataType.h`` in the reference
+(/root/reference/dbms/src/DataTypes/), but re-imagined for a shape-static,
+fixed-width device representation:
+
+- every logical type maps to exactly one fixed-width physical jnp dtype
+  (TPU arrays must be fixed width; there is no arena / StringRef analog),
+- nullability is orthogonal and carried as a separate validity mask on the
+  column (reference: ``ColumnNullable``), and
+- strings are dictionary-encoded at ingest time: the device sees int32
+  codes, the host keeps the dictionary (reference arena strings,
+  ``Columns/ColumnString.h``, have no TPU analog).
+
+Decimals are fixed-point integers: ``Decimal(p, s)`` with p <= 18 is an
+int64 scaled by 10**s (TiDB semantics subset; reference
+``DataTypes/DataTypeDecimal.h``).  Dates are int32 days-since-epoch;
+DateTime is int64 microseconds-since-epoch (reference ``DataTypeMyDate``/
+``DataTypeMyDateTime`` pack into UInt64 — we use epoch integers because
+they compare/sort/arith natively on the VPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TypeKind(enum.Enum):
+    INT8 = "i8"
+    INT16 = "i16"
+    INT32 = "i32"
+    INT64 = "i64"
+    UINT8 = "u8"
+    UINT32 = "u32"
+    UINT64 = "u64"
+    FLOAT32 = "f32"
+    FLOAT64 = "f64"
+    BOOL = "bool"
+    DECIMAL = "decimal"  # int64 mantissa, fixed scale
+    DATE = "date"  # int32 days since 1970-01-01
+    DATETIME = "datetime"  # int64 microseconds since epoch
+    STRING = "string"  # int32 dictionary codes
+
+
+_PHYSICAL = {
+    TypeKind.INT8: np.int8,
+    TypeKind.INT16: np.int16,
+    TypeKind.INT32: np.int32,
+    TypeKind.INT64: np.int64,
+    TypeKind.UINT8: np.uint8,
+    TypeKind.UINT32: np.uint32,
+    TypeKind.UINT64: np.uint64,
+    TypeKind.FLOAT32: np.float32,
+    TypeKind.FLOAT64: np.float64,
+    TypeKind.BOOL: np.bool_,
+    TypeKind.DECIMAL: np.int64,
+    TypeKind.DATE: np.int32,
+    TypeKind.DATETIME: np.int64,
+    TypeKind.STRING: np.int32,
+}
+
+_INTEGER_KINDS = {
+    TypeKind.INT8,
+    TypeKind.INT16,
+    TypeKind.INT32,
+    TypeKind.INT64,
+    TypeKind.UINT8,
+    TypeKind.UINT32,
+    TypeKind.UINT64,
+}
+
+_FLOAT_KINDS = {TypeKind.FLOAT32, TypeKind.FLOAT64}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataType:
+    """A logical column type.  Hashable so it can ride in pytree aux data."""
+
+    kind: TypeKind
+    nullable: bool = False
+    # Decimal parameters (kind == DECIMAL only).
+    precision: int = 0
+    scale: int = 0
+
+    # ---- physical representation ----
+    @property
+    def physical(self) -> np.dtype:
+        return np.dtype(_PHYSICAL[self.kind])
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.physical)
+
+    # ---- classification ----
+    @property
+    def is_integer(self) -> bool:
+        return self.kind in _INTEGER_KINDS
+
+    @property
+    def is_float(self) -> bool:
+        return self.kind in _FLOAT_KINDS
+
+    @property
+    def is_decimal(self) -> bool:
+        return self.kind is TypeKind.DECIMAL
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.is_integer or self.is_float or self.is_decimal
+
+    @property
+    def is_string(self) -> bool:
+        return self.kind is TypeKind.STRING
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.kind in (TypeKind.DATE, TypeKind.DATETIME)
+
+    def with_nullable(self, nullable: bool = True) -> "DataType":
+        return dataclasses.replace(self, nullable=nullable)
+
+    def __repr__(self) -> str:  # compact, e.g. Decimal(15,2)? / i64
+        if self.kind is TypeKind.DECIMAL:
+            base = f"Decimal({self.precision},{self.scale})"
+        else:
+            base = self.kind.value
+        return base + ("?" if self.nullable else "")
+
+
+# Convenience constructors -------------------------------------------------
+
+INT8 = DataType(TypeKind.INT8)
+INT16 = DataType(TypeKind.INT16)
+INT32 = DataType(TypeKind.INT32)
+INT64 = DataType(TypeKind.INT64)
+UINT8 = DataType(TypeKind.UINT8)
+UINT32 = DataType(TypeKind.UINT32)
+UINT64 = DataType(TypeKind.UINT64)
+FLOAT32 = DataType(TypeKind.FLOAT32)
+FLOAT64 = DataType(TypeKind.FLOAT64)
+BOOL = DataType(TypeKind.BOOL)
+DATE = DataType(TypeKind.DATE)
+DATETIME = DataType(TypeKind.DATETIME)
+STRING = DataType(TypeKind.STRING)
+
+
+def Decimal(precision: int, scale: int, nullable: bool = False) -> DataType:
+    if precision > 18:
+        raise NotImplementedError(
+            "Decimal precision > 18 (Int128/Int256 mantissa) not supported yet"
+        )
+    return DataType(TypeKind.DECIMAL, nullable=nullable, precision=precision, scale=scale)
+
+
+def common_numeric_type(a: DataType, b: DataType) -> DataType:
+    """Result type of arithmetic between two numeric types (TiDB-flavored
+    subset; reference: ``Functions/FunctionsArithmetic.h`` type deduction)."""
+    nullable = a.nullable or b.nullable
+    if a.is_decimal or b.is_decimal:
+        # decimal arithmetic keeps max scale (add/sub); mul adds scales —
+        # callers that need mul semantics adjust explicitly.
+        scale = max(a.scale, b.scale)
+        prec = min(18, max(a.precision - a.scale, b.precision - b.scale) + scale + 1)
+        return Decimal(prec, scale, nullable)
+    if a.is_float or b.is_float:
+        return DataType(TypeKind.FLOAT64, nullable)
+    # integer widening: always to int64 (TiDB evaluates in 64-bit)
+    return DataType(TypeKind.INT64, nullable)
+
+
+def comparison_result_type(a: DataType, b: DataType) -> DataType:
+    return DataType(TypeKind.BOOL, a.nullable or b.nullable)
+
+
+__all__ = [
+    "TypeKind",
+    "DataType",
+    "Decimal",
+    "INT8",
+    "INT16",
+    "INT32",
+    "INT64",
+    "UINT8",
+    "UINT32",
+    "UINT64",
+    "FLOAT32",
+    "FLOAT64",
+    "BOOL",
+    "DATE",
+    "DATETIME",
+    "STRING",
+    "common_numeric_type",
+    "comparison_result_type",
+]

@@ -1,0 +1,280 @@
+"""Expression evaluation over a Block.
+
+Role analog: ``ExpressionActions::execute``
+(``Interpreters/ExpressionActions.cpp:547``) — but instead of an interpreted
+action list, evaluation happens *at trace time* inside the enclosing
+``jax.jit``: the whole expression tree becomes one fused XLA computation.
+
+String handling: predicates against string literals are rewritten into
+dictionary-code space here (the dictionary is static pytree aux data, so it
+is available during tracing).  Equality becomes an int compare against a
+constant code; ordering uses the order-preserving sorted dictionary; LIKE
+and IN evaluate the predicate per dictionary entry on the host and gather a
+constant boolean LUT by code — the TPU analog of the reference's collation
+fast paths (``Functions/CollationStringOptimized.cpp``).
+"""
+
+from __future__ import annotations
+
+import bisect
+import datetime
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Column
+from ..core.dtypes import (
+    BOOL,
+    DATE,
+    DataType,
+    Decimal,
+    FLOAT64,
+    INT64,
+    STRING,
+    TypeKind,
+)
+from .functions import get_function, cast_column
+from .nodes import Call, ColumnRef, Expr, Literal
+
+_ORDER_CMPS = {"less", "less_or_equals", "greater", "greater_or_equals"}
+_EQ_CMPS = {"equals", "not_equals"}
+
+
+def infer_literal_dtype(value) -> DataType:
+    if isinstance(value, bool):
+        return BOOL
+    if isinstance(value, int):
+        return INT64
+    if isinstance(value, float):
+        return FLOAT64
+    if isinstance(value, str):
+        return STRING
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return DATE
+    raise TypeError(f"cannot infer literal type for {value!r}")
+
+
+def _float_to_decimal(value: float) -> Optional[tuple]:
+    """(mantissa, scale) if the float has a short exact decimal repr."""
+    s = repr(float(value))
+    if "e" in s or "E" in s:
+        return None
+    if "." in s:
+        intpart, frac = s.split(".")
+        scale = len(frac)
+        if scale > 8:
+            return None
+        return int(intpart + frac), scale
+    return int(s), 0
+
+
+def _literal_days(value) -> int:
+    if isinstance(value, str):
+        value = datetime.date.fromisoformat(value)
+    if isinstance(value, datetime.datetime):
+        value = value.date()
+    return (value - datetime.date(1970, 1, 1)).days
+
+
+class ExprEvaluator:
+    """Evaluates a typed expression tree against one Block (at trace time)."""
+
+    def __init__(self, block: Block):
+        self.block = block
+        self.n = block.capacity
+
+    def evaluate(self, expr: Expr) -> Column:
+        if isinstance(expr, ColumnRef):
+            return self.block[expr.name]
+        if isinstance(expr, Literal):
+            return self._literal_column(expr, None)
+        if isinstance(expr, Call):
+            return self._call(expr)
+        raise TypeError(f"unknown expression node {expr!r}")
+
+    # -- literals ---------------------------------------------------------
+
+    def _literal_column(self, lit: Literal, context: Optional[Column]) -> Column:
+        value = lit.value
+        if value is None:
+            ref = context.dtype if context is not None else INT64
+            dt = ref.with_nullable(True)
+            return Column(
+                jnp.zeros(self.n, dtype=dt.jnp_dtype),
+                jnp.zeros(self.n, dtype=jnp.bool_),
+                dt,
+            )
+        dt = lit.dtype or infer_literal_dtype(value)
+        # contextual re-typing against the other operand
+        if context is not None:
+            cdt = context.dtype
+            if cdt.is_string and isinstance(value, str):
+                return self._encode_string_literal(value, context)
+            if cdt.is_temporal and isinstance(value, (str, datetime.date)):
+                days = _literal_days(value)
+                if cdt.kind is TypeKind.DATETIME:
+                    return Column(
+                        jnp.full(self.n, days * 86_400_000_000, dtype=jnp.int64),
+                        None,
+                        DataType(TypeKind.DATETIME),
+                    )
+                return Column(jnp.full(self.n, days, dtype=jnp.int32), None, DATE)
+            if cdt.is_decimal and isinstance(value, float):
+                md = _float_to_decimal(value)
+                if md is not None:
+                    m, s = md
+                    return Column(
+                        jnp.full(self.n, m, dtype=jnp.int64), None, Decimal(18, s)
+                    )
+        if dt.is_string:
+            raise ValueError(
+                f"string literal {value!r} used outside a string-column context"
+            )
+        return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt)
+
+    def _encode_string_literal(self, value: str, context: Column) -> Column:
+        """Literal -> dictionary-code constant.  Works for both equality (code
+        or miss sentinel) and ordering (sorted dictionaries are
+        order-preserving; use bisect rank)."""
+        d = context.dictionary or ()
+        # sorted dictionaries: rank via bisect.  For an exact member this is
+        # its code; for a non-member the *2x+-1 trick below keeps ordering.
+        lo = bisect.bisect_left(d, value)
+        if lo < len(d) and d[lo] == value:
+            code = 2 * lo
+        else:
+            code = 2 * lo - 1  # sits strictly between neighbors; never equal
+        return Column(
+            jnp.full(self.n, code, dtype=jnp.int32), None, STRING,
+            dictionary=d,
+        )
+
+    # -- calls ------------------------------------------------------------
+
+    def _call(self, call: Call) -> Column:
+        name = call.func
+        if name == "like":
+            return self._like(call)
+        # string predicate against literal(s): rewrite to code space
+        if name in (_ORDER_CMPS | _EQ_CMPS | {"in"}):
+            rewritten = self._maybe_string_predicate(call)
+            if rewritten is not None:
+                return rewritten
+        # evaluate non-literals first so literals get operand context
+        ctx: Optional[Column] = None
+        evaluated: Dict[int, Column] = {}
+        for i, a in enumerate(call.args):
+            if not isinstance(a, Literal):
+                evaluated[i] = self.evaluate(a)
+                if ctx is None:
+                    ctx = evaluated[i]
+        for i, a in enumerate(call.args):
+            if isinstance(a, Literal):
+                evaluated[i] = self._literal_column(a, ctx)
+        args = [evaluated[i] for i in range(len(call.args))]
+        fn = get_function(name)
+        out = fn.infer([a.dtype for a in args])
+        return fn.evaluate(args, out)
+
+    def _maybe_string_predicate(self, call: Call) -> Optional[Column]:
+        """Comparisons/IN where one side is a string column and the other(s)
+        are string literals: map into dictionary-code space.
+
+        Sorted dictionaries make codes order-preserving, so:
+          - member literal -> its exact rank (all six comparisons exact)
+          - non-member literal -> doubled-code trick: column codes * 2,
+            literal 2*bisect_left - 1 sits strictly between neighbors.
+        """
+        name = call.func
+        args = call.args
+        lit_idx = [i for i, a in enumerate(args) if isinstance(a, Literal)
+                   and isinstance(a.value, str)]
+        col_idx = [i for i, a in enumerate(args) if i not in lit_idx]
+        if not lit_idx or len(col_idx) != 1:
+            return None
+        target = self.evaluate(args[col_idx[0]])
+        if not target.dtype.is_string:
+            return None
+        d = target.dictionary or ()
+        intd = DataType(TypeKind.INT32, target.dtype.nullable)
+
+        def code_of(s: str):
+            lo = bisect.bisect_left(d, s)
+            member = lo < len(d) and d[lo] == s
+            return lo, member
+
+        if name == "in":
+            codes = []
+            for i in lit_idx:
+                lo, member = code_of(args[i].value)
+                if member:
+                    codes.append(lo)
+            if not codes:
+                return Column(
+                    jnp.zeros(self.n, dtype=jnp.bool_), target.validity,
+                    DataType(TypeKind.BOOL, target.dtype.nullable),
+                )
+            acc = None
+            for c in codes:
+                eq = target.data == jnp.int32(c)
+                acc = eq if acc is None else (acc | eq)
+            return Column(acc, target.validity,
+                          DataType(TypeKind.BOOL, target.dtype.nullable))
+
+        lo, member = code_of(args[lit_idx[0]].value)
+        if member:
+            lhs_data = target.data
+            lit_code = lo
+        else:
+            lhs_data = target.data.astype(jnp.int32) * 2
+            lit_code = 2 * lo - 1
+        # preserve argument order (col op lit vs lit op col)
+        lhs = Column(lhs_data, target.validity, intd)
+        rhs = Column(jnp.full(self.n, lit_code, dtype=jnp.int32), None,
+                     DataType(TypeKind.INT32))
+        pair = [lhs, rhs] if col_idx[0] == 0 else [rhs, lhs]
+        fn = get_function(name)
+        out = fn.infer([c.dtype for c in pair])
+        return fn.evaluate(pair, out)
+
+    def _like(self, call: Call) -> Column:
+        """LIKE pattern matching via host-side dictionary LUT."""
+        target = self.evaluate(call.args[0])
+        pat_expr = call.args[1]
+        assert isinstance(pat_expr, Literal), "LIKE pattern must be a literal"
+        pattern = pat_expr.value
+        d = target.dictionary or ()
+        regex = re.compile(_like_to_regex(pattern), re.S)
+        lut = np.array([regex.fullmatch(s) is not None for s in d], dtype=bool)
+        if len(lut) == 0:
+            lut = np.zeros(1, dtype=bool)
+        data = jnp.asarray(lut)[jnp.clip(target.data, 0, len(lut) - 1)]
+        return Column(data, target.validity, DataType(TypeKind.BOOL, target.dtype.nullable))
+
+
+def _like_to_regex(pattern: str) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
+def evaluate_expr(expr: Expr, block: Block) -> Column:
+    return ExprEvaluator(block).evaluate(expr)
+
+
+__all__ = ["evaluate_expr", "ExprEvaluator", "infer_literal_dtype"]

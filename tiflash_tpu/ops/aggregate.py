@@ -1,0 +1,388 @@
+"""Hash aggregation, TPU style.
+
+Role analog: ``Interpreters/Aggregator.{h,cpp}`` — the key-specialized
+``AggregationMethod_*`` dispatch (``Aggregator.h:442-559``), batched execute
+(``executeImplBatch``, ``Aggregator.cpp:776``) and two-level tables
+(``Common/HashTable/TwoLevelHashTable.h``).
+
+TPU re-design: there is no pointer-chasing hash table.  Two methods, chosen
+the way the reference chooses an AggregationMethod from key types
+(``Aggregator::chooseAggregationMethod``):
+
+- ``direct``: when the combined key domain is small and statically known
+  (string dictionary sizes, bools, bounded ints), keys pack into one dense
+  slot id by mixed radix and aggregation is a dense segment-reduction over
+  ``num_slots`` slots — the analog of ``AggregationMethod_key8/key16``
+  (direct indexing, no hashing).
+- ``sort``: general path — lexicographic ``lax.sort`` of the key columns
+  (XLA's TPU sort), group-boundary detection, then segmented reductions
+  with sorted segment ids.  The analog of the serialized-key fallback
+  (``AggregationMethod_serialized``), with the sort replacing hashing.
+
+Both produce full-capacity padded outputs with a live-slot mask (shape
+static under jit); group-count overflow beyond ``num_slots`` is reported so
+the host can re-run with a bigger capacity (SURVEY.md §7 "bounded-output +
+count" pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.block import Block, Column
+from ..core.dtypes import (
+    DataType,
+    Decimal,
+    FLOAT64,
+    INT64,
+    TypeKind,
+    UINT64,
+)
+
+# ---------------------------------------------------------------------------
+# aggregate-function descriptors
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AggDesc:
+    """One aggregate: ``func(arg) AS name``.
+
+    func ∈ {sum, count, avg, min, max}.  ``arg`` is None for count(*).
+    Reference: ``AggregateFunctions/registerAggregateFunctions.cpp:51``.
+    """
+
+    func: str
+    arg: Optional[str]
+    name: str
+
+
+def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
+    """TiDB result-type rules (``AggregateFunctions/AggregateFunctionSum.h``,
+    TiDB: avg adds DIV_PRECISION_INCREMENT=4 to the scale)."""
+    if func == "count":
+        return INT64
+    assert arg is not None
+    if func in ("min", "max", "first"):
+        return arg.with_nullable(True)
+    if func == "sum":
+        if arg.is_decimal:
+            return Decimal(18, arg.scale, nullable=True)
+        if arg.is_float:
+            return FLOAT64.with_nullable(True)
+        return INT64.with_nullable(True)
+    if func == "avg":
+        if arg.is_float:
+            return FLOAT64.with_nullable(True)
+        scale = (arg.scale if arg.is_decimal else 0) + 4
+        return Decimal(18, scale, nullable=True)
+    raise NotImplementedError(f"aggregate {func}")
+
+
+# ---------------------------------------------------------------------------
+# key packing (direct method eligibility)
+# ---------------------------------------------------------------------------
+
+
+def key_domain_size(col: Column) -> Optional[int]:
+    """Statically known key domain, if any: |dictionary| for strings, 2 for
+    bool.  (+1 slot for NULL when nullable.)"""
+    base: Optional[int] = None
+    if col.dtype.is_string and col.dictionary is not None:
+        base = max(1, len(col.dictionary))
+    elif col.dtype.kind is TypeKind.BOOL:
+        base = 2
+    if base is None:
+        return None
+    return base + (1 if col.dtype.nullable or col.validity is not None else 0)
+
+
+def pack_keys_direct(cols: Sequence[Column]) -> Optional[Tuple[jnp.ndarray, int]]:
+    """Mixed-radix pack of small-domain keys -> (slot_ids int32, domain)."""
+    domains = [key_domain_size(c) for c in cols]
+    if any(d is None for d in domains):
+        return None
+    total = 1
+    for d in domains:
+        total *= d
+    slot = None
+    for c, d in zip(cols, domains):
+        v = c.data.astype(jnp.int32)
+        if c.validity is not None:
+            v = jnp.where(c.validity, v + 1, 0)  # NULL -> slot 0 of this radix
+        elif c.dtype.nullable:
+            v = v + 1
+        slot = v if slot is None else slot * jnp.int32(d) + v
+    return slot, total
+
+
+def unpack_keys_direct(
+    slots: jnp.ndarray, cols: Sequence[Column]
+) -> List[Column]:
+    """Inverse of pack_keys_direct for materializing group-key columns."""
+    domains = [key_domain_size(c) for c in cols]
+    out: List[Column] = []
+    rem = slots
+    for c, d in reversed(list(zip(cols, domains))):
+        v = rem % d
+        rem = rem // d
+        if c.validity is not None or c.dtype.nullable:
+            validity = v > 0
+            data = jnp.maximum(v - 1, 0)
+        else:
+            validity = None
+            data = v
+        out.append(
+            Column(data.astype(c.dtype.jnp_dtype), validity, c.dtype, c.dictionary)
+        )
+    out.reverse()
+    return out
+
+
+DIRECT_DOMAIN_LIMIT = 4096
+
+
+# ---------------------------------------------------------------------------
+# segmented reduction helpers
+# ---------------------------------------------------------------------------
+
+_INT_MIN = {
+    TypeKind.INT8: -(2**7), TypeKind.INT16: -(2**15),
+    TypeKind.INT32: -(2**31), TypeKind.INT64: -(2**63),
+    TypeKind.DECIMAL: -(2**63), TypeKind.DATE: -(2**31),
+    TypeKind.DATETIME: -(2**63), TypeKind.STRING: -(2**31),
+}
+
+
+def _identity_for(func: str, dtype: DataType):
+    phys = dtype.jnp_dtype
+    if func == "min":
+        if dtype.is_float:
+            return jnp.asarray(jnp.inf, phys)
+        return jnp.asarray(jnp.iinfo(phys).max, phys)
+    if func == "max":
+        if dtype.is_float:
+            return jnp.asarray(-jnp.inf, phys)
+        return jnp.asarray(jnp.iinfo(phys).min, phys)
+    return jnp.asarray(0, phys)
+
+
+def _segment_reduce(func: str, data, gids, num_slots: int, *, sorted_ids: bool):
+    kw = dict(num_segments=num_slots, indices_are_sorted=sorted_ids)
+    if func == "sum":
+        return jax.ops.segment_sum(data, gids, **kw)
+    if func == "min":
+        return jax.ops.segment_min(data, gids, **kw)
+    if func == "max":
+        return jax.ops.segment_max(data, gids, **kw)
+    raise NotImplementedError(func)
+
+
+# ---------------------------------------------------------------------------
+# the two aggregation methods
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AggregateResult:
+    block: Block            # group keys + agg outputs; sel marks live slots
+    num_groups: jnp.ndarray  # traced scalar
+    overflow: jnp.ndarray    # traced bool: groups exceeded num_slots (sort path)
+
+
+def _accumulate(
+    aggs: Sequence[AggDesc],
+    block: Block,
+    gids: jnp.ndarray,
+    live: jnp.ndarray,
+    num_slots: int,
+    sorted_ids: bool,
+) -> List[Tuple[str, Column]]:
+    """Shared accumulation: compute every aggregate into dense slot arrays.
+
+    ``gids`` must already be clipped to [0, num_slots]; dead rows carry
+    gid == num_slots (dropped via an extra trash slot).
+    """
+    out: List[Tuple[str, Column]] = []
+    S = num_slots + 1  # trailing trash slot for dead rows
+
+    # per-slot non-null counts are needed by count/avg and null-ness of sums
+    def nn_count(col: Optional[Column]) -> jnp.ndarray:
+        ones = live.astype(jnp.int64)
+        if col is not None and col.validity is not None:
+            ones = ones * col.validity.astype(jnp.int64)
+        return _segment_reduce("sum", ones, gids, S, sorted_ids=sorted_ids)[:num_slots]
+
+    for a in aggs:
+        col = block[a.arg] if a.arg is not None else None
+        rdt = agg_result_dtype(a.func, col.dtype if col else None)
+        if a.func == "count":
+            cnt = nn_count(col)
+            out.append((a.name, Column(cnt, None, INT64)))
+            continue
+        assert col is not None
+        valid_row = live if col.validity is None else (live & col.validity)
+        if a.func in ("sum", "avg"):
+            acc_dt = FLOAT64 if col.dtype.is_float else INT64
+            vals = col.data.astype(acc_dt.jnp_dtype)
+            vals = jnp.where(valid_row, vals, _identity_for("sum", acc_dt))
+            sums = _segment_reduce("sum", vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            cnt = nn_count(col)
+            if a.func == "sum":
+                scale_shift = rdt.scale - (col.dtype.scale if col.dtype.is_decimal else 0)
+                if rdt.is_decimal and scale_shift:
+                    sums = sums * (10 ** scale_shift)
+                out.append((a.name, Column(sums.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+            else:  # avg = sum / count with TiDB scale rules
+                from ..expr.functions import _div_round_half_up  # local: avoid cycle
+
+                if rdt.is_decimal:
+                    src_scale = col.dtype.scale if col.dtype.is_decimal else 0
+                    num = sums * (10 ** (rdt.scale - src_scale))
+                    data = _div_round_half_up(num, jnp.maximum(cnt, 1))
+                else:
+                    data = sums / jnp.maximum(cnt, 1).astype(jnp.float64)
+                out.append((a.name, Column(data.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+        elif a.func in ("min", "max"):
+            ident = _identity_for(a.func, col.dtype)
+            vals = jnp.where(valid_row, col.data, ident)
+            red = _segment_reduce(a.func, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            cnt = nn_count(col)
+            out.append(
+                (a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary))
+            )
+        else:
+            raise NotImplementedError(a.func)
+    return out
+
+
+def aggregate_direct(
+    block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], slots_domain: Tuple[jnp.ndarray, int]
+) -> AggregateResult:
+    """Dense small-domain aggregation (direct-indexed method)."""
+    slot_ids, domain = slots_domain
+    live = block.sel_mask()
+    gids = jnp.where(live, slot_ids, jnp.int32(domain))
+    acc = _accumulate(aggs, block, gids, live, domain, sorted_ids=False)
+    occupied = _segment_reduce(
+        "sum", live.astype(jnp.int32), gids, domain + 1, sorted_ids=False
+    )[:domain] > 0
+    key_cols = unpack_keys_direct(jnp.arange(domain, dtype=jnp.int32),
+                                  [block[k] for k in keys])
+    names = tuple(keys) + tuple(n for n, _ in acc)
+    cols = tuple(key_cols) + tuple(c for _, c in acc)
+    out = Block(names=names, columns=cols, sel=occupied)
+    return AggregateResult(out, jnp.sum(occupied, dtype=jnp.int32), jnp.bool_(False))
+
+
+def aggregate_sort(
+    block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], num_slots: int
+) -> AggregateResult:
+    """General sort-based aggregation.
+
+    Dead rows sort last (extra leading live-flag key), group ids come from
+    boundary detection on the sorted keys, reductions use sorted segment
+    ids."""
+    n = block.capacity
+    live = block.sel_mask()
+    key_cols = [block[k] for k in keys]
+
+    operands: List[jnp.ndarray] = [~live]  # False (live) sorts first
+    for c in key_cols:
+        if c.validity is not None:
+            operands.append(~c.validity)  # NULLs group together, sort first
+        operands.append(c.data)
+    num_sort_keys = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))  # original row index
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_sort_keys)
+    perm = sorted_ops[-1]
+    sorted_keys = sorted_ops[:-1]
+
+    # group boundary: any sort-key differs from the previous row
+    neq = jnp.zeros(n, dtype=jnp.bool_)
+    for arr in sorted_keys:
+        neq = neq | (arr != jnp.roll(arr, 1))
+    neq = neq.at[0].set(False)
+    gid_sorted = jnp.cumsum(neq.astype(jnp.int32))
+
+    live_sorted = jnp.take(live, perm)
+    num_groups = jnp.where(
+        jnp.any(live_sorted), jnp.max(jnp.where(live_sorted, gid_sorted, -1)) + 1, 0
+    )
+    overflow = num_groups > num_slots
+    gids = jnp.where(live_sorted, jnp.minimum(gid_sorted, num_slots), num_slots)
+
+    sorted_block = block.take(perm)
+    acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots, sorted_ids=True)
+
+    # materialize group keys: first sorted row of each group writes its keys
+    first_of_group = live_sorted & (
+        (jnp.arange(n) == 0) | neq | ~jnp.roll(live_sorted, 1)
+    )
+    write_to = jnp.where(first_of_group, gids, num_slots)
+    out_key_cols = []
+    for c in key_cols:
+        src = jnp.take(c.data, perm)
+        dst = jnp.zeros(num_slots + 1, dtype=c.data.dtype).at[write_to].set(
+            src, mode="drop"
+        )[:num_slots]
+        if c.validity is not None:
+            vsrc = jnp.take(c.validity, perm)
+            vdst = jnp.zeros(num_slots + 1, dtype=jnp.bool_).at[write_to].set(
+                vsrc, mode="drop"
+            )[:num_slots]
+        else:
+            vdst = None
+        out_key_cols.append(Column(dst, vdst, c.dtype, c.dictionary))
+
+    occupied = jnp.arange(num_slots, dtype=jnp.int32) < num_groups
+    names = tuple(keys) + tuple(n_ for n_, _ in acc)
+    cols = tuple(out_key_cols) + tuple(c for _, c in acc)
+    out = Block(names=names, columns=cols, sel=occupied)
+    return AggregateResult(out, num_groups, overflow)
+
+
+def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
+    """Aggregation without GROUP BY: single-row output (slot 0)."""
+    live = block.sel_mask()
+    gids = jnp.where(live, 0, 1).astype(jnp.int32)
+    acc = _accumulate(aggs, block, gids, live, 1, sorted_ids=False)
+    names = tuple(n for n, _ in acc)
+    cols = tuple(c for _, c in acc)
+    return Block(names=names, columns=cols, sel=None)
+
+
+def hash_aggregate(
+    block: Block,
+    keys: Sequence[str],
+    aggs: Sequence[AggDesc],
+    num_slots: Optional[int] = None,
+) -> AggregateResult:
+    """Method dispatch (the ``chooseAggregationMethod`` analog)."""
+    if not keys:
+        b = aggregate_scalar(block, aggs)
+        return AggregateResult(b, jnp.int32(1), jnp.bool_(False))
+    key_cols = [block[k] for k in keys]
+    packed = pack_keys_direct(key_cols)
+    if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
+        return aggregate_direct(block, keys, aggs, packed)
+    if num_slots is None:
+        num_slots = block.capacity
+    return aggregate_sort(block, keys, aggs, num_slots)
+
+
+__all__ = [
+    "AggDesc",
+    "AggregateResult",
+    "hash_aggregate",
+    "aggregate_direct",
+    "aggregate_sort",
+    "aggregate_scalar",
+    "agg_result_dtype",
+    "pack_keys_direct",
+    "DIRECT_DOMAIN_LIMIT",
+]

@@ -1,0 +1,341 @@
+"""Hash join, TPU style: sorted build side + vectorized range probe.
+
+Role analog: ``Interpreters/Join.cpp`` (v1 partitioned hash join:
+``insertFromBlock`` :532 / ``joinBlock`` :1977) and ``Interpreters/JoinV2/``
+(compact row layout + lock-free pointer table).  Pointer-chasing tables
+don't map to the TPU, so the build "hash table" is a *sorted key array*
+(the TPU analog of JoinV2's compact row layout): build = lexicographic
+``lax.sort`` of the key column, probe = two ``searchsorted`` binary
+searches giving each probe row its match range [lo, hi) — log2(n) gathers
+on the VPU instead of pointer chains.
+
+Join kinds (reference ``ASTTableJoin::Kind`` dispatch): inner, left outer,
+semi, anti, right outer (via matched-flag scatter, the
+``ScanHashMapAfterProbeBlockInputStream`` analog).
+
+Static shapes: the 1:N unique-build fast path emits probe-capacity outputs;
+the general N:M path emits into a caller-provided ``output_capacity`` with
+prefix-sum expansion and reports overflow (SURVEY.md §7 bounded-output
+pattern).
+
+NULL join keys never match (TiDB inner-join semantics); NULL-aware
+semi/anti variants are a later milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Column
+from ..core.dtypes import DataType, TypeKind
+
+
+# ---------------------------------------------------------------------------
+# join-key normalization: pack (possibly multi-column, cross-dictionary)
+# keys from both sides into one comparable int64 array per side
+# ---------------------------------------------------------------------------
+
+
+def _translate_dictionary(col: Column, target_dict: Tuple[str, ...]) -> jnp.ndarray:
+    """Re-encode string codes into another dictionary's code space.
+
+    Host-side translation table built at trace time (both dictionaries are
+    static pytree aux data); unmatched strings map to -1 (never equal)."""
+    src = col.dictionary or ()
+    rank = {s: i for i, s in enumerate(target_dict)}
+    table = np.array([rank.get(s, -1) for s in src], dtype=np.int64)
+    if len(table) == 0:
+        table = np.array([-1], dtype=np.int64)
+    return jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
+
+
+def _key_bits(dt: DataType, dict_size: int) -> int:
+    if dt.is_string:
+        return max(1, int(np.ceil(np.log2(dict_size + 2))))
+    if dt.kind is TypeKind.BOOL:
+        return 1
+    return dt.physical.itemsize * 8
+
+
+def normalize_join_keys(
+    left_cols: Sequence[Column], right_cols: Sequence[Column]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (left_keys, left_null, right_keys, right_null) where keys are
+    int64 and equal iff the original key tuples are equal.
+
+    Strings are reconciled into the right (build) side's dictionary space.
+    Multi-column keys pack by shifting; total width must fit in 63 bits
+    (covers all TPC-H-style keys; a hash+verify fallback is a later
+    milestone, reference: serialized-key method)."""
+    assert len(left_cols) == len(right_cols)
+    l_null = jnp.zeros(left_cols[0].data.shape[0], dtype=jnp.bool_)
+    r_null = jnp.zeros(right_cols[0].data.shape[0], dtype=jnp.bool_)
+    l_parts: List[jnp.ndarray] = []
+    r_parts: List[jnp.ndarray] = []
+    bits: List[int] = []
+    for lc, rc in zip(left_cols, right_cols):
+        if lc.dtype.is_string or rc.dtype.is_string:
+            rdict = rc.dictionary or ()
+            rv = rc.data.astype(jnp.int64)
+            lv = _translate_dictionary(lc, rdict)
+            l_null = l_null | (lv < 0)
+            lv = jnp.maximum(lv, 0)
+            b = _key_bits(rc.dtype, len(rdict))
+        else:
+            lv = lc.data.astype(jnp.int64)
+            rv = rc.data.astype(jnp.int64)
+            b = max(
+                _key_bits(lc.dtype, 0),
+                _key_bits(rc.dtype, 0),
+            )
+        if lc.validity is not None:
+            l_null = l_null | ~lc.validity
+        if rc.validity is not None:
+            r_null = r_null | ~rc.validity
+        l_parts.append(lv)
+        r_parts.append(rv)
+        bits.append(b)
+    if len(l_parts) == 1:
+        return l_parts[0], l_null, r_parts[0], r_null
+    total = sum(bits)
+    if total > 63:
+        raise NotImplementedError(
+            f"multi-column join key wider than 63 bits ({total}); "
+            "hash+verify fallback not implemented yet"
+        )
+    lk = jnp.zeros_like(l_parts[0])
+    rk = jnp.zeros_like(r_parts[0])
+    for lv, rv, b in zip(l_parts, r_parts, bits):
+        # bias signed values into unsigned sub-ranges so packing is injective
+        bias = jnp.int64(1) << (b - 1)
+        lk = (lk << b) | ((lv + bias) & ((jnp.int64(1) << b) - 1))
+        rk = (rk << b) | ((rv + bias) & ((jnp.int64(1) << b) - 1))
+    return lk, l_null, rk, r_null
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class JoinBuild:
+    """Sorted build side (the 'hash table').  Reference:
+    ``Join::insertFromBlock`` (Join.cpp:532) / JoinV2 ``buildRowFromBlock``."""
+
+    sorted_keys: jnp.ndarray       # int64 (n,), dead rows at +inf end
+    sorted_block: Block            # build payload rows in key order
+    num_live: jnp.ndarray          # traced scalar
+    unique: jnp.ndarray            # traced bool: no duplicate live keys
+
+    @property
+    def capacity(self) -> int:
+        return int(self.sorted_keys.shape[0])
+
+
+_KEY_INF = jnp.int64(2**63 - 1)
+
+
+def build_join(
+    build_block: Block, build_keys: jnp.ndarray, build_null: jnp.ndarray
+) -> JoinBuild:
+    selected = build_block.sel_mask()
+    matchable = selected & ~build_null
+    # NULL-key rows never match (key -> +inf) but stay selected so the
+    # right-outer non-matched scan still emits them.
+    keys = jnp.where(matchable, build_keys, _KEY_INF)
+    n = build_block.capacity
+    order = jax.lax.sort(
+        (keys, (~selected).astype(jnp.int8), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2,
+    )
+    skeys, _, perm = order
+    sblock = build_block.take(perm).with_sel(jnp.take(selected, perm))
+    num_live = jnp.sum(matchable, dtype=jnp.int32)
+    dup = (skeys[1:] == skeys[:-1]) & (skeys[1:] != _KEY_INF)
+    unique = ~jnp.any(dup)
+    return JoinBuild(skeys, sblock, num_live, unique)
+
+
+# ---------------------------------------------------------------------------
+# probe
+# ---------------------------------------------------------------------------
+
+
+def _probe_ranges(build: JoinBuild, probe_keys: jnp.ndarray):
+    lo = jnp.searchsorted(build.sorted_keys, probe_keys, side="left")
+    hi = jnp.searchsorted(build.sorted_keys, probe_keys, side="right")
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
+def _merge_blocks(
+    probe_block: Block, build_rows: Block, *, suffixes=("", "_r")
+) -> Block:
+    """Column concat with name disambiguation (reference join output glue)."""
+    out: Dict[str, Column] = dict(zip(probe_block.names, probe_block.columns))
+    for n, c in zip(build_rows.names, build_rows.columns):
+        name = n if n not in out else n + suffixes[1]
+        out[name] = c
+    return Block.from_dict(out)
+
+
+def probe_join_unique(
+    build: JoinBuild,
+    probe_block: Block,
+    probe_keys: jnp.ndarray,
+    probe_null: jnp.ndarray,
+    kind: str = "inner",
+) -> Tuple[Block, jnp.ndarray]:
+    """1:N fast path — unique build keys (PK-FK joins; the dominant TPC-H
+    shape).  Output capacity == probe capacity; each probe row matches at
+    most one build row.
+
+    Returns (joined block, matched_build_rows flag array for right-outer).
+    Reference: ``Join::joinBlockHash`` (Join.cpp:1321).
+    """
+    probe_live = probe_block.sel_mask() & ~probe_null
+    lo, hi = _probe_ranges(build, probe_keys)
+    matched = probe_live & (hi > lo)
+    bidx = jnp.where(matched, lo, -1)
+
+    if kind == "semi":
+        return probe_block.and_sel(matched), _matched_flags(build, bidx)
+    if kind == "anti":
+        # plain anti == NOT EXISTS: NULL-key rows have no match -> kept
+        # (null-aware anti for NOT IN is a later milestone)
+        return probe_block.and_sel(~matched), _matched_flags(build, bidx)
+
+    build_rows = build.sorted_block.take(bidx, fill_invalid=True)
+    joined = _merge_blocks(probe_block, build_rows)
+    if kind == "inner":
+        joined = joined.with_sel(matched)
+    elif kind in ("left", "left_outer", "right_as_probe_outer"):
+        joined = joined.with_sel(probe_block.sel_mask())
+    else:
+        raise NotImplementedError(f"join kind {kind}")
+    return joined, _matched_flags(build, bidx)
+
+
+def _matched_flags(build: JoinBuild, build_idx: jnp.ndarray) -> jnp.ndarray:
+    """Which build rows were hit — feeds the non-matched scan for right/full
+    outer (``ScanHashMapAfterProbeBlockInputStream`` analog)."""
+    flags = jnp.zeros(build.capacity + 1, dtype=jnp.bool_)
+    idx = jnp.where(build_idx >= 0, build_idx, build.capacity)
+    return flags.at[idx].set(True, mode="drop")[: build.capacity]
+
+
+def probe_join_general(
+    build: JoinBuild,
+    probe_block: Block,
+    probe_keys: jnp.ndarray,
+    probe_null: jnp.ndarray,
+    kind: str,
+    output_capacity: int,
+) -> Tuple[Block, jnp.ndarray, jnp.ndarray]:
+    """N:M expansion via prefix-sum addressing.
+
+    For output slot t: probe row = searchsorted(cum_counts, t, right), build
+    row = lo[row] + (t - cum_start[row]).  Fully vectorized; overflow beyond
+    ``output_capacity`` is reported, caller re-runs bigger (the analog of
+    probe-side ``ProbeProcessInfo`` resumption, Join.cpp:1977).
+
+    Returns (joined, matched_build_flags, overflow_bool)."""
+    probe_live = probe_block.sel_mask() & ~probe_null
+    lo, hi = _probe_ranges(build, probe_keys)
+    # dead / NULL-key rows must have an empty range (their raw key bits
+    # could otherwise alias a real build key)
+    lo = jnp.where(probe_live, lo, 0)
+    hi = jnp.where(probe_live, hi, 0)
+    counts = hi - lo
+    if kind in ("semi", "anti"):
+        matched = probe_live & (counts > 0)
+        sel = matched if kind == "semi" else ~matched
+        bflags = _matched_flags(build, jnp.where(matched, lo, -1))
+        return probe_block.and_sel(sel), bflags, jnp.bool_(False)
+    if kind in ("left", "left_outer"):
+        # every selected probe row emits at least once (NULL-key rows too)
+        counts = jnp.maximum(counts, probe_block.sel_mask().astype(counts.dtype))
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if counts.shape[0] else jnp.int32(0)
+    start = cum - counts
+    t = jnp.arange(output_capacity, dtype=counts.dtype)
+    prow = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    prow_safe = jnp.minimum(prow, counts.shape[0] - 1)
+    k = t - jnp.take(start, prow_safe)
+    has_match = jnp.take(hi, prow_safe) > jnp.take(lo, prow_safe)
+    brow = jnp.take(lo, prow_safe) + k.astype(jnp.int32)
+    live_out = t < total
+    brow = jnp.where(live_out & has_match, brow, -1)
+
+    probe_rows = probe_block.take(prow_safe)
+    build_rows = build.sorted_block.take(brow, fill_invalid=True)
+    joined = _merge_blocks(probe_rows, build_rows).with_sel(live_out)
+    bflags = _matched_flags(build, jnp.where(live_out, brow, -1))
+    return joined, bflags, total > output_capacity
+
+
+def scan_non_matched(build: JoinBuild, matched_flags: jnp.ndarray, probe_names: Sequence[str], probe_block: Block) -> Block:
+    """Right-outer tail: build rows never hit, with NULL probe columns."""
+    live = build.sorted_block.sel_mask() & ~matched_flags
+    cols: Dict[str, Column] = {}
+    n = build.capacity
+    for name in probe_names:
+        c = probe_block[name]
+        cols[name] = Column(
+            jnp.zeros(n, dtype=c.data.dtype),
+            jnp.zeros(n, dtype=jnp.bool_),
+            c.dtype.with_nullable(True),
+            c.dictionary,
+        )
+    for name, c in zip(build.sorted_block.names, build.sorted_block.columns):
+        out_name = name if name not in cols else name + "_r"
+        cols[out_name] = c
+    return Block.from_dict(cols, sel=live)
+
+
+# ---------------------------------------------------------------------------
+# one-call convenience (single-device whole-join)
+# ---------------------------------------------------------------------------
+
+
+def hash_join(
+    probe_block: Block,
+    build_block: Block,
+    probe_key_names: Sequence[str],
+    build_key_names: Sequence[str],
+    kind: str = "inner",
+    output_capacity: Optional[int] = None,
+):
+    """Build + probe in one go.  Uses the unique fast path when the caller
+    promises uniqueness via ``output_capacity is None``; otherwise general.
+
+    Returns (joined_block, extras) where extras carries overflow/matched
+    flags for the planner."""
+    pk = [probe_block[k] for k in probe_key_names]
+    bk = [build_block[k] for k in build_key_names]
+    pkeys, pnull, bkeys, bnull = normalize_join_keys(pk, bk)
+    build = build_join(build_block, bkeys, bnull)
+    if output_capacity is None:
+        joined, bflags = probe_join_unique(build, probe_block, pkeys, pnull, kind)
+        overflow = jnp.bool_(False)
+    else:
+        joined, bflags, overflow = probe_join_general(
+            build, probe_block, pkeys, pnull, kind, output_capacity
+        )
+    return joined, {"build": build, "matched_flags": bflags, "overflow": overflow}
+
+
+__all__ = [
+    "JoinBuild",
+    "build_join",
+    "probe_join_unique",
+    "probe_join_general",
+    "scan_non_matched",
+    "hash_join",
+    "normalize_join_keys",
+]

@@ -1,0 +1,127 @@
+"""Sort and Top-N.
+
+Role analog: ``Interpreters/sortBlock.cpp:402`` (in-block pdqsort via
+``IColumn::getPermutation`` + permute) and the partial-sort / k-way-merge
+stream pair (``DataStreams/PartialSortingBlockInputStream.h``,
+``MergeSortingBlockInputStream.h:32``).
+
+TPU re-design: one ``lax.sort`` over the whole device-resident batch
+replaces the per-block sort + merge cascade (there is no block-at-a-time
+streaming on device — the batch IS the table shard).  Top-N uses
+``lax.top_k`` on a single packed key when possible, else full sort + slice.
+
+Descending order / NULLS FIRST are handled by key transforms (bit-flips),
+not comparator flags: ``lax.sort`` is ascending-lexicographic only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.block import Block, Column
+
+
+@dataclasses.dataclass(frozen=True)
+class SortKey:
+    """Reference: ``Core/SortDescription.h`` (column, direction, nulls)."""
+
+    name: str
+    desc: bool = False
+    nulls_first: bool = True  # TiDB default: NULLs sort first ascending
+
+
+def _sort_operand(col: Column, desc: bool, nulls_first: bool) -> List[jnp.ndarray]:
+    """Turn one column into ascending-sortable operand arrays.
+
+    Descending numeric: negate where safe; generally flip via bitwise trick
+    on the raw key.  We keep it simple: emit (null_rank, value') where
+    value' is transformed so ascending lax.sort yields the wanted order."""
+    data = col.data
+    if data.dtype == jnp.bool_:
+        data = data.astype(jnp.int8)
+    if desc:
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            data = -data
+        elif jnp.issubdtype(data.dtype, jnp.unsignedinteger):
+            data = ~data
+        else:
+            # avoid INT_MIN negation overflow: flip bits instead of negate
+            data = ~data
+    ops: List[jnp.ndarray] = []
+    if col.validity is not None:
+        # ascending lax.sort puts rank 0 first
+        if nulls_first:
+            rank = jnp.where(col.validity, 1, 0)
+        else:
+            rank = jnp.where(col.validity, 0, 1)
+        ops.append(rank.astype(jnp.int8))
+    ops.append(data)
+    return ops
+
+
+def sort_block(block: Block, sort_keys: Sequence[SortKey]) -> Block:
+    """Full sort of live rows (dead rows pushed to the end).
+
+    Output is a compacted block: rows [0, count) are the live rows in
+    order, sel marks them."""
+    n = block.capacity
+    live = block.sel_mask()
+    operands: List[jnp.ndarray] = [~live]  # live rows first
+    for sk in sort_keys:
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+    nk = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))
+    out = jax.lax.sort(tuple(operands), num_keys=nk, is_stable=True)
+    perm = out[-1]
+    sorted_block = block.take(perm)
+    count = jnp.sum(live, dtype=jnp.int32)
+    sel = jnp.arange(n, dtype=jnp.int32) < count
+    return sorted_block.with_sel(sel)
+
+
+def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
+    """ORDER BY ... LIMIT k.
+
+    Single ascending int key fast path: pack into one uint64 rank and use
+    ``lax.top_k`` on the negated rank (top_k is max-k); general path sorts
+    fully then slices.  Output capacity is exactly ``limit`` (padded if
+    fewer live rows)."""
+    n = block.capacity
+    limit = min(limit, n)
+    live = block.sel_mask()
+
+    fast = (
+        len(sort_keys) == 1
+        and block[sort_keys[0].name].validity is None
+        and not block[sort_keys[0].name].dtype.is_float
+        and block[sort_keys[0].name].data.dtype.itemsize <= 4
+    )
+    if fast:
+        sk = sort_keys[0]
+        data = block[sk.name].data.astype(jnp.int64)
+        rank = data if sk.desc else -data  # top_k takes maxima
+        rank = jnp.where(live, rank, jnp.iinfo(jnp.int64).min)
+        _, idx = jax.lax.top_k(rank, limit)
+        out = block.take(idx)
+        kept = jnp.take(live, idx)
+        return out.with_sel(kept)
+
+    s = sort_block(block, sort_keys)
+    idx = jnp.arange(limit, dtype=jnp.int32)
+    out = s.take(idx)
+    kept = jnp.take(s.sel_mask(), idx)
+    return out.with_sel(kept)
+
+
+def limit_block(block: Block, limit: int) -> Block:
+    """LIMIT without ordering: keep the first ``limit`` live rows."""
+    live = block.sel_mask()
+    rank = jnp.cumsum(live.astype(jnp.int32))
+    return block.and_sel(live & (rank <= limit))
+
+
+__all__ = ["SortKey", "sort_block", "top_n", "limit_block"]

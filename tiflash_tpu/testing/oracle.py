@@ -1,0 +1,487 @@
+"""Independent row-at-a-time reference executor ("the oracle").
+
+Role analog: the expected-result side of the reference's executor tests
+(``TestUtils/ExecutorTestUtils.h:62`` ``executeAndAssertColumnsEqual`` and
+the ``tests/fullstack-test`` expected tables).  Deliberately written as
+naive Python loops over native values (``decimal.Decimal`` for decimals,
+``None`` for NULL) with **no shared code** with the engine, so a semantic
+bug in the engine cannot hide in the oracle.
+
+Tables here are ``{name: [python values]}``; the helpers convert engine
+Blocks to the same shape for comparison.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import re
+from decimal import Decimal as D
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.block import Block
+from ..core.dtypes import DataType, TypeKind
+from ..expr.nodes import Call, ColumnRef, Expr, Literal
+
+PyTable = Dict[str, List[Any]]
+
+_CTX = decimal.Context(prec=38, rounding=decimal.ROUND_HALF_UP)
+
+
+# ---------------------------------------------------------------------------
+# engine block -> python values
+# ---------------------------------------------------------------------------
+
+
+def block_to_pytable(block: Block) -> PyTable:
+    raw = block.to_pylists()
+    out: PyTable = {}
+    for name, col in zip(block.names, block.columns):
+        vals = raw[name]
+        if col.dtype.is_decimal:
+            q = D(1).scaleb(-col.dtype.scale)
+            vals = [None if v is None else D(v) * q for v in vals]
+        elif col.dtype.kind is TypeKind.DATE:
+            vals = [
+                None if v is None else datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                for v in vals
+            ]
+        elif col.dtype.kind is TypeKind.BOOL:
+            vals = [None if v is None else bool(v) for v in vals]
+        out[name] = vals
+    return out
+
+
+def sort_pytable(t: PyTable) -> PyTable:
+    """Canonical row order for orderless comparison."""
+    names = list(t.keys())
+    rows = list(zip(*[t[n] for n in names]))
+    rows.sort(key=lambda r: tuple((v is None, str(type(v)), v) for v in r))
+    return {n: [r[i] for r in rows] for i, n in enumerate(names)}
+
+
+def assert_tables_equal(actual: PyTable, expected: PyTable, *, ordered=False, approx_cols=()):
+    assert set(actual) == set(expected), (sorted(actual), sorted(expected))
+    a = actual if ordered else sort_pytable(actual)
+    e = expected if ordered else sort_pytable(expected)
+    for name in e:
+        av, ev = a[name], e[name]
+        assert len(av) == len(ev), f"{name}: {len(av)} rows vs {len(ev)}"
+        for i, (x, y) in enumerate(zip(av, ev)):
+            if name in approx_cols and x is not None and y is not None:
+                assert math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9), (
+                    name, i, x, y)
+            else:
+                assert _py_eq(x, y), f"{name}[{i}]: {x!r} != {y!r}"
+
+
+def _py_eq(x, y) -> bool:
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, D) or isinstance(y, D):
+        return D(x) == D(y)
+    if isinstance(x, float) or isinstance(y, float):
+        return math.isclose(float(x), float(y), rel_tol=1e-12, abs_tol=1e-12)
+    return x == y
+
+
+# ---------------------------------------------------------------------------
+# oracle expression evaluation (row at a time)
+# ---------------------------------------------------------------------------
+
+
+def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
+    if isinstance(expr, ColumnRef):
+        return row[expr.name]
+    if isinstance(expr, Literal):
+        v = expr.value
+        if isinstance(v, float):
+            return v
+        return v
+    assert isinstance(expr, Call)
+    f = expr.func
+    args = expr.args
+
+    if f in ("and", "or"):
+        a = _as_bool(eval_expr_row(args[0], row))
+        b = _as_bool(eval_expr_row(args[1], row))
+        if f == "and":
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+    if f == "not":
+        a = _as_bool(eval_expr_row(args[0], row))
+        return None if a is None else (not a)
+    if f == "is_null":
+        return eval_expr_row(args[0], row) is None
+    if f == "is_not_null":
+        return eval_expr_row(args[0], row) is not None
+    if f == "if":
+        c = _as_bool(eval_expr_row(args[0], row))
+        return eval_expr_row(args[1] if c else args[2], row)
+    if f == "coalesce":
+        for a in args:
+            v = eval_expr_row(a, row)
+            if v is not None:
+                return v
+        return None
+    if f == "case_when":
+        pairs = args[:-1] if len(args) % 2 == 1 else args
+        for i in range(0, len(pairs), 2):
+            if _as_bool(eval_expr_row(pairs[i], row)):
+                return eval_expr_row(pairs[i + 1], row)
+        return eval_expr_row(args[-1], row) if len(args) % 2 == 1 else None
+    if f == "in":
+        v = eval_expr_row(args[0], row)
+        if v is None:
+            return None
+        return any(eval_expr_row(a, row) == v for a in args[1:])
+    if f == "like":
+        v = eval_expr_row(args[0], row)
+        if v is None:
+            return None
+        pat = args[1].value
+        rx = re.compile(
+            "".join(
+                ".*" if c == "%" else "." if c == "_" else re.escape(c) for c in pat
+            ),
+            re.S,
+        )
+        return rx.fullmatch(v) is not None
+
+    vals = [eval_expr_row(a, row) for a in args]
+    if any(v is None for v in vals):
+        if f in ("equals", "not_equals", "less", "less_or_equals", "greater",
+                 "greater_or_equals", "plus", "minus", "multiply", "divide",
+                 "int_div", "modulo", "negate", "abs", "year", "month",
+                 "day_of_month"):
+            return None
+
+    a = vals[0]
+    b = vals[1] if len(vals) > 1 else None
+    # date vs literal string coercion
+    if isinstance(a, datetime.date) and isinstance(b, str):
+        b = datetime.date.fromisoformat(b)
+    if isinstance(b, datetime.date) and isinstance(a, str):
+        a = datetime.date.fromisoformat(a)
+    a, b = _numify(a), _numify(b)
+    if f == "plus":
+        return a + b
+    if f == "minus":
+        return a - b
+    if f == "multiply":
+        return a * b
+    if f == "divide":
+        if b == 0:
+            return None
+        if isinstance(a, D) or isinstance(b, D) or isinstance(a, int):
+            da, db = D(a), D(b)
+            scale = -da.as_tuple().exponent if da.as_tuple().exponent < 0 else 0
+            return _CTX.divide(da, db).quantize(
+                D(1).scaleb(-(scale + 4)), context=_CTX
+            )
+        return a / b
+    if f == "int_div":
+        if b == 0:
+            return None
+        return int(a // b)
+    if f == "modulo":
+        if b == 0:
+            return None
+        if isinstance(a, float) or isinstance(b, float):
+            return math.fmod(a, b)
+        return int(math.copysign(abs(int(a)) % abs(int(b)), a)) if a else 0
+    if f == "negate":
+        return -a
+    if f == "abs":
+        return abs(a)
+    if f in ("equals", "not_equals", "less", "less_or_equals", "greater", "greater_or_equals"):
+        cmp = {
+            "equals": lambda: a == b,
+            "not_equals": lambda: a != b,
+            "less": lambda: a < b,
+            "less_or_equals": lambda: a <= b,
+            "greater": lambda: a > b,
+            "greater_or_equals": lambda: a >= b,
+        }[f]
+        return cmp()
+    if f in ("year", "month", "day_of_month"):
+        d = a if isinstance(a, datetime.date) else a
+        return {"year": d.year, "month": d.month, "day_of_month": d.day}[f]
+    raise NotImplementedError(f"oracle function {f}")
+
+
+def _as_bool(v):
+    if v is None:
+        return None
+    return bool(v)
+
+
+def _numify(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, datetime.date):
+        return v
+    return v
+
+
+def eval_expr_table(expr: Expr, table: PyTable) -> List[Any]:
+    names = list(table.keys())
+    n = len(table[names[0]]) if names else 0
+    out = []
+    for i in range(n):
+        row = {k: table[k][i] for k in names}
+        out.append(eval_expr_row(expr, row))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# oracle relational operators
+# ---------------------------------------------------------------------------
+
+
+def o_filter(table: PyTable, cond: Expr) -> PyTable:
+    mask = eval_expr_table(cond, table)
+    return {k: [v for v, m in zip(vs, mask) if m is True] for k, vs in table.items()}
+
+
+def o_project(table: PyTable, exprs: Dict[str, Expr]) -> PyTable:
+    return {name: eval_expr_table(e, table) for name, e in exprs.items()}
+
+
+def o_aggregate(
+    table: PyTable, keys: Sequence[str], aggs: Sequence[Tuple[str, Optional[str], str]]
+) -> PyTable:
+    """aggs: list of (func, arg_name, out_name)."""
+    names = list(table.keys())
+    n = len(table[names[0]]) if names else 0
+    groups: Dict[tuple, List[int]] = {}
+    for i in range(n):
+        k = tuple(table[kn][i] for kn in keys)
+        groups.setdefault(k, []).append(i)
+    if not keys and not groups:
+        groups[()] = []
+    out: PyTable = {kn: [] for kn in keys}
+    for _, _, on in aggs:
+        out[on] = []
+    for k, idxs in groups.items():
+        for kn, kv in zip(keys, k):
+            out[kn].append(kv)
+        for func, arg, on in aggs:
+            vals = [table[arg][i] for i in idxs] if arg else None
+            if func == "count":
+                out[on].append(
+                    len(idxs) if arg is None else sum(v is not None for v in vals)
+                )
+                continue
+            nn = [v for v in vals if v is not None]
+            if not nn:
+                out[on].append(None)
+                continue
+            if func == "sum":
+                out[on].append(sum(nn))
+            elif func == "min":
+                out[on].append(min(nn))
+            elif func == "max":
+                out[on].append(max(nn))
+            elif func == "avg":
+                s = sum(nn)
+                if isinstance(s, float):
+                    out[on].append(s / len(nn))
+                else:
+                    ds = D(s)
+                    scale = -ds.as_tuple().exponent if ds.as_tuple().exponent < 0 else 0
+                    out[on].append(
+                        _CTX.divide(ds, D(len(nn))).quantize(
+                            D(1).scaleb(-(scale + 4)), context=_CTX
+                        )
+                    )
+            else:
+                raise NotImplementedError(func)
+    return out
+
+
+def o_join(
+    left: PyTable,
+    right: PyTable,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    kind: str = "inner",
+    suffix: str = "_r",
+) -> PyTable:
+    ln = list(left.keys())
+    rn = list(right.keys())
+    nl = len(left[ln[0]]) if ln else 0
+    nr = len(right[rn[0]]) if rn else 0
+    index: Dict[tuple, List[int]] = {}
+    for j in range(nr):
+        k = tuple(right[kn][j] for kn in right_keys)
+        if any(v is None for v in k):
+            continue
+        index.setdefault(k, []).append(j)
+    out_names = ln + [n if n not in ln else n + suffix for n in rn]
+    out: PyTable = {n: [] for n in out_names}
+    matched_r = set()
+    for i in range(nl):
+        k = tuple(left[kn][i] for kn in left_keys)
+        matches = [] if any(v is None for v in k) else index.get(k, [])
+        if kind == "semi":
+            if matches:
+                for n in ln:
+                    out[n].append(left[n][i])
+            continue
+        if kind == "anti":
+            if not matches:
+                for n in ln:
+                    out[n].append(left[n][i])
+            continue
+        if matches:
+            for j in matches:
+                matched_r.add(j)
+                for n in ln:
+                    out[n].append(left[n][i])
+                for n, on in zip(rn, out_names[len(ln):]):
+                    out[on].append(right[n][j])
+        elif kind in ("left", "left_outer"):
+            for n in ln:
+                out[n].append(left[n][i])
+            for on in out_names[len(ln):]:
+                out[on].append(None)
+    if kind in ("semi", "anti"):
+        return {n: out[n] for n in ln}
+    if kind in ("right", "right_outer", "full"):
+        for j in range(nr):
+            if j not in matched_r:
+                for n in ln:
+                    out[n].append(None)
+                for n, on in zip(rn, out_names[len(ln):]):
+                    out[on].append(right[n][j])
+    return out
+
+
+def o_sort(table: PyTable, keys: Sequence[Tuple[str, bool]], limit: Optional[int] = None) -> PyTable:
+    """keys: (name, desc).  NULLs first ascending, last descending (MySQL)."""
+    names = list(table.keys())
+    n = len(table[names[0]]) if names else 0
+    idx = list(range(n))
+
+    def rowkey(i):
+        parts = []
+        for name, desc in keys:
+            v = table[name][i]
+            if v is None:
+                parts.append((0 if not desc else 1, 0))
+            else:
+                parts.append((1 if not desc else 0, _Rev(v) if desc else v))
+        return tuple(parts)
+
+    idx.sort(key=rowkey)
+    if limit is not None:
+        idx = idx[:limit]
+    return {nm: [table[nm][i] for i in idx] for nm in names}
+
+
+class _Rev:
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return other.v == self.v
+
+
+# ---------------------------------------------------------------------------
+# random table generation (ColumnGenerator analog)
+# ---------------------------------------------------------------------------
+
+
+def random_pytable(
+    rng: np.random.Generator,
+    n: int,
+    schema: Dict[str, DataType],
+    *,
+    null_prob: float = 0.1,
+    int_range: Tuple[int, int] = (-100, 100),
+    str_pool: Sequence[str] = ("aa", "bb", "cc", "dd", "ee", ""),
+) -> PyTable:
+    out: PyTable = {}
+    for name, dt in schema.items():
+        vals: List[Any] = []
+        for _ in range(n):
+            if dt.nullable and rng.random() < null_prob:
+                vals.append(None)
+                continue
+            if dt.is_string:
+                vals.append(str(rng.choice(list(str_pool))))
+            elif dt.is_decimal:
+                q = D(1).scaleb(-dt.scale)
+                vals.append(D(int(rng.integers(*int_range))) * q)
+            elif dt.is_float:
+                vals.append(float(np.round(rng.normal() * 10, 3)))
+            elif dt.kind is TypeKind.BOOL:
+                vals.append(bool(rng.integers(0, 2)))
+            elif dt.kind is TypeKind.DATE:
+                vals.append(
+                    datetime.date(1992, 1, 1) + datetime.timedelta(days=int(rng.integers(0, 2500)))
+                )
+            else:
+                vals.append(int(rng.integers(*int_range)))
+        out[name] = vals
+    return out
+
+
+def pytable_to_block(table: PyTable, schema: Dict[str, DataType]) -> Block:
+    """Host values -> engine Block (inverse of block_to_pytable)."""
+    from ..core.block import column_from_numpy
+
+    cols = {}
+    for name, dt in schema.items():
+        vals = table[name]
+        validity = [v is not None for v in vals] if dt.nullable else None
+        if dt.is_string:
+            cols[name] = column_from_numpy(vals, dt)
+        else:
+            conv = []
+            for v in vals:
+                if v is None:
+                    conv.append(0)
+                elif dt.is_decimal:
+                    conv.append(int(D(v).scaleb(dt.scale).to_integral_value()))
+                elif dt.kind is TypeKind.DATE:
+                    conv.append((v - datetime.date(1970, 1, 1)).days)
+                elif dt.kind is TypeKind.BOOL:
+                    conv.append(bool(v))
+                else:
+                    conv.append(v)
+            cols[name] = column_from_numpy(conv, dt, validity)
+    return Block.from_dict(cols)
+
+
+__all__ = [
+    "PyTable",
+    "block_to_pytable",
+    "pytable_to_block",
+    "sort_pytable",
+    "assert_tables_equal",
+    "eval_expr_table",
+    "o_filter",
+    "o_project",
+    "o_aggregate",
+    "o_join",
+    "o_sort",
+    "random_pytable",
+]
