@@ -1,0 +1,158 @@
+"""Distributed (SPMD) execution tests on a virtual 8-device CPU mesh.
+
+Role analog: ``Flash/tests/gtest_compute_server.cpp`` — multi-node MPP
+joins/aggs without a real cluster.  Here: shard_map over 8 host devices,
+collectives instead of gRPC, results must match the single-table oracle
+exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.expr.nodes import col, lit
+from tiflash_tpu.mpp.runner import (
+    ExchangeConfig,
+    collect_result,
+    compile_distributed,
+    shard_catalog_blocks,
+)
+from tiflash_tpu.ops.aggregate import AggDesc
+from tiflash_tpu.ops.sort import SortKey
+from tiflash_tpu.plan import nodes as P
+from tiflash_tpu.plan.distribute import (
+    broadcast_join,
+    gather_topn,
+    shuffle_join,
+    split_aggregation,
+)
+from tiflash_tpu.testing import oracle as O
+from tiflash_tpu.testing.plan_oracle import execute_plan_oracle
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    assert len(devs) == 8, "conftest must provide 8 cpu devices"
+    return Mesh(devs, ("d",))
+
+
+def make_tables(mesh, seed=0, n=640):
+    rng = np.random.default_rng(seed)
+    schema = {
+        "k": dt.INT32,
+        "k2": dt.STRING,
+        "v": dt.Decimal(10, 2, nullable=True),
+        "w": dt.INT64,
+    }
+    t = O.random_pytable(rng, n, schema, int_range=(0, 37))
+    b = O.pytable_to_block(t, schema)
+    blocks = shard_catalog_blocks({"t": b}, mesh)
+    return t, blocks
+
+
+def run_dist(plan, mesh, blocks, **cfg_kw):
+    fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(**cfg_kw))
+    out, overflows = fn(blocks)
+    for k, v in overflows.items():
+        assert not bool(np.asarray(v).max()), f"overflow at {k}"
+    return O.block_to_pytable(collect_result(out))
+
+
+def test_distributed_aggregation(mesh):
+    t, blocks = make_tables(mesh, seed=1)
+    aggs = [
+        AggDesc("sum", "v", "s"),
+        AggDesc("count", None, "c"),
+        AggDesc("count", "v", "cv"),
+        AggDesc("min", "w", "mn"),
+        AggDesc("max", "w", "mx"),
+        AggDesc("avg", "v", "a"),
+    ]
+    plan = split_aggregation(["k"], aggs, P.TableScan("t"))
+    got = run_dist(plan, mesh, blocks)
+    want = O.o_aggregate(t, ["k"], [(a.func, a.arg, a.name) for a in aggs])
+    O.assert_tables_equal(got, want)
+
+
+def test_distributed_agg_string_key(mesh):
+    t, blocks = make_tables(mesh, seed=2)
+    aggs = [AggDesc("sum", "w", "s"), AggDesc("count", None, "c")]
+    plan = split_aggregation(["k2"], aggs, P.TableScan("t"))
+    got = run_dist(plan, mesh, blocks)
+    want = O.o_aggregate(t, ["k2"], [("sum", "w", "s"), ("count", None, "c")])
+    O.assert_tables_equal(got, want)
+
+
+def make_join_tables(mesh, seed=3, nl=600, nr=200):
+    rng = np.random.default_rng(seed)
+    ls = {"lk": dt.INT32.with_nullable(True), "lv": dt.INT64}
+    rs = {"rk": dt.INT32.with_nullable(True), "rv": dt.INT64}
+    lt = O.random_pytable(rng, nl, ls, int_range=(0, 50))
+    rt = O.random_pytable(rng, nr, rs, int_range=(0, 50))
+    blocks = shard_catalog_blocks(
+        {"l": O.pytable_to_block(lt, ls), "r": O.pytable_to_block(rt, rs)}, mesh
+    )
+    return lt, rt, blocks
+
+
+@pytest.mark.parametrize("kind", ["inner", "left", "semi", "anti"])
+def test_distributed_shuffle_join(mesh, kind):
+    lt, rt, blocks = make_join_tables(mesh)
+    plan = shuffle_join(
+        kind, ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=8192,
+    )
+    got = run_dist(plan, mesh, blocks, shuffle_factor=8.0)
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind=kind)
+    O.assert_tables_equal(got, want)
+
+
+def test_distributed_broadcast_join(mesh):
+    lt, rt, blocks = make_join_tables(mesh, seed=4)
+    plan = broadcast_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=8192,
+    )
+    got = run_dist(plan, mesh, blocks)
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_distributed_gather_topn(mesh):
+    t, blocks = make_tables(mesh, seed=5)
+    plan = gather_topn([SortKey("w", desc=True, nulls_first=False)], 15, P.TableScan("t"))
+    got = run_dist(plan, mesh, blocks)
+    want = O.o_sort(t, [("w", True)], limit=15)
+    assert sorted(got["w"]) == sorted(want["w"])
+
+
+def test_distributed_join_then_agg(mesh):
+    """Q3-shaped: shuffle join then distributed group-by on top."""
+    lt, rt, blocks = make_join_tables(mesh, seed=6)
+    j = shuffle_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=8192,
+    )
+    plan = split_aggregation(
+        ["rk"], [AggDesc("sum", "lv", "s"), AggDesc("count", None, "c")], j
+    )
+    got = run_dist(plan, mesh, blocks, shuffle_factor=8.0)
+    jt = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    want = O.o_aggregate(jt, ["rk"], [("sum", "lv", "s"), ("count", None, "c")])
+    O.assert_tables_equal(got, want)
+
+
+def test_shuffle_overflow_detected(mesh):
+    # all rows share one key -> everything lands on one partition; with a
+    # sub-1.0 factor the per-chunk capacity must overflow and be reported
+    schema = {"k": dt.INT32, "v": dt.INT64}
+    t = {"k": [7] * 640, "v": list(range(640))}
+    blocks = shard_catalog_blocks({"t": O.pytable_to_block(t, schema)}, mesh)
+    plan = P.ExchangeReceiver(P.ExchangeSender("hash", ["k"], P.TableScan("t")))
+    fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(shuffle_factor=0.5))
+    _, overflows = fn(blocks)
+    assert any(bool(np.asarray(v).max()) for v in overflows.values())

@@ -1,0 +1,242 @@
+"""Distributed (MPP) query execution: one SPMD program per query.
+
+Role analog: the entire MPP stack L8-L9 of the reference —
+``MPPTask`` (``Flash/Mpp/MPPTask.cpp:597``), tunnels, receivers, the
+MinTSO admission gate — all of which exists because the reference runs one
+C++ process per node exchanging gRPC packets.  On a TPU mesh none of that
+survives contact with the hardware: the whole multi-fragment plan compiles
+into ONE ``shard_map``-ped jitted function where exchange edges are
+collectives (exchange/shuffle.py) and XLA overlaps them with compute.
+There are no task states, no scheduler, no backpressure queues — the
+"scheduler" is the XLA async runtime.
+
+What remains host-side (this module): sharding tables onto the mesh,
+compiling the SPMD function, re-running with doubled capacities when an
+overflow flag comes back (the spill/restore-round analog), and gathering
+the result.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..core.block import Block, Column
+from ..exchange.shuffle import allgather_block, shuffle_block
+from ..expr.compile import ExprEvaluator
+from ..ops import join as J
+from ..ops.aggregate import hash_aggregate
+from ..ops.sort import limit_block, sort_block, top_n
+from ..plan import nodes as P
+
+AXIS = "d"
+
+
+# ---------------------------------------------------------------------------
+# table sharding (the Region-shard analog: rows split across devices)
+# ---------------------------------------------------------------------------
+
+
+def shard_block(block: Block, mesh: Mesh, axis: str = AXIS) -> Block:
+    """Pad row count to a multiple of the mesh size and shard axis 0."""
+    n_dev = mesh.shape[axis]
+    n = block.capacity
+    padded = -(-n // n_dev) * n_dev
+    pad = padded - n
+
+    sharding = NamedSharding(mesh, PSpec(axis))
+
+    def place(arr, fill=0):
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)]
+            )
+        return jax.device_put(arr, sharding)
+
+    cols = tuple(
+        Column(
+            place(c.data),
+            place(c.validity, False) if c.validity is not None else None,
+            c.dtype,
+            c.dictionary,
+        )
+        for c in block.columns
+    )
+    sel = place(block.sel_mask(), False)
+    return Block(names=block.names, columns=cols, sel=sel)
+
+
+def shard_catalog_blocks(blocks: Dict[str, Block], mesh: Mesh, axis: str = AXIS) -> Dict[str, Block]:
+    return {k: shard_block(b, mesh, axis) for k, b in blocks.items()}
+
+
+# ---------------------------------------------------------------------------
+# SPMD execution (runs inside shard_map; blocks are per-device shards)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ExchangeConfig:
+    """Static capacities for exchange outputs (bounded-output contract).
+    Keyed by a stable node counter; missing entries use defaults."""
+
+    shuffle_factor: float = 2.0         # out_capacity = factor * local capacity
+    capacities: Dict[int, int] = dataclasses.field(default_factory=dict)
+
+
+def _exec_spmd(
+    node: P.PlanNode,
+    tables: Dict[str, Block],
+    axis: str,
+    cfg: ExchangeConfig,
+    overflows: Dict[str, jnp.ndarray],
+    ctr: List[int],
+) -> Block:
+    ctr[0] += 1
+    nid = f"{type(node).__name__}_{ctr[0]}"
+
+    if isinstance(node, P.TableScan):
+        block = tables[node.table]
+        if node.columns is not None:
+            block = block.select(list(node.columns))
+        return block
+
+    if isinstance(node, P.Selection):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        cond = ExprEvaluator(child).evaluate(node.cond)
+        mask = cond.data.astype(jnp.bool_)
+        if cond.validity is not None:
+            mask = mask & cond.validity
+        return child.and_sel(mask)
+
+    if isinstance(node, P.Projection):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        ev = ExprEvaluator(child)
+        return Block.from_dict(
+            {name: ev.evaluate(e) for name, e in node.exprs.items()}, sel=child.sel
+        )
+
+    if isinstance(node, P.Aggregation):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
+        overflows[nid] = res.overflow
+        return res.block
+
+    if isinstance(node, P.Join):
+        probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
+        build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
+        cap = None if node.unique_build else (node.output_capacity or probe.capacity)
+        joined, extras = J.hash_join(
+            probe, build, list(node.probe_keys), list(node.build_keys),
+            kind=node.kind, output_capacity=cap,
+        )
+        overflows[nid] = extras["overflow"]
+        return joined
+
+    if isinstance(node, P.TopN):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return top_n(child, list(node.sort_keys), node.limit)
+
+    if isinstance(node, P.Sort):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return sort_block(child, list(node.sort_keys))
+
+    if isinstance(node, P.Limit):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return limit_block(child, node.limit)
+
+    if isinstance(node, P.ExchangeReceiver):
+        sender = node.source
+        assert isinstance(sender, P.ExchangeSender), "receiver must wrap a sender"
+        ctr[0] += 1
+        xid = ctr[0]
+        child = _exec_spmd(sender.child, tables, axis, cfg, overflows, ctr)
+        if sender.exchange_type == "hash":
+            cap = cfg.capacities.get(
+                xid, int(np.ceil(child.capacity * cfg.shuffle_factor))
+            )
+            out, ov = shuffle_block(child, list(sender.keys), axis, cap)
+            overflows[f"Exchange_{xid}"] = ov
+            return out
+        if sender.exchange_type in ("broadcast", "passthrough"):
+            return allgather_block(child, axis)
+        raise NotImplementedError(sender.exchange_type)
+
+    raise NotImplementedError(type(node).__name__)
+
+
+def plan_distribution(node: P.PlanNode) -> str:
+    """Static row-distribution of a plan's output: 'sharded' (each device
+    holds distinct rows) or 'replicated' (every device holds all rows —
+    after a broadcast/passthrough exchange)."""
+    if isinstance(node, P.TableScan):
+        return "sharded"
+    if isinstance(node, P.ExchangeReceiver):
+        sender = node.source
+        assert isinstance(sender, P.ExchangeSender)
+        if sender.exchange_type in ("broadcast", "passthrough"):
+            return "replicated"
+        return "sharded"
+    if isinstance(node, P.Join):
+        return plan_distribution(node.probe)
+    return plan_distribution(node.children[0])
+
+
+def compile_distributed(
+    plan: P.PlanNode,
+    mesh: Mesh,
+    axis: str = AXIS,
+    cfg: Optional[ExchangeConfig] = None,
+) -> Callable[[Dict[str, Block]], Tuple[Block, Dict[str, jnp.ndarray]]]:
+    """Compile the whole plan (with exchange nodes) into one jitted SPMD
+    function over ``mesh``.  Input tables must be sharded with
+    ``shard_catalog_blocks``; the result block comes back row-sharded on
+    ``axis`` (or replicated after a gather) — use ``collect_result``."""
+    cfg = cfg or ExchangeConfig()
+
+    def spmd_fn(tables: Dict[str, Block]):
+        overflows: Dict[str, jnp.ndarray] = {}
+        out = _exec_spmd(plan, tables, axis, cfg, overflows, [0])
+        # reduce overflow flags across devices so the host sees any-overflow
+        overflows = {
+            k: jax.lax.pmax(v.astype(jnp.int32), axis) for k, v in overflows.items()
+        }
+        return out, overflows
+
+    out_rows_spec = PSpec(axis) if plan_distribution(plan) == "sharded" else PSpec()
+    shard_fn = jax.shard_map(
+        spmd_fn,
+        mesh=mesh,
+        in_specs=(PSpec(axis),),
+        out_specs=(out_rows_spec, PSpec()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+def collect_result(out: Block) -> Block:
+    """Bring a (possibly sharded) result block to host as one Block."""
+    names = out.names
+    cols = []
+    for c in out.columns:
+        data = jax.device_get(c.data)
+        validity = jax.device_get(c.validity) if c.validity is not None else None
+        cols.append(Column(jnp.asarray(data), None if validity is None else jnp.asarray(validity), c.dtype, c.dictionary))
+    sel = jnp.asarray(jax.device_get(out.sel_mask()))
+    return Block(names=names, columns=tuple(cols), sel=sel)
+
+
+__all__ = [
+    "compile_distributed",
+    "shard_block",
+    "shard_catalog_blocks",
+    "collect_result",
+    "ExchangeConfig",
+    "AXIS",
+]

@@ -1,0 +1,146 @@
+"""Fragment compiler: plan tree -> one traced/jitted JAX function.
+
+Role analog: the whole execution stack L5-L7 of the reference —
+``Planner::execute`` (``Flash/Planner/Planner.cpp:42``),
+``PhysicalPlanNode::buildPipeline`` / ``buildBlockInputStream``
+(``Flash/Planner/PhysicalPlanNode.h:70-110``) and the
+``PipelineExecutor``/``TaskScheduler`` machinery
+(``Flash/Executor/PipelineExecutor.cpp:88``).
+
+On TPU none of that scheduling exists at runtime: a plan fragment is
+*compiled* — each node contributes traced ops, XLA fuses/schedules, and the
+"executor" is a single device computation.  Filters stay lazy selection
+masks; pipeline-breaker nodes (agg/join-build/sort) are just ops that
+consume the mask.  Host-side orchestration (fragments, shuffles, capacity
+retries) lives in mpp/runner.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.block import Block
+from ..expr.compile import ExprEvaluator
+from ..ops import join as J
+from ..ops.aggregate import hash_aggregate
+from ..ops.sort import limit_block, sort_block, top_n
+from . import nodes as P
+
+
+@dataclasses.dataclass
+class Diagnostics:
+    """Traced scalars surfaced to the host runner: overflow flags trigger
+    capacity-doubling re-runs (SURVEY.md §7), row counts feed execution
+    summaries (``Flash/Statistics/ExecutorStatisticsCollector.h``)."""
+
+    overflows: Dict[str, jnp.ndarray]
+    rows: Dict[str, jnp.ndarray]
+
+
+def execute_plan(plan: P.PlanNode, tables: Dict[str, Block], diag: Optional[Diagnostics] = None) -> Block:
+    """Trace-time recursive walk.  Call under jit for fused execution."""
+    if diag is None:
+        diag = Diagnostics({}, {})
+    return _exec(plan, tables, diag, [0])
+
+
+def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: List[int]) -> Block:
+    ctr[0] += 1
+    nid = f"{type(node).__name__}_{ctr[0]}"
+
+    if isinstance(node, P.TableScan):
+        block = tables[node.table]
+        if node.columns is not None:
+            block = block.select(list(node.columns))
+        diag.rows[nid] = block.num_rows()
+        return block
+
+    if isinstance(node, P.Selection):
+        child = _exec(node.child, tables, diag, ctr)
+        cond = ExprEvaluator(child).evaluate(node.cond)
+        mask = cond.data.astype(jnp.bool_)
+        if cond.validity is not None:
+            mask = mask & cond.validity  # NULL condition == not selected
+        out = child.and_sel(mask)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.Projection):
+        child = _exec(node.child, tables, diag, ctr)
+        ev = ExprEvaluator(child)
+        cols = {name: ev.evaluate(e) for name, e in node.exprs.items()}
+        out = Block.from_dict(cols, sel=child.sel)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.Aggregation):
+        child = _exec(node.child, tables, diag, ctr)
+        res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
+        diag.overflows[nid] = res.overflow
+        diag.rows[nid] = res.num_groups
+        return res.block
+
+    if isinstance(node, P.Join):
+        probe = _exec(node.probe, tables, diag, ctr)
+        build = _exec(node.build, tables, diag, ctr)
+        cap = None if node.unique_build else node.output_capacity
+        if cap is None and not node.unique_build:
+            # default: assume 1:1-ish expansion, probe capacity
+            cap = probe.capacity
+        joined, extras = J.hash_join(
+            probe, build, list(node.probe_keys), list(node.build_keys),
+            kind=node.kind, output_capacity=cap,
+        )
+        diag.overflows[nid] = extras["overflow"]
+        diag.rows[nid] = joined.num_rows()
+        return joined
+
+    if isinstance(node, P.TopN):
+        child = _exec(node.child, tables, diag, ctr)
+        out = top_n(child, list(node.sort_keys), node.limit)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.Sort):
+        child = _exec(node.child, tables, diag, ctr)
+        out = sort_block(child, list(node.sort_keys))
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.Limit):
+        child = _exec(node.child, tables, diag, ctr)
+        out = limit_block(child, node.limit)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, (P.ExchangeSender, P.ExchangeReceiver)):
+        raise ValueError(
+            "exchange nodes mark fragment boundaries — run via mpp.runner, "
+            "not the single-fragment compiler"
+        )
+
+    raise NotImplementedError(f"plan node {type(node).__name__}")
+
+
+def compile_fragment(
+    plan: P.PlanNode,
+) -> Callable[[Dict[str, Block]], Tuple[Block, Dict[str, jnp.ndarray]]]:
+    """jit-compile a whole exchange-free fragment.
+
+    Returns fn(tables) -> (result block, overflow flags).  Retraces only
+    when table capacities/dtypes change (pytree structure)."""
+
+    @jax.jit
+    def run(tables: Dict[str, Block]):
+        diag = Diagnostics({}, {})
+        out = execute_plan(plan, tables, diag)
+        return out, diag.overflows
+
+    return run
+
+
+__all__ = ["execute_plan", "compile_fragment", "Diagnostics"]

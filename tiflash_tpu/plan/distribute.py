@@ -1,0 +1,118 @@
+"""Distributed plan rewrites: multi-stage aggregation and shuffle joins.
+
+Role analog: TiDB's MPP plan shapes that the reference executes — partial
+agg → hash exchange → final agg (``AggregationInterpreterHelper``,
+``Flash/Coprocessor/AggregationInterpreterHelper.cpp``; two/three-stage agg
+taxonomy in SURVEY.md §2.6) and shuffle/broadcast join build sides.
+
+``split_aggregation`` rewrites a logical Aggregation into the
+partial/exchange/final triple with the classic state decomposition:
+sum->sum, count->sum-of-counts, min/max->min/max, avg->(sum, count) with a
+final divide projection (the -State/-Merge combinator analog).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..expr.nodes import Expr, col
+from ..ops.aggregate import AggDesc
+from . import nodes as P
+
+
+def split_aggregation(
+    keys,
+    aggs,
+    child: P.PlanNode,
+    partial_slots: Optional[int] = None,
+    final_slots: Optional[int] = None,
+) -> P.PlanNode:
+    """Aggregation(keys, aggs, child) -> partial agg, hash shuffle on keys,
+    final agg, (projection restoring avg and column order)."""
+    partial: List[AggDesc] = []
+    final: List[AggDesc] = []
+    post: Dict[str, Expr] = {k: col(k) for k in keys}
+    needs_post = False
+    for a in aggs:
+        if a.func == "sum":
+            partial.append(AggDesc("sum", a.arg, a.name))
+            final.append(AggDesc("sum", a.name, a.name))
+            post[a.name] = col(a.name)
+        elif a.func == "count":
+            partial.append(AggDesc("count", a.arg, a.name))
+            final.append(AggDesc("sum", a.name, a.name))
+            post[a.name] = col(a.name)
+        elif a.func in ("min", "max"):
+            partial.append(AggDesc(a.func, a.arg, a.name))
+            final.append(AggDesc(a.func, a.name, a.name))
+            post[a.name] = col(a.name)
+        elif a.func == "avg":
+            s, c = a.name + "__psum", a.name + "__pcnt"
+            partial.append(AggDesc("sum", a.arg, s))
+            partial.append(AggDesc("count", a.arg, c))
+            final.append(AggDesc("sum", s, s))
+            final.append(AggDesc("sum", c, c))
+            # TiDB avg scale: arg_scale + 4 == divide's scale increment
+            post[a.name] = col(s) / col(c)
+            needs_post = True
+        else:
+            raise NotImplementedError(f"distributed {a.func}")
+    node: P.PlanNode = P.Aggregation(
+        keys=keys, aggs=partial, child=child, num_slots=partial_slots, mode="partial"
+    )
+    node = P.ExchangeReceiver(P.ExchangeSender("hash", keys, node))
+    node = P.Aggregation(
+        keys=keys, aggs=final, child=node, num_slots=final_slots, mode="final"
+    )
+    if needs_post or any(a.func == "avg" for a in aggs):
+        node = P.Projection(post, node)
+    return node
+
+
+def shuffle_join(
+    kind: str,
+    probe_keys,
+    build_keys,
+    probe: P.PlanNode,
+    build: P.PlanNode,
+    unique_build: bool = False,
+    output_capacity: Optional[int] = None,
+) -> P.Join:
+    """Hash-shuffle both sides on the join key, then local join.
+
+    (Config-4 shape: repartition join across chips.)"""
+    p = P.ExchangeReceiver(P.ExchangeSender("hash", probe_keys, probe))
+    b = P.ExchangeReceiver(P.ExchangeSender("hash", build_keys, build))
+    return P.Join(
+        kind=kind, probe_keys=probe_keys, build_keys=build_keys,
+        probe=p, build=b, unique_build=unique_build,
+        output_capacity=output_capacity,
+    )
+
+
+def broadcast_join(
+    kind: str,
+    probe_keys,
+    build_keys,
+    probe: P.PlanNode,
+    build: P.PlanNode,
+    unique_build: bool = False,
+    output_capacity: Optional[int] = None,
+) -> P.Join:
+    """Broadcast the (small) build side to every device; probe stays put."""
+    b = P.ExchangeReceiver(P.ExchangeSender("broadcast", (), build))
+    return P.Join(
+        kind=kind, probe_keys=probe_keys, build_keys=build_keys,
+        probe=probe, build=b, unique_build=unique_build,
+        output_capacity=output_capacity,
+    )
+
+
+def gather_topn(sort_keys, limit: int, child: P.PlanNode) -> P.PlanNode:
+    """Local top-N, passthrough-gather, final top-N (replicated)."""
+    local = P.TopN(sort_keys, limit, child)
+    gathered = P.ExchangeReceiver(P.ExchangeSender("passthrough", (), local))
+    return P.TopN(sort_keys, limit, gathered)
+
+
+__all__ = ["split_aggregation", "shuffle_join", "broadcast_join", "gather_topn"]

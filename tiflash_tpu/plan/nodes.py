@@ -1,0 +1,213 @@
+"""Logical/physical plan IR.
+
+Role analog: the ``tipb::ExecType`` executor-tree node set consumed by
+``PhysicalPlan::build`` (``Flash/Planner/PhysicalPlan.cpp:103-250``) and the
+``PhysicalXxx`` plan nodes in ``Flash/Planner/Plans/``.  One dataclass per
+executor kind; the same tree drives the engine compiler
+(plan/compiler.py), the Python oracle (testing), and fragment splitting at
+exchange boundaries (mpp/).
+
+Unlike the reference there is no stream/pipeline duality: a fragment
+compiles to ONE jitted function (XLA is the scheduler), so the whole
+PhysicalPlanNode::buildBlockInputStream/buildPipeline split collapses into
+``compile_fragment``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..expr.nodes import Expr
+from ..ops.aggregate import AggDesc
+from ..ops.sort import SortKey
+
+
+class PlanNode:
+    children: Tuple["PlanNode", ...] = ()
+
+    def pretty(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        head = f"{pad}{self.describe()}"
+        return "\n".join([head] + [c.pretty(indent + 1) for c in self.children])
+
+    def describe(self) -> str:
+        return type(self).__name__
+
+
+@dataclasses.dataclass
+class TableScan(PlanNode):
+    """Leaf: reads a table shard from the catalog (the MockStorage /
+    DeltaTree read analog; storage itself is a host-side table provider)."""
+
+    table: str
+    columns: Optional[Sequence[str]] = None
+    children: Tuple[PlanNode, ...] = ()
+
+    def describe(self):
+        cols = "*" if self.columns is None else ",".join(self.columns)
+        return f"TableScan({self.table}: {cols})"
+
+
+@dataclasses.dataclass
+class Selection(PlanNode):
+    """Filter — stays lazy as a selection mask (tipb::Selection)."""
+
+    cond: Expr
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"Selection({self.cond})"
+
+
+@dataclasses.dataclass
+class Projection(PlanNode):
+    """Column computation / renaming (tipb::Projection)."""
+
+    exprs: Dict[str, Expr]
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"Projection({', '.join(self.exprs)})"
+
+
+@dataclasses.dataclass
+class Aggregation(PlanNode):
+    """Hash aggregation (tipb::Aggregation).  ``num_slots`` caps group
+    capacity for the sort method (bounded-output contract)."""
+
+    keys: Sequence[str]
+    aggs: Sequence[AggDesc]
+    child: PlanNode = None  # type: ignore[assignment]
+    num_slots: Optional[int] = None
+    # distributed mode tag filled by the planner: None | 'partial' | 'final'
+    mode: Optional[str] = None
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        a = ", ".join(f"{x.func}({x.arg or '*'})->{x.name}" for x in self.aggs)
+        m = f" [{self.mode}]" if self.mode else ""
+        return f"Aggregation(keys={list(self.keys)}; {a}){m}"
+
+
+@dataclasses.dataclass
+class Join(PlanNode):
+    """Hash join (tipb::Join).  children = (probe, build) — the reference
+    splits PhysicalJoinBuild/Probe; here the compiler emits build+probe
+    into one traced fn.  ``unique_build`` selects the 1:N fast path;
+    ``output_capacity`` sizes the N:M expansion."""
+
+    kind: str
+    probe_keys: Sequence[str]
+    build_keys: Sequence[str]
+    probe: PlanNode = None  # type: ignore[assignment]
+    build: PlanNode = None  # type: ignore[assignment]
+    unique_build: bool = False
+    output_capacity: Optional[int] = None
+
+    def __post_init__(self):
+        self.children = (self.probe, self.build)
+
+    def describe(self):
+        return (
+            f"Join({self.kind}; probe={list(self.probe_keys)} "
+            f"build={list(self.build_keys)}"
+            + (" unique" if self.unique_build else "")
+            + ")"
+        )
+
+
+@dataclasses.dataclass
+class TopN(PlanNode):
+    sort_keys: Sequence[SortKey]
+    limit: int
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        ks = ", ".join(f"{k.name}{' desc' if k.desc else ''}" for k in self.sort_keys)
+        return f"TopN({ks}; limit={self.limit})"
+
+
+@dataclasses.dataclass
+class Sort(PlanNode):
+    sort_keys: Sequence[SortKey]
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        ks = ", ".join(f"{k.name}{' desc' if k.desc else ''}" for k in self.sort_keys)
+        return f"Sort({ks})"
+
+
+@dataclasses.dataclass
+class Limit(PlanNode):
+    limit: int
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"Limit({self.limit})"
+
+
+@dataclasses.dataclass
+class ExchangeSender(PlanNode):
+    """Fragment boundary, sender side (tipb::ExchangeSender).
+
+    exchange_type: 'hash' (repartition by key — HashPartitionWriter),
+    'broadcast' (BroadcastOrPassThroughWriter), 'passthrough' (gather to
+    one consumer).  On TPU this lowers to collectives under shard_map, not
+    gRPC tunnels (SURVEY.md §5 mapping)."""
+
+    exchange_type: str
+    keys: Sequence[str] = ()
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        k = f" keys={list(self.keys)}" if self.keys else ""
+        return f"ExchangeSender({self.exchange_type}{k})"
+
+
+@dataclasses.dataclass
+class ExchangeReceiver(PlanNode):
+    """Fragment boundary, receiver side (tipb::ExchangeReceiver)."""
+
+    source: PlanNode = None  # type: ignore[assignment]  # the sender subtree
+
+    def __post_init__(self):
+        self.children = (self.source,)
+
+    def describe(self):
+        return "ExchangeReceiver"
+
+
+__all__ = [
+    "PlanNode",
+    "TableScan",
+    "Selection",
+    "Projection",
+    "Aggregation",
+    "Join",
+    "TopN",
+    "Sort",
+    "Limit",
+    "ExchangeSender",
+    "ExchangeReceiver",
+]

@@ -1,0 +1,91 @@
+"""Host-side table provider ("storage engine").
+
+Role analog: the read-side of ``StorageDeltaMerge``/``MockStorage``
+(``Debug/MockStorage.h``) — SURVEY.md scopes the DeltaTree storage engine
+out of the TPU build; tables are columnar host arrays staged into device
+HBM on first scan.  Columns are built straight from numpy arrays (no
+python-object round trip) so SF≥1 loads stay fast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block, Column
+from ..core.dtypes import DataType, TypeKind
+
+
+def column_from_arrays(
+    data: np.ndarray,
+    dtype: DataType,
+    validity: Optional[np.ndarray] = None,
+    dictionary: Optional[Tuple[str, ...]] = None,
+) -> Column:
+    """Zero-copy-ish column construction from numpy.
+
+    For STRING columns the caller provides int32 codes + the sorted
+    dictionary (order-preserving codes contract, see core/block.py)."""
+    if dtype.is_string:
+        assert dictionary is not None, "string columns need a dictionary"
+        assert data.dtype == np.int32
+    else:
+        data = np.ascontiguousarray(data, dtype=dtype.physical)
+    v = None if validity is None else jnp.asarray(np.ascontiguousarray(validity, dtype=bool))
+    return Column(jnp.asarray(data), v, dtype, dictionary)
+
+
+def encode_strings(values: np.ndarray) -> Tuple[np.ndarray, Tuple[str, ...]]:
+    """Sort-order dictionary encoding of a numpy string array."""
+    uniq, codes = np.unique(values, return_inverse=True)
+    return codes.astype(np.int32), tuple(uniq.tolist())
+
+
+@dataclasses.dataclass
+class TableDef:
+    name: str
+    block: Block
+    schema: Dict[str, DataType]
+    # planner hints (the stats analog of TiDB's table statistics)
+    unique_keys: Tuple[Tuple[str, ...], ...] = ()
+    row_count: int = 0
+
+
+class Catalog:
+    """In-memory schema + data registry (the TiDB InfoSchema / SchemaSyncer
+    analog, ``TiDB/Schema/TiDBSchemaSyncer.h:32`` — here just a dict)."""
+
+    def __init__(self):
+        self.tables: Dict[str, TableDef] = {}
+
+    def register(
+        self,
+        name: str,
+        columns: Dict[str, Column],
+        unique_keys: Sequence[Sequence[str]] = (),
+    ) -> TableDef:
+        block = Block.from_dict(columns)
+        td = TableDef(
+            name=name,
+            block=block,
+            schema={n: c.dtype for n, c in columns.items()},
+            unique_keys=tuple(tuple(k) for k in unique_keys),
+            row_count=block.capacity,
+        )
+        self.tables[name] = td
+        return td
+
+    def blocks(self) -> Dict[str, Block]:
+        return {n: t.block for n, t in self.tables.items()}
+
+    def __getitem__(self, name: str) -> TableDef:
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables
+
+
+__all__ = ["Catalog", "TableDef", "column_from_arrays", "encode_strings"]

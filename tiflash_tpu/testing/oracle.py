@@ -174,6 +174,12 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         b = datetime.date.fromisoformat(b)
     if isinstance(b, datetime.date) and isinstance(a, str):
         a = datetime.date.fromisoformat(a)
+    # float literal in decimal context -> exact decimal (mirrors TiDB
+    # parsing decimal literals as decimals, engine _float_to_decimal)
+    if isinstance(a, D) and isinstance(b, float):
+        b = D(repr(b))
+    if isinstance(b, D) and isinstance(a, float):
+        a = D(repr(a))
     a, b = _numify(a), _numify(b)
     if f == "plus":
         return a + b
