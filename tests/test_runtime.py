@@ -1,0 +1,149 @@
+"""Runtime layer tests: QueryRunner retries, failpoints, metrics,
+summaries (the fault-inject tier of the reference's test strategy)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.expr.nodes import col
+from tiflash_tpu.ops.aggregate import AggDesc
+from tiflash_tpu.plan import nodes as P
+from tiflash_tpu.plan.distribute import shuffle_join, split_aggregation
+from tiflash_tpu.runtime.executor import QueryRunner, enumerate_plan, run_query
+from tiflash_tpu.runtime.failpoint import FailPoint, FailPointError, fail_point
+from tiflash_tpu.runtime.metrics import METRICS
+from tiflash_tpu.runtime.settings import Settings
+from tiflash_tpu.testing import oracle as O
+
+
+@pytest.fixture(autouse=True)
+def clean_failpoints():
+    yield
+    FailPoint.disable_all()
+
+
+def make_join_setup(nl=400, nr=100, hot=False, seed=0):
+    rng = np.random.default_rng(seed)
+    ls = {"lk": dt.INT32, "lv": dt.INT64}
+    rs = {"rk": dt.INT32, "rv": dt.INT64}
+    lt = O.random_pytable(rng, nl, ls, null_prob=0, int_range=(0, 30))
+    rt = O.random_pytable(rng, nr, rs, null_prob=0, int_range=(0, 30))
+    if hot:  # every build row matches every 5th probe row -> big expansion
+        lt["lk"] = [5] * nl
+        rt["rk"] = [5] * nr
+    return lt, rt, {
+        "l": O.pytable_to_block(lt, ls),
+        "r": O.pytable_to_block(rt, rs),
+    }
+
+
+def test_retry_grows_join_capacity():
+    lt, rt, blocks = make_join_setup(nl=64, nr=32, hot=True)
+    plan = P.Join(
+        kind="inner", probe_keys=["lk"], build_keys=["rk"],
+        probe=P.TableScan("l"), build=P.TableScan("r"),
+        output_capacity=64,  # true size 64*32=2048 -> needs retries
+    )
+    out, summary = run_query(plan, blocks)
+    assert summary.retries >= 1
+    got = O.block_to_pytable(out)
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_retry_exhaustion_raises():
+    lt, rt, blocks = make_join_setup(nl=64, nr=32, hot=True)
+    plan = P.Join(
+        kind="inner", probe_keys=["lk"], build_keys=["rk"],
+        probe=P.TableScan("l"), build=P.TableScan("r"), output_capacity=1,
+    )
+    with pytest.raises(RuntimeError, match="overflow persisted"):
+        run_query(plan, blocks, settings=Settings(max_capacity_retries=0))
+
+
+def test_distributed_retry_grows_shuffle():
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    t = {"k": [3] * 800, "v": list(range(800))}
+    schema = {"k": dt.INT32, "v": dt.INT64}
+    blocks = {"t": O.pytable_to_block(t, schema)}
+    plan = split_aggregation(
+        ["k"], [AggDesc("sum", "v", "s")], P.TableScan("t"), partial_slots=None
+    )
+    # all rows on one key: every partial lands on one device; small factor
+    # forces at least one retry of the exchange
+    out, summary = run_query(
+        plan, blocks, mesh=mesh,
+        settings=Settings(default_shuffle_factor=0.25, max_capacity_retries=6),
+    )
+    got = O.block_to_pytable(out)
+    want = O.o_aggregate(t, ["k"], [("sum", "v", "s")])
+    O.assert_tables_equal(got, want)
+
+
+def test_failpoint_triggers():
+    FailPoint.enable("exception_before_fragment_run")
+    lt, rt, blocks = make_join_setup()
+    plan = P.TableScan("l")
+    with pytest.raises(FailPointError):
+        run_query(plan, blocks)
+
+
+def test_failpoint_probabilistic():
+    FailPoint.enable("random_fragment_failure", probability=1.0)
+    with pytest.raises(FailPointError):
+        fail_point("random_fragment_failure")
+    FailPoint.enable("random_fragment_failure", probability=0.0)
+    fail_point("random_fragment_failure")  # never fires
+
+
+def test_summary_and_metrics():
+    before = METRICS.dump()["queries_total"]
+    lt, rt, blocks = make_join_setup()
+    plan = P.Selection(col("lv") > 0, P.TableScan("l"))
+    out, summary = run_query(plan, blocks)
+    assert summary.result_rows == sum(1 for v in lt["lv"] if v > 0)
+    assert summary.wall_seconds > 0
+    assert "Selection" in summary.plan_text
+    assert METRICS.dump()["queries_total"] == before + 1
+    assert summary.to_json()
+
+
+def test_enumerate_plan_matches_executor_ids():
+    """enumerate_plan must assign exactly the ids the executors emit in
+    overflow keys."""
+    plan = split_aggregation(
+        ["rk"], [AggDesc("sum", "lv", "s")],
+        shuffle_join(
+            "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+            output_capacity=8,
+        ),
+    )
+    nodes, exchanges = enumerate_plan(plan)
+    agg_ids = [i for i, n in nodes.items() if isinstance(n, P.Aggregation)]
+    join_ids = [i for i, n in nodes.items() if isinstance(n, P.Join)]
+    assert len(agg_ids) == 2 and len(join_ids) == 1 and len(exchanges) == 3
+
+    # run distributed with forced overflow to cross-check key ids
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    rng = np.random.default_rng(1)
+    ls = {"lk": dt.INT32, "lv": dt.INT64}
+    rs = {"rk": dt.INT32, "rv": dt.INT64}
+    lt = O.random_pytable(rng, 160, ls, null_prob=0, int_range=(0, 4))
+    rt = O.random_pytable(rng, 80, rs, null_prob=0, int_range=(0, 4))
+    blocks = {"l": O.pytable_to_block(lt, ls), "r": O.pytable_to_block(rt, rs)}
+    rng2 = np.random.default_rng(2)
+    lt2 = {"k": lt["lk"], "v": lt["lv"]}
+    from tiflash_tpu.mpp.runner import compile_distributed, shard_catalog_blocks, ExchangeConfig
+
+    fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(shuffle_factor=4.0))
+    sharded = shard_catalog_blocks(blocks, mesh)
+    _, overflows = fn(sharded)
+    for key in overflows:
+        kind, _, sid = key.rpartition("_")
+        nid = int(sid)
+        if kind == "Exchange":
+            assert nid in exchanges, (key, list(exchanges))
+        else:
+            assert nid in nodes and type(nodes[nid]).__name__ == kind, (key,)

@@ -217,6 +217,9 @@ class Block:
         return self.with_sel(new)
 
     def select(self, names: Sequence[str]) -> "Block":
+        missing = [n for n in names if n not in self.names]
+        if missing:
+            raise KeyError(f"columns {missing} not in block {list(self.names)}")
         cols = self.as_dict()
         return Block(
             names=tuple(names),

@@ -102,7 +102,8 @@ def shuffle_block(
         output_offsets = csum[me, :]
 
         total_recv = jnp.sum(recv_sizes)
-        overflow = total_recv > out_capacity
+        # overflow reports the required capacity (0 = fits)
+        overflow = jnp.where(total_recv > out_capacity, total_recv, 0).astype(jnp.int64)
 
         def exch(arr):
             return _ragged_exchange_array(
@@ -134,7 +135,11 @@ def shuffle_block(
     slot = jnp.where(
         live_send & (pos_in_part < C), row_p * C + pos_in_part, P * C
     )
-    overflow_local = jnp.any(send_sizes > C)
+    # required out_capacity if any chunk overflows (P * max chunk), else 0
+    max_send = jnp.max(send_sizes)
+    overflow_local = jnp.where(
+        max_send > C, max_send.astype(jnp.int64) * P, 0
+    )
 
     def exch(arr, fill=0):
         buf = jnp.zeros((P * C + 1,) + arr.shape[1:], dtype=arr.dtype).at[slot].set(

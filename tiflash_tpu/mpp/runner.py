@@ -33,6 +33,7 @@ from ..expr.compile import ExprEvaluator
 from ..ops import join as J
 from ..ops.aggregate import hash_aggregate
 from ..ops.sort import limit_block, sort_block, top_n
+from ..ops.window import window_block
 from ..plan import nodes as P
 
 AXIS = "d"
@@ -84,10 +85,13 @@ def shard_catalog_blocks(blocks: Dict[str, Block], mesh: Mesh, axis: str = AXIS)
 @dataclasses.dataclass
 class ExchangeConfig:
     """Static capacities for exchange outputs (bounded-output contract).
-    Keyed by a stable node counter; missing entries use defaults."""
+    Keyed by the stable DFS node counter (see plan enumeration in
+    runtime/executor.py); missing entries use defaults.  ``factors`` holds
+    per-exchange multipliers the retry loop doubles on overflow."""
 
     shuffle_factor: float = 2.0         # out_capacity = factor * local capacity
     capacities: Dict[int, int] = dataclasses.field(default_factory=dict)
+    factors: Dict[int, float] = dataclasses.field(default_factory=dict)
 
 
 def _exec_spmd(
@@ -151,6 +155,12 @@ def _exec_spmd(
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
         return limit_block(child, node.limit)
 
+    if isinstance(node, P.Window):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return window_block(
+            child, list(node.partition_by), list(node.order_by), list(node.funcs)
+        )
+
     if isinstance(node, P.ExchangeReceiver):
         sender = node.source
         assert isinstance(sender, P.ExchangeSender), "receiver must wrap a sender"
@@ -158,9 +168,8 @@ def _exec_spmd(
         xid = ctr[0]
         child = _exec_spmd(sender.child, tables, axis, cfg, overflows, ctr)
         if sender.exchange_type == "hash":
-            cap = cfg.capacities.get(
-                xid, int(np.ceil(child.capacity * cfg.shuffle_factor))
-            )
+            factor = cfg.factors.get(xid, cfg.shuffle_factor)
+            cap = cfg.capacities.get(xid, int(np.ceil(child.capacity * factor)))
             out, ov = shuffle_block(child, list(sender.keys), axis, cap)
             overflows[f"Exchange_{xid}"] = ov
             return out
@@ -203,9 +212,9 @@ def compile_distributed(
     def spmd_fn(tables: Dict[str, Block]):
         overflows: Dict[str, jnp.ndarray] = {}
         out = _exec_spmd(plan, tables, axis, cfg, overflows, [0])
-        # reduce overflow flags across devices so the host sees any-overflow
+        # reduce required-capacity flags across devices (max requirement)
         overflows = {
-            k: jax.lax.pmax(v.astype(jnp.int32), axis) for k, v in overflows.items()
+            k: jax.lax.pmax(v.astype(jnp.int64), axis) for k, v in overflows.items()
         }
         return out, overflows
 

@@ -191,7 +191,9 @@ def _segment_reduce(func: str, data, gids, num_slots: int, *, sorted_ids: bool):
 class AggregateResult:
     block: Block            # group keys + agg outputs; sel marks live slots
     num_groups: jnp.ndarray  # traced scalar
-    overflow: jnp.ndarray    # traced bool: groups exceeded num_slots (sort path)
+    # traced int: 0 = fits; else the slot capacity actually required
+    # (drives one-shot capacity retries instead of blind doubling)
+    overflow: jnp.ndarray
 
 
 def _accumulate(
@@ -276,7 +278,7 @@ def aggregate_direct(
     names = tuple(keys) + tuple(n for n, _ in acc)
     cols = tuple(key_cols) + tuple(c for _, c in acc)
     out = Block(names=names, columns=cols, sel=occupied)
-    return AggregateResult(out, jnp.sum(occupied, dtype=jnp.int32), jnp.bool_(False))
+    return AggregateResult(out, jnp.sum(occupied, dtype=jnp.int32), jnp.int64(0))
 
 
 def aggregate_sort(
@@ -313,7 +315,7 @@ def aggregate_sort(
     num_groups = jnp.where(
         jnp.any(live_sorted), jnp.max(jnp.where(live_sorted, gid_sorted, -1)) + 1, 0
     )
-    overflow = num_groups > num_slots
+    overflow = jnp.where(num_groups > num_slots, num_groups, 0).astype(jnp.int64)
     gids = jnp.where(live_sorted, jnp.minimum(gid_sorted, num_slots), num_slots)
 
     sorted_block = block.take(perm)
@@ -365,7 +367,7 @@ def hash_aggregate(
     """Method dispatch (the ``chooseAggregationMethod`` analog)."""
     if not keys:
         b = aggregate_scalar(block, aggs)
-        return AggregateResult(b, jnp.int32(1), jnp.bool_(False))
+        return AggregateResult(b, jnp.int32(1), jnp.int64(0))
     key_cols = [block[k] for k in keys]
     packed = pack_keys_direct(key_cols)
     if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:

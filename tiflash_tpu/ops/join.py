@@ -256,7 +256,7 @@ def probe_join_general(
         matched = probe_live & (counts > 0)
         sel = matched if kind == "semi" else ~matched
         bflags = _matched_flags(build, jnp.where(matched, lo, -1))
-        return probe_block.and_sel(sel), bflags, jnp.bool_(False)
+        return probe_block.and_sel(sel), bflags, jnp.int64(0)
     if kind in ("left", "left_outer"):
         # every selected probe row emits at least once (NULL-key rows too)
         counts = jnp.maximum(counts, probe_block.sel_mask().astype(counts.dtype))
@@ -276,7 +276,8 @@ def probe_join_general(
     build_rows = build.sorted_block.take(brow, fill_invalid=True)
     joined = _merge_blocks(probe_rows, build_rows).with_sel(live_out)
     bflags = _matched_flags(build, jnp.where(live_out, brow, -1))
-    return joined, bflags, total > output_capacity
+    needed = jnp.where(total > output_capacity, total, 0).astype(jnp.int64)
+    return joined, bflags, needed
 
 
 def scan_non_matched(build: JoinBuild, matched_flags: jnp.ndarray, probe_names: Sequence[str], probe_block: Block) -> Block:
@@ -322,7 +323,7 @@ def hash_join(
     build = build_join(build_block, bkeys, bnull)
     if output_capacity is None:
         joined, bflags = probe_join_unique(build, probe_block, pkeys, pnull, kind)
-        overflow = jnp.bool_(False)
+        overflow = jnp.int64(0)
     else:
         joined, bflags, overflow = probe_join_general(
             build, probe_block, pkeys, pnull, kind, output_capacity

@@ -1,0 +1,211 @@
+"""Window functions, TPU style.
+
+Role analog: ``dbms/src/WindowFunctions/`` (``IWindowFunction``) plus the
+partition/peer-group advance logic of ``WindowTransformAction``
+(``DataStreams/WindowTransformAction.h``) — re-imagined as one whole-batch
+computation: a single lexicographic ``lax.sort`` by (partition keys, order
+keys) replaces the streaming partition tracker, and every window function
+becomes a *segmented scan/gather* over the sorted batch:
+
+- row_number  = position - partition_start
+- rank        = position of peer-group start - partition_start + 1
+- dense_rank  = segmented count of peer-group boundaries
+- lead/lag    = shifted gather with partition-boundary masking
+- first_value = gather at partition_start
+- sum/count/min/max (unbounded preceding .. current row frame) =
+  segmented prefix scan (associative_scan with boundary reset)
+
+The reference forces fine-grained shuffle ahead of window execution
+(``Flash/Planner/Plans/PhysicalWindow.cpp``); the distributed analog here
+is a hash exchange on the partition keys so each device owns whole
+partitions, then this local kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.block import Block, Column
+from ..core.dtypes import DataType, INT64, TypeKind
+from .sort import SortKey, _sort_operand
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowDesc:
+    """func ∈ {row_number, rank, dense_rank, lead, lag, first_value,
+    last_value, sum, count, min, max}; ``arg`` names the value column where
+    applicable; lead/lag take ``offset`` and optional ``default``."""
+
+    func: str
+    name: str
+    arg: Optional[str] = None
+    offset: int = 1
+    default: Optional[object] = None
+
+
+def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive segmented scan: resets at rows where seg_start is True."""
+
+    def combine(a, b):
+        a_flag, a_val = a
+        b_flag, b_val = b
+        if op == "sum":
+            merged = a_val + b_val
+        elif op == "min":
+            merged = jnp.minimum(a_val, b_val)
+        elif op == "max":
+            merged = jnp.maximum(a_val, b_val)
+        else:
+            raise NotImplementedError(op)
+        return a_flag | b_flag, jnp.where(b_flag, b_val, merged)
+
+    _, out = jax.lax.associative_scan(combine, (seg_start, vals))
+    return out
+
+
+def window_block(
+    block: Block,
+    partition_by: Sequence[str],
+    order_by: Sequence[SortKey],
+    funcs: Sequence[WindowDesc],
+) -> Block:
+    """Compute all window functions; output rows sorted by (partition,
+    order) with dead rows pushed to the end (sel-compacted like sort)."""
+    n = block.capacity
+    live = block.sel_mask()
+
+    operands: List[jnp.ndarray] = [~live]
+    n_part_ops = 1
+    for name in partition_by:
+        c = block[name]
+        if c.validity is not None:
+            operands.append(~c.validity)
+        operands.append(c.data)
+    n_part_ops = len(operands)
+    for sk in order_by:
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+    n_sort_ops = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))
+    out = jax.lax.sort(tuple(operands), num_keys=n_sort_ops, is_stable=True)
+    perm = out[-1]
+    sorted_ops = out[:-1]
+    sblock = block.take(perm)
+    live_s = jnp.take(live, perm)
+    count = jnp.sum(live, dtype=jnp.int32)
+    sel = jnp.arange(n, dtype=jnp.int32) < count
+
+    # partition boundaries (first n_part_ops operands), peer boundaries (all
+    # sort operands)
+    def boundaries(ops):
+        neq = jnp.zeros(n, dtype=jnp.bool_)
+        for arr in ops:
+            neq = neq | (arr != jnp.roll(arr, 1))
+        return neq.at[0].set(True)
+
+    part_start = boundaries(sorted_ops[:n_part_ops])
+    peer_start = boundaries(sorted_ops[:n_sort_ops])
+
+    pos = jnp.arange(n, dtype=jnp.int64)
+    # index of this row's partition start / peer-group start
+    part_start_idx = jnp.maximum.accumulate(jnp.where(part_start, pos, 0))
+    peer_start_idx = jnp.maximum.accumulate(jnp.where(peer_start, pos, 0))
+
+    out_cols = dict(zip(sblock.names, sblock.columns))
+    for f in funcs:
+        if f.func == "row_number":
+            data = pos - part_start_idx + 1
+            out_cols[f.name] = Column(data.astype(jnp.int64), None, INT64)
+        elif f.func == "rank":
+            data = peer_start_idx - part_start_idx + 1
+            out_cols[f.name] = Column(data.astype(jnp.int64), None, INT64)
+        elif f.func == "dense_rank":
+            # count peer boundaries within the partition up to this row
+            peers_cum = jnp.cumsum(peer_start.astype(jnp.int64))
+            peers_at_pstart = jnp.take(peers_cum, part_start_idx)
+            data = peers_cum - peers_at_pstart + 1
+            out_cols[f.name] = Column(data, None, INT64)
+        elif f.func in ("lead", "lag"):
+            c = sblock[f.arg]
+            shift = f.offset if f.func == "lag" else -f.offset
+            src_raw = pos - shift
+            in_range = (src_raw >= 0) & (src_raw < n)
+            src = jnp.clip(src_raw, 0, n - 1).astype(jnp.int32)
+            moved = jnp.take(c.data, src)
+            moved_valid = (
+                jnp.take(c.validity, src) if c.validity is not None else None
+            )
+            # out of partition -> default/NULL
+            same_part = jnp.take(part_start_idx, src) == part_start_idx
+            ok = same_part & in_range
+            if f.default is not None:
+                data = jnp.where(ok, moved, jnp.asarray(f.default, dtype=c.data.dtype))
+                validity = None if moved_valid is None else jnp.where(ok, moved_valid, True)
+                dt = c.dtype
+            else:
+                data = jnp.where(ok, moved, jnp.zeros_like(moved))
+                validity = ok if moved_valid is None else (ok & moved_valid)
+                dt = c.dtype.with_nullable(True)
+            out_cols[f.name] = Column(data, validity, dt, c.dictionary)
+        elif f.func in ("first_value", "last_value"):
+            c = sblock[f.arg]
+            if f.func == "first_value":
+                idx = part_start_idx.astype(jnp.int32)
+            else:
+                # default frame: unbounded preceding .. current row
+                idx = pos.astype(jnp.int32)
+            data = jnp.take(c.data, idx)
+            validity = jnp.take(c.validity, idx) if c.validity is not None else None
+            out_cols[f.name] = Column(data, validity, c.dtype, c.dictionary)
+        elif f.func in ("sum", "min", "max", "count"):
+            # frame: unbounded preceding .. current row (running aggregates)
+            if f.func == "count":
+                c = sblock[f.arg] if f.arg else None
+                ones = jnp.ones(n, dtype=jnp.int64)
+                if c is not None and c.validity is not None:
+                    ones = ones * c.validity.astype(jnp.int64)
+                data = _segmented_prefix("sum", ones, part_start)
+                out_cols[f.name] = Column(data, None, INT64)
+            else:
+                c = sblock[f.arg]
+                acc_dt = (
+                    DataType(TypeKind.FLOAT64) if c.dtype.is_float else INT64
+                ) if f.func == "sum" else c.dtype
+                vals = c.data.astype(acc_dt.jnp_dtype)
+                if c.validity is not None:
+                    ident = jnp.asarray(0, acc_dt.jnp_dtype) if f.func == "sum" else (
+                        jnp.asarray(
+                            jnp.iinfo(acc_dt.jnp_dtype).max
+                            if f.func == "min" else jnp.iinfo(acc_dt.jnp_dtype).min,
+                            acc_dt.jnp_dtype,
+                        ) if not acc_dt.is_float else jnp.asarray(
+                            jnp.inf if f.func == "min" else -jnp.inf, acc_dt.jnp_dtype
+                        )
+                    )
+                    vals = jnp.where(c.validity, vals, ident)
+                data = _segmented_prefix(f.func, vals, part_start)
+                rdt = (
+                    DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)
+                    if (f.func == "sum" and c.dtype.is_decimal)
+                    else (acc_dt.with_nullable(True) if f.func == "sum" else c.dtype)
+                )
+                # validity: any non-null seen so far in partition
+                if c.validity is not None:
+                    seen = _segmented_prefix(
+                        "sum", c.validity.astype(jnp.int64), part_start
+                    ) > 0
+                else:
+                    seen = None
+                out_cols[f.name] = Column(
+                    data.astype(rdt.jnp_dtype), seen, rdt, c.dictionary
+                )
+        else:
+            raise NotImplementedError(f.func)
+
+    return Block.from_dict(out_cols, sel=sel)
+
+
+__all__ = ["WindowDesc", "window_block"]

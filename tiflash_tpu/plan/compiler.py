@@ -28,6 +28,7 @@ from ..expr.compile import ExprEvaluator
 from ..ops import join as J
 from ..ops.aggregate import hash_aggregate
 from ..ops.sort import limit_block, sort_block, top_n
+from ..ops.window import window_block
 from . import nodes as P
 
 
@@ -114,6 +115,14 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
     if isinstance(node, P.Limit):
         child = _exec(node.child, tables, diag, ctr)
         out = limit_block(child, node.limit)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.Window):
+        child = _exec(node.child, tables, diag, ctr)
+        out = window_block(
+            child, list(node.partition_by), list(node.order_by), list(node.funcs)
+        )
         diag.rows[nid] = out.num_rows()
         return out
 

@@ -108,6 +108,16 @@ def broadcast_join(
     )
 
 
+def partitioned_window(
+    partition_by, order_by, funcs, child: P.PlanNode
+) -> P.PlanNode:
+    """Hash-exchange on the partition keys so each device owns whole
+    partitions, then the local window kernel (the fine-grained-shuffle
+    analog: ``docs/design/2022-06-14-fine-grained-shuffle.md``)."""
+    x = P.ExchangeReceiver(P.ExchangeSender("hash", partition_by, child))
+    return P.Window(partition_by, order_by, funcs, x)
+
+
 def gather_topn(sort_keys, limit: int, child: P.PlanNode) -> P.PlanNode:
     """Local top-N, passthrough-gather, final top-N (replicated)."""
     local = P.TopN(sort_keys, limit, child)

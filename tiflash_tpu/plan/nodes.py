@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from ..expr.nodes import Expr
 from ..ops.aggregate import AggDesc
 from ..ops.sort import SortKey
+from ..ops.window import WindowDesc
 
 
 class PlanNode:
@@ -165,6 +166,25 @@ class Limit(PlanNode):
 
 
 @dataclasses.dataclass
+class Window(PlanNode):
+    """Window functions over (partition, order) (tipb::Window).  The
+    reference always runs these behind a fine-grained shuffle; our
+    distributed form is a hash exchange on partition keys first."""
+
+    partition_by: Sequence[str]
+    order_by: Sequence[SortKey]
+    funcs: Sequence["WindowDesc"]  # ops.window.WindowDesc
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        fs = ", ".join(f"{f.func}->{f.name}" for f in self.funcs)
+        return f"Window(partition={list(self.partition_by)}; {fs})"
+
+
+@dataclasses.dataclass
 class ExchangeSender(PlanNode):
     """Fragment boundary, sender side (tipb::ExchangeSender).
 
@@ -208,6 +228,7 @@ __all__ = [
     "TopN",
     "Sort",
     "Limit",
+    "Window",
     "ExchangeSender",
     "ExchangeReceiver",
 ]

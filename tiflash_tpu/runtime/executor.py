@@ -1,0 +1,181 @@
+"""QueryRunner: the host-side query executor with capacity-retry.
+
+Role analog: L7 of the reference — ``QueryExecutor`` /
+``PipelineExecutor::execute`` (``Flash/Executor/PipelineExecutor.cpp:88``)
+plus the spill/restore machinery it drives: where TiFlash reacts to memory
+pressure by spilling partitions and running restore rounds
+(``Interpreters/Join.h:95-100``, ``Aggregator.cpp:1268``), a shape-static
+TPU program reacts to *capacity overflow* by re-running the (cheap,
+cached-compile) program with doubled capacities.  Same contract — bounded
+memory, data-dependent sizes — different mechanism.
+
+Also the home of execution summaries, metrics and failpoint trigger
+points (``Flash/executeQuery.cpp:105-196`` analog).
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core.block import Block
+from ..mpp.runner import (
+    AXIS,
+    ExchangeConfig,
+    collect_result,
+    compile_distributed,
+    shard_catalog_blocks,
+)
+from ..plan import nodes as P
+from ..plan.compiler import compile_fragment
+from .failpoint import fail_point
+from .metrics import METRICS
+from .settings import Settings
+from .summary import ExecutionSummary
+
+
+def enumerate_plan(plan: P.PlanNode) -> Tuple[Dict[int, P.PlanNode], Dict[int, P.ExchangeReceiver]]:
+    """Assign the same DFS pre-order ids the executors use.
+
+    Returns (node_ids, exchange_ids); overflow keys are
+    f"{type(node).__name__}_{id}" and f"Exchange_{xid}"."""
+    nodes: Dict[int, P.PlanNode] = {}
+    exchanges: Dict[int, P.ExchangeReceiver] = {}
+    ctr = [0]
+
+    def walk(node: P.PlanNode):
+        ctr[0] += 1
+        nodes[ctr[0]] = node
+        if isinstance(node, P.ExchangeReceiver):
+            ctr[0] += 1
+            exchanges[ctr[0]] = node
+            walk(node.source.child)  # sender itself carries no id
+            return
+        if isinstance(node, P.Join):
+            walk(node.probe)
+            walk(node.build)
+            return
+        for c in node.children:
+            walk(c)
+
+    walk(plan)
+    return nodes, exchanges
+
+
+class QueryRunner:
+    """Compile-and-run with overflow retries.
+
+    One instance per (plan, mesh) pair; the jit cache keys on table
+    shapes, so repeated runs over same-shaped tables are compile-free."""
+
+    def __init__(
+        self,
+        plan: P.PlanNode,
+        mesh=None,
+        settings: Optional[Settings] = None,
+    ):
+        self.plan = plan
+        self.mesh = mesh
+        self.settings = settings or Settings()
+        self.cfg = ExchangeConfig(shuffle_factor=self.settings.default_shuffle_factor)
+        self._compiled = None
+        self._compile_s = 0.0
+
+    # -- plan rewriting on overflow ------------------------------------
+
+    def _grow(self, flagged: Dict[str, int]) -> None:
+        """Overflow values carry the required capacity — grow to 1.25x the
+        requirement in one step (vs the reference's restore rounds)."""
+        nodes, exchanges = enumerate_plan(self.plan)
+        for key, needed in flagged.items():
+            target = max(int(needed * 1.25) + 1, 16)
+            kind, _, sid = key.rpartition("_")
+            nid = int(sid)
+            if kind == "Exchange":
+                self.cfg.capacities[nid] = max(
+                    target, self.cfg.capacities.get(nid, 0) * 2
+                )
+                METRICS.counter("shuffle_overflows_total").inc()
+                continue
+            node = nodes.get(nid)
+            if isinstance(node, P.Aggregation):
+                node.num_slots = max(target, (node.num_slots or 0) * 2)
+            elif isinstance(node, P.Join):
+                node.output_capacity = max(target, (node.output_capacity or 0) * 2)
+        self._compiled = None  # force recompile with new capacities
+
+    # -- execution ------------------------------------------------------
+
+    def _compile(self):
+        if self._compiled is not None:
+            return self._compiled
+        t0 = time.perf_counter()
+        if self.mesh is None:
+            self._compiled = compile_fragment(self.plan)
+        else:
+            self._compiled = compile_distributed(
+                self.plan, self.mesh, axis=self.settings.mesh_axis, cfg=self.cfg
+            )
+        self._compile_s += time.perf_counter() - t0
+        METRICS.counter("fragments_compiled_total").inc()
+        return self._compiled
+
+    def run(self, tables: Dict[str, Block]) -> Tuple[Block, ExecutionSummary]:
+        import jax
+
+        fail_point("exception_before_fragment_run")
+        summary = ExecutionSummary(
+            plan_text=self.plan.pretty(),
+            backend=jax.default_backend(),
+            num_devices=1 if self.mesh is None else int(np.prod(list(self.mesh.shape.values()))),
+        )
+        METRICS.counter("queries_total").inc()
+        t_start = time.perf_counter()
+        for attempt in range(self.settings.max_capacity_retries + 1):
+            fn = self._compile()
+            out, overflows = fn(tables)
+            jax.block_until_ready(out)
+            flagged = {
+                k: int(np.asarray(v).max())
+                for k, v in overflows.items()
+                if int(np.asarray(v).max()) > 0
+            }
+            if not flagged:
+                break
+            fail_point("exception_during_retry")
+            summary.retries += 1
+            summary.overflow_nodes.extend(flagged)
+            METRICS.counter("capacity_retries_total").inc()
+            if attempt == self.settings.max_capacity_retries:
+                raise RuntimeError(
+                    f"capacity overflow persisted after "
+                    f"{self.settings.max_capacity_retries} retries: {flagged}"
+                )
+            self._grow(flagged)
+        summary.wall_seconds = time.perf_counter() - t_start
+        summary.compile_seconds = self._compile_s
+        METRICS.counter("query_seconds_total").inc(summary.wall_seconds)
+        result = collect_result(out) if self.mesh is not None else out
+        summary.result_rows = int(np.asarray(result.num_rows()))
+        METRICS.counter("rows_returned_total").inc(summary.result_rows)
+        fail_point("exception_after_fragment_run")
+        return result, summary
+
+
+def run_query(
+    plan: P.PlanNode,
+    tables: Dict[str, Block],
+    mesh=None,
+    settings: Optional[Settings] = None,
+) -> Tuple[Block, ExecutionSummary]:
+    """One-shot convenience: shard tables if a mesh is given, run with
+    retries, return (host-collected block, summary)."""
+    if mesh is not None:
+        tables = shard_catalog_blocks(tables, mesh)
+    return QueryRunner(plan, mesh=mesh, settings=settings).run(tables)
+
+
+__all__ = ["QueryRunner", "run_query", "enumerate_plan"]

@@ -1,0 +1,50 @@
+"""Engine settings.
+
+Role analog: the 235-setting X-macro ``Interpreters/Settings.h:59-345`` and
+the layered TOML config (``Server/StorageConfigParser.cpp``).  Here: one
+typed dataclass with env-var overrides (``TIFLASH_TPU_<NAME>``) — the
+subset that actually steers this engine, growing as features land.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Settings:
+    # --- operator knobs ---
+    direct_agg_domain_limit: int = 4096      # direct vs sort agg method cutoff
+    default_shuffle_factor: float = 2.0      # exchange out-capacity multiplier
+    join_output_factor: float = 2.0          # N:M join expansion multiplier
+    max_capacity_retries: int = 4            # overflow re-run doublings
+    # --- execution ---
+    mesh_axis: str = "d"
+    topn_fast_path: bool = True
+    # --- memory (the MemoryTracker quota analog; enforced host-side) ---
+    max_bytes_per_device: Optional[int] = None
+    # --- observability ---
+    collect_summaries: bool = True
+
+    @staticmethod
+    def from_env(**overrides) -> "Settings":
+        s = Settings(**overrides)
+        for f in dataclasses.fields(s):
+            env = os.environ.get("TIFLASH_TPU_" + f.name.upper())
+            if env is None:
+                continue
+            t = f.type if isinstance(f.type, type) else type(getattr(s, f.name))
+            if t is bool or isinstance(getattr(s, f.name), bool):
+                setattr(s, f.name, env.lower() in ("1", "true", "yes"))
+            elif isinstance(getattr(s, f.name), int):
+                setattr(s, f.name, int(env))
+            elif isinstance(getattr(s, f.name), float):
+                setattr(s, f.name, float(env))
+            else:
+                setattr(s, f.name, env)
+        return s
+
+
+__all__ = ["Settings"]

@@ -397,6 +397,89 @@ def o_sort(table: PyTable, keys: Sequence[Tuple[str, bool]], limit: Optional[int
     return {nm: [table[nm][i] for i in idx] for nm in names}
 
 
+def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
+    """order_by: [(name, desc)]; funcs: list of WindowDesc-like objects.
+    Output sorted by (partition, order) like the engine."""
+    names = list(table.keys())
+    n = len(table[names[0]]) if names else 0
+    idx = list(range(n))
+
+    def pkey(i):
+        return tuple(
+            ((v is None), v if v is not None else 0) for v in
+            (table[k][i] for k in partition_by)
+        )
+
+    def okey(i):
+        parts = []
+        for name, desc in order_by:
+            v = table[name][i]
+            if v is None:
+                parts.append((0 if not desc else 1, 0))
+            else:
+                parts.append((1 if not desc else 0, _Rev(v) if desc else v))
+        return tuple(parts)
+
+    idx.sort(key=lambda i: (pkey(i), okey(i)))
+    out = {nm: [table[nm][i] for i in idx] for nm in names}
+    for f in funcs:
+        col_out = []
+        # group rows by partition
+        i = 0
+        while i < len(idx):
+            j = i
+            while j < len(idx) and pkey(idx[j]) == pkey(idx[i]):
+                j += 1
+            part = idx[i:j]
+            m = len(part)
+            if f.func == "row_number":
+                col_out += list(range(1, m + 1))
+            elif f.func in ("rank", "dense_rank"):
+                ranks, r, d = [], 0, 0
+                prev = None
+                for t_, ii in enumerate(part):
+                    k = okey(ii)
+                    if k != prev:
+                        r = t_ + 1
+                        d += 1
+                        prev = k
+                    ranks.append(r if f.func == "rank" else d)
+                col_out += ranks
+            elif f.func in ("lead", "lag"):
+                for t_, ii in enumerate(part):
+                    s = t_ - f.offset if f.func == "lag" else t_ + f.offset
+                    if 0 <= s < m:
+                        col_out.append(table[f.arg][part[s]])
+                    else:
+                        col_out.append(f.default)
+            elif f.func == "first_value":
+                col_out += [table[f.arg][part[0]]] * m
+            elif f.func == "last_value":
+                col_out += [table[f.arg][ii] for ii in part]  # frame ..current
+            elif f.func in ("sum", "min", "max", "count"):
+                acc = None
+                cnt = 0
+                for ii in part:
+                    v = table[f.arg][ii] if f.arg else 1
+                    if f.arg is None or v is not None:
+                        cnt += 1
+                        if f.arg is not None:
+                            if acc is None:
+                                acc = v
+                            elif f.func == "sum":
+                                acc = acc + v
+                            elif f.func == "min":
+                                acc = min(acc, v)
+                            elif f.func == "max":
+                                acc = max(acc, v)
+                    col_out.append(cnt if f.func == "count" else acc)
+            else:
+                raise NotImplementedError(f.func)
+            i = j
+        out[f.name] = col_out
+    return out
+
+
 class _Rev:
     __slots__ = ("v",)
 

@@ -44,6 +44,14 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
     if isinstance(plan, P.Limit):
         child = execute_plan_oracle(plan.child, tables)
         return {k: v[: plan.limit] for k, v in child.items()}
+    if isinstance(plan, P.Window):
+        child = execute_plan_oracle(plan.child, tables)
+        return O.o_window(
+            child,
+            list(plan.partition_by),
+            [(k.name, k.desc) for k in plan.order_by],
+            list(plan.funcs),
+        )
     if isinstance(plan, (P.ExchangeSender, P.ExchangeReceiver)):
         # exchanges don't change row content — transparent to the oracle
         return execute_plan_oracle(plan.children[0], tables)
