@@ -1,0 +1,117 @@
+"""Benchmark driver — prints ONE JSON line for the round driver.
+
+Headline config (BASELINE.md config 1): TPC-H Q1 at SF1 on one chip —
+scan + filter + project + 8-aggregate group-by, fused into one XLA
+program.  ``vs_baseline`` is achieved rows/s over the per-chip HBM
+roofline rows/s for the columns the query touches (the reference repo
+publishes no absolute numbers — BASELINE.md — so the roofline IS the
+baseline; 1.0 means memory-bound speed of light, and the north-star
+target "within 1.2x of roofline" is vs_baseline >= 0.83).
+
+Timing methodology (required under the axon relay, where
+block_until_ready returns before device completion and identical
+dispatches can be elided): every iteration's input is perturbed by a
+carry value computed from the previous iteration's result, so K
+iterations form one serial dependency chain on device; we fetch only the
+final carry, and difference two chain lengths to cancel the fixed
+fetch/dispatch latency:  t_iter = (t(K2) - t(K1)) / (K2 - K1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--config", default="q1", choices=["q1", "q6", "topn"])
+    ap.add_argument("--k1", type=int, default=8)
+    ap.add_argument("--k2", type=int, default=32)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import tiflash_tpu  # noqa: F401  (x64 on)
+    from tiflash_tpu.bench.tpch_queries import q1_plan, q6_plan, sort_topn_plan
+    from tiflash_tpu.plan.compiler import execute_plan
+    from tiflash_tpu.storage.tpch import generate_tpch
+
+    def vlog(msg):
+        if args.verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    plan = {"q1": q1_plan, "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[
+        args.config
+    ]()
+
+    t0 = time.time()
+    cat = generate_tpch(sf=args.sf, seed=7, tables=["lineitem"])
+    blocks = cat.blocks()
+    jax.block_until_ready(blocks)
+    n_rows = cat["lineitem"].row_count
+    vlog(f"gen+stage {time.time()-t0:.1f}s rows={n_rows}")
+
+    # columns each config actually reads (for the roofline denominator)
+    cols_read = {
+        "q1": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+               "l_returnflag", "l_linestatus", "l_shipdate"],
+        "q6": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        "topn": ["l_orderkey", "l_extendedprice"],
+    }[args.config]
+    bytes_per_row = sum(
+        cat["lineitem"].block[c].data.dtype.itemsize for c in cols_read
+    )
+
+    # carry-perturbed bench step: xor the carry's low bit into one int64
+    # column so every iteration is a fresh, value-dependent execution
+    perturb_col = cols_read[0]
+
+    @jax.jit
+    def bench_step(tables, carry):
+        li = tables["lineitem"]
+        col = li[perturb_col]
+        new_col = col.with_data(col.data ^ (carry & jnp.int64(1)).astype(col.data.dtype))
+        tables = dict(tables)
+        tables["lineitem"] = li.with_column(perturb_col, new_col)
+        out = execute_plan(plan, tables)
+        chk = jnp.sum(out.num_rows().astype(jnp.int64))
+        return chk + carry * jnp.int64(0x9E3779B1)
+
+    def chain(K):
+        carry = jnp.int64(1)
+        t0 = time.time()
+        for _ in range(K):
+            carry = bench_step(blocks, carry)
+        _ = int(carry)  # full sync
+        return time.time() - t0
+
+    t0 = time.time()
+    chain(1)  # compile
+    vlog(f"compile+first {time.time()-t0:.1f}s")
+    chain(2)  # warm
+
+    t_k1 = min(chain(args.k1) for _ in range(2))
+    t_k2 = min(chain(args.k2) for _ in range(2))
+    t_iter = max((t_k2 - t_k1) / (args.k2 - args.k1), 1e-9)
+    rows_per_s = n_rows / t_iter
+    vlog(f"t(K1={args.k1})={t_k1*1e3:.1f}ms t(K2={args.k2})={t_k2*1e3:.1f}ms "
+         f"-> {t_iter*1e3:.3f}ms/iter")
+
+    HBM_BW = 819e9  # v5e peak HBM bandwidth
+    roofline_rows_per_s = HBM_BW / bytes_per_row
+    print(json.dumps({
+        "metric": f"tpch_{args.config}_sf{args.sf:g}_rows_per_s",
+        "value": round(rows_per_s / 1e6, 1),
+        "unit": "Mrows/s",
+        "vs_baseline": round(rows_per_s / roofline_rows_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

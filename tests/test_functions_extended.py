@@ -1,0 +1,122 @@
+"""Extended scalar-function parity: math, rounding, date, string
+(dictionary-LUT) functions vs the oracle."""
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.core.block import Block
+from tiflash_tpu.expr.nodes import call, col, lit
+from tiflash_tpu.expr.compile import evaluate_expr
+from tiflash_tpu.testing import oracle as O
+
+SCHEMA = {
+    "i": dt.INT64.with_nullable(True),
+    "p": dt.INT32,
+    "f": dt.FLOAT64.with_nullable(True),
+    "c": dt.Decimal(12, 2, nullable=True),
+    "t": dt.DATE,
+    "s": dt.STRING.with_nullable(True),
+}
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    table = O.random_pytable(
+        rng, 250, SCHEMA, int_range=(-40, 40),
+        str_pool=("Alpha", "beta", " Gamma ", "DELTA x", "", "éé"),
+    )
+    return table, O.pytable_to_block(table, SCHEMA)
+
+
+def check(expr, data, approx=False):
+    table, block = data
+    got_col = evaluate_expr(expr, block)
+    got = O.block_to_pytable(Block(names=("r",), columns=(got_col,)))["r"]
+    want = O.eval_expr_table(expr, table)
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        if g is None or w is None:
+            assert g is None and w is None, (i, g, w, expr)
+        elif approx:
+            assert abs(float(g) - float(w)) < 1e-9 * max(1, abs(float(w))), (i, g, w, expr)
+        else:
+            assert O._py_eq(g if not isinstance(w, bool) else bool(g), w), (i, g, w, expr)
+
+
+MATH_CASES = [
+    ("sqrt", [call("sqrt", call("abs", col("f")))], True),
+    ("sqrt_neg_null", [call("sqrt", col("f"))], True),
+    ("exp", [call("exp", col("c"))], True),
+    ("ln", [call("ln", col("f"))], True),
+    ("log2", [call("log2", call("abs", col("i")) + 1)], True),
+    ("pow", [call("pow", col("c"), lit(2))], True),
+    ("sin", [call("sin", col("f"))], True),
+    ("sign", [call("sign", col("i"))], False),
+    ("round_dec", [call("round", col("c"))], False),
+    ("floor_dec", [call("floor", col("c"))], False),
+    ("ceil_dec", [call("ceil", col("c"))], False),
+    ("trunc_dec", [call("truncate", col("c"))], False),
+    ("round_f", [call("round", col("f"))], False),
+    ("floor_f", [call("floor", col("f"))], False),
+    ("greatest", [call("greatest", col("i"), col("p"), lit(3))], False),
+    ("least", [call("least", col("i"), col("p"))], False),
+    ("nullif", [call("nullif", col("i"), col("p"))], False),
+]
+
+
+@pytest.mark.parametrize("name,exprs,approx", MATH_CASES, ids=[c[0] for c in MATH_CASES])
+def test_math(name, exprs, approx, data):
+    for e in exprs:
+        check(e, data, approx=approx)
+
+
+DATE_CASES = [
+    call("date_add_days", col("t"), lit(40)),
+    call("date_sub_days", col("t"), col("p")),
+    call("datediff", col("t"), call("date_add_days", col("t"), col("p"))),
+    call("day_of_week", col("t")),
+    call("day_of_year", col("t")),
+    call("quarter", col("t")),
+    call("to_days", col("t")),
+    call("week_of_year", col("t")),
+    call("last_day", col("t")),
+]
+
+
+@pytest.mark.parametrize("expr", DATE_CASES, ids=[str(i) for i in range(len(DATE_CASES))])
+def test_date_functions(expr, data):
+    check(expr, data)
+
+
+STRING_CASES = [
+    call("upper", col("s")),
+    call("lower", col("s")),
+    call("reverse", col("s")),
+    call("trim", col("s")),
+    call("length", col("s")),
+    call("char_length", col("s")),
+    call("ascii", col("s")),
+    call("concat", col("s"), lit("_suffix")),
+    call("substring", col("s"), lit(2)),
+    call("substring", col("s"), lit(2), lit(3)),
+    call("substring", col("s"), lit(-3)),
+    call("left", col("s"), lit(3)),
+    call("right", col("s"), lit(2)),
+    call("replace", col("s"), lit("a"), lit("_")),
+    call("repeat", col("s"), lit(2)),
+    call("lpad", col("s"), lit(6), lit("*")),
+    call("rpad", col("s"), lit(6), lit("*")),
+]
+
+
+@pytest.mark.parametrize("expr", STRING_CASES, ids=[str(i) for i in range(len(STRING_CASES))])
+def test_string_functions(expr, data):
+    check(expr, data)
+
+
+def test_string_transform_then_compare(data):
+    # chained: upper(s) == 'ALPHA' must flow through re-encoded dictionary
+    check(call("upper", col("s")) == "ALPHA", data)
+    check(call("length", call("trim", col("s"))) > 3, data)

@@ -157,6 +157,10 @@ class ExprEvaluator:
         name = call.func
         if name == "like":
             return self._like(call)
+        if name in _STRING_TRANSFORMS:
+            st = self._maybe_string_transform(call)
+            if st is not None:
+                return st
         # string predicate against literal(s): rewrite to code space
         if name in (_ORDER_CMPS | _EQ_CMPS | {"in"}):
             rewritten = self._maybe_string_predicate(call)
@@ -239,6 +243,22 @@ class ExprEvaluator:
         out = fn.infer([c.dtype for c in pair])
         return fn.evaluate(pair, out)
 
+    def _maybe_string_transform(self, call: Call) -> Optional[Column]:
+        """str-column + literal params -> dictionary LUT transform."""
+        if not call.args:
+            return None
+        rest = call.args[1:]
+        if not all(isinstance(a, Literal) for a in rest):
+            return None
+        target = self.evaluate(call.args[0])
+        if not target.dtype.is_string:
+            return None
+        from .functions import _map_string_to_string
+
+        fn = _STRING_TRANSFORMS[call.func]
+        params = [a.value for a in rest]
+        return _map_string_to_string(target, lambda s: fn(s, *params))
+
     def _like(self, call: Call) -> Column:
         """LIKE pattern matching via host-side dictionary LUT."""
         target = self.evaluate(call.args[0])
@@ -252,6 +272,41 @@ class ExprEvaluator:
             lut = np.zeros(1, dtype=bool)
         data = jnp.asarray(lut)[jnp.clip(target.data, 0, len(lut) - 1)]
         return Column(data, target.validity, DataType(TypeKind.BOOL, target.dtype.nullable))
+
+
+def _mysql_substring(s: str, pos: int, length: Optional[int] = None) -> str:
+    """1-based; negative pos counts from the end; pos==0 -> empty."""
+    if pos == 0:
+        return ""
+    if pos > 0:
+        start = pos - 1
+    else:
+        start = len(s) + pos
+        if start < 0:
+            return ""
+    piece = s[start:]
+    if length is not None:
+        if length <= 0:
+            return ""
+        piece = piece[:length]
+    return piece
+
+
+_STRING_TRANSFORMS = {
+    # fn(dict_entry, *literal_args) -> str  (reference FunctionsString.h —
+    # here a host LUT over the dictionary, device side is one gather)
+    "concat": lambda s, *args: "".join([s] + [str(a) for a in args]),
+    "concat_prefix": lambda s, prefix: str(prefix) + s,
+    "substring": _mysql_substring,
+    "left": lambda s, n: s[: max(int(n), 0)],
+    "right": lambda s, n: s[-int(n):] if int(n) > 0 else "",
+    "lpad": lambda s, n, p: (str(p) * int(n))[: max(int(n) - len(s), 0)] + s
+    if len(s) < int(n) else s[: int(n)],
+    "rpad": lambda s, n, p: s + (str(p) * int(n))[: max(int(n) - len(s), 0)]
+    if len(s) < int(n) else s[: int(n)],
+    "replace": lambda s, old, new: s.replace(str(old), str(new)),
+    "repeat": lambda s, n: s * max(int(n), 0),
+}
 
 
 def _like_to_regex(pattern: str) -> str:

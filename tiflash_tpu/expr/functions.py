@@ -539,6 +539,352 @@ _register_date_part("day_of_month", 2)
 # membership
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# math functions (Functions/FunctionsMath.h / FunctionsRound.h analog)
+# ---------------------------------------------------------------------------
+
+def _register_float_unary(name: str, fn):
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.FLOAT64, ts[0].nullable)
+
+        def evaluate(cols, out):
+            (a,) = cols
+            data = fn(cast_column(a, FLOAT64.with_nullable(a.dtype.nullable)).data)
+            validity = a.validity
+            bad = ~jnp.isfinite(data)
+            if name in ("sqrt", "log", "log2", "log10", "ln"):
+                # MySQL: sqrt(neg)/log(<=0) -> NULL
+                validity = (~bad) if validity is None else (validity & ~bad)
+                data = jnp.where(bad, 0.0, data)
+            return Column(data, validity, DataType(TypeKind.FLOAT64, True) if name in ("sqrt", "log", "log2", "log10", "ln") else out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_float_unary("sqrt", jnp.sqrt)
+_register_float_unary("exp", jnp.exp)
+_register_float_unary("ln", jnp.log)
+_register_float_unary("log", jnp.log)
+_register_float_unary("log2", jnp.log2)
+_register_float_unary("log10", jnp.log10)
+_register_float_unary("sin", jnp.sin)
+_register_float_unary("cos", jnp.cos)
+_register_float_unary("tan", jnp.tan)
+_register_float_unary("radians", jnp.radians)
+_register_float_unary("degrees", jnp.degrees)
+
+
+@register("pow")
+def _pow():
+    def infer(ts):
+        return DataType(TypeKind.FLOAT64, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        a, b = cols
+        da = cast_column(a, FLOAT64.with_nullable(False)).data
+        db = cast_column(b, FLOAT64.with_nullable(False)).data
+        return Column(jnp.power(da, db), _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+def _register_round_family(name: str):
+    def factory():
+        def infer(ts):
+            t = ts[0]
+            scale = ts[1].scale if len(ts) > 1 else 0
+            if t.is_decimal:
+                # TiDB: ROUND(decimal, d) keeps decimal, scale = d (>=0)
+                return Decimal(t.precision, 0, t.nullable)
+            if t.is_float:
+                return DataType(TypeKind.FLOAT64, t.nullable)
+            return DataType(TypeKind.INT64, t.nullable)
+
+        def evaluate(cols, out):
+            a = cols[0]
+            validity = a.validity
+            if a.dtype.is_decimal:
+                q = _pow10(a.dtype.scale)
+                m = a.data.astype(jnp.int64)
+                if name == "round":
+                    data = _div_round_half_up(m, q)
+                elif name == "floor":
+                    data = jnp.floor_divide(m, q)
+                elif name == "ceil":
+                    data = -jnp.floor_divide(-m, q)
+                else:  # truncate toward zero
+                    data = jnp.sign(m) * (jnp.abs(m) // q)
+                return Column(data, validity, out)
+            if a.dtype.is_float:
+                fn = {
+                    "round": lambda x: jnp.where(
+                        x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)
+                    ),  # MySQL rounds half away from zero, not banker's
+                    "floor": jnp.floor,
+                    "ceil": jnp.ceil,
+                    "truncate": jnp.trunc,
+                }[name]
+                return Column(fn(a.data.astype(jnp.float64)), validity, out)
+            return Column(a.data.astype(jnp.int64), validity, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+for _n in ("round", "floor", "ceil", "truncate"):
+    _register_round_family(_n)
+
+
+@register("sign")
+def _sign():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(jnp.sign(a.data).astype(jnp.int64), a.validity, out)
+
+    return infer, evaluate
+
+
+@register("greatest")
+def _greatest():
+    def infer(ts):
+        t = ts[0]
+        for u in ts[1:]:
+            t = common_numeric_type(t, u)
+        return t.with_nullable(any(x.nullable for x in ts))
+
+    def evaluate(cols, out):
+        casted = [cast_column(c, out.with_nullable(False)) for c in cols]
+        data = casted[0].data
+        for c in casted[1:]:
+            data = jnp.maximum(data, c.data)
+        return Column(data, _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("least")
+def _least():
+    infer = REGISTRY["greatest"].infer
+
+    def evaluate(cols, out):
+        casted = [cast_column(c, out.with_nullable(False)) for c in cols]
+        data = casted[0].data
+        for c in casted[1:]:
+            data = jnp.minimum(data, c.data)
+        return Column(data, _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("nullif")
+def _nullif():
+    def infer(ts):
+        return ts[0].with_nullable(True)
+
+    def evaluate(cols, out):
+        a, b = cols
+        eq = get_function("equals").evaluate(
+            list(cols), DataType(TypeKind.BOOL, True)
+        )
+        neq = ~(eq.data.astype(jnp.bool_) & eq.valid_mask())
+        validity = neq if a.validity is None else (a.validity & neq)
+        return Column(a.data, validity, out, a.dictionary)
+
+    return infer, evaluate
+
+
+# ---------------------------------------------------------------------------
+# date/time functions (Functions/FunctionsDateTime* analog; epoch-int repr)
+# ---------------------------------------------------------------------------
+
+def _days_from_civil(y, m, d):
+    """Inverse of _civil_from_days (Hinnant)."""
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = m + jnp.where(m > 2, -3, 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+@register("date_add_days")
+def _date_add_days():
+    def infer(ts):
+        return DataType(TypeKind.DATE, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        a, b = cols
+        days = _date_days(a) + b.data.astype(jnp.int64)
+        return Column(days.astype(jnp.int32), _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("date_sub_days")
+def _date_sub_days():
+    infer = REGISTRY["date_add_days"].infer
+
+    def evaluate(cols, out):
+        a, b = cols
+        days = _date_days(a) - b.data.astype(jnp.int64)
+        return Column(days.astype(jnp.int32), _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("datediff")
+def _datediff():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        a, b = cols
+        return Column(_date_days(a) - _date_days(b), _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+def _register_date_fn(name: str, fn):
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.INT64, ts[0].nullable)
+
+        def evaluate(cols, out):
+            (a,) = cols
+            return Column(fn(_date_days(a)).astype(jnp.int64), a.validity, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+def _dayofweek(days):
+    return (days + 4) % 7 + 1  # 1 = Sunday (MySQL)
+
+
+def _dayofyear(days):
+    y, m, d = _civil_from_days(days)
+    return days - _days_from_civil(y, jnp.ones_like(m), jnp.ones_like(d)) + 1
+
+
+def _quarter(days):
+    _, m, _ = _civil_from_days(days)
+    return (m + 2) // 3
+
+
+def _to_days(days):
+    return days + 719528  # MySQL TO_DAYS epoch offset
+
+
+def _weekofyear(days):
+    """ISO 8601 week number (MySQL WEEKOFYEAR / WEEK mode 3)."""
+    y, m, d = _civil_from_days(days)
+    isowd = (days + 3) % 7 + 1  # 1 = Monday
+    doy = _dayofyear(days)
+    week0 = (doy - isowd + 10) // 7
+    # this year's week 53, when invalid, is week 1 of next year
+    dec31 = _days_from_civil(y, jnp.full_like(m, 12), jnp.full_like(d, 31))
+    wk53_valid = ((_dayofyear(dec31) - ((dec31 + 3) % 7 + 1) + 10) // 7) >= 53
+    week = jnp.where((week0 >= 53) & ~wk53_valid, 1, week0)
+    # week 0 -> last week of the previous year (correction order matters:
+    # the prev-year week may legitimately be 53)
+    prev_dec31 = _days_from_civil(y - 1, jnp.full_like(m, 12), jnp.full_like(d, 31))
+    prev_wk = ((_dayofyear(prev_dec31) - ((prev_dec31 + 3) % 7 + 1) + 10) // 7)
+    week = jnp.where(week0 < 1, prev_wk, week)
+    return week
+
+
+def _last_day(days):
+    y, m, _ = _civil_from_days(days)
+    ny = y + (m == 12)
+    nm = jnp.where(m == 12, 1, m + 1)
+    return _days_from_civil(ny, nm, jnp.ones_like(m)) - 1
+
+
+_register_date_fn("day_of_week", _dayofweek)
+_register_date_fn("day_of_year", _dayofyear)
+_register_date_fn("quarter", _quarter)
+_register_date_fn("to_days", _to_days)
+_register_date_fn("week_of_year", _weekofyear)
+
+
+@register("last_day")
+def _last_day_fn():
+    def infer(ts):
+        return DataType(TypeKind.DATE, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(_last_day(_date_days(a)).astype(jnp.int32), a.validity, out)
+
+    return infer, evaluate
+
+
+# ---------------------------------------------------------------------------
+# string functions — host-side dictionary transforms, device-side gathers
+# (the TPU answer to Functions/FunctionsString.h: any unary string fn is a
+# LUT over the dictionary built at trace time)
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+from ..core.dtypes import STRING
+
+
+def _map_string_to_string(col: Column, fn) -> Column:
+    d = col.dictionary or ()
+    mapped = [fn(s) for s in d]
+    new_dict = tuple(sorted(set(mapped))) or ("",)
+    rank = {s: i for i, s in enumerate(new_dict)}
+    table = _np.array([rank[m] for m in mapped] or [0], dtype=_np.int32)
+    data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
+    return Column(data, col.validity, STRING.with_nullable(col.dtype.nullable), new_dict)
+
+
+def _map_string_to_int(col: Column, fn) -> Column:
+    d = col.dictionary or ()
+    table = _np.array([fn(s) for s in d] or [0], dtype=_np.int64)
+    data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
+    return Column(data, col.validity, DataType(TypeKind.INT64, col.dtype.nullable))
+
+
+def _register_string_unary(name: str, fn, to_int: bool = False):
+    def factory():
+        def infer(ts):
+            if to_int:
+                return DataType(TypeKind.INT64, ts[0].nullable)
+            return STRING.with_nullable(ts[0].nullable)
+
+        def evaluate(cols, out):
+            (a,) = cols
+            if to_int:
+                return _map_string_to_int(a, fn)
+            return _map_string_to_string(a, fn)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_string_unary("upper", str.upper)
+_register_string_unary("lower", str.lower)
+_register_string_unary("reverse", lambda s: s[::-1])
+_register_string_unary("ltrim", str.lstrip)
+_register_string_unary("rtrim", str.rstrip)
+_register_string_unary("trim", str.strip)
+_register_string_unary("length", len, to_int=True)
+_register_string_unary("char_length", len, to_int=True)
+_register_string_unary("ascii", lambda s: ord(s[0]) if s else 0, to_int=True)
+
+
 @register("in")
 def _in():
     def infer(ts):

@@ -31,7 +31,8 @@ from ..core.block import Block, Column
 from ..exchange.shuffle import allgather_block, shuffle_block
 from ..expr.compile import ExprEvaluator
 from ..ops import join as J
-from ..ops.aggregate import hash_aggregate
+from ..ops.aggregate import auto_passthrough_aggregate, hash_aggregate
+from ..ops.expand import expand_block
 from ..ops.sort import limit_block, sort_block, top_n
 from ..ops.window import window_block
 from ..plan import nodes as P
@@ -128,9 +129,24 @@ def _exec_spmd(
 
     if isinstance(node, P.Aggregation):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
-        res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
+        if node.mode == "auto":
+            res = auto_passthrough_aggregate(child, list(node.keys), list(node.aggs))
+        else:
+            res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
         overflows[nid] = res.overflow
         return res.block
+
+    if isinstance(node, P.Expand):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return expand_block(child, [list(s) for s in node.grouping_sets], node.gid_name)
+
+    if isinstance(node, P.CrossJoin):
+        probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
+        build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
+        cap = node.output_capacity or probe.capacity
+        out, needed = J.cross_join(probe, build, cap)
+        overflows[nid] = needed
+        return out
 
     if isinstance(node, P.Join):
         probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
@@ -161,6 +177,15 @@ def _exec_spmd(
             child, list(node.partition_by), list(node.order_by), list(node.funcs)
         )
 
+    if isinstance(node, P.WithCTE):
+        tables = dict(tables)
+        for name, d in node.defs.items():
+            tables["__cte_" + name] = _exec_spmd(d, tables, axis, cfg, overflows, ctr)
+        return _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+
+    if isinstance(node, P.CTERef):
+        return tables["__cte_" + node.name]
+
     if isinstance(node, P.ExchangeReceiver):
         sender = node.source
         assert isinstance(sender, P.ExchangeSender), "receiver must wrap a sender"
@@ -184,8 +209,10 @@ def plan_distribution(node: P.PlanNode) -> str:
     """Static row-distribution of a plan's output: 'sharded' (each device
     holds distinct rows) or 'replicated' (every device holds all rows —
     after a broadcast/passthrough exchange)."""
-    if isinstance(node, P.TableScan):
+    if isinstance(node, (P.TableScan, P.CTERef)):
         return "sharded"
+    if isinstance(node, P.WithCTE):
+        return plan_distribution(node.child)
     if isinstance(node, P.ExchangeReceiver):
         sender = node.source
         assert isinstance(sender, P.ExchangeSender)

@@ -358,6 +358,121 @@ def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
     return Block(names=names, columns=cols, sel=None)
 
 
+def passthrough_as_partial(block: Block, keys: Sequence[str], aggs: Sequence[AggDesc]) -> Block:
+    """Map raw rows into partial-aggregate shape (each live row its own
+    'group'): sum->value, count->0/1, min/max->value.  Used by the
+    auto-passthrough path; the final aggregation merges these like any
+    other partials."""
+    cols = {k: block[k] for k in keys}
+    live = block.sel_mask()
+    for a in aggs:
+        col = block[a.arg] if a.arg is not None else None
+        rdt = agg_result_dtype(a.func, col.dtype if col else None)
+        if a.func == "count":
+            ones = live.astype(jnp.int64)
+            if col is not None and col.validity is not None:
+                ones = ones * col.validity.astype(jnp.int64)
+            cols[a.name] = Column(ones, None, INT64)
+        elif a.func == "sum":
+            acc_dt = FLOAT64 if col.dtype.is_float else INT64
+            data = col.data.astype(acc_dt.jnp_dtype)
+            validity = col.validity
+            cols[a.name] = Column(data.astype(rdt.jnp_dtype), validity, rdt)
+        elif a.func in ("min", "max"):
+            cols[a.name] = Column(
+                col.data.astype(rdt.jnp_dtype), col.validity, rdt, col.dictionary
+            )
+        else:
+            raise NotImplementedError(f"passthrough for {a.func} (decompose avg first)")
+    return Block.from_dict(cols, sel=block.sel)
+
+
+def auto_passthrough_aggregate(
+    block: Block,
+    keys: Sequence[str],
+    aggs: Sequence[AggDesc],
+    passthrough_ratio: float = 0.5,
+) -> AggregateResult:
+    """Adaptive first-stage aggregation (reference
+    ``Operators/AutoPassThroughHashAggContext.h:50``, design
+    ``docs/design/2024-08-07-auto-pass-through-hashagg.md``).
+
+    The reference observes NDV batch-by-batch and switches states
+    (Init/Adjust/PreAgg/PassThrough); in one shape-static program we
+    compute the partial aggregate AND the passthrough form, then select by
+    the observed group ratio with ``jnp.where`` — high-cardinality inputs
+    flow through unreduced (so the shuffle isn't preceded by a useless
+    hash agg), low-cardinality inputs shrink before exchange.  Only
+    meaningful ahead of an exchange; requires avg already decomposed."""
+    if not keys:
+        b = aggregate_scalar(block, aggs)
+        return AggregateResult(b, jnp.int32(1), jnp.int64(0))
+    key_cols = [block[k] for k in keys]
+    packed = pack_keys_direct(key_cols)
+    if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
+        # tiny domain: always aggregate, never pass through
+        return aggregate_direct(block, keys, aggs, packed)
+    n = block.capacity
+    n_live = block.num_rows()
+
+    # cheap NDV estimate on a strided sample (the batch-observation analog)
+    sample_n = min(2048, n)
+    stride = max(1, n // sample_n)
+    idx = jnp.arange(sample_n, dtype=jnp.int32) * stride
+    from .hashing import hash_columns
+
+    h = hash_columns(key_cols)
+    hs = jnp.take(h, idx)
+    live_s = jnp.take(block.sel_mask(), idx)
+    hs = jnp.where(live_s, hs, jnp.uint32(0xFFFFFFFF))
+    hs_sorted = jnp.sort(hs)
+    uniq = jnp.sum(
+        ((hs_sorted != jnp.roll(hs_sorted, 1)).at[0].set(True))
+        & (hs_sorted != jnp.uint32(0xFFFFFFFF))
+    )
+    n_sample_live = jnp.maximum(jnp.sum(live_s), 1)
+    use_pass = uniq.astype(jnp.float64) > passthrough_ratio * n_sample_live.astype(jnp.float64)
+
+    # both branches emit the identical pytree (data, validity-materialized,
+    # sel, groups) — lax.cond executes only one at runtime
+    def norm(b: Block):
+        datas = tuple(c.data for c in b.columns)
+        valids = tuple(c.valid_mask() for c in b.columns)
+        return datas, valids, b.sel_mask()
+
+    agg_names = list(keys) + [a.name for a in aggs]
+
+    def agg_branch(_):
+        res = aggregate_sort(block, keys, aggs, num_slots=n)
+        d, v, s = norm(res.block)
+        return d, v, s, res.num_groups.astype(jnp.int64)
+
+    def pass_branch(_):
+        pb = passthrough_as_partial(block, keys, aggs).select(agg_names)
+        d, v, s = norm(pb)
+        return d, v, s, n_live.astype(jnp.int64)
+
+    d, v, s, groups = jax.lax.cond(use_pass, pass_branch, agg_branch, None)
+    # reconstruct with agg-result schema (dtypes identical across branches
+    # by construction of passthrough_as_partial)
+    ref_res_schema = [
+        (k, block[k].dtype, block[k].dictionary) for k in keys
+    ] + [
+        (
+            a.name,
+            agg_result_dtype(a.func, block[a.arg].dtype if a.arg else None),
+            (block[a.arg].dictionary if a.arg and a.func in ("min", "max") else None),
+        )
+        for a in aggs
+    ]
+    cols = tuple(
+        Column(dd, vv, dt_, dic)
+        for dd, vv, (name, dt_, dic) in zip(d, v, ref_res_schema)
+    )
+    out = Block(names=tuple(agg_names), columns=cols, sel=s)
+    return AggregateResult(out, groups, jnp.int64(0))
+
+
 def hash_aggregate(
     block: Block,
     keys: Sequence[str],
@@ -384,6 +499,8 @@ __all__ = [
     "aggregate_direct",
     "aggregate_sort",
     "aggregate_scalar",
+    "auto_passthrough_aggregate",
+    "passthrough_as_partial",
     "agg_result_dtype",
     "pack_keys_direct",
     "DIRECT_DOMAIN_LIMIT",

@@ -207,8 +207,10 @@ def probe_join_unique(
         return probe_block.and_sel(matched), _matched_flags(build, bidx)
     if kind == "anti":
         # plain anti == NOT EXISTS: NULL-key rows have no match -> kept
-        # (null-aware anti for NOT IN is a later milestone)
         return probe_block.and_sel(~matched), _matched_flags(build, bidx)
+    if kind == "anti_null_aware":
+        sel = _null_aware_anti_sel(build, matched, probe_null)
+        return probe_block.and_sel(sel), _matched_flags(build, bidx)
 
     build_rows = build.sorted_block.take(bidx, fill_invalid=True)
     joined = _merge_blocks(probe_block, build_rows)
@@ -219,6 +221,54 @@ def probe_join_unique(
     else:
         raise NotImplementedError(f"join kind {kind}")
     return joined, _matched_flags(build, bidx)
+
+
+def _null_aware_anti_sel(
+    build: JoinBuild, matched: jnp.ndarray, probe_null: jnp.ndarray
+) -> jnp.ndarray:
+    """NOT IN semantics (reference: null-aware anti semi join,
+    ``Interpreters/Join.cpp:1510``, design
+    ``docs/design/2022-07-22-null-aware-semi-join.md``):
+      - build side empty          -> keep every probe row (NOT IN {} is true)
+      - probe key NULL            -> drop (NULL NOT IN (non-empty) is NULL)
+      - matched                   -> drop
+      - unmatched but build has a NULL key -> drop (comparison with NULL)
+      - else                      -> keep
+    """
+    selected = build.sorted_block.sel_mask()
+    matchable = build.sorted_keys != _KEY_INF
+    build_empty = ~jnp.any(selected)
+    build_has_null = jnp.any(selected & ~matchable)
+    keep = (~probe_null) & (~matched) & (~build_has_null)
+    return jnp.where(build_empty, jnp.ones_like(keep), keep)
+
+
+def cross_join(
+    probe_block: Block, build_block: Block, output_capacity: int
+) -> Tuple[Block, jnp.ndarray]:
+    """Cartesian product (reference ``joinBlockCross``, Join.cpp:1430).
+
+    Emits via the same prefix-sum expansion as the N:M hash probe, with
+    every live probe row matching every live build row.  Returns
+    (joined block, required-capacity overflow flag)."""
+    build_c = build_block.compact()
+    nb = build_c.num_rows()
+    probe_live = probe_block.sel_mask()
+    counts = jnp.where(probe_live, nb, 0).astype(jnp.int64)
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if counts.shape[0] else jnp.int64(0)
+    start = cum - counts
+    t = jnp.arange(output_capacity, dtype=jnp.int64)
+    prow = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    prow_safe = jnp.minimum(prow, counts.shape[0] - 1)
+    brow = (t - jnp.take(start, prow_safe)).astype(jnp.int32)
+    live_out = t < total
+    brow = jnp.where(live_out, jnp.minimum(brow, build_c.capacity - 1), 0)
+    joined = _merge_blocks(
+        probe_block.take(prow_safe), build_c.take(brow)
+    ).with_sel(live_out)
+    needed = jnp.where(total > output_capacity, total, 0).astype(jnp.int64)
+    return joined, needed
 
 
 def _matched_flags(build: JoinBuild, build_idx: jnp.ndarray) -> jnp.ndarray:
@@ -252,9 +302,14 @@ def probe_join_general(
     lo = jnp.where(probe_live, lo, 0)
     hi = jnp.where(probe_live, hi, 0)
     counts = hi - lo
-    if kind in ("semi", "anti"):
+    if kind in ("semi", "anti", "anti_null_aware"):
         matched = probe_live & (counts > 0)
-        sel = matched if kind == "semi" else ~matched
+        if kind == "semi":
+            sel = matched
+        elif kind == "anti":
+            sel = ~matched
+        else:
+            sel = _null_aware_anti_sel(build, matched, probe_null)
         bflags = _matched_flags(build, jnp.where(matched, lo, -1))
         return probe_block.and_sel(sel), bflags, jnp.int64(0)
     if kind in ("left", "left_outer"):

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..core.block import Block
 from ..expr.compile import ExprEvaluator
 from ..ops import join as J
-from ..ops.aggregate import hash_aggregate
+from ..ops.aggregate import auto_passthrough_aggregate, hash_aggregate
+from ..ops.expand import expand_block
 from ..ops.sort import limit_block, sort_block, top_n
 from ..ops.window import window_block
 from . import nodes as P
@@ -80,10 +81,28 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
 
     if isinstance(node, P.Aggregation):
         child = _exec(node.child, tables, diag, ctr)
-        res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
+        if node.mode == "auto":
+            res = auto_passthrough_aggregate(child, list(node.keys), list(node.aggs))
+        else:
+            res = hash_aggregate(child, list(node.keys), list(node.aggs), node.num_slots)
         diag.overflows[nid] = res.overflow
         diag.rows[nid] = res.num_groups
         return res.block
+
+    if isinstance(node, P.Expand):
+        child = _exec(node.child, tables, diag, ctr)
+        out = expand_block(child, [list(s) for s in node.grouping_sets], node.gid_name)
+        diag.rows[nid] = out.num_rows()
+        return out
+
+    if isinstance(node, P.CrossJoin):
+        probe = _exec(node.probe, tables, diag, ctr)
+        build = _exec(node.build, tables, diag, ctr)
+        cap = node.output_capacity or probe.capacity
+        out, needed = J.cross_join(probe, build, cap)
+        diag.overflows[nid] = needed
+        diag.rows[nid] = out.num_rows()
+        return out
 
     if isinstance(node, P.Join):
         probe = _exec(node.probe, tables, diag, ctr)
@@ -125,6 +144,18 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         )
         diag.rows[nid] = out.num_rows()
         return out
+
+    if isinstance(node, P.WithCTE):
+        tables = dict(tables)
+        for name, d in node.defs.items():
+            tables["__cte_" + name] = _exec(d, tables, diag, ctr)
+        return _exec(node.child, tables, diag, ctr)
+
+    if isinstance(node, P.CTERef):
+        try:
+            return tables["__cte_" + node.name]
+        except KeyError:
+            raise KeyError(f"CTE {node.name!r} not defined by an enclosing WithCTE") from None
 
     if isinstance(node, (P.ExchangeSender, P.ExchangeReceiver)):
         raise ValueError(

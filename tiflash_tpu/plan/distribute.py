@@ -26,9 +26,14 @@ def split_aggregation(
     child: P.PlanNode,
     partial_slots: Optional[int] = None,
     final_slots: Optional[int] = None,
+    auto_passthrough: bool = False,
 ) -> P.PlanNode:
     """Aggregation(keys, aggs, child) -> partial agg, hash shuffle on keys,
-    final agg, (projection restoring avg and column order)."""
+    final agg, (projection restoring avg and column order).
+
+    ``auto_passthrough`` makes the partial stage adaptive: it skips the
+    pre-aggregation at runtime when a sample says the keys are
+    high-cardinality (auto pass-through hashagg analog)."""
     partial: List[AggDesc] = []
     final: List[AggDesc] = []
     post: Dict[str, Expr] = {k: col(k) for k in keys}
@@ -58,7 +63,8 @@ def split_aggregation(
         else:
             raise NotImplementedError(f"distributed {a.func}")
     node: P.PlanNode = P.Aggregation(
-        keys=keys, aggs=partial, child=child, num_slots=partial_slots, mode="partial"
+        keys=keys, aggs=partial, child=child, num_slots=partial_slots,
+        mode="auto" if auto_passthrough else "partial",
     )
     node = P.ExchangeReceiver(P.ExchangeSender("hash", keys, node))
     node = P.Aggregation(

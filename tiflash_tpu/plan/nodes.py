@@ -166,6 +166,66 @@ class Limit(PlanNode):
 
 
 @dataclasses.dataclass
+class WithCTE(PlanNode):
+    """CTE definitions materialized once and shared by every reference
+    (reference: ``Operators/CTESinkOp/CTESourceOp`` + ``Flash/Mpp/CTEManager``
+    with a shared partitioned buffer — here the 'buffer' is just the traced
+    Block reused at every CTERef, so XLA sees one producer)."""
+
+    defs: Dict[str, PlanNode]
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = tuple(self.defs.values()) + (self.child,)
+
+    def describe(self):
+        return f"WithCTE({list(self.defs)})"
+
+
+@dataclasses.dataclass
+class CTERef(PlanNode):
+    """Consumer of a named CTE (leaf)."""
+
+    name: str
+    children: Tuple[PlanNode, ...] = ()
+
+    def describe(self):
+        return f"CTERef({self.name})"
+
+
+@dataclasses.dataclass
+class Expand(PlanNode):
+    """Grouping-sets replication (tipb::Expand/Expand2,
+    ``Interpreters/Expand.h``): one copy of the input per grouping set with
+    off-set keys NULLed and a groupingID column appended."""
+
+    grouping_sets: Sequence[Sequence[str]]
+    child: PlanNode = None  # type: ignore[assignment]
+    gid_name: str = "groupingID"
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"Expand({[list(s) for s in self.grouping_sets]})"
+
+
+@dataclasses.dataclass
+class CrossJoin(PlanNode):
+    """Cartesian product (reference cross join, ``Join.cpp:1430``)."""
+
+    probe: PlanNode = None  # type: ignore[assignment]
+    build: PlanNode = None  # type: ignore[assignment]
+    output_capacity: Optional[int] = None
+
+    def __post_init__(self):
+        self.children = (self.probe, self.build)
+
+    def describe(self):
+        return "CrossJoin"
+
+
+@dataclasses.dataclass
 class Window(PlanNode):
     """Window functions over (partition, order) (tipb::Window).  The
     reference always runs these behind a fine-grained shuffle; our
@@ -229,6 +289,10 @@ __all__ = [
     "Sort",
     "Limit",
     "Window",
+    "Expand",
+    "CrossJoin",
+    "WithCTE",
+    "CTERef",
     "ExchangeSender",
     "ExchangeReceiver",
 ]

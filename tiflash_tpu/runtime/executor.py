@@ -103,7 +103,7 @@ class QueryRunner:
             node = nodes.get(nid)
             if isinstance(node, P.Aggregation):
                 node.num_slots = max(target, (node.num_slots or 0) * 2)
-            elif isinstance(node, P.Join):
+            elif isinstance(node, (P.Join, P.CrossJoin)):
                 node.output_capacity = max(target, (node.output_capacity or 0) * 2)
         self._compiled = None  # force recompile with new capacities
 

@@ -161,11 +161,7 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
 
     vals = [eval_expr_row(a, row) for a in args]
     if any(v is None for v in vals):
-        if f in ("equals", "not_equals", "less", "less_or_equals", "greater",
-                 "greater_or_equals", "plus", "minus", "multiply", "divide",
-                 "int_div", "modulo", "negate", "abs", "year", "month",
-                 "day_of_month"):
-            return None
+        return None  # default NULL propagation for every remaining function
 
     a = vals[0]
     b = vals[1] if len(vals) > 1 else None
@@ -224,6 +220,100 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     if f in ("year", "month", "day_of_month"):
         d = a if isinstance(a, datetime.date) else a
         return {"year": d.year, "month": d.month, "day_of_month": d.day}[f]
+
+    # math
+    if f in ("sqrt", "ln", "log", "log2", "log10"):
+        x = float(a)
+        if f == "sqrt":
+            return math.sqrt(x) if x >= 0 else None
+        if x <= 0:
+            return None
+        return {"ln": math.log, "log": math.log, "log2": math.log2,
+                "log10": math.log10}[f](x)
+    if f == "exp":
+        return math.exp(float(a))
+    if f in ("sin", "cos", "tan"):
+        return getattr(math, f)(float(a))
+    if f == "radians":
+        return math.radians(float(a))
+    if f == "degrees":
+        return math.degrees(float(a))
+    if f == "pow":
+        return float(a) ** float(b)
+    if f == "sign":
+        return (a > 0) - (a < 0)
+    if f in ("round", "floor", "ceil", "truncate"):
+        if isinstance(a, D):
+            if f == "round":
+                return int(a.quantize(D(1), rounding=decimal.ROUND_HALF_UP))
+            if f == "floor":
+                return int(math.floor(a))
+            if f == "ceil":
+                return int(math.ceil(a))
+            return int(a.to_integral_value(rounding=decimal.ROUND_DOWN))
+        if isinstance(a, float):
+            if f == "round":
+                return math.floor(a + 0.5) if a >= 0 else math.ceil(a - 0.5)
+            return {"floor": math.floor, "ceil": math.ceil,
+                    "truncate": math.trunc}[f](a)
+        return int(a)
+    if f == "greatest":
+        return max(vals)
+    if f == "least":
+        return min(vals)
+    if f == "nullif":
+        return None if a == b else a
+
+    # date
+    if f == "date_add_days":
+        return a + datetime.timedelta(days=int(b))
+    if f == "date_sub_days":
+        return a - datetime.timedelta(days=int(b))
+    if f == "datediff":
+        return (a - b).days
+    if f == "day_of_week":
+        return a.isoweekday() % 7 + 1
+    if f == "day_of_year":
+        return a.timetuple().tm_yday
+    if f == "quarter":
+        return (a.month + 2) // 3
+    if f == "to_days":
+        return (a - datetime.date(1970, 1, 1)).days + 719528
+    if f == "week_of_year":
+        return a.isocalendar()[1]
+    if f == "last_day":
+        nm = datetime.date(a.year + (a.month == 12), a.month % 12 + 1, 1)
+        return nm - datetime.timedelta(days=1)
+
+    # strings
+    if f in ("upper", "lower", "reverse", "trim", "ltrim", "rtrim"):
+        return {"upper": str.upper, "lower": str.lower,
+                "reverse": lambda s: s[::-1], "trim": str.strip,
+                "ltrim": str.lstrip, "rtrim": str.rstrip}[f](a)
+    if f in ("length", "char_length"):
+        return len(a)
+    if f == "ascii":
+        return ord(a[0]) if a else 0
+    if f == "concat":
+        return "".join(str(v) for v in vals)
+    if f == "substring":
+        from ..expr.compile import _mysql_substring
+
+        return _mysql_substring(a, int(vals[1]), int(vals[2]) if len(vals) > 2 else None)
+    if f == "left":
+        return a[: max(int(b), 0)]
+    if f == "right":
+        return a[-int(b):] if int(b) > 0 else ""
+    if f == "replace":
+        return a.replace(str(vals[1]), str(vals[2]))
+    if f == "repeat":
+        return a * max(int(b), 0)
+    if f in ("lpad", "rpad"):
+        n, p = int(vals[1]), str(vals[2])
+        if len(a) >= n:
+            return a[:n]
+        pad = (p * n)[: n - len(a)]
+        return pad + a if f == "lpad" else a + pad
     raise NotImplementedError(f"oracle function {f}")
 
 
@@ -395,6 +485,66 @@ def o_sort(table: PyTable, keys: Sequence[Tuple[str, bool]], limit: Optional[int
     if limit is not None:
         idx = idx[:limit]
     return {nm: [table[nm][i] for i in idx] for nm in names}
+
+
+def o_expand(table: PyTable, grouping_sets, gid_name="groupingID") -> PyTable:
+    names = list(table.keys())
+    n = len(table[names[0]]) if names else 0
+    all_keys = {k for s in grouping_sets for k in s}
+    out: PyTable = {nm: [] for nm in names}
+    out[gid_name] = []
+    for gi, s in enumerate(grouping_sets, start=1):
+        for i in range(n):
+            for nm in names:
+                v = table[nm][i]
+                if nm in all_keys and nm not in s:
+                    v = None
+                out[nm].append(v)
+            out[gid_name].append(gi)
+    return out
+
+
+def o_cross_join(left: PyTable, right: PyTable, suffix="_r") -> PyTable:
+    ln, rn = list(left.keys()), list(right.keys())
+    nl = len(left[ln[0]]) if ln else 0
+    nr = len(right[rn[0]]) if rn else 0
+    out_names = ln + [n if n not in ln else n + suffix for n in rn]
+    out: PyTable = {n: [] for n in out_names}
+    for i in range(nl):
+        for j in range(nr):
+            for n in ln:
+                out[n].append(left[n][i])
+            for n, on in zip(rn, out_names[len(ln):]):
+                out[on].append(right[n][j])
+    return out
+
+
+def o_anti_null_aware(left: PyTable, right: PyTable, left_keys, right_keys) -> PyTable:
+    """NOT IN semantics."""
+    ln = list(left.keys())
+    rn = list(right.keys())
+    nl = len(left[ln[0]]) if ln else 0
+    nr = len(right[rn[0]]) if rn else 0
+    build = [tuple(right[k][j] for k in right_keys) for j in range(nr)]
+    build_has_null = any(any(v is None for v in b) for b in build)
+    build_set = {b for b in build if all(v is not None for v in b)}
+    out: PyTable = {n: [] for n in ln}
+    for i in range(nl):
+        k = tuple(left[kn][i] for kn in left_keys)
+        if not build:
+            keep = True
+        elif any(v is None for v in k):
+            keep = False
+        elif k in build_set:
+            keep = False
+        elif build_has_null:
+            keep = False
+        else:
+            keep = True
+        if keep:
+            for n in ln:
+                out[n].append(left[n][i])
+    return out
 
 
 def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:

@@ -30,9 +30,20 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
     if isinstance(plan, P.Join):
         left = execute_plan_oracle(plan.probe, tables)
         right = execute_plan_oracle(plan.build, tables)
+        if plan.kind == "anti_null_aware":
+            return O.o_anti_null_aware(
+                left, right, list(plan.probe_keys), list(plan.build_keys)
+            )
         return O.o_join(
             left, right, list(plan.probe_keys), list(plan.build_keys), kind=plan.kind
         )
+    if isinstance(plan, P.CrossJoin):
+        left = execute_plan_oracle(plan.probe, tables)
+        right = execute_plan_oracle(plan.build, tables)
+        return O.o_cross_join(left, right)
+    if isinstance(plan, P.Expand):
+        child = execute_plan_oracle(plan.child, tables)
+        return O.o_expand(child, [list(s) for s in plan.grouping_sets], plan.gid_name)
     if isinstance(plan, P.TopN):
         child = execute_plan_oracle(plan.child, tables)
         return O.o_sort(
@@ -52,6 +63,13 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
             [(k.name, k.desc) for k in plan.order_by],
             list(plan.funcs),
         )
+    if isinstance(plan, P.WithCTE):
+        tables = dict(tables)
+        for name, d in plan.defs.items():
+            tables["__cte_" + name] = execute_plan_oracle(d, tables)
+        return execute_plan_oracle(plan.child, tables)
+    if isinstance(plan, P.CTERef):
+        return dict(tables["__cte_" + plan.name])
     if isinstance(plan, (P.ExchangeSender, P.ExchangeReceiver)):
         # exchanges don't change row content — transparent to the oracle
         return execute_plan_oracle(plan.children[0], tables)
