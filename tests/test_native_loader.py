@@ -1,0 +1,84 @@
+"""Native C++ loader tests: TBL parse, typed columns, dictionary
+encoding, binary cache round-trip (the IO/DMFile-reader tier)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.storage.native_loader import load_table
+
+TBL = """1|alpha|12.34|1995-03-15|7.5
+2|beta|0.5|2001-12-31|-3.25
+3|alpha|-99.99|1970-01-01|0
+4||1234.567|1999-02-28|1e3
+"""
+
+SCHEMA = [
+    ("id", dt.INT64),
+    ("name", dt.STRING),
+    ("amount", dt.Decimal(12, 2)),
+    ("day", dt.DATE),
+    ("x", dt.FLOAT64),
+]
+
+
+@pytest.fixture()
+def tbl_file(tmp_path):
+    p = tmp_path / "t.tbl"
+    p.write_text(TBL)
+    return str(p)
+
+
+def test_parse_types(tbl_file):
+    cols = load_table(tbl_file, SCHEMA)
+    assert np.asarray(cols["id"].data).tolist() == [1, 2, 3, 4]
+    # decimal scale-2: 12.34 -> 1234; 1234.567 truncates to 1234.56
+    assert np.asarray(cols["amount"].data).tolist() == [1234, 50, -9999, 123456]
+    import datetime
+
+    days = np.asarray(cols["day"].data).tolist()
+    assert days[0] == (datetime.date(1995, 3, 15) - datetime.date(1970, 1, 1)).days
+    assert days[2] == 0
+    assert np.asarray(cols["x"].data).tolist() == [7.5, -3.25, 0.0, 1000.0]
+
+
+def test_string_dictionary_sorted(tbl_file):
+    cols = load_table(tbl_file, SCHEMA)
+    c = cols["name"]
+    assert c.dictionary == ("", "alpha", "beta")  # sorted distinct
+    assert np.asarray(c.data).tolist() == [1, 2, 1, 0]
+
+
+def test_skip_column(tbl_file):
+    schema = [("id", dt.INT64), ("name", None), ("amount", None),
+              ("day", None), ("x", None)]
+    cols = load_table(tbl_file, schema)
+    assert list(cols) == ["id"]
+
+
+def test_cache_roundtrip(tbl_file, tmp_path):
+    cache = str(tmp_path / "t.tfc")
+    a = load_table(tbl_file, SCHEMA, cache=cache)
+    assert os.path.exists(cache)
+    # poison the source to prove the cache is used
+    open(tbl_file, "w").write("999|zzz|1|2020-01-01|0\n")
+    b = load_table(tbl_file, SCHEMA, cache=cache)
+    for k in a:
+        assert np.asarray(a[k].data).tolist() == np.asarray(b[k].data).tolist()
+        assert a[k].dictionary == b[k].dictionary
+
+
+def test_multithreaded_parse_matches(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 5000
+    lines = []
+    for i in range(n):
+        lines.append(f"{i}|s{int(rng.integers(0, 50))}|{rng.integers(0, 10**6)/100:.2f}|1995-01-01|{rng.normal():.4f}")
+    p = tmp_path / "big.tbl"
+    p.write_text("\n".join(lines) + "\n")
+    one = load_table(str(p), SCHEMA, nthreads=1)
+    four = load_table(str(p), SCHEMA, nthreads=4)
+    for k in one:
+        assert np.asarray(one[k].data).tolist() == np.asarray(four[k].data).tolist()
