@@ -133,3 +133,56 @@ def test_agg_under_jit():
     want = O.o_aggregate(table, ["k"], [("sum", "v", "s"), ("count", None, "c")])
     O.assert_tables_equal(O.block_to_pytable(out), want)
     assert int(ng) == len(want["k"])
+
+
+def test_direct_kernel_interpret_parity():
+    """Pallas direct-sum kernel (interpret mode) vs oracle: sums/counts/avg
+    over decimal + nullable columns, with a selection mask."""
+    import jax.numpy as jnp
+    from tiflash_tpu.ops.aggregate import aggregate_direct, pack_keys_direct
+
+    rng = np.random.default_rng(9)
+    schema = {
+        "k": dt.STRING,
+        "v": dt.Decimal(12, 2, nullable=True),
+        "w": dt.INT64,
+    }
+    table = O.random_pytable(rng, 1000, schema, int_range=(-500, 500))
+    block = O.pytable_to_block(table, schema)
+    mask = np.asarray(rng.random(1000) < 0.7)
+    block = block.and_sel(jnp.asarray(mask))
+    aggs = [
+        AggDesc("sum", "v", "sv"),
+        AggDesc("sum", "w", "sw"),
+        AggDesc("count", None, "c"),
+        AggDesc("count", "v", "cv"),
+        AggDesc("avg", "v", "av"),
+    ]
+    packed = pack_keys_direct([block["k"]])
+    res = aggregate_direct(block, ["k"], aggs, packed, use_kernel=True,
+                           interpret=True)
+    got = O.block_to_pytable(res.block)
+    ftable = {k: [x for x, m in zip(v, mask) if m] for k, v in table.items()}
+    want = O.o_aggregate(ftable, ["k"], [(a.func, a.arg, a.name) for a in aggs])
+    O.assert_tables_equal(got, want)
+
+
+def test_direct_kernel_negative_and_large_values():
+    """Two's-complement limb reconstruction must be exact for negatives and
+    large magnitudes."""
+    import jax.numpy as jnp
+    from tiflash_tpu.ops.pallas.direct_agg import direct_sums
+
+    rng = np.random.default_rng(10)
+    n = 3000
+    slots = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+    vals = rng.integers(-(2**52), 2**52, n).astype(np.int64)
+    live = jnp.ones(n, dtype=bool)
+    sums, counts, nn = direct_sums(
+        slots, [jnp.asarray(vals)], [None], live, 5, interpret=True
+    )
+    expect = [int(vals[np.asarray(slots) == s].sum()) for s in range(5)]
+    assert np.asarray(sums)[:, 0].tolist() == expect
+    assert np.asarray(counts).tolist() == [
+        int((np.asarray(slots) == s).sum()) for s in range(5)
+    ]

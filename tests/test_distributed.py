@@ -156,3 +156,48 @@ def test_shuffle_overflow_detected(mesh):
     fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(shuffle_factor=0.5))
     _, overflows = fn(blocks)
     assert any(bool(np.asarray(v).max()) for v in overflows.values())
+
+
+def test_shuffle_join_with_runtime_filter(mesh):
+    """Runtime filter: build min/max prunes probe rows pre-exchange;
+    results must be identical to the unfiltered join."""
+    lt, rt, blocks = make_join_tables(mesh, seed=11)
+    from tiflash_tpu.plan.distribute import shuffle_join
+
+    plan = shuffle_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=8192, runtime_filter=True,
+    )
+    got = run_dist(plan, mesh, blocks, shuffle_factor=8.0)
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_runtime_filter_actually_prunes(mesh):
+    """With a narrow build key range, the probe exchange should carry far
+    fewer rows (observable via a small shuffle capacity that would
+    overflow without the filter)."""
+    import tiflash_tpu.core.dtypes as dtt
+
+    lt = {"lk": list(range(640)), "lv": [1] * 640}
+    rt = {"rk": [10, 11, 12], "rv": [7, 8, 9]}
+    blocks = shard_catalog_blocks(
+        {
+            "l": O.pytable_to_block(lt, {"lk": dtt.INT32, "lv": dtt.INT64}),
+            "r": O.pytable_to_block(rt, {"rk": dtt.INT32, "rv": dtt.INT64}),
+        },
+        mesh,
+    )
+    from tiflash_tpu.plan.distribute import shuffle_join
+
+    # capacity too small for 640 rows but plenty for the ~3 surviving ones
+    plan = shuffle_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=512, runtime_filter=True,
+    )
+    fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(shuffle_factor=8.0))
+    out, overflows = fn(blocks)
+    assert not any(bool(np.asarray(v).max()) for v in overflows.values())
+    got = O.block_to_pytable(collect_result(out))
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)

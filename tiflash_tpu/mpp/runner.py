@@ -93,6 +93,49 @@ class ExchangeConfig:
     shuffle_factor: float = 2.0         # out_capacity = factor * local capacity
     capacities: Dict[int, int] = dataclasses.field(default_factory=dict)
     factors: Dict[int, float] = dataclasses.field(default_factory=dict)
+    # transient per-trace store of published runtime filters
+    # rf_id -> list of (min, max) traced scalars per build key column
+    rf_values: Dict[str, list] = dataclasses.field(default_factory=dict)
+
+
+def _publish_runtime_filter(node: P.Join, build: Block, cfg: ExchangeConfig, axis: Optional[str]):
+    """min/max of each (numeric) build key column over live+valid rows,
+    reduced across the mesh when running SPMD."""
+    live = build.sel_mask()
+    entries = []
+    for kn in node.build_keys:
+        c = build[kn]
+        if c.dtype.is_string or c.dtype.is_float:
+            entries.append(None)  # unsupported column type: no filter
+            continue
+        ok = live if c.validity is None else (live & c.validity)
+        data = c.data.astype(jnp.int64)
+        big = jnp.int64(2**62)
+        mn = jnp.min(jnp.where(ok, data, big))
+        mx = jnp.max(jnp.where(ok, data, -big))
+        if axis is not None:
+            mn = jax.lax.pmin(mn, axis)
+            mx = jax.lax.pmax(mx, axis)
+        entries.append((mn, mx))
+    cfg.rf_values[node.rf_id] = entries
+
+
+def _apply_runtime_filter(node: P.RuntimeFilterApply, child: Block, cfg: ExchangeConfig) -> Block:
+    rf = cfg.rf_values.get(node.rf_id)
+    if rf is None:
+        return child  # filter not built yet — degrade to no-op (rf timeout analog)
+    sel = child.sel_mask()
+    for kn, entry in zip(node.key_names, rf):
+        if entry is None:
+            continue
+        mn, mx = entry
+        c = child[kn]
+        data = c.data.astype(jnp.int64)
+        keep = (data >= mn) & (data <= mx)
+        if c.validity is not None:
+            keep = keep & c.validity
+        sel = sel & keep
+    return child.with_sel(sel)
 
 
 def _exec_spmd(
@@ -149,8 +192,14 @@ def _exec_spmd(
         return out
 
     if isinstance(node, P.Join):
-        probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
-        build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
+        if node.rf_id is not None:
+            # build first so its min/max filter reaches the probe subtree
+            build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
+            _publish_runtime_filter(node, build, cfg, axis)
+            probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
+        else:
+            probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
+            build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
         cap = None if node.unique_build else (node.output_capacity or probe.capacity)
         joined, extras = J.hash_join(
             probe, build, list(node.probe_keys), list(node.build_keys),
@@ -158,6 +207,10 @@ def _exec_spmd(
         )
         overflows[nid] = extras["overflow"]
         return joined
+
+    if isinstance(node, P.RuntimeFilterApply):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return _apply_runtime_filter(node, child, cfg)
 
     if isinstance(node, P.TopN):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
@@ -238,6 +291,7 @@ def compile_distributed(
 
     def spmd_fn(tables: Dict[str, Block]):
         overflows: Dict[str, jnp.ndarray] = {}
+        cfg.rf_values.clear()  # traced values must not leak across traces
         out = _exec_spmd(plan, tables, axis, cfg, overflows, [0])
         # reduce required-capacity flags across devices (max requirement)
         overflows = {

@@ -262,17 +262,117 @@ def _accumulate(
     return out
 
 
+def _kernel_eligible(block: Block, aggs: Sequence[AggDesc]) -> bool:
+    """The Pallas direct-sum kernel covers sum/count/avg over fixed-point
+    (int/decimal/bool/date) arguments; float sums and min/max fall back."""
+    for a in aggs:
+        if a.func not in ("sum", "count", "avg"):
+            return False
+        if a.arg is not None and block[a.arg].dtype.is_float:
+            return False
+    return True
+
+
+def _use_kernel() -> bool:
+    import os
+
+    flag = os.environ.get("TIFLASH_TPU_DIRECT_KERNEL", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _accumulate_direct_kernel(
+    aggs: Sequence[AggDesc],
+    block: Block,
+    slot_ids: jnp.ndarray,
+    live: jnp.ndarray,
+    domain: int,
+    interpret: bool = False,
+) -> List[Tuple[str, Column]]:
+    """Kernel-backed accumulation with the same contract as _accumulate."""
+    from .pallas.direct_agg import direct_sums
+
+    # dedupe value columns needed by sum/avg
+    arg_order: List[str] = []
+    for a in aggs:
+        if a.func in ("sum", "avg") and a.arg not in arg_order:
+            arg_order.append(a.arg)
+    values, masks = [], []
+    for name in arg_order:
+        c = block[name]
+        values.append(c.data.astype(jnp.int64))
+        masks.append(c.validity)
+    # count(x) over nullable columns not already summed need their masks too
+    count_args: List[Optional[str]] = []
+    for a in aggs:
+        if a.func == "count" and a.arg is not None and a.arg not in arg_order:
+            if a.arg not in count_args:
+                count_args.append(a.arg)
+    for name in count_args:
+        c = block[name]
+        values.append((c.valid_mask() & live).astype(jnp.int64))
+        masks.append(None)
+
+    sums, live_counts, nn_counts = direct_sums(
+        slot_ids, values, masks, live, domain, interpret=interpret
+    )
+
+    col_of = {name: i for i, name in enumerate(arg_order)}
+    extra_of = {name: len(arg_order) + i for i, name in enumerate(count_args)}
+
+    out: List[Tuple[str, Column]] = []
+    for a in aggs:
+        col = block[a.arg] if a.arg is not None else None
+        rdt = agg_result_dtype(a.func, col.dtype if col else None)
+        if a.func == "count":
+            if a.arg is None:
+                out.append((a.name, Column(live_counts, None, INT64)))
+            elif a.arg in col_of:
+                out.append((a.name, Column(nn_counts[col_of[a.arg]], None, INT64)))
+            else:
+                out.append((a.name, Column(sums[:, extra_of[a.arg]], None, INT64)))
+            continue
+        idx = col_of[a.arg]
+        s = sums[:, idx]
+        cnt = nn_counts[idx]
+        if a.func == "sum":
+            out.append((a.name, Column(s.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+        else:  # avg
+            from ..expr.functions import _div_round_half_up
+
+            src_scale = col.dtype.scale if col.dtype.is_decimal else 0
+            num = s * (10 ** (rdt.scale - src_scale))
+            data = _div_round_half_up(num, jnp.maximum(cnt, 1))
+            out.append((a.name, Column(data.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+    return out, live_counts > 0
+
+
 def aggregate_direct(
-    block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], slots_domain: Tuple[jnp.ndarray, int]
+    block: Block,
+    keys: Sequence[str],
+    aggs: Sequence[AggDesc],
+    slots_domain: Tuple[jnp.ndarray, int],
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
 ) -> AggregateResult:
     """Dense small-domain aggregation (direct-indexed method)."""
     slot_ids, domain = slots_domain
     live = block.sel_mask()
     gids = jnp.where(live, slot_ids, jnp.int32(domain))
-    acc = _accumulate(aggs, block, gids, live, domain, sorted_ids=False)
-    occupied = _segment_reduce(
-        "sum", live.astype(jnp.int32), gids, domain + 1, sorted_ids=False
-    )[:domain] > 0
+    if use_kernel is None:
+        use_kernel = _use_kernel() and _kernel_eligible(block, aggs)
+    if use_kernel:
+        acc, occupied = _accumulate_direct_kernel(
+            aggs, block, slot_ids, live, domain, interpret=interpret
+        )
+    else:
+        acc = _accumulate(aggs, block, gids, live, domain, sorted_ids=False)
+        occupied = _segment_reduce(
+            "sum", live.astype(jnp.int32), gids, domain + 1, sorted_ids=False
+        )[:domain] > 0
     key_cols = unpack_keys_direct(jnp.arange(domain, dtype=jnp.int32),
                                   [block[k] for k in keys])
     names = tuple(keys) + tuple(n for n, _ in acc)

@@ -41,6 +41,7 @@ class Diagnostics:
 
     overflows: Dict[str, jnp.ndarray]
     rows: Dict[str, jnp.ndarray]
+    rf: Dict[str, list] = dataclasses.field(default_factory=dict)
 
 
 def execute_plan(plan: P.PlanNode, tables: Dict[str, Block], diag: Optional[Diagnostics] = None) -> Block:
@@ -105,8 +106,18 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         return out
 
     if isinstance(node, P.Join):
-        probe = _exec(node.probe, tables, diag, ctr)
-        build = _exec(node.build, tables, diag, ctr)
+        from ..mpp.runner import _apply_runtime_filter, _publish_runtime_filter
+
+        class _RFBox:  # adapter: Diagnostics.rf plays ExchangeConfig.rf_values
+            rf_values = diag.rf
+
+        if node.rf_id is not None:
+            build = _exec(node.build, tables, diag, ctr)
+            _publish_runtime_filter(node, build, _RFBox, None)
+            probe = _exec(node.probe, tables, diag, ctr)
+        else:
+            probe = _exec(node.probe, tables, diag, ctr)
+            build = _exec(node.build, tables, diag, ctr)
         cap = None if node.unique_build else node.output_capacity
         if cap is None and not node.unique_build:
             # default: assume 1:1-ish expansion, probe capacity
@@ -118,6 +129,17 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         diag.overflows[nid] = extras["overflow"]
         diag.rows[nid] = joined.num_rows()
         return joined
+
+    if isinstance(node, P.RuntimeFilterApply):
+        from ..mpp.runner import _apply_runtime_filter
+
+        class _RFBox2:
+            rf_values = diag.rf
+
+        child = _exec(node.child, tables, diag, ctr)
+        out = _apply_runtime_filter(node, child, _RFBox2)
+        diag.rows[nid] = out.num_rows()
+        return out
 
     if isinstance(node, P.TopN):
         child = _exec(node.child, tables, diag, ctr)

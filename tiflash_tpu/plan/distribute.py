@@ -75,6 +75,9 @@ def split_aggregation(
     return node
 
 
+_rf_counter = [0]
+
+
 def shuffle_join(
     kind: str,
     probe_keys,
@@ -83,16 +86,27 @@ def shuffle_join(
     build: P.PlanNode,
     unique_build: bool = False,
     output_capacity: Optional[int] = None,
+    runtime_filter: bool = False,
 ) -> P.Join:
     """Hash-shuffle both sides on the join key, then local join.
 
-    (Config-4 shape: repartition join across chips.)"""
-    p = P.ExchangeReceiver(P.ExchangeSender("hash", probe_keys, probe))
+    (Config-4 shape: repartition join across chips.)  With
+    ``runtime_filter`` (inner/semi only) the build side executes first and
+    its key min/max prunes probe rows BEFORE the probe's all-to-all —
+    the exchange-volume reduction that motivates the reference's runtime
+    filter pushdown into table scan."""
+    rf_id = None
+    probe_sub = probe
+    if runtime_filter and kind in ("inner", "semi"):
+        _rf_counter[0] += 1
+        rf_id = f"rf{_rf_counter[0]}"
+        probe_sub = P.RuntimeFilterApply(rf_id, probe_keys, probe)
+    p = P.ExchangeReceiver(P.ExchangeSender("hash", probe_keys, probe_sub))
     b = P.ExchangeReceiver(P.ExchangeSender("hash", build_keys, build))
     return P.Join(
         kind=kind, probe_keys=probe_keys, build_keys=build_keys,
         probe=p, build=b, unique_build=unique_build,
-        output_capacity=output_capacity,
+        output_capacity=output_capacity, rf_id=rf_id,
     )
 
 

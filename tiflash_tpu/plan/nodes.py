@@ -104,7 +104,13 @@ class Join(PlanNode):
     """Hash join (tipb::Join).  children = (probe, build) — the reference
     splits PhysicalJoinBuild/Probe; here the compiler emits build+probe
     into one traced fn.  ``unique_build`` selects the 1:N fast path;
-    ``output_capacity`` sizes the N:M expansion."""
+    ``output_capacity`` sizes the N:M expansion.
+
+    ``rf_id``: when set, the build side executes first and publishes a
+    min/max runtime filter under this id; a ``RuntimeFilterApply`` node
+    with the same id inside the probe subtree narrows rows before they
+    reach an exchange (reference ``DataStreams/RuntimeFilter.h:32``,
+    ``Flash/Coprocessor/RuntimeFilterMgr.h:30``)."""
 
     kind: str
     probe_keys: Sequence[str]
@@ -113,6 +119,7 @@ class Join(PlanNode):
     build: PlanNode = None  # type: ignore[assignment]
     unique_build: bool = False
     output_capacity: Optional[int] = None
+    rf_id: Optional[str] = None
 
     def __post_init__(self):
         self.children = (self.probe, self.build)
@@ -163,6 +170,23 @@ class Limit(PlanNode):
 
     def describe(self):
         return f"Limit({self.limit})"
+
+
+@dataclasses.dataclass
+class RuntimeFilterApply(PlanNode):
+    """Probe-side narrowing by a join-build runtime filter (min/max over
+    the build join keys).  A no-op when the filter is not (yet)
+    available — exactly the reference's timeout-wait degradation."""
+
+    rf_id: str
+    key_names: Sequence[str]
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"RuntimeFilterApply({self.rf_id}: {list(self.key_names)})"
 
 
 @dataclasses.dataclass
@@ -293,6 +317,7 @@ __all__ = [
     "CrossJoin",
     "WithCTE",
     "CTERef",
+    "RuntimeFilterApply",
     "ExchangeSender",
     "ExchangeReceiver",
 ]

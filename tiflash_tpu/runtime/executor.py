@@ -55,8 +55,12 @@ def enumerate_plan(plan: P.PlanNode) -> Tuple[Dict[int, P.PlanNode], Dict[int, P
             walk(node.source.child)  # sender itself carries no id
             return
         if isinstance(node, P.Join):
-            walk(node.probe)
-            walk(node.build)
+            if node.rf_id is not None:
+                walk(node.build)  # rf joins execute build first
+                walk(node.probe)
+            else:
+                walk(node.probe)
+                walk(node.build)
             return
         for c in node.children:
             walk(c)

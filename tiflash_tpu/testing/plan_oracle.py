@@ -63,6 +63,10 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
             [(k.name, k.desc) for k in plan.order_by],
             list(plan.funcs),
         )
+    if isinstance(plan, P.RuntimeFilterApply):
+        # semantically transparent for inner/semi joins: it only removes
+        # rows that could not match anyway
+        return execute_plan_oracle(plan.child, tables)
     if isinstance(plan, P.WithCTE):
         tables = dict(tables)
         for name, d in plan.defs.items():
