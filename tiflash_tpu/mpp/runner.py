@@ -212,6 +212,33 @@ def _exec_spmd(
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
         return _apply_runtime_filter(node, child, cfg)
 
+    if isinstance(node, P.SkewShuffleJoin):
+        from ..exchange.skew import skew_shuffle_join
+
+        probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
+        build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
+        ctr[0] += 1
+        xid = ctr[0]
+        shuffle_cap = cfg.capacities.get(
+            xid, int(np.ceil(probe.capacity * cfg.factors.get(xid, cfg.shuffle_factor)))
+        )
+        ctr[0] += 1
+        bxid = ctr[0]
+        bshuffle_cap = cfg.capacities.get(
+            bxid, int(np.ceil(build.capacity * cfg.factors.get(bxid, cfg.shuffle_factor)))
+        )
+        out, ovs = skew_shuffle_join(
+            probe, build, list(node.probe_keys), list(node.build_keys),
+            node.kind, axis, shuffle_cap, bshuffle_cap,
+            node.output_capacity or probe.capacity, hot_k=node.hot_k,
+        )
+        overflows[f"Exchange_{xid}"] = ovs["skew_probe_shuffle"]
+        overflows[f"Exchange_{bxid}"] = ovs["skew_build_shuffle"]
+        overflows[nid] = jnp.maximum(
+            ovs["skew_cold_join"], ovs["skew_hot_join"]
+        )
+        return out
+
     if isinstance(node, P.TopN):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
         return top_n(child, list(node.sort_keys), node.limit)

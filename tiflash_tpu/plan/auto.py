@@ -1,0 +1,154 @@
+"""Automatic distribution of a logical plan over a mesh.
+
+Role analog: the MPP plan shapes TiDB's optimizer ships to the reference
+(exchange placement, broadcast-vs-shuffle join choice, 2-stage agg).  The
+reference never chooses these itself; a standalone engine must, so this
+module applies the standard rules:
+
+- Aggregation         -> partial / hash-exchange / final split (optionally
+                         adaptive auto-passthrough)
+- Join                -> broadcast build side when its estimated rows are
+                         small (vs probe), else hash-shuffle both sides
+                         (optionally skew-aware); runtime filter on
+                         shuffled inner/semi joins
+- TopN / Limit        -> local + passthrough-gather + final
+- Sort                -> local sort + gather + merge (final sort, replicated)
+- Window              -> hash exchange on partition keys, then local
+- scans / projections / filters stay put (rows are already sharded)
+
+Estimates come from catalog row counts; plan nodes created here carry the
+capacities the SPMD compiler needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+from ..ops.sort import SortKey
+from . import nodes as P
+from .distribute import (
+    broadcast_join,
+    gather_topn,
+    partitioned_window,
+    shuffle_join,
+    split_aggregation,
+)
+
+
+@dataclasses.dataclass
+class AutoPlanConfig:
+    broadcast_threshold_rows: int = 100_000  # build smaller -> broadcast
+    skew_aware_joins: bool = False
+    runtime_filters: bool = True
+    auto_passthrough_agg: bool = False
+    join_output_factor: float = 2.0
+
+
+def _estimate_rows(node: P.PlanNode, stats: Dict[str, int]) -> int:
+    """Crude cardinality estimate by walking to scans (selectivity 1)."""
+    if isinstance(node, P.TableScan):
+        return stats.get(node.table, 1 << 20)
+    if isinstance(node, (P.Join, P.CrossJoin, P.SkewShuffleJoin)):
+        return max(_estimate_rows(c, stats) for c in node.children)
+    if isinstance(node, P.TopN):
+        return node.limit
+    if isinstance(node, P.Limit):
+        return node.limit
+    if isinstance(node, P.Aggregation):
+        return node.num_slots or _estimate_rows(node.children[0], stats)
+    if not node.children:
+        return 1 << 20
+    return max(_estimate_rows(c, stats) for c in node.children)
+
+
+def distribute_plan(
+    plan: P.PlanNode,
+    stats: Dict[str, int],
+    num_devices: int,
+    cfg: Optional[AutoPlanConfig] = None,
+) -> P.PlanNode:
+    """Rewrite a logical (exchange-free) plan into a distributed plan."""
+    cfg = cfg or AutoPlanConfig()
+
+    def walk(node: P.PlanNode) -> P.PlanNode:
+        if isinstance(node, P.TableScan):
+            return node
+        if isinstance(node, P.Selection):
+            return P.Selection(node.cond, walk(node.child))
+        if isinstance(node, P.Projection):
+            return P.Projection(node.exprs, walk(node.child))
+        if isinstance(node, P.Aggregation):
+            child = walk(node.child)
+            if not node.keys:
+                # scalar agg: local partial + gather + final on one row set
+                return split_aggregation(
+                    [], list(node.aggs), child,
+                )
+            return split_aggregation(
+                list(node.keys), list(node.aggs), child,
+                partial_slots=node.num_slots, final_slots=node.num_slots,
+                auto_passthrough=cfg.auto_passthrough_agg,
+            )
+        if isinstance(node, P.Join):
+            probe = walk(node.probe)
+            build = walk(node.build)
+            build_rows = _estimate_rows(node.build, stats)
+            probe_rows = _estimate_rows(node.probe, stats)
+            cap = node.output_capacity
+            if build_rows <= max(
+                cfg.broadcast_threshold_rows, probe_rows // (4 * num_devices)
+            ) and node.kind != "right":
+                return broadcast_join(
+                    node.kind, list(node.probe_keys), list(node.build_keys),
+                    probe, build, unique_build=node.unique_build,
+                    output_capacity=cap,
+                )
+            if cfg.skew_aware_joins and node.kind in ("inner", "left", "semi", "anti"):
+                return P.SkewShuffleJoin(
+                    kind=node.kind, probe_keys=list(node.probe_keys),
+                    build_keys=list(node.build_keys), probe=probe, build=build,
+                    output_capacity=cap,
+                )
+            return shuffle_join(
+                node.kind, list(node.probe_keys), list(node.build_keys),
+                probe, build, unique_build=node.unique_build,
+                output_capacity=cap,
+                runtime_filter=cfg.runtime_filters and node.kind in ("inner", "semi"),
+            )
+        if isinstance(node, P.TopN):
+            return gather_topn(list(node.sort_keys), node.limit, walk(node.child))
+        if isinstance(node, P.Limit):
+            local = P.Limit(node.limit, walk(node.child))
+            gathered = P.ExchangeReceiver(P.ExchangeSender("passthrough", (), local))
+            return P.Limit(node.limit, gathered)
+        if isinstance(node, P.Sort):
+            local = P.Sort(list(node.sort_keys), walk(node.child))
+            gathered = P.ExchangeReceiver(P.ExchangeSender("passthrough", (), local))
+            return P.Sort(list(node.sort_keys), gathered)
+        if isinstance(node, P.Window):
+            return partitioned_window(
+                list(node.partition_by), list(node.order_by), list(node.funcs),
+                walk(node.child),
+            )
+        if isinstance(node, P.Expand):
+            return P.Expand(node.grouping_sets, walk(node.child), node.gid_name)
+        if isinstance(node, P.CrossJoin):
+            # broadcast the build side; probe stays sharded
+            b = P.ExchangeReceiver(P.ExchangeSender("broadcast", (), walk(node.build)))
+            return P.CrossJoin(probe=walk(node.probe), build=b,
+                               output_capacity=node.output_capacity)
+        if isinstance(node, P.WithCTE):
+            return P.WithCTE(
+                {k: walk(v) for k, v in node.defs.items()}, walk(node.child)
+            )
+        if isinstance(node, P.CTERef):
+            return node
+        if isinstance(node, (P.ExchangeReceiver, P.ExchangeSender)):
+            raise ValueError("plan already contains exchanges — not a logical plan")
+        raise NotImplementedError(type(node).__name__)
+
+    return walk(plan)
+
+
+__all__ = ["distribute_plan", "AutoPlanConfig"]

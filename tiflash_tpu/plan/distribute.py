@@ -64,9 +64,11 @@ def split_aggregation(
             raise NotImplementedError(f"distributed {a.func}")
     node: P.PlanNode = P.Aggregation(
         keys=keys, aggs=partial, child=child, num_slots=partial_slots,
-        mode="auto" if auto_passthrough else "partial",
+        mode="partial" if not (auto_passthrough and keys) else "auto",
     )
-    node = P.ExchangeReceiver(P.ExchangeSender("hash", keys, node))
+    # scalar aggregation has no shuffle key: gather the 1-row partials
+    xtype = "hash" if keys else "passthrough"
+    node = P.ExchangeReceiver(P.ExchangeSender(xtype, keys, node))
     node = P.Aggregation(
         keys=keys, aggs=final, child=node, num_slots=final_slots, mode="final"
     )

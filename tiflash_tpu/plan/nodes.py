@@ -173,6 +173,30 @@ class Limit(PlanNode):
 
 
 @dataclasses.dataclass
+class SkewShuffleJoin(PlanNode):
+    """Skew-aware distributed join (SPMD only): sampled heavy hitters take
+    a local-probe/broadcast-build path, the rest hash-shuffles
+    (exchange/skew.py).  Children are raw (pre-exchange) subtrees."""
+
+    kind: str
+    probe_keys: Sequence[str]
+    build_keys: Sequence[str]
+    probe: PlanNode = None  # type: ignore[assignment]
+    build: PlanNode = None  # type: ignore[assignment]
+    output_capacity: Optional[int] = None
+    hot_k: int = 128
+
+    def __post_init__(self):
+        self.children = (self.probe, self.build)
+
+    def describe(self):
+        return (
+            f"SkewShuffleJoin({self.kind}; probe={list(self.probe_keys)} "
+            f"build={list(self.build_keys)})"
+        )
+
+
+@dataclasses.dataclass
 class RuntimeFilterApply(PlanNode):
     """Probe-side narrowing by a join-build runtime filter (min/max over
     the build join keys).  A no-op when the filter is not (yet)
@@ -318,6 +342,7 @@ __all__ = [
     "WithCTE",
     "CTERef",
     "RuntimeFilterApply",
+    "SkewShuffleJoin",
     "ExchangeSender",
     "ExchangeReceiver",
 ]

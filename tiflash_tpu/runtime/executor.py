@@ -62,6 +62,15 @@ def enumerate_plan(plan: P.PlanNode) -> Tuple[Dict[int, P.PlanNode], Dict[int, P
                 walk(node.probe)
                 walk(node.build)
             return
+        if isinstance(node, P.SkewShuffleJoin):
+            walk(node.probe)
+            walk(node.build)
+            # the runner assigns two internal exchange ids after the children
+            ctr[0] += 1
+            exchanges[ctr[0]] = node  # probe-side shuffle
+            ctr[0] += 1
+            exchanges[ctr[0]] = node  # build-side shuffle
+            return
         for c in node.children:
             walk(c)
 
@@ -107,7 +116,7 @@ class QueryRunner:
             node = nodes.get(nid)
             if isinstance(node, P.Aggregation):
                 node.num_slots = max(target, (node.num_slots or 0) * 2)
-            elif isinstance(node, (P.Join, P.CrossJoin)):
+            elif isinstance(node, (P.Join, P.CrossJoin, P.SkewShuffleJoin)):
                 node.output_capacity = max(target, (node.output_capacity or 0) * 2)
         self._compiled = None  # force recompile with new capacities
 

@@ -37,6 +37,12 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
         return O.o_join(
             left, right, list(plan.probe_keys), list(plan.build_keys), kind=plan.kind
         )
+    if isinstance(plan, P.SkewShuffleJoin):
+        left = execute_plan_oracle(plan.probe, tables)
+        right = execute_plan_oracle(plan.build, tables)
+        return O.o_join(
+            left, right, list(plan.probe_keys), list(plan.build_keys), kind=plan.kind
+        )
     if isinstance(plan, P.CrossJoin):
         left = execute_plan_oracle(plan.probe, tables)
         right = execute_plan_oracle(plan.build, tables)
