@@ -1,0 +1,90 @@
+"""Service-surface tests: plan serde round-trip + HTTP query/metrics/
+failpoint endpoints (the FlashService tier)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.bench.tpch_queries import q1_plan, q3_plan
+from tiflash_tpu.mpp.service import QueryService, serve_background
+from tiflash_tpu.plan import serde
+from tiflash_tpu.plan.compiler import compile_fragment
+from tiflash_tpu.runtime.failpoint import FailPoint
+from tiflash_tpu.storage.tpch import generate_tpch
+from tiflash_tpu.testing import oracle as O
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return generate_tpch(sf=0.001, seed=5)
+
+
+@pytest.mark.parametrize("mk", [q1_plan, q3_plan])
+def test_serde_roundtrip_executes_identically(cat, mk):
+    plan = mk()
+    s = serde.dumps(plan)
+    plan2 = serde.loads(s)
+    blocks = cat.blocks()
+    a, _ = compile_fragment(plan)(blocks)
+    b, _ = compile_fragment(plan2)(blocks)
+    O.assert_tables_equal(O.block_to_pytable(a), O.block_to_pytable(b))
+
+
+@pytest.fixture(scope="module")
+def server(cat):
+    svc = QueryService(cat, mesh=None)
+    httpd, port = serve_background(svc)
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_query(server):
+    code, resp = _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
+    assert code == 200
+    assert resp["summary"]["rows"] == len(resp["columns"]["l_returnflag"])
+    assert resp["summary"]["rows"] >= 3
+
+
+def test_http_status_metrics(server):
+    code, st = _get(server, "/status")
+    assert code == 200 and "lineitem" in st["tables"]
+    code, m = _get(server, "/metrics")
+    assert code == 200 and m["queries_total"] >= 1
+
+
+def test_http_bad_plan(server):
+    code, resp = _post(server, "/query", {"plan": {"exec": "Nonsense"}})
+    assert code in (400, 500)
+    assert "error" in resp
+
+
+def test_http_failpoint(server):
+    code, _ = _post(server, "/failpoint",
+                    {"name": "exception_before_fragment_run", "action": "enable"})
+    assert code == 200
+    code, resp = _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
+    assert code == 500 and resp.get("kind") == "failpoint"
+    _post(server, "/failpoint",
+          {"name": "exception_before_fragment_run", "action": "disable"})
+    code, _ = _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
+    assert code == 200

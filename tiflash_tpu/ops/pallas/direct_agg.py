@@ -38,6 +38,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(n_rows, s_pad, k_pad, n_vals, slots_ref, *refs):
+    # NOTE: all scalar constants below are explicitly typed — under
+    # jax_enable_x64 a bare python int becomes a weak int64, and Mosaic's
+    # convert-element-type lowering recurses forever on weak-int64->int32.
     vals_refs = refs[: n_vals]
     out_ref, acc_ref = refs[n_vals], refs[n_vals + 1]
     i = pl.program_id(0)
@@ -47,24 +50,25 @@ def _kernel(n_rows, s_pad, k_pad, n_vals, slots_ref, *refs):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # row-validity mask for the ragged tail
-    base = i * CHUNK
+    base = i * jnp.int32(CHUNK)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)[:, 0]
-    in_bounds = (base + row_ids) < n_rows
+    in_bounds = (base + row_ids) < jnp.int32(n_rows)
 
-    slots = jnp.where(in_bounds, slots_ref[0, :], s_pad - 1)
+    slots = jnp.where(in_bounds, slots_ref[0, :], jnp.int32(s_pad - 1))
     oh = (
         slots[:, None]
         == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, s_pad), 1)
     ).astype(jnp.float32)
 
     cols: List[jnp.ndarray] = []
+    mask255 = jnp.int32(255)
     for vr in vals_refs:
         lo = vr[0, :]
         hi = vr[1, :]
         for j in range(4):
-            cols.append(((lo >> (8 * j)) & 255).astype(jnp.float32))
+            cols.append(((lo >> jnp.int32(8 * j)) & mask255).astype(jnp.float32))
         for j in range(4):
-            cols.append(((hi >> (8 * j)) & 255).astype(jnp.float32))
+            cols.append(((hi >> jnp.int32(8 * j)) & mask255).astype(jnp.float32))
     # ones column for row counts (masked by in_bounds via one-hot row zeroing)
     cols.append(jnp.ones((CHUNK,), dtype=jnp.float32))
     while len(cols) < k_pad:
