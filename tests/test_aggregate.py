@@ -186,3 +186,55 @@ def test_direct_kernel_negative_and_large_values():
     assert np.asarray(counts).tolist() == [
         int((np.asarray(slots) == s).sum()) for s in range(5)
     ]
+
+
+def test_count_distinct_and_filter_combinator():
+    """count_distinct (sort + direct methods) and the -If filter."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    schema = {
+        "k": dt.STRING,
+        "v": dt.INT32.with_nullable(True),
+        "flag": dt.BOOL.with_nullable(True),
+    }
+    table = O.random_pytable(rng, 600, schema, int_range=(0, 8))
+    block = O.pytable_to_block(table, schema)
+    aggs = [
+        AggDesc("count_distinct", "v", "cd"),
+        AggDesc("sum", "v", "s_if", filter_col="flag"),
+        AggDesc("count", None, "c_if", filter_col="flag"),
+        AggDesc("min", "v", "mn_if", filter_col="flag"),
+    ]
+    res = hash_aggregate(block, ["k"], aggs)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(
+        table, ["k"], [(a.func, a.arg, a.name, a.filter_col) for a in aggs]
+    )
+    O.assert_tables_equal(got, want)
+    # sort method too
+    res2 = aggregate_sort(block, ["k"], aggs, num_slots=600)
+    got2 = O.block_to_pytable(res2.block)
+    O.assert_tables_equal(got2, want)
+
+
+def test_count_distinct_distributed():
+    import jax
+    from jax.sharding import Mesh
+
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.distribute import split_aggregation
+    from tiflash_tpu.runtime.executor import run_query
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    rng = np.random.default_rng(13)
+    schema = {"k": dt.INT32, "v": dt.INT64.with_nullable(True)}
+    table = O.random_pytable(rng, 640, schema, int_range=(0, 15))
+    blocks = {"t": O.pytable_to_block(table, schema)}
+    aggs = [AggDesc("count_distinct", "v", "cd"), AggDesc("count", None, "c")]
+    plan = split_aggregation(["k"], aggs, P.TableScan("t"))
+    out, _ = run_query(plan, blocks, mesh=mesh)
+    got = O.block_to_pytable(out)
+    want = O.o_aggregate(table, ["k"],
+                         [("count_distinct", "v", "cd"), ("count", None, "c")])
+    O.assert_tables_equal(got, want)

@@ -50,21 +50,26 @@ from ..core.dtypes import (
 
 @dataclasses.dataclass(frozen=True)
 class AggDesc:
-    """One aggregate: ``func(arg) AS name``.
+    """One aggregate: ``func(arg) AS name [FILTER cond_col]``.
 
-    func ∈ {sum, count, avg, min, max}.  ``arg`` is None for count(*).
-    Reference: ``AggregateFunctions/registerAggregateFunctions.cpp:51``.
+    func ∈ {sum, count, avg, min, max, count_distinct}.  ``arg`` is None
+    for count(*).  ``filter_col`` names a boolean column and implements
+    the ``-If`` combinator (rows where it is false/NULL don't contribute).
+    Reference: ``AggregateFunctions/registerAggregateFunctions.cpp:51``
+    and the combinator registry (``-If``, ``-Null``, ``-Merge``,
+    ``-State`` — merge/state are the partial/final split here).
     """
 
     func: str
     arg: Optional[str]
     name: str
+    filter_col: Optional[str] = None
 
 
 def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
     """TiDB result-type rules (``AggregateFunctions/AggregateFunctionSum.h``,
     TiDB: avg adds DIV_PRECISION_INCREMENT=4 to the scale)."""
-    if func == "count":
+    if func in ("count", "count_distinct"):
         return INT64
     assert arg is not None
     if func in ("min", "max", "first"):
@@ -182,6 +187,43 @@ def _segment_reduce(func: str, data, gids, num_slots: int, *, sorted_ids: bool):
     raise NotImplementedError(func)
 
 
+def _distinct_first_flags(
+    block: Block, keys: Sequence[str], arg: str, live: jnp.ndarray
+) -> jnp.ndarray:
+    """Bool row mask: True on the first live occurrence of each
+    (group-keys, arg) pair — sort by (keys, arg), boundary-detect, scatter
+    back to input order.  Powers exact count_distinct (the reference uses
+    HLL-family ``uniq`` states; TPU-side exactness is affordable because
+    the sort is one fused program)."""
+    n = block.capacity
+    operands: List[jnp.ndarray] = [~live]
+    for name in list(keys) + [arg]:
+        c = block[name]
+        if c.validity is not None:
+            operands.append(~c.validity)
+        operands.append(c.data)
+    nk = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=nk)
+    perm = sorted_ops[-1]
+    neq = jnp.zeros(n, dtype=jnp.bool_)
+    for arr in sorted_ops[:-1]:
+        neq = neq | (arr != jnp.roll(arr, 1))
+    neq = neq.at[0].set(True)
+    flags_sorted = neq
+    return jnp.zeros(n, dtype=jnp.bool_).at[perm].set(flags_sorted)
+
+
+def _compute_distinct_flags(
+    block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], live: jnp.ndarray
+) -> dict:
+    out = {}
+    for a in aggs:
+        if a.func == "count_distinct":
+            out[a.name] = _distinct_first_flags(block, keys, a.arg, live)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the two aggregation methods
 # ---------------------------------------------------------------------------
@@ -203,18 +245,32 @@ def _accumulate(
     live: jnp.ndarray,
     num_slots: int,
     sorted_ids: bool,
+    distinct_flags: Optional[dict] = None,
 ) -> List[Tuple[str, Column]]:
     """Shared accumulation: compute every aggregate into dense slot arrays.
 
     ``gids`` must already be clipped to [0, num_slots]; dead rows carry
     gid == num_slots (dropped via an extra trash slot).
+    ``distinct_flags``: per count_distinct agg name, a bool row mask that
+    is True on the first occurrence of each (group, value) pair (in the
+    same row order as ``block``).
     """
     out: List[Tuple[str, Column]] = []
     S = num_slots + 1  # trailing trash slot for dead rows
 
+    def agg_live(a: AggDesc) -> jnp.ndarray:
+        """Row mask for one aggregate: live rows passing its -If filter."""
+        if a.filter_col is None:
+            return live
+        f = block[a.filter_col]
+        m = f.data.astype(jnp.bool_)
+        if f.validity is not None:
+            m = m & f.validity
+        return live & m
+
     # per-slot non-null counts are needed by count/avg and null-ness of sums
-    def nn_count(col: Optional[Column]) -> jnp.ndarray:
-        ones = live.astype(jnp.int64)
+    def nn_count(col: Optional[Column], base: jnp.ndarray) -> jnp.ndarray:
+        ones = base.astype(jnp.int64)
         if col is not None and col.validity is not None:
             ones = ones * col.validity.astype(jnp.int64)
         return _segment_reduce("sum", ones, gids, S, sorted_ids=sorted_ids)[:num_slots]
@@ -222,18 +278,24 @@ def _accumulate(
     for a in aggs:
         col = block[a.arg] if a.arg is not None else None
         rdt = agg_result_dtype(a.func, col.dtype if col else None)
+        base = agg_live(a)
         if a.func == "count":
-            cnt = nn_count(col)
+            cnt = nn_count(col, base)
+            out.append((a.name, Column(cnt, None, INT64)))
+            continue
+        if a.func == "count_distinct":
+            flags = distinct_flags[a.name]
+            cnt = nn_count(col, base & flags)
             out.append((a.name, Column(cnt, None, INT64)))
             continue
         assert col is not None
-        valid_row = live if col.validity is None else (live & col.validity)
+        valid_row = base if col.validity is None else (base & col.validity)
         if a.func in ("sum", "avg"):
             acc_dt = FLOAT64 if col.dtype.is_float else INT64
             vals = col.data.astype(acc_dt.jnp_dtype)
             vals = jnp.where(valid_row, vals, _identity_for("sum", acc_dt))
             sums = _segment_reduce("sum", vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
-            cnt = nn_count(col)
+            cnt = nn_count(col, base)
             if a.func == "sum":
                 scale_shift = rdt.scale - (col.dtype.scale if col.dtype.is_decimal else 0)
                 if rdt.is_decimal and scale_shift:
@@ -253,7 +315,7 @@ def _accumulate(
             ident = _identity_for(a.func, col.dtype)
             vals = jnp.where(valid_row, col.data, ident)
             red = _segment_reduce(a.func, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
-            cnt = nn_count(col)
+            cnt = nn_count(col, base)
             out.append(
                 (a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary))
             )
@@ -267,6 +329,8 @@ def _kernel_eligible(block: Block, aggs: Sequence[AggDesc]) -> bool:
     (int/decimal/bool/date) arguments; float sums and min/max fall back."""
     for a in aggs:
         if a.func not in ("sum", "count", "avg"):
+            return False
+        if a.filter_col is not None:
             return False
         if a.arg is not None and block[a.arg].dtype.is_float:
             return False
@@ -369,7 +433,9 @@ def aggregate_direct(
             aggs, block, slot_ids, live, domain, interpret=interpret
         )
     else:
-        acc = _accumulate(aggs, block, gids, live, domain, sorted_ids=False)
+        dflags = _compute_distinct_flags(block, keys, aggs, live)
+        acc = _accumulate(aggs, block, gids, live, domain, sorted_ids=False,
+                          distinct_flags=dflags)
         occupied = _segment_reduce(
             "sum", live.astype(jnp.int32), gids, domain + 1, sorted_ids=False
         )[:domain] > 0
@@ -419,7 +485,10 @@ def aggregate_sort(
     gids = jnp.where(live_sorted, jnp.minimum(gid_sorted, num_slots), num_slots)
 
     sorted_block = block.take(perm)
-    acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots, sorted_ids=True)
+    dflags = _compute_distinct_flags(block, keys, aggs, live)
+    dflags = {k: jnp.take(v, perm) for k, v in dflags.items()}
+    acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots,
+                      sorted_ids=True, distinct_flags=dflags)
 
     # materialize group keys: first sorted row of each group writes its keys
     first_of_group = live_sorted & (
@@ -452,7 +521,9 @@ def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
     """Aggregation without GROUP BY: single-row output (slot 0)."""
     live = block.sel_mask()
     gids = jnp.where(live, 0, 1).astype(jnp.int32)
-    acc = _accumulate(aggs, block, gids, live, 1, sorted_ids=False)
+    dflags = _compute_distinct_flags(block, [], aggs, live)
+    acc = _accumulate(aggs, block, gids, live, 1, sorted_ids=False,
+                      distinct_flags=dflags)
     names = tuple(n for n, _ in acc)
     cols = tuple(c for _, c in acc)
     return Block(names=names, columns=cols, sel=None)

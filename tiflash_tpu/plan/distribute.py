@@ -34,27 +34,36 @@ def split_aggregation(
     ``auto_passthrough`` makes the partial stage adaptive: it skips the
     pre-aggregation at runtime when a sample says the keys are
     high-cardinality (auto pass-through hashagg analog)."""
+    if any(a.func == "count_distinct" for a in aggs):
+        # distinct states don't merge: co-locate whole groups by shuffling
+        # raw rows on the keys, then run the full aggregation locally
+        # (the reference would push a uniq-state; exactness > state size
+        # here — see ops/aggregate._distinct_first_flags)
+        x = P.ExchangeReceiver(P.ExchangeSender("hash" if keys else "passthrough",
+                                                keys, child))
+        return P.Aggregation(keys=keys, aggs=aggs, child=x, num_slots=final_slots)
+
     partial: List[AggDesc] = []
     final: List[AggDesc] = []
     post: Dict[str, Expr] = {k: col(k) for k in keys}
     needs_post = False
     for a in aggs:
         if a.func == "sum":
-            partial.append(AggDesc("sum", a.arg, a.name))
+            partial.append(AggDesc("sum", a.arg, a.name, a.filter_col))
             final.append(AggDesc("sum", a.name, a.name))
             post[a.name] = col(a.name)
         elif a.func == "count":
-            partial.append(AggDesc("count", a.arg, a.name))
+            partial.append(AggDesc("count", a.arg, a.name, a.filter_col))
             final.append(AggDesc("sum", a.name, a.name))
             post[a.name] = col(a.name)
         elif a.func in ("min", "max"):
-            partial.append(AggDesc(a.func, a.arg, a.name))
+            partial.append(AggDesc(a.func, a.arg, a.name, a.filter_col))
             final.append(AggDesc(a.func, a.name, a.name))
             post[a.name] = col(a.name)
         elif a.func == "avg":
             s, c = a.name + "__psum", a.name + "__pcnt"
-            partial.append(AggDesc("sum", a.arg, s))
-            partial.append(AggDesc("count", a.arg, c))
+            partial.append(AggDesc("sum", a.arg, s, a.filter_col))
+            partial.append(AggDesc("count", a.arg, c, a.filter_col))
             final.append(AggDesc("sum", s, s))
             final.append(AggDesc("sum", c, c))
             # TiDB avg scale: arg_scale + 4 == divide's scale increment

@@ -356,9 +356,9 @@ def o_project(table: PyTable, exprs: Dict[str, Expr]) -> PyTable:
 
 
 def o_aggregate(
-    table: PyTable, keys: Sequence[str], aggs: Sequence[Tuple[str, Optional[str], str]]
+    table: PyTable, keys: Sequence[str], aggs: Sequence[tuple]
 ) -> PyTable:
-    """aggs: list of (func, arg_name, out_name)."""
+    """aggs: list of (func, arg_name, out_name[, filter_col])."""
     names = list(table.keys())
     n = len(table[names[0]]) if names else 0
     groups: Dict[tuple, List[int]] = {}
@@ -368,17 +368,25 @@ def o_aggregate(
     if not keys and not groups:
         groups[()] = []
     out: PyTable = {kn: [] for kn in keys}
-    for _, _, on in aggs:
-        out[on] = []
-    for k, idxs in groups.items():
+    for a in aggs:
+        out[a[2]] = []
+    for k, idxs_all in groups.items():
         for kn, kv in zip(keys, k):
             out[kn].append(kv)
-        for func, arg, on in aggs:
+        for a in aggs:
+            func, arg, on = a[0], a[1], a[2]
+            fcol = a[3] if len(a) > 3 else None
+            idxs = idxs_all if fcol is None else [
+                i for i in idxs_all if table[fcol][i] is True
+            ]
             vals = [table[arg][i] for i in idxs] if arg else None
             if func == "count":
                 out[on].append(
                     len(idxs) if arg is None else sum(v is not None for v in vals)
                 )
+                continue
+            if func == "count_distinct":
+                out[on].append(len({v for v in vals if v is not None}))
                 continue
             nn = [v for v in vals if v is not None]
             if not nn:

@@ -25,7 +25,8 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
     if isinstance(plan, P.Aggregation):
         child = execute_plan_oracle(plan.child, tables)
         return O.o_aggregate(
-            child, list(plan.keys), [(a.func, a.arg, a.name) for a in plan.aggs]
+            child, list(plan.keys),
+            [(a.func, a.arg, a.name, a.filter_col) for a in plan.aggs],
         )
     if isinstance(plan, P.Join):
         left = execute_plan_oracle(plan.probe, tables)
