@@ -1,0 +1,67 @@
+"""Resource control (token bucket) + TOML settings tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.plan import nodes as P
+from tiflash_tpu.runtime.executor import run_query
+from tiflash_tpu.runtime.resource import RESOURCE_GROUPS, TokenBucket, to_ru
+from tiflash_tpu.runtime.settings import Settings
+from tiflash_tpu.testing import oracle as O
+
+
+def test_token_bucket_refill_and_limit():
+    b = TokenBucket(fill_rate=1000.0, capacity=100.0, tokens=100.0)
+    assert b.try_consume(60)
+    assert b.try_consume(40)
+    assert not b.try_consume(50)  # empty now
+    time.sleep(0.06)
+    assert b.try_consume(50)  # refilled ~60
+
+
+def test_resource_group_rejects_when_exhausted():
+    RESOURCE_GROUPS.configure("tiny", fill_rate=0.001, capacity=0.001)
+    t = {"k": list(range(200_000))}
+    blocks = {"t": O.pytable_to_block(t, {"k": dt.INT64})}
+    with pytest.raises(RuntimeError, match="resource group"):
+        run_query(
+            P.TableScan("t"), blocks,
+            settings=Settings(resource_group="tiny"),
+        )
+    # unconfigured group admits freely
+    out, _ = run_query(
+        P.TableScan("t"), blocks, settings=Settings(resource_group="other")
+    )
+    assert out.capacity == 200_000
+
+
+def test_to_ru_scales():
+    assert to_ru(1_000_000, 0.0) == pytest.approx(10.0)
+    assert to_ru(0, 0.1) == pytest.approx(10.0)
+
+
+def test_settings_from_toml(tmp_path):
+    p = tmp_path / "engine.toml"
+    p.write_text(
+        """
+[engine]
+default_shuffle_factor = 3.5
+max_capacity_retries = 7
+resource_group = "batch"
+"""
+    )
+    s = Settings.from_toml(str(p))
+    assert s.default_shuffle_factor == 3.5
+    assert s.max_capacity_retries == 7
+    assert s.resource_group == "batch"
+
+
+def test_settings_env_override(monkeypatch):
+    monkeypatch.setenv("TIFLASH_TPU_MAX_CAPACITY_RETRIES", "9")
+    monkeypatch.setenv("TIFLASH_TPU_TOPN_FAST_PATH", "false")
+    s = Settings.from_env()
+    assert s.max_capacity_retries == 9
+    assert s.topn_fast_path is False

@@ -88,3 +88,12 @@ def test_http_failpoint(server):
           {"name": "exception_before_fragment_run", "action": "disable"})
     code, _ = _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
     assert code == 200
+
+
+def test_http_query_registry(server):
+    code, resp = _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
+    assert code == 200 and "query_id" in resp
+    code, q = _get(server, "/queries")
+    assert code == 200
+    states = {e["id"]: e["state"] for e in q["queries"]}
+    assert states[resp["query_id"]] == "FINISHED"

@@ -49,6 +49,9 @@ class QueryService:
         self._admission = threading.BoundedSemaphore(max_concurrency)
         self._blocks = None
         self._lock = threading.Lock()
+        # query registry: the MPPTaskManager / process-list analog
+        self._qid = 0
+        self._queries: Dict[int, Dict] = {}
 
     def _tables(self):
         with self._lock:
@@ -64,11 +67,26 @@ class QueryService:
     def execute(self, plan_json: Dict, distributed: Optional[bool] = None) -> Dict:
         plan = plan_from_json(plan_json)
         mesh = self.mesh if (distributed is None or distributed) else None
-        with self._admission:
-            runner = QueryRunner(plan, mesh=mesh, settings=self.settings)
-            out, summary = runner.run(self._tables())
+        with self._lock:
+            self._qid += 1
+            qid = self._qid
+            self._queries[qid] = {"id": qid, "state": "RUNNING"}
+        try:
+            with self._admission:
+                runner = QueryRunner(plan, mesh=mesh, settings=self.settings)
+                out, summary = runner.run(self._tables())
+        except Exception:
+            with self._lock:
+                self._queries[qid]["state"] = "FAILED"
+            raise
         cols = out.to_pylists()
+        with self._lock:
+            self._queries[qid].update(
+                state="FINISHED", rows=summary.result_rows,
+                wall_seconds=summary.wall_seconds, retries=summary.retries,
+            )
         return {
+            "query_id": qid,
             "columns": cols,
             "summary": {
                 "rows": summary.result_rows,
@@ -78,6 +96,10 @@ class QueryService:
                 "devices": summary.num_devices,
             },
         }
+
+    def queries(self) -> Dict:
+        with self._lock:
+            return {"queries": list(self._queries.values())[-100:]}
 
     def status(self) -> Dict:
         import jax
@@ -111,6 +133,8 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 self._send(200, METRICS.dump())
             elif self.path == "/status":
                 self._send(200, service.status())
+            elif self.path == "/queries":
+                self._send(200, service.queries())
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

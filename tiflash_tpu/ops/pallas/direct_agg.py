@@ -100,13 +100,16 @@ def _direct_sums_once(
     k_pad = _round_up(n_vals * LIMBS + 1, 128)
     grid = pl.cdiv(n, CHUNK)
 
+    # NOTE: index maps must not contain bare python-int zeros — under
+    # jax_enable_x64 they lower as i64 and Mosaic fails to legalize the
+    # index-map function's return.  Derive 0 from the int32 grid index.
     in_specs = [
-        pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, CHUNK), lambda i: (i * 0, i), memory_space=pltpu.VMEM)
     ]
     args = [slots.reshape(1, n)]
     for lo, hi in vals32:
         in_specs.append(
-            pl.BlockSpec((2, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((2, CHUNK), lambda i: (i * 0, i), memory_space=pltpu.VMEM)
         )
         args.append(jnp.stack([lo, hi]))
 
@@ -115,7 +118,7 @@ def _direct_sums_once(
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (s_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (s_pad, k_pad), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((s_pad, k_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((s_pad, k_pad), jnp.int32)],

@@ -140,6 +140,17 @@ class QueryRunner:
         import jax
 
         fail_point("exception_before_fragment_run")
+        if self.settings.resource_group:
+            from .resource import RESOURCE_GROUPS, to_ru
+
+            est_rows = sum(b.capacity for b in tables.values())
+            if not RESOURCE_GROUPS.admit(
+                self.settings.resource_group, to_ru(est_rows, 0.0)
+            ):
+                raise RuntimeError(
+                    f"resource group {self.settings.resource_group!r} "
+                    "rejected query (RU budget exhausted)"
+                )
         summary = ExecutionSummary(
             plan_text=self.plan.pretty(),
             backend=jax.default_backend(),

@@ -28,6 +28,25 @@ class Settings:
     # --- observability ---
     collect_summaries: bool = True
 
+    # resource control (runtime/resource.py); empty group = unlimited
+    resource_group: str = ""
+
+    @staticmethod
+    def from_toml(path: str, **overrides) -> "Settings":
+        """Layered TOML config (the Poco-TOML analog,
+        ``etc/config-template.toml``): file values < env < overrides."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+        s = Settings.from_env()
+        for k, v in data.get("engine", data).items():
+            if hasattr(s, k):
+                setattr(s, k, v)
+        for k, v in overrides.items():
+            setattr(s, k, v)
+        return s
+
     @staticmethod
     def from_env(**overrides) -> "Settings":
         s = Settings(**overrides)
