@@ -65,3 +65,20 @@ def test_settings_env_override(monkeypatch):
     s = Settings.from_env()
     assert s.max_capacity_retries == 9
     assert s.topn_fast_path is False
+
+
+def test_memory_limit_enforced():
+    from tiflash_tpu.runtime.memory import MemoryLimitError
+
+    t = {"k": list(range(10_000))}
+    blocks = {"t": O.pytable_to_block(t, {"k": dt.INT64})}
+    with pytest.raises(MemoryLimitError, match="exceed limit"):
+        run_query(
+            P.TableScan("t"), blocks,
+            settings=Settings(max_bytes_per_device=1000),
+        )
+    out, _ = run_query(
+        P.TableScan("t"), blocks,
+        settings=Settings(max_bytes_per_device=10**9),
+    )
+    assert out.capacity == 10_000

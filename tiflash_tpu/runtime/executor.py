@@ -140,6 +140,9 @@ class QueryRunner:
         import jax
 
         fail_point("exception_before_fragment_run")
+        from .memory import check_memory
+
+        check_memory(self.plan, tables, self.settings.max_bytes_per_device)
         if self.settings.resource_group:
             from .resource import RESOURCE_GROUPS, to_ru
 

@@ -1,0 +1,97 @@
+"""Device-memory accounting: pre-flight HBM estimation per query.
+
+Role analog: the hierarchical ``MemoryTracker`` (``Common/MemoryTracker.h:39``)
+that aborts or spills queries over quota.  A jitted TPU program cannot be
+interrupted mid-flight, so enforcement moves BEFORE launch: estimate the
+peak bytes a plan materializes (inputs + per-node outputs + transient
+sort doubles) and refuse to launch past the quota — the caller can then
+split the input (the spill-to-host analog is processing table slices in
+multiple launches; see ROW_CAP splitting in the direct-agg kernel for the
+in-op version of the same idea).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from ..core.block import Block
+from ..plan import nodes as P
+
+
+class MemoryLimitError(RuntimeError):
+    pass
+
+
+def block_bytes(block: Block) -> int:
+    total = 0
+    for c in block.columns:
+        total += c.data.size * c.data.dtype.itemsize
+        if c.validity is not None:
+            total += c.validity.size
+    if block.sel is not None:
+        total += block.sel.size
+    return total
+
+
+def _row_bytes(block: Block) -> int:
+    return max(1, block_bytes(block) // max(block.capacity, 1))
+
+
+def estimate_plan_bytes(plan: P.PlanNode, tables: Dict[str, Block]) -> int:
+    """Rough peak-bytes estimate: inputs once + every node's output +
+    2x transient for sort-like nodes (key copies + permutation)."""
+    total = sum(block_bytes(b) for b in tables.values())
+
+    def walk(node: P.PlanNode) -> int:
+        """Returns the node's estimated output bytes; accumulates peaks."""
+        nonlocal total
+        if isinstance(node, P.TableScan):
+            b = tables.get(node.table)
+            return block_bytes(b) if b is not None else 0
+        child_sizes = [walk(c) for c in node.children]
+        if isinstance(node, (P.Selection,)):
+            out = child_sizes[0]
+        elif isinstance(node, P.Projection):
+            out = child_sizes[0]  # approx: similar width
+            total += out
+        elif isinstance(node, P.Aggregation):
+            out = child_sizes[0]
+            total += 3 * out  # sort operands + permuted copy + output
+        elif isinstance(node, (P.Join, P.SkewShuffleJoin)):
+            probe, build = child_sizes
+            cap = getattr(node, "output_capacity", None)
+            if cap and tables:
+                any_b = next(iter(tables.values()))
+                out = cap * _row_bytes(any_b) * 2
+            else:
+                out = probe + build
+            total += out + 2 * build  # sorted build copy
+        elif isinstance(node, P.CrossJoin):
+            out = child_sizes[0] + child_sizes[1]
+            total += out
+        elif isinstance(node, (P.Sort, P.TopN, P.Window)):
+            out = child_sizes[0]
+            total += 2 * out  # sort operands + permuted output
+        elif isinstance(node, P.ExchangeReceiver):
+            out = child_sizes[0] * 2  # send buffers + receive buffers
+            total += out
+        else:
+            out = child_sizes[0] if child_sizes else 0
+        return out
+
+    walk(plan)
+    return total
+
+
+def check_memory(plan: P.PlanNode, tables: Dict[str, Block], limit: int | None):
+    if limit is None:
+        return
+    est = estimate_plan_bytes(plan, tables)
+    if est > limit:
+        raise MemoryLimitError(
+            f"estimated device bytes {est:,} exceed limit {limit:,}; "
+            "split the input tables or raise max_bytes_per_device"
+        )
+
+
+__all__ = ["estimate_plan_bytes", "check_memory", "MemoryLimitError", "block_bytes"]
