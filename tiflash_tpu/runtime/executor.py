@@ -161,6 +161,19 @@ class QueryRunner:
         )
         METRICS.counter("queries_total").inc()
         t_start = time.perf_counter()
+        import contextlib
+
+        prof = (
+            jax.profiler.trace(self.settings.profile_dir)
+            if self.settings.profile_dir
+            else contextlib.nullcontext()
+        )
+        with prof:
+            return self._run_with_retries(tables, summary, t_start)
+
+    def _run_with_retries(self, tables, summary, t_start):
+        import jax
+
         for attempt in range(self.settings.max_capacity_retries + 1):
             fn = self._compile()
             out, overflows = fn(tables)

@@ -27,6 +27,9 @@ class Settings:
     max_bytes_per_device: Optional[int] = None
     # --- observability ---
     collect_summaries: bool = True
+    # when set, each run() is wrapped in jax.profiler.trace(dir) —
+    # open with XProf/Perfetto (the pprof/DiagnosticsService analog)
+    profile_dir: str = ""
 
     # resource control (runtime/resource.py); empty group = unlimited
     resource_group: str = ""
