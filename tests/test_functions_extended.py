@@ -120,3 +120,86 @@ def test_string_transform_then_compare(data):
     # chained: upper(s) == 'ALPHA' must flow through re-encoded dictionary
     check(call("upper", col("s")) == "ALPHA", data)
     check(call("length", call("trim", col("s"))) > 3, data)
+
+
+def test_cast_node(data):
+    from tiflash_tpu.expr.nodes import cast
+
+    table, block = data
+    c = evaluate_expr(cast(col("i"), dt.Decimal(12, 3)), block)
+    got = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+    for g, w in zip(got, table["i"]):
+        if w is None:
+            assert g is None
+        else:
+            assert g == O.D(w).quantize(O.D("0.001"))
+    c2 = evaluate_expr(cast(col("c"), dt.INT64), block)
+    got2 = O.block_to_pytable(Block(names=("r",), columns=(c2,)))["r"]
+    import decimal
+    for g, w in zip(got2, table["c"]):
+        if w is None:
+            assert g is None
+        else:
+            assert g == int(O.D(w).quantize(O.D(1), rounding=decimal.ROUND_HALF_UP))
+
+
+BIT_CASES = [
+    call("bit_and", col("i"), col("p")),
+    call("bit_or", col("i"), col("p")),
+    call("bit_xor", col("i"), col("p")),
+    call("bit_not", col("p")),
+    call("shift_left", call("abs", col("p")) % 7, lit(3)),
+]
+
+
+@pytest.mark.parametrize("expr", BIT_CASES, ids=[str(i) for i in range(len(BIT_CASES))])
+def test_bit_ops(expr, data):
+    table, block = data
+    got_col = evaluate_expr(expr, block)
+    got = O.block_to_pytable(Block(names=("r",), columns=(got_col,)))["r"]
+    # direct python reference (oracle doesn't model bit ops separately)
+    import operator
+    def ref(i):
+        row = {k: table[k][i] for k in table}
+        def ev(e):
+            from tiflash_tpu.expr.nodes import Call, ColumnRef, Literal
+            if isinstance(e, ColumnRef):
+                return row[e.name]
+            if isinstance(e, Literal):
+                return e.value
+            vals = [ev(a) for a in e.args]
+            if any(v is None for v in vals):
+                return None
+            f = e.func
+            if f == "bit_and": return vals[0] & vals[1]
+            if f == "bit_or": return vals[0] | vals[1]
+            if f == "bit_xor": return vals[0] ^ vals[1]
+            if f == "bit_not": return ~vals[0]
+            if f == "shift_left": return vals[0] << vals[1]
+            if f == "abs": return abs(vals[0])
+            if f == "modulo":
+                import math as m
+                return int(m.copysign(abs(vals[0]) % abs(vals[1]), vals[0])) if vals[0] else 0
+            raise NotImplementedError(f)
+        return ev(expr)
+    for i, g in enumerate(got):
+        assert g == ref(i), (i, g, ref(i))
+
+
+def test_variance_aggregates():
+    from tiflash_tpu.ops.aggregate import AggDesc, hash_aggregate
+
+    rng = np.random.default_rng(21)
+    schema = {"k": dt.INT8, "v": dt.Decimal(10, 2, nullable=True)}
+    table = O.random_pytable(rng, 300, schema, int_range=(-50, 50))
+    block = O.pytable_to_block(table, schema)
+    aggs = [
+        AggDesc("var_pop", "v", "vp"),
+        AggDesc("var_samp", "v", "vs"),
+        AggDesc("stddev_pop", "v", "sp"),
+        AggDesc("stddev_samp", "v", "ss"),
+    ]
+    res = hash_aggregate(block, ["k"], aggs)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(table, ["k"], [(a.func, a.arg, a.name) for a in aggs])
+    O.assert_tables_equal(got, want, approx_cols=["vp", "vs", "sp", "ss"])

@@ -92,6 +92,12 @@ class ExprEvaluator:
             return self._literal_column(expr, None)
         if isinstance(expr, Call):
             return self._call(expr)
+        from .nodes import Cast
+
+        if isinstance(expr, Cast):
+            from .functions import cast_column
+
+            return cast_column(self.evaluate(expr.arg), expr.target)
         raise TypeError(f"unknown expression node {expr!r}")
 
     # -- literals ---------------------------------------------------------

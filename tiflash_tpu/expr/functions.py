@@ -701,6 +701,64 @@ def _nullif():
 
 
 # ---------------------------------------------------------------------------
+# bit operations (FunctionsArithmetic bit ops)
+# ---------------------------------------------------------------------------
+
+def _register_bitop(name: str, fn, unary: bool = False):
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.INT64, any(t.nullable for t in ts))
+
+        def evaluate(cols, out):
+            if unary:
+                (a,) = cols
+                return Column(fn(a.data.astype(jnp.int64)), a.validity, out)
+            a, b = cols
+            return Column(
+                fn(a.data.astype(jnp.int64), b.data.astype(jnp.int64)),
+                _and_validity(cols), out,
+            )
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_bitop("bit_and", jnp.bitwise_and)
+_register_bitop("bit_or", jnp.bitwise_or)
+_register_bitop("bit_xor", jnp.bitwise_xor)
+_register_bitop("bit_not", jnp.bitwise_not, unary=True)
+_register_bitop("shift_left", jnp.left_shift)
+_register_bitop("shift_right", jnp.right_shift)
+
+
+@register("is_true")
+def _is_true():
+    def infer(ts):
+        return BOOL
+
+    def evaluate(cols, out):
+        (a,) = cols
+        data = a.data.astype(jnp.bool_) & a.valid_mask()
+        return Column(data, None, out)
+
+    return infer, evaluate
+
+
+@register("is_false")
+def _is_false():
+    def infer(ts):
+        return BOOL
+
+    def evaluate(cols, out):
+        (a,) = cols
+        data = (~a.data.astype(jnp.bool_)) & a.valid_mask()
+        return Column(data, None, out)
+
+    return infer, evaluate
+
+
+# ---------------------------------------------------------------------------
 # date/time functions (Functions/FunctionsDateTime* analog; epoch-int repr)
 # ---------------------------------------------------------------------------
 
@@ -814,6 +872,59 @@ _register_date_fn("day_of_year", _dayofyear)
 _register_date_fn("quarter", _quarter)
 _register_date_fn("to_days", _to_days)
 _register_date_fn("week_of_year", _weekofyear)
+
+
+def _register_time_part(name: str, divisor: int, modulus: int):
+    """DATETIME (microseconds) sub-day parts."""
+
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.INT64, ts[0].nullable)
+
+        def evaluate(cols, out):
+            (a,) = cols
+            us = a.data.astype(jnp.int64)
+            us = jnp.where(us < 0, us + ((-us // 86_400_000_000 + 1) * 86_400_000_000), us)
+            data = (us // divisor) % modulus
+            return Column(data, a.validity, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_time_part("hour", 3_600_000_000, 24)
+_register_time_part("minute", 60_000_000, 60)
+_register_time_part("second", 1_000_000, 60)
+_register_time_part("microsecond", 1, 1_000_000)
+
+
+@register("unix_timestamp")
+def _unix_timestamp():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        if a.dtype.kind is TypeKind.DATE:
+            data = a.data.astype(jnp.int64) * 86_400
+        else:
+            data = a.data.astype(jnp.int64) // 1_000_000
+        return Column(data, a.validity, out)
+
+    return infer, evaluate
+
+
+@register("from_unixtime")
+def _from_unixtime():
+    def infer(ts):
+        return DataType(TypeKind.DATETIME, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(a.data.astype(jnp.int64) * 1_000_000, a.validity, out)
+
+    return infer, evaluate
 
 
 @register("last_day")

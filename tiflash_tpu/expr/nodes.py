@@ -106,6 +106,21 @@ class Call(Expr):
         return f"{self.func}({', '.join(map(repr, self.args))})"
 
 
+@dataclasses.dataclass(eq=False)
+class Cast(Expr):
+    """Explicit cast to a target type (``tidb_cast`` analog)."""
+
+    arg: Expr
+    target: DataType = None  # type: ignore[assignment]
+
+    def __repr__(self):
+        return f"cast({self.arg!r} as {self.target!r})"
+
+
+def cast(arg, target: DataType) -> Cast:
+    return Cast(lift(arg), target)
+
+
 def col(name: str) -> ColumnRef:
     return ColumnRef(name)
 
@@ -142,10 +157,12 @@ __all__ = [
     "ColumnRef",
     "Literal",
     "Call",
+    "Cast",
     "col",
     "lit",
     "lift",
     "call",
+    "cast",
     "if_",
     "case_when",
 ]

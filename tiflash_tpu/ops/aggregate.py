@@ -85,6 +85,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
             return FLOAT64.with_nullable(True)
         scale = (arg.scale if arg.is_decimal else 0) + 4
         return Decimal(18, scale, nullable=True)
+    if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+        return FLOAT64.with_nullable(True)
     raise NotImplementedError(f"aggregate {func}")
 
 
@@ -287,6 +289,27 @@ def _accumulate(
             flags = distinct_flags[a.name]
             cnt = nn_count(col, base & flags)
             out.append((a.name, Column(cnt, None, INT64)))
+            continue
+        if a.func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            # sum / sum-of-squares decomposition (f64): the reference's
+            # AggregateFunctionsStatisticsSimple moment states
+            valid_row = base if col.validity is None else (base & col.validity)
+            x = col.data.astype(jnp.float64)
+            if col.dtype.is_decimal:
+                x = x / (10 ** col.dtype.scale)
+            x = jnp.where(valid_row, x, 0.0)
+            s1 = _segment_reduce("sum", x, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            s2 = _segment_reduce("sum", x * x, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            cnt = nn_count(col, base)
+            nf = jnp.maximum(cnt, 1).astype(jnp.float64)
+            var = jnp.maximum(s2 / nf - (s1 / nf) ** 2, 0.0)
+            if a.func.endswith("samp"):
+                var = var * nf / jnp.maximum(nf - 1.0, 1.0)
+                ok = cnt > 1
+            else:
+                ok = cnt > 0
+            data = jnp.sqrt(var) if a.func.startswith("stddev") else var
+            out.append((a.name, Column(data, ok, rdt)))
             continue
         assert col is not None
         valid_row = base if col.validity is None else (base & col.validity)

@@ -388,6 +388,18 @@ def o_aggregate(
             if func == "count_distinct":
                 out[on].append(len({v for v in vals if v is not None}))
                 continue
+            if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+                xs = [float(v) for v in vals if v is not None]
+                nmin = 2 if func.endswith("samp") else 1
+                if len(xs) < nmin:
+                    out[on].append(None)
+                    continue
+                mean = sum(xs) / len(xs)
+                var = sum((x - mean) ** 2 for x in xs) / (
+                    len(xs) - (1 if func.endswith("samp") else 0)
+                )
+                out[on].append(math.sqrt(var) if func.startswith("stddev") else var)
+                continue
             nn = [v for v in vals if v is not None]
             if not nn:
                 out[on].append(None)
