@@ -54,3 +54,20 @@ def test_sort_topn(data):
 def test_plan_pretty(data):
     s = q3_plan().pretty()
     assert "Join" in s and "TopN" in s and "TableScan" in s
+
+
+def test_union_partition_table_scan(data):
+    """UNION ALL of per-partition scans (PartitionTableScan analog)."""
+    import tiflash_tpu.plan.nodes as P
+    from tiflash_tpu.expr.nodes import col
+    from tiflash_tpu.ops.aggregate import AggDesc
+
+    blocks, pytables = data
+    # simulate two partitions by scanning lineitem twice with different
+    # filters, then aggregating over the union
+    p1 = P.Selection(col("l_orderkey") % 2 == 0, P.TableScan("lineitem"))
+    p2 = P.Selection(col("l_orderkey") % 2 == 1, P.TableScan("lineitem"))
+    plan = P.Aggregation([], [AggDesc("count", None, "n"),
+                              AggDesc("sum", "l_quantity", "s")],
+                         P.Union([p1, p2]))
+    run_both(plan, data, ordered=True)

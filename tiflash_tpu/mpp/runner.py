@@ -257,6 +257,15 @@ def _exec_spmd(
             child, list(node.partition_by), list(node.order_by), list(node.funcs)
         )
 
+    if isinstance(node, P.Union):
+        from ..exchange.skew import concat_blocks
+
+        parts = [_exec_spmd(c, tables, axis, cfg, overflows, ctr) for c in node.children]
+        out = parts[0]
+        for p in parts[1:]:
+            out = concat_blocks(out, p)
+        return out
+
     if isinstance(node, P.WithCTE):
         tables = dict(tables)
         for name, d in node.defs.items():

@@ -167,6 +167,16 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         diag.rows[nid] = out.num_rows()
         return out
 
+    if isinstance(node, P.Union):
+        from ..exchange.skew import concat_blocks
+
+        parts = [_exec(c, tables, diag, ctr) for c in node.children]
+        out = parts[0]
+        for p in parts[1:]:
+            out = concat_blocks(out, p)
+        diag.rows[nid] = out.num_rows()
+        return out
+
     if isinstance(node, P.WithCTE):
         tables = dict(tables)
         for name, d in node.defs.items():

@@ -173,6 +173,26 @@ class Limit(PlanNode):
 
 
 @dataclasses.dataclass
+class Union(PlanNode):
+    """Row concatenation of same-schema children (UNION ALL; also the
+    PartitionTableScan analog — tipb::PartitionTableScan unions the
+    partition scans, ``Flash/Planner/Plans/PhysicalTableScan.cpp``)."""
+
+    inputs: Sequence[PlanNode] = ()
+
+    def __post_init__(self):
+        self.children = tuple(self.inputs)
+
+    def describe(self):
+        return f"Union({len(self.children)})"
+
+
+def partition_table_scan(tables, columns=None) -> Union:
+    """Scan a partitioned table: one TableScan per partition, unioned."""
+    return Union([TableScan(t, columns) for t in tables])
+
+
+@dataclasses.dataclass
 class SkewShuffleJoin(PlanNode):
     """Skew-aware distributed join (SPMD only): sampled heavy hitters take
     a local-probe/broadcast-build path, the rest hash-shuffles
@@ -343,6 +363,8 @@ __all__ = [
     "CTERef",
     "RuntimeFilterApply",
     "SkewShuffleJoin",
+    "Union",
+    "partition_table_scan",
     "ExchangeSender",
     "ExchangeReceiver",
 ]

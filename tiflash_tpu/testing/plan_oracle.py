@@ -70,6 +70,13 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
             [(k.name, k.desc) for k in plan.order_by],
             list(plan.funcs),
         )
+    if isinstance(plan, P.Union):
+        parts = [execute_plan_oracle(c, tables) for c in plan.children]
+        out = {k: [] for k in parts[0]}
+        for p in parts:
+            for k in out:
+                out[k].extend(p[k])
+        return out
     if isinstance(plan, P.RuntimeFilterApply):
         # semantically transparent for inner/semi joins: it only removes
         # rows that could not match anyway
