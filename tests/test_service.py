@@ -97,3 +97,18 @@ def test_http_query_registry(server):
     assert code == 200
     states = {e["id"]: e["state"] for e in q["queries"]}
     assert states[resp["query_id"]] == "FINISHED"
+
+
+def test_http_system_tables(server):
+    plan = {"exec": "TableScan", "table": "system_tables", "columns": None}
+    code, resp = _post(server, "/query", {"plan": plan})
+    assert code == 200
+    assert "lineitem" in resp["columns"]["table"]
+
+    plan = {"exec": "Selection",
+            "cond": {"expr": "call", "func": "like",
+                     "args": [{"expr": "col", "name": "name"},
+                              {"expr": "lit", "value": "queries%"}]},
+            "child": {"exec": "TableScan", "table": "system_metrics", "columns": None}}
+    code, resp = _post(server, "/query", {"plan": plan})
+    assert code == 200 and len(resp["columns"]["name"]) >= 1

@@ -67,14 +67,25 @@ class QueryService:
     def execute(self, plan_json: Dict, distributed: Optional[bool] = None) -> Dict:
         plan = plan_from_json(plan_json)
         mesh = self.mesh if (distributed is None or distributed) else None
+        # system tables are injected fresh per query (single-device scans)
+        uses_system = "system_" in json.dumps(plan_json)
         with self._lock:
             self._qid += 1
             qid = self._qid
             self._queries[qid] = {"id": qid, "state": "RUNNING"}
         try:
             with self._admission:
+                tables = self._tables()
+                if uses_system:
+                    from ..storage.system import system_blocks
+
+                    tables = dict(tables)
+                    tables.update(system_blocks(
+                        self.catalog, self.settings, self.queries()["queries"]
+                    ))
+                    mesh = None  # system scans run single-device
                 runner = QueryRunner(plan, mesh=mesh, settings=self.settings)
-                out, summary = runner.run(self._tables())
+                out, summary = runner.run(tables)
         except Exception:
             with self._lock:
                 self._queries[qid]["state"] = "FAILED"
