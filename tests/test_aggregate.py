@@ -238,3 +238,26 @@ def test_count_distinct_distributed():
     want = O.o_aggregate(table, ["k"],
                          [("count_distinct", "v", "cd"), ("count", None, "c")])
     O.assert_tables_equal(got, want)
+
+
+def test_quantile_aggregate():
+    """Exact per-group quantile: element at floor(q*(n-1)) of sorted args."""
+    rng = np.random.default_rng(30)
+    schema = {"k": dt.INT8, "v": dt.INT32.with_nullable(True)}
+    table = O.random_pytable(rng, 400, schema, int_range=(-100, 100))
+    block = O.pytable_to_block(table, schema)
+    for q in (0.0, 0.5, 0.9, 1.0):
+        res = hash_aggregate(
+            block, ["k"], [AggDesc("quantile", "v", "qv", param=q),
+                           AggDesc("count", "v", "c")]
+        )
+        got = O.block_to_pytable(res.block)
+        # python reference
+        import math as m
+        want_map = {}
+        for kk in set(table["k"]):
+            xs = sorted(v for k2, v in zip(table["k"], table["v"])
+                        if k2 == kk and v is not None)
+            want_map[kk] = xs[int(m.floor(q * (len(xs) - 1)))] if xs else None
+        for kk, qv in zip(got["k"], got["qv"]):
+            assert qv == want_map[kk], (q, kk, qv, want_map[kk])

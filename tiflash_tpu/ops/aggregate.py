@@ -64,6 +64,8 @@ class AggDesc:
     arg: Optional[str]
     name: str
     filter_col: Optional[str] = None
+    # function parameter (quantile fraction for 'quantile')
+    param: Optional[float] = None
 
 
 def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
@@ -87,6 +89,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
         return Decimal(18, scale, nullable=True)
     if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
         return FLOAT64.with_nullable(True)
+    if func == "quantile":
+        return arg.with_nullable(True)
     raise NotImplementedError(f"aggregate {func}")
 
 
@@ -221,9 +225,60 @@ def _compute_distinct_flags(
 ) -> dict:
     out = {}
     for a in aggs:
+        if a.func not in ("count_distinct", "quantile"):
+            continue
+        base = live
+        if a.filter_col is not None:
+            f = block[a.filter_col]
+            m = f.data.astype(jnp.bool_)
+            if f.validity is not None:
+                m = m & f.validity
+            base = live & m
         if a.func == "count_distinct":
-            out[a.name] = _distinct_first_flags(block, keys, a.arg, live)
+            out[a.name] = _distinct_first_flags(block, keys, a.arg, base)
+        else:
+            out[a.name] = _quantile_row_flags(
+                block, keys, a.arg, a.param if a.param is not None else 0.5, base
+            )
     return out
+
+
+def _quantile_row_flags(
+    block: Block, keys: Sequence[str], arg: str, q: float, live: jnp.ndarray
+) -> jnp.ndarray:
+    """Bool mask marking, per group, the row holding the q-quantile of
+    ``arg`` (element at floor(q*(n_valid-1)) in per-group sorted order;
+    the exact-selection analog of the reference's quantile states).
+    Computed in input row order like the distinct flags."""
+    n = block.capacity
+    c = block[arg]
+    valid = live if c.validity is None else (live & c.validity)
+    operands: List[jnp.ndarray] = [~live]
+    for name in keys:
+        kc = block[name]
+        if kc.validity is not None:
+            operands.append(~kc.validity)
+        operands.append(kc.data)
+    n_group_ops = len(operands)
+    operands.append(~valid)  # valid arg values first within the group
+    operands.append(c.data)
+    nk = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=nk)
+    perm = sorted_ops[-1]
+    gb = jnp.zeros(n, dtype=jnp.bool_)
+    for arr in sorted_ops[:n_group_ops]:
+        gb = gb | (arr != jnp.roll(arr, 1))
+    gb = gb.at[0].set(True)
+    pos = jnp.arange(n, dtype=jnp.int64)
+    gid = jnp.cumsum(gb.astype(jnp.int32)) - 1
+    start = jnp.maximum.accumulate(jnp.where(gb, pos, 0))
+    valid_s = jnp.take(valid, perm)
+    cnt = jax.ops.segment_sum(valid_s.astype(jnp.int64), gid, num_segments=n)
+    cnt_row = jnp.take(cnt, gid)
+    target = start + jnp.floor(q * (cnt_row - 1).astype(jnp.float64)).astype(jnp.int64)
+    flag_sorted = (pos == target) & valid_s
+    return jnp.zeros(n, dtype=jnp.bool_).at[perm].set(flag_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +344,14 @@ def _accumulate(
             flags = distinct_flags[a.name]
             cnt = nn_count(col, base & flags)
             out.append((a.name, Column(cnt, None, INT64)))
+            continue
+        if a.func == "quantile":
+            flags = distinct_flags[a.name]
+            ident = _identity_for("max", col.dtype)
+            vals = jnp.where(base & flags, col.data, ident)
+            red = _segment_reduce("max", vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            cnt = nn_count(col, base)
+            out.append((a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary)))
             continue
         if a.func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
             # sum / sum-of-squares decomposition (f64): the reference's
