@@ -111,11 +111,7 @@ def shuffle_block(
                 recv_sizes, axis_name,
             )
 
-        cols = []
-        for c in grouped.columns:
-            data = exch(c.data)
-            validity = exch(c.validity) if c.validity is not None else None
-            cols.append(Column(data, validity, c.dtype, c.dictionary))
+        cols = _exchange_columns_packed(grouped, exch)
         sel = jnp.arange(out_capacity, dtype=jnp.int32) < total_recv
         # ragged_all_to_all lays sources' chunks back-to-back, so live rows
         # are the prefix [0, total_recv).
@@ -148,11 +144,7 @@ def shuffle_block(
         out = jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0, tiled=True)
         return out.reshape((P * C,) + arr.shape[1:])
 
-    cols = []
-    for c in grouped.columns:
-        data = exch(c.data)
-        validity = exch(c.validity) if c.validity is not None else None
-        cols.append(Column(data, validity, c.dtype, c.dictionary))
+    cols = _exchange_columns_packed(grouped, exch)
     # valid received slots: for source i, offsets < recv_sizes[i]
     off = jax.lax.broadcasted_iota(jnp.int32, (P, C), 1)
     sel = (off < recv_sizes[:, None]).reshape(P * C)
@@ -160,6 +152,38 @@ def shuffle_block(
         Block(names=grouped.names, columns=tuple(cols), sel=sel),
         overflow_local,
     )
+
+
+def _exchange_columns_packed(grouped: Block, exch) -> list:
+    """Run one exchange per byte-width class instead of one per column:
+    same-width columns (and validity bitmaps) are viewed as one (n, k)
+    array, moved with a single collective, and unpacked — the wire-batching
+    analog of the reference packing many columns into one MPPDataPacket."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)  # dtype -> list of (col_idx, kind, array)
+    for i, c in enumerate(grouped.columns):
+        groups[str(c.data.dtype)].append((i, "data", c.data))
+        if c.validity is not None:
+            groups["bool"].append((i, "validity", c.validity))
+
+    results: dict = {}
+    for dt_key, entries in groups.items():
+        if len(entries) == 1:
+            i, kind, arr = entries[0]
+            results[(i, kind)] = exch(arr)
+            continue
+        stacked = jnp.stack([arr for _, _, arr in entries], axis=1)  # (n, k)
+        moved = exch(stacked)
+        for j, (i, kind, _) in enumerate(entries):
+            results[(i, kind)] = moved[:, j]
+
+    cols = []
+    for i, c in enumerate(grouped.columns):
+        data = results[(i, "data")]
+        validity = results.get((i, "validity"))
+        cols.append(Column(data, validity, c.dtype, c.dictionary))
+    return cols
 
 
 def _row_pids_after_sort(send_sizes: jnp.ndarray, n: int) -> jnp.ndarray:
