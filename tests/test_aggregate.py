@@ -261,3 +261,20 @@ def test_quantile_aggregate():
             want_map[kk] = xs[int(m.floor(q * (len(xs) - 1)))] if xs else None
         for kk, qv in zip(got["k"], got["qv"]):
             assert qv == want_map[kk], (q, kk, qv, want_map[kk])
+
+
+def test_agg_direct_mid_domain_segment_path():
+    """Domain in (64, 4096]: exercises the segment fallback (CPU) and the
+    kernel path boundary."""
+    rng = np.random.default_rng(31)
+    pool = [f"k{i:03d}" for i in range(150)]
+    schema = {"k": dt.STRING, "v": dt.INT64}
+    table = O.random_pytable(rng, 800, schema, null_prob=0, str_pool=pool)
+    block = O.pytable_to_block(table, schema)
+    res = hash_aggregate(block, ["k"], [AggDesc("sum", "v", "s"),
+                                        AggDesc("avg", "v", "a"),
+                                        AggDesc("min", "v", "mn")])
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(table, ["k"],
+                         [("sum", "v", "s"), ("avg", "v", "a"), ("min", "v", "mn")])
+    O.assert_tables_equal(got, want)
