@@ -160,7 +160,11 @@ class ExprEvaluator:
     # -- calls ------------------------------------------------------------
 
     def _call(self, call: Call) -> Column:
-        name = call.func
+        from .functions import _ALIASES
+
+        name = _ALIASES.get(call.func, call.func)
+        if name != call.func:
+            call = Call(name, call.args)
         if name == "like":
             return self._like(call)
         if name in _STRING_TRANSFORMS:

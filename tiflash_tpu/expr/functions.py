@@ -1012,4 +1012,36 @@ def _in():
     return infer, evaluate
 
 
+# ---------------------------------------------------------------------------
+# TiDB-name aliases (the scalar_func_map naming surface,
+# Flash/Coprocessor/DAGUtils.cpp:92)
+# ---------------------------------------------------------------------------
+
+_ALIASES = {
+    "ifnull": "coalesce",
+    "mod": "modulo",
+    "power": "pow",
+    "lcase": "lower",
+    "ucase": "upper",
+    "substr": "substring",
+    "character_length": "char_length",
+    "dayofweek": "day_of_week",
+    "dayofyear": "day_of_year",
+    "dayofmonth": "day_of_month",
+    "weekofyear": "week_of_year",
+    "ceiling": "ceil",
+    "eq": "equals",
+    "ne": "not_equals",
+    "lt": "less",
+    "le": "less_or_equals",
+    "gt": "greater",
+    "ge": "greater_or_equals",
+    "plus_int": "plus",
+    "isnull": "is_null",
+}
+for _alias, _target in _ALIASES.items():
+    if _alias not in REGISTRY and _target in REGISTRY:
+        REGISTRY[_alias] = REGISTRY[_target]
+
+
 __all__ = ["REGISTRY", "get_function", "cast_column", "Function", "DIV_PRECISION_INCREMENT"]
