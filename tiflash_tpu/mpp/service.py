@@ -73,8 +73,12 @@ class QueryService:
             self._qid += 1
             qid = self._qid
             self._queries[qid] = {"id": qid, "state": "RUNNING"}
+        from ..runtime.logging import get_logger, query_context
+
+        log = get_logger("tiflash_tpu.service")
         try:
-            with self._admission:
+            with self._admission, query_context(qid):
+                log.info("query %d start", qid)
                 tables = self._tables()
                 if uses_system:
                     from ..storage.system import system_blocks

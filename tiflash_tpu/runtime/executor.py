@@ -174,6 +174,9 @@ class QueryRunner:
     def _run_with_retries(self, tables, summary, t_start):
         import jax
 
+        from .logging import get_logger
+
+        log = get_logger("tiflash_tpu.executor")
         for attempt in range(self.settings.max_capacity_retries + 1):
             fn = self._compile()
             out, overflows = fn(tables)
@@ -186,6 +189,7 @@ class QueryRunner:
             if not flagged:
                 break
             fail_point("exception_during_retry")
+            log.info("capacity overflow, retrying: %s", flagged)
             summary.retries += 1
             summary.overflow_nodes.extend(flagged)
             METRICS.counter("capacity_retries_total").inc()
@@ -197,6 +201,10 @@ class QueryRunner:
             self._grow(flagged)
         summary.wall_seconds = time.perf_counter() - t_start
         summary.compile_seconds = self._compile_s
+        log.debug(
+            "query done: rows=? wall=%.3fs retries=%d",
+            summary.wall_seconds, summary.retries,
+        )
         METRICS.counter("query_seconds_total").inc(summary.wall_seconds)
         result = collect_result(out) if self.mesh is not None else out
         summary.result_rows = int(np.asarray(result.num_rows()))
