@@ -72,6 +72,23 @@ def main() -> None:
     # column so every iteration is a fresh, value-dependent execution
     perturb_col = cols_read[0]
 
+    def checksum(block):
+        """Folds EVERY output byte so no operator can be dead-code
+        eliminated (num_rows alone is a compile-time constant for topN /
+        scalar aggregates — a checksum that missed the value columns let
+        XLA delete the whole computation and report fantasy numbers)."""
+        acc = jnp.int64(0)
+        live = block.sel_mask()
+        for c in block.columns:
+            d = c.data
+            if d.dtype == jnp.bool_:
+                d = d.astype(jnp.int32)
+            if jnp.issubdtype(d.dtype, jnp.floating):
+                d = jax.lax.bitcast_convert_type(d.astype(jnp.float64), jnp.int64)
+            mask = live if c.validity is None else (live & c.validity)
+            acc = acc + jnp.sum(jnp.where(mask, d.astype(jnp.int64), 0))
+        return acc
+
     @jax.jit
     def bench_step(tables, carry):
         li = tables["lineitem"]
@@ -80,8 +97,7 @@ def main() -> None:
         tables = dict(tables)
         tables["lineitem"] = li.with_column(perturb_col, new_col)
         out = execute_plan(plan, tables)
-        chk = jnp.sum(out.num_rows().astype(jnp.int64))
-        return chk + carry * jnp.int64(0x9E3779B1)
+        return checksum(out) + carry * jnp.int64(0x9E3779B1)
 
     def chain(K):
         carry = jnp.int64(1)

@@ -147,3 +147,13 @@ def test_enumerate_plan_matches_executor_ids():
             assert nid in exchanges, (key, list(exchanges))
         else:
             assert nid in nodes and type(nodes[nid]).__name__ == kind, (key,)
+
+
+def test_summary_node_rows_explain_analyze():
+    """EXPLAIN ANALYZE: per-node live-row counts in the summary."""
+    lt, rt, blocks = make_join_setup(nl=100, nr=40)
+    plan = P.Selection(col("lv") > 0, P.TableScan("l"))
+    out, summary = run_query(plan, blocks)
+    assert summary.node_rows.get("TableScan_2") == 100
+    sel_rows = summary.node_rows.get("Selection_1")
+    assert sel_rows == summary.result_rows

@@ -200,16 +200,20 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
 
 def compile_fragment(
     plan: P.PlanNode,
+    collect_rows: bool = False,
 ) -> Callable[[Dict[str, Block]], Tuple[Block, Dict[str, jnp.ndarray]]]:
     """jit-compile a whole exchange-free fragment.
 
-    Returns fn(tables) -> (result block, overflow flags).  Retraces only
-    when table capacities/dtypes change (pytree structure)."""
+    Returns fn(tables) -> (result block, overflow flags[, per-node rows])
+    — per-node live-row counts feed EXPLAIN ANALYZE summaries.  Retraces
+    only when table capacities/dtypes change (pytree structure)."""
 
     @jax.jit
     def run(tables: Dict[str, Block]):
         diag = Diagnostics({}, {})
         out = execute_plan(plan, tables, diag)
+        if collect_rows:
+            return out, diag.overflows, diag.rows
         return out, diag.overflows
 
     return run

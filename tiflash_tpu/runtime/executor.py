@@ -127,7 +127,13 @@ class QueryRunner:
             return self._compiled
         t0 = time.perf_counter()
         if self.mesh is None:
-            self._compiled = compile_fragment(self.plan)
+            inner = compile_fragment(self.plan, collect_rows=self.settings.collect_summaries)
+
+            def wrap(tables):
+                r = inner(tables)
+                return r if len(r) == 3 else (r[0], r[1], {})
+
+            self._compiled = wrap
         else:
             self._compiled = compile_distributed(
                 self.plan, self.mesh, axis=self.settings.mesh_axis, cfg=self.cfg
@@ -179,7 +185,9 @@ class QueryRunner:
         log = get_logger("tiflash_tpu.executor")
         for attempt in range(self.settings.max_capacity_retries + 1):
             fn = self._compile()
-            out, overflows = fn(tables)
+            res = fn(tables)
+            out, overflows = res[0], res[1]
+            node_rows = res[2] if len(res) == 3 else {}
             jax.block_until_ready(out)
             flagged = {
                 k: int(np.asarray(v).max())
@@ -201,6 +209,7 @@ class QueryRunner:
             self._grow(flagged)
         summary.wall_seconds = time.perf_counter() - t_start
         summary.compile_seconds = self._compile_s
+        summary.node_rows = {k: int(np.asarray(v)) for k, v in node_rows.items()}
         log.debug(
             "query done: rows=? wall=%.3fs retries=%d",
             summary.wall_seconds, summary.retries,
