@@ -708,9 +708,22 @@ def aggregate_sort(
 
 
 def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
-    """Aggregation without GROUP BY: single-row output (slot 0)."""
+    """Aggregation without GROUP BY: single-row output (slot 0).
+
+    Uses the masked method (plain fused reductions) whenever possible —
+    the segment path would lower to a serialized TPU scatter and run
+    ~500x slower (measured: Q6 at 925ms vs ~2ms)."""
     live = block.sel_mask()
     gids = jnp.where(live, 0, 1).astype(jnp.int32)
+    if _masked_eligible(block, aggs):
+        acc, _ = _accumulate_masked(
+            aggs, block, jnp.zeros(block.capacity, jnp.int32), live, 1
+        )
+        return Block(
+            names=tuple(n for n, _ in acc),
+            columns=tuple(c for _, c in acc),
+            sel=None,
+        )
     dflags = _compute_distinct_flags(block, [], aggs, live)
     acc = _accumulate(aggs, block, gids, live, 1, sorted_ids=False,
                       distinct_flags=dflags)
