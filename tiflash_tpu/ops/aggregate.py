@@ -644,21 +644,37 @@ def aggregate_sort(
 
     Dead rows sort last (extra leading live-flag key), group ids come from
     boundary detection on the sorted keys, reductions use sorted segment
-    ids."""
+    ids.
+
+    When exactly one count_distinct/quantile aggregate is present, its
+    argument rides as a trailing sort key: group boundaries are unchanged
+    and the distinct/quantile flags come straight off the sorted operands
+    — no O(n) scatter-back of flags (TPU scatter is serialized)."""
     n = block.capacity
     live = block.sel_mask()
     key_cols = [block[k] for k in keys]
+
+    special = [a for a in aggs if a.func in ("count_distinct", "quantile")]
+    in_sort_special = (
+        len(special) == 1 and special[0].filter_col is None
+    )
 
     operands: List[jnp.ndarray] = [~live]  # False (live) sorts first
     for c in key_cols:
         if c.validity is not None:
             operands.append(~c.validity)  # NULLs group together, sort first
         operands.append(c.data)
+    num_group_keys = len(operands)
+    if in_sort_special:
+        sc = block[special[0].arg]
+        operands.append(~sc.valid_mask())  # valid arg values first in group
+        operands.append(sc.data)
     num_sort_keys = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))  # original row index
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_sort_keys)
     perm = sorted_ops[-1]
-    sorted_keys = sorted_ops[:-1]
+    sorted_keys = sorted_ops[:num_group_keys]
+    sorted_special = sorted_ops[num_group_keys:num_sort_keys]
 
     # group boundary: any sort-key differs from the previous row
     neq = jnp.zeros(n, dtype=jnp.bool_)
@@ -675,8 +691,33 @@ def aggregate_sort(
     gids = jnp.where(live_sorted, jnp.minimum(gid_sorted, num_slots), num_slots)
 
     sorted_block = block.take(perm)
-    dflags = _compute_distinct_flags(block, keys, aggs, live)
-    dflags = {k: jnp.take(v, perm) for k, v in dflags.items()}
+    if in_sort_special:
+        a0 = special[0]
+        pneq = neq
+        for arr in sorted_special:
+            pneq = pneq | (arr != jnp.roll(arr, 1))
+        pneq = pneq.at[0].set(True)
+        if a0.func == "count_distinct":
+            dflags = {a0.name: pneq}
+        else:  # quantile: target row per group from sorted positions
+            q = a0.param if a0.param is not None else 0.5
+            pos = jnp.arange(n, dtype=jnp.int64)
+            first_of_grp = neq.at[0].set(True)
+            start = jnp.maximum.accumulate(jnp.where(first_of_grp, pos, 0))
+            gid0 = jnp.cumsum(first_of_grp.astype(jnp.int32)) - 1
+            valid_s = ~sorted_special[0]
+            cnt = jax.ops.segment_sum(
+                valid_s.astype(jnp.int64), gid0, num_segments=n,
+                indices_are_sorted=True,
+            )
+            cnt_row = jnp.take(cnt, gid0)
+            target = start + jnp.floor(
+                q * (cnt_row - 1).astype(jnp.float64)
+            ).astype(jnp.int64)
+            dflags = {a0.name: (pos == target) & valid_s}
+    else:
+        dflags = _compute_distinct_flags(block, keys, aggs, live)
+        dflags = {k: jnp.take(v, perm) for k, v in dflags.items()}
     acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots,
                       sorted_ids=True, distinct_flags=dflags)
 
