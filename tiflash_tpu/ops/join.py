@@ -168,8 +168,11 @@ def build_join(
 
 
 def _probe_ranges(build: JoinBuild, probe_keys: jnp.ndarray):
-    lo = jnp.searchsorted(build.sorted_keys, probe_keys, side="left")
-    hi = jnp.searchsorted(build.sorted_keys, probe_keys, side="right")
+    # method='sort' turns each binary search into one combined sort
+    # (~16ms for 6M+1.5M) instead of log(n) serialized gathers (measured
+    # 2.6 s for the default scan method on TPU)
+    lo = jnp.searchsorted(build.sorted_keys, probe_keys, side="left", method="sort")
+    hi = jnp.searchsorted(build.sorted_keys, probe_keys, side="right", method="sort")
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 

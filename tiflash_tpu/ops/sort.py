@@ -110,10 +110,20 @@ def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
         kept = jnp.take(live, idx)
         return out.with_sel(kept)
 
-    s = sort_block(block, sort_keys)
-    idx = jnp.arange(limit, dtype=jnp.int32)
-    out = s.take(idx)
-    kept = jnp.take(s.sel_mask(), idx)
+    # sort only (keys, row-index); gather the payload for just the first
+    # ``limit`` rows — permuting every column costs ~15x the sort itself
+    # (measured: full 6M permute 250ms vs 16ms sort)
+    live = block.sel_mask()
+    operands: List[jnp.ndarray] = [~live]
+    for sk in sort_keys:
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+    nk = len(operands)
+    operands.append(jnp.arange(n, dtype=jnp.int32))
+    out_ops = jax.lax.sort(tuple(operands), num_keys=nk, is_stable=True)
+    perm_small = out_ops[-1][:limit]
+    out = block.take(perm_small)
+    count = jnp.sum(live, dtype=jnp.int32)
+    kept = jnp.arange(limit, dtype=jnp.int32) < count
     return out.with_sel(kept)
 
 
