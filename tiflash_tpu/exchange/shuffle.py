@@ -191,7 +191,7 @@ def _row_pids_after_sort(send_sizes: jnp.ndarray, n: int) -> jnp.ndarray:
     rows are sorted by destination, so row r belongs to partition
     searchsorted(cumsum(sizes), r, 'right')."""
     ends = jnp.cumsum(send_sizes)
-    return jnp.searchsorted(ends, jnp.arange(n, dtype=send_sizes.dtype), side="right").astype(jnp.int32)
+    return jnp.searchsorted(ends, jnp.arange(n, dtype=send_sizes.dtype), side="right", method="sort").astype(jnp.int32)
 
 
 def allgather_block(block: Block, axis_name: str) -> Block:

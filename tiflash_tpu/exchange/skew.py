@@ -90,7 +90,7 @@ def detect_hot_keys(
 
 
 def _isin_sorted(keys: jnp.ndarray, sorted_set: jnp.ndarray) -> jnp.ndarray:
-    pos = jnp.searchsorted(sorted_set, keys)
+    pos = jnp.searchsorted(sorted_set, keys, method="sort")
     pos = jnp.minimum(pos, sorted_set.shape[0] - 1)
     return jnp.take(sorted_set, pos) == keys
 

@@ -262,7 +262,7 @@ def cross_join(
     total = cum[-1] if counts.shape[0] else jnp.int64(0)
     start = cum - counts
     t = jnp.arange(output_capacity, dtype=jnp.int64)
-    prow = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    prow = jnp.searchsorted(cum, t, side="right", method="sort").astype(jnp.int32)
     prow_safe = jnp.minimum(prow, counts.shape[0] - 1)
     brow = (t - jnp.take(start, prow_safe)).astype(jnp.int32)
     live_out = t < total
@@ -322,7 +322,7 @@ def probe_join_general(
     total = cum[-1] if counts.shape[0] else jnp.int32(0)
     start = cum - counts
     t = jnp.arange(output_capacity, dtype=counts.dtype)
-    prow = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    prow = jnp.searchsorted(cum, t, side="right", method="sort").astype(jnp.int32)
     prow_safe = jnp.minimum(prow, counts.shape[0] - 1)
     k = t - jnp.take(start, prow_safe)
     has_match = jnp.take(hi, prow_safe) > jnp.take(lo, prow_safe)
