@@ -233,9 +233,45 @@ class Block:
         return Block.from_dict(d, sel=self.sel)
 
     def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Block":
-        """Gather rows by index into a new block (sel dropped/absorbed)."""
-        cols = tuple(c.take(indices, fill_invalid) for c in self.columns)
-        return Block(names=self.names, columns=cols, sel=None)
+        """Gather rows by index into a new block (sel dropped/absorbed).
+
+        Same-dtype columns are stacked and gathered as (n, k) rows when the
+        index set is at least table-sized: row gathers amortize per-element
+        addressing ~3x on TPU (measured); for small index sets the stacking
+        pass would dominate, so those stay per-column."""
+        n_idx = int(indices.shape[0])
+        if n_idx < self.capacity or len(self.columns) < 2:
+            cols = tuple(c.take(indices, fill_invalid) for c in self.columns)
+            return Block(names=self.names, columns=cols, sel=None)
+
+        safe = jnp.maximum(indices, 0)
+        ok = (indices >= 0) if fill_invalid else None
+
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i, c in enumerate(self.columns):
+            groups[str(c.data.dtype)].append((i, "data", c.data))
+            if c.validity is not None:
+                groups["bool"].append((i, "validity", c.validity))
+        results = {}
+        for _, entries in groups.items():
+            if len(entries) == 1:
+                i, kind, arr = entries[0]
+                results[(i, kind)] = jnp.take(arr, safe, axis=0)
+            else:
+                stacked = jnp.stack([a for _, _, a in entries], axis=1)
+                moved = jnp.take(stacked, safe, axis=0)
+                for j, (i, kind, _) in enumerate(entries):
+                    results[(i, kind)] = moved[:, j]
+        cols = []
+        for i, c in enumerate(self.columns):
+            data = results[(i, "data")]
+            validity = results.get((i, "validity"))
+            if ok is not None:
+                validity = ok if validity is None else (validity & ok)
+            cols.append(Column(data, validity, c.dtype, c.dictionary))
+        return Block(names=self.names, columns=tuple(cols), sel=None)
 
     def compact(self) -> "Block":
         """Physically pack live rows to the front (same capacity).
