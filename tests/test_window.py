@@ -108,3 +108,13 @@ def test_distributed_window():
     got = O.block_to_pytable(collect_result(out))
     want = O.o_window(table, ["p"], [("o", False)], funcs)
     O.assert_tables_equal(got, want)
+
+
+def test_bounded_rows_frames():
+    """ROWS BETWEEN n PRECEDING AND m FOLLOWING for sum/count/avg."""
+    run([
+        WindowDesc("sum", "fs", arg="v", frame=(1, 1)),
+        WindowDesc("count", "fc", arg="v", frame=(2, 0)),
+        WindowDesc("avg", "fa", arg="d", frame=(0, 2)),
+        WindowDesc("sum", "fw", arg="d", frame=(100, 100)),
+    ], seed=8)

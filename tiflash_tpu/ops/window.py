@@ -37,14 +37,20 @@ from .sort import SortKey, _sort_operand
 @dataclasses.dataclass(frozen=True)
 class WindowDesc:
     """func ∈ {row_number, rank, dense_rank, lead, lag, first_value,
-    last_value, sum, count, min, max}; ``arg`` names the value column where
-    applicable; lead/lag take ``offset`` and optional ``default``."""
+    last_value, sum, count, min, max, avg}; ``arg`` names the value column
+    where applicable; lead/lag take ``offset`` and optional ``default``.
+
+    ``frame``: ROWS-mode frame (n_preceding, n_following) for
+    sum/count/avg — computed as segmented-prefix differences (reference:
+    WindowTransformAction frame advance).  None = unbounded preceding ..
+    current row (the running-aggregate default)."""
 
     func: str
     name: str
     arg: Optional[str] = None
     offset: int = 1
     default: Optional[object] = None
+    frame: Optional[Tuple[int, int]] = None
 
 
 def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
@@ -160,6 +166,56 @@ def window_block(
             data = jnp.take(c.data, idx)
             validity = jnp.take(c.validity, idx) if c.validity is not None else None
             out_cols[f.name] = Column(data, validity, c.dtype, c.dictionary)
+        elif f.func in ("sum", "count", "avg") and f.frame is not None:
+            prec, foll = f.frame
+            c = sblock[f.arg] if f.arg else None
+            # partition end index (backward fill of last-row flags)
+            last_flag = jnp.roll(part_start, -1).at[n - 1].set(True)
+            e_rev = jnp.minimum.accumulate(
+                jnp.where(jnp.flip(last_flag), jnp.flip(pos), n - 1)
+            )
+            part_end_idx = jnp.flip(e_rev)
+            lo = jnp.maximum(pos - prec, part_start_idx)
+            hi = jnp.minimum(pos + foll, part_end_idx)
+            ones = jnp.ones(n, dtype=jnp.int64)
+            if c is not None and c.validity is not None:
+                ones = ones * c.validity.astype(jnp.int64)
+            pc = _segmented_prefix("sum", ones, part_start)
+            def frame_diff(prefix):
+                at_hi = jnp.take(prefix, hi.astype(jnp.int32))
+                lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
+                at_lo = jnp.where(lo > part_start_idx, jnp.take(prefix, lom1), 0)
+                return at_hi - at_lo
+            cnt_f = frame_diff(pc)
+            if f.func == "count":
+                out_cols[f.name] = Column(cnt_f, None, INT64)
+            else:
+                acc_dt = DataType(TypeKind.FLOAT64) if c.dtype.is_float else INT64
+                vals = c.data.astype(acc_dt.jnp_dtype)
+                if c.validity is not None:
+                    vals = jnp.where(c.validity, vals, jnp.asarray(0, acc_dt.jnp_dtype))
+                ps = _segmented_prefix("sum", vals, part_start)
+                sum_f = frame_diff(ps)
+                if f.func == "sum":
+                    rdt = (
+                        DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)
+                        if c.dtype.is_decimal else acc_dt.with_nullable(True)
+                    )
+                    out_cols[f.name] = Column(
+                        sum_f.astype(rdt.jnp_dtype), cnt_f > 0, rdt
+                    )
+                else:  # avg
+                    from ..expr.functions import _div_round_half_up
+                    from ..core.dtypes import Decimal as DecimalT, FLOAT64
+
+                    if c.dtype.is_decimal:
+                        rdt = DecimalT(18, c.dtype.scale + 4, nullable=True)
+                        num = sum_f * (10 ** 4)
+                        d = _div_round_half_up(num, jnp.maximum(cnt_f, 1))
+                    else:
+                        rdt = FLOAT64.with_nullable(True)
+                        d = sum_f / jnp.maximum(cnt_f, 1).astype(jnp.float64)
+                    out_cols[f.name] = Column(d.astype(rdt.jnp_dtype), cnt_f > 0, rdt)
         elif f.func in ("sum", "min", "max", "count"):
             # frame: unbounded preceding .. current row (running aggregates)
             if f.func == "count":

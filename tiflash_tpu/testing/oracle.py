@@ -626,6 +626,27 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                 col_out += [table[f.arg][part[0]]] * m
             elif f.func == "last_value":
                 col_out += [table[f.arg][ii] for ii in part]  # frame ..current
+            elif f.func in ("sum", "count", "avg") and getattr(f, "frame", None) is not None:
+                prec, foll = f.frame
+                for t_, ii in enumerate(part):
+                    w0, w1 = max(0, t_ - prec), min(m - 1, t_ + foll)
+                    xs = [table[f.arg][part[j]] for j in range(w0, w1 + 1)] if f.arg else [1] * (w1 - w0 + 1)
+                    nn = [x for x in xs if x is not None]
+                    if f.func == "count":
+                        col_out.append(len(nn) if f.arg else (w1 - w0 + 1))
+                    elif not nn:
+                        col_out.append(None)
+                    elif f.func == "sum":
+                        col_out.append(sum(nn))
+                    else:  # avg
+                        sm = sum(nn)
+                        if isinstance(sm, float):
+                            col_out.append(sm / len(nn))
+                        else:
+                            ds = D(sm)
+                            sc = -ds.as_tuple().exponent if ds.as_tuple().exponent < 0 else 0
+                            col_out.append(_CTX.divide(ds, D(len(nn))).quantize(
+                                D(1).scaleb(-(sc + 4)), context=_CTX))
             elif f.func in ("sum", "min", "max", "count"):
                 acc = None
                 cnt = 0
