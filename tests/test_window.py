@@ -118,3 +118,11 @@ def test_bounded_rows_frames():
         WindowDesc("avg", "fa", arg="d", frame=(0, 2)),
         WindowDesc("sum", "fw", arg="d", frame=(100, 100)),
     ], seed=8)
+
+
+def test_ntile_percent_rank_cume_dist():
+    run([
+        WindowDesc("ntile", "nt", offset=3),
+        WindowDesc("percent_rank", "pr"),
+        WindowDesc("cume_dist", "cd"),
+    ], seed=9)

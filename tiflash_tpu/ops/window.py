@@ -119,6 +119,17 @@ def window_block(
     # index of this row's partition start / peer-group start
     part_start_idx = jnp.maximum.accumulate(jnp.where(part_start, pos, 0))
     peer_start_idx = jnp.maximum.accumulate(jnp.where(peer_start, pos, 0))
+    # partition end (backward fill of last-row flags) and sizes
+    _last_flag = jnp.roll(part_start, -1).at[n - 1].set(True)
+    part_end_idx = jnp.flip(
+        jnp.minimum.accumulate(jnp.where(jnp.flip(_last_flag), jnp.flip(pos), n - 1))
+    )
+    part_size = part_end_idx - part_start_idx + 1
+    # peer-group end (for cume_dist)
+    _peer_last = jnp.roll(peer_start, -1).at[n - 1].set(True)
+    peer_end_idx = jnp.flip(
+        jnp.minimum.accumulate(jnp.where(jnp.flip(_peer_last), jnp.flip(pos), n - 1))
+    )
 
     out_cols = dict(zip(sblock.names, sblock.columns))
     for f in funcs:
@@ -134,6 +145,30 @@ def window_block(
             peers_at_pstart = jnp.take(peers_cum, part_start_idx)
             data = peers_cum - peers_at_pstart + 1
             out_cols[f.name] = Column(data, None, INT64)
+        elif f.func == "percent_rank":
+            rank = (peer_start_idx - part_start_idx).astype(jnp.float64)
+            denom = jnp.maximum(part_size - 1, 1).astype(jnp.float64)
+            out_cols[f.name] = Column(
+                rank / denom, None, DataType(TypeKind.FLOAT64)
+            )
+        elif f.func == "cume_dist":
+            le_peers = (peer_end_idx - part_start_idx + 1).astype(jnp.float64)
+            out_cols[f.name] = Column(
+                le_peers / part_size.astype(jnp.float64), None,
+                DataType(TypeKind.FLOAT64),
+            )
+        elif f.func == "ntile":
+            k = jnp.int64(f.offset)  # bucket count rides in `offset`
+            rn0 = pos - part_start_idx
+            # MySQL ntile: first (size % k) buckets get ceil(size/k) rows
+            q, r = part_size // k, part_size % k
+            big = (q + 1) * r
+            bucket = jnp.where(
+                rn0 < big,
+                rn0 // jnp.maximum(q + 1, 1),
+                jnp.where(q > 0, r + (rn0 - big) // jnp.maximum(q, 1), rn0),
+            )
+            out_cols[f.name] = Column(bucket + 1, None, INT64)
         elif f.func in ("lead", "lag"):
             c = sblock[f.arg]
             shift = f.offset if f.func == "lag" else -f.offset
@@ -169,12 +204,6 @@ def window_block(
         elif f.func in ("sum", "count", "avg") and f.frame is not None:
             prec, foll = f.frame
             c = sblock[f.arg] if f.arg else None
-            # partition end index (backward fill of last-row flags)
-            last_flag = jnp.roll(part_start, -1).at[n - 1].set(True)
-            e_rev = jnp.minimum.accumulate(
-                jnp.where(jnp.flip(last_flag), jnp.flip(pos), n - 1)
-            )
-            part_end_idx = jnp.flip(e_rev)
             lo = jnp.maximum(pos - prec, part_start_idx)
             hi = jnp.minimum(pos + foll, part_end_idx)
             ones = jnp.ones(n, dtype=jnp.int64)

@@ -615,6 +615,34 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                         prev = k
                     ranks.append(r if f.func == "rank" else d)
                 col_out += ranks
+            elif f.func == "percent_rank":
+                prev = None
+                r = 0
+                ranks = []
+                for t_, ii in enumerate(part):
+                    k = okey(ii)
+                    if k != prev:
+                        r = t_
+                        prev = k
+                    ranks.append(r / max(m - 1, 1))
+                col_out += ranks
+            elif f.func == "cume_dist":
+                keys_ = [okey(ii) for ii in part]
+                col_out += [
+                    sum(1 for k2 in keys_ if k2 <= keys_[t_]) / m
+                    for t_ in range(m)
+                ]
+            elif f.func == "ntile":
+                k = f.offset
+                q, r = divmod(m, k)
+                vals_ = []
+                for t_ in range(m):
+                    big = (q + 1) * r
+                    if t_ < big:
+                        vals_.append(t_ // (q + 1) + 1)
+                    else:
+                        vals_.append(r + (t_ - big) // max(q, 1) + 1)
+                col_out += vals_
             elif f.func in ("lead", "lag"):
                 for t_, ii in enumerate(part):
                     s = t_ - f.offset if f.func == "lag" else t_ + f.offset
