@@ -122,3 +122,23 @@ def test_join_under_jit():
     got = O.block_to_pytable(run(lb, rb))
     want = O.o_join(left, right, ["lk"], ["rk"], kind="inner")
     O.assert_tables_equal(got, want)
+
+
+@pytest.mark.parametrize("kind", ["inner", "semi", "anti"])
+def test_join_wide_keys_hash_verify(kind):
+    """3 x int64 key columns (192 bits) -> hashed keys + verification."""
+    rng = np.random.default_rng(21)
+    ls = {"a": dt.INT64, "b": dt.INT64, "c": dt.INT64, "lv": dt.INT64}
+    rs = {"x": dt.INT64, "y": dt.INT64, "z": dt.INT64, "rv": dt.INT64}
+    left = O.random_pytable(rng, 200, ls, null_prob=0, int_range=(0, 6))
+    right = O.random_pytable(rng, 80, rs, null_prob=0, int_range=(0, 6))
+    lb = O.pytable_to_block(left, ls)
+    rb = O.pytable_to_block(right, rs)
+    joined, extras = J.hash_join(
+        lb, rb, ["a", "b", "c"], ["x", "y", "z"], kind=kind,
+        output_capacity=16384,
+    )
+    assert not int(np.asarray(extras["overflow"]))
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["a", "b", "c"], ["x", "y", "z"], kind=kind)
+    O.assert_tables_equal(got, want)

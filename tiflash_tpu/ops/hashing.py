@@ -51,12 +51,14 @@ def hash_array_u32(data: jnp.ndarray, init: jnp.ndarray | None = None) -> jnp.nd
     return h
 
 
-def hash_columns(cols: Sequence[Column], *, null_sentinel: bool = True) -> jnp.ndarray:
+def hash_columns(
+    cols: Sequence[Column], *, null_sentinel: bool = True, seed: int = 0
+) -> jnp.ndarray:
     """Combined uint32 hash over multiple key columns.
 
     NULL hashes to a fixed sentinel distinct from any value hash bucket
     choice (reference: nullable key methods hash the null map too)."""
-    h = None
+    h = jnp.uint32(seed) if seed else None
     for col in cols:
         hc = hash_array_u32(col.data, init=h)
         if col.validity is not None and null_sentinel:
@@ -64,6 +66,14 @@ def hash_columns(cols: Sequence[Column], *, null_sentinel: bool = True) -> jnp.n
         h = hc
     assert h is not None, "hash_columns needs at least one column"
     return h
+
+
+def hash_columns_u63(cols: Sequence[Column], **kw) -> jnp.ndarray:
+    """Two independent 32-bit lanes combined into a non-negative int64
+    (for hash+verify join keys wider than 63 bits)."""
+    h1 = hash_columns(cols, **kw).astype(jnp.uint64)
+    h2 = hash_columns(cols, seed=0x6A09E667, **kw).astype(jnp.uint64)
+    return (((h1 << jnp.uint64(31)) ^ h2) & jnp.uint64(2**62 - 1)).astype(jnp.int64)
 
 
 def hash_block_keys(block: Block, key_names: Sequence[str]) -> jnp.ndarray:

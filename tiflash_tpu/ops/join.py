@@ -104,10 +104,14 @@ def normalize_join_keys(
         return l_parts[0], l_null, r_parts[0], r_null
     total = sum(bits)
     if total > 63:
-        raise NotImplementedError(
-            f"multi-column join key wider than 63 bits ({total}); "
-            "hash+verify fallback not implemented yet"
-        )
+        # hash+verify fallback (the serialized-key method analog): 63-bit
+        # combined hash as the sort/probe key; hash_join re-verifies
+        # original key equality on matched rows
+        from .hashing import hash_columns_u63
+
+        lk = hash_columns_u63(left_cols)
+        rk = hash_columns_u63(right_cols)
+        return lk, l_null, rk, r_null
     lk = jnp.zeros_like(l_parts[0])
     rk = jnp.zeros_like(r_parts[0])
     for lv, rv, b in zip(l_parts, r_parts, bits):
@@ -116,6 +120,42 @@ def normalize_join_keys(
         lk = (lk << b) | ((lv + bias) & ((jnp.int64(1) << b) - 1))
         rk = (rk << b) | ((rv + bias) & ((jnp.int64(1) << b) - 1))
     return lk, l_null, rk, r_null
+
+
+def join_keys_need_verify(
+    left_cols: Sequence[Column], right_cols: Sequence[Column]
+) -> bool:
+    """True when normalize_join_keys falls back to hashed keys."""
+    if len(left_cols) == 1:
+        return False
+    bits = []
+    for lc, rc in zip(left_cols, right_cols):
+        if lc.dtype.is_string or rc.dtype.is_string:
+            bits.append(_key_bits(rc.dtype, len(rc.dictionary or ())))
+        else:
+            bits.append(max(_key_bits(lc.dtype, 0), _key_bits(rc.dtype, 0)))
+    return sum(bits) > 63
+
+
+def _keys_equal(
+    probe_cols: Sequence[Column], build_cols: Sequence[Column]
+) -> jnp.ndarray:
+    """Row-wise true-key equality for hashed-key verification."""
+    eq = None
+    for pc, bc in zip(probe_cols, build_cols):
+        if pc.dtype.is_string or bc.dtype.is_string:
+            pv = _translate_dictionary(pc, bc.dictionary or ())
+            bv = bc.data.astype(jnp.int64)
+        else:
+            pv = pc.data.astype(jnp.int64)
+            bv = bc.data.astype(jnp.int64)
+        e = pv == bv
+        if pc.validity is not None:
+            e = e & pc.validity
+        if bc.validity is not None:
+            e = e & bc.validity
+        eq = e if eq is None else (eq & e)
+    return eq
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +329,7 @@ def probe_join_general(
     probe_null: jnp.ndarray,
     kind: str,
     output_capacity: int,
+    verify: Optional[Tuple[Sequence[str], Sequence[str]]] = None,
 ) -> Tuple[Block, jnp.ndarray, jnp.ndarray]:
     """N:M expansion via prefix-sum addressing.
 
@@ -305,7 +346,7 @@ def probe_join_general(
     lo = jnp.where(probe_live, lo, 0)
     hi = jnp.where(probe_live, hi, 0)
     counts = hi - lo
-    if kind in ("semi", "anti", "anti_null_aware"):
+    if verify is None and kind in ("semi", "anti", "anti_null_aware"):
         matched = probe_live & (counts > 0)
         if kind == "semi":
             sel = matched
@@ -329,6 +370,30 @@ def probe_join_general(
     brow = jnp.take(lo, prow_safe) + k.astype(jnp.int32)
     live_out = t < total
     brow = jnp.where(live_out & has_match, brow, -1)
+
+    verified = None
+    if verify is not None:
+        probe_names, build_names = verify
+        pvc = [probe_block[nm].take(prow_safe) for nm in probe_names]
+        bvc = [
+            build.sorted_block[nm].take(jnp.maximum(brow, 0)) for nm in build_names
+        ]
+        verified = _keys_equal(pvc, bvc) & has_match & live_out
+        if kind in ("semi", "anti"):
+            n_probe = probe_block.capacity
+            hit = jnp.zeros(n_probe + 1, dtype=jnp.bool_).at[
+                jnp.where(verified, prow_safe, n_probe)
+            ].set(True, mode="drop")[:n_probe]
+            sel = hit if kind == "semi" else ~hit
+            bflags = _matched_flags(build, jnp.where(verified, brow, -1))
+            needed = jnp.where(total > output_capacity, total, 0).astype(jnp.int64)
+            return probe_block.and_sel(sel), bflags, needed
+        if kind == "inner":
+            live_out = verified
+        else:
+            raise NotImplementedError(
+                f"hashed wide join keys not supported for kind {kind!r}"
+            )
 
     probe_rows = probe_block.take(prow_safe)
     build_rows = build.sorted_block.take(brow, fill_invalid=True)
@@ -378,8 +443,21 @@ def hash_join(
     pk = [probe_block[k] for k in probe_key_names]
     bk = [build_block[k] for k in build_key_names]
     pkeys, pnull, bkeys, bnull = normalize_join_keys(pk, bk)
+    needs_verify = join_keys_need_verify(pk, bk)
     build = build_join(build_block, bkeys, bnull)
-    if output_capacity is None:
+    if needs_verify:
+        # hashed keys: hash collisions make the unique fast path unsound
+        # and candidate ranges approximate — always expand + re-verify
+        if kind not in ("inner", "semi", "anti"):
+            raise NotImplementedError(
+                f"join keys wider than 63 bits not supported for kind {kind!r}"
+            )
+        joined, bflags, overflow = probe_join_general(
+            build, probe_block, pkeys, pnull, kind,
+            output_capacity or probe_block.capacity,
+            verify=(list(probe_key_names), list(build_key_names)),
+        )
+    elif output_capacity is None:
         joined, bflags = probe_join_unique(build, probe_block, pkeys, pnull, kind)
         overflow = jnp.int64(0)
     else:
