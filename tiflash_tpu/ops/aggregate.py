@@ -303,6 +303,7 @@ def _accumulate(
     num_slots: int,
     sorted_ids: bool,
     distinct_flags: Optional[dict] = None,
+    sorted_layout: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> List[Tuple[str, Column]]:
     """Shared accumulation: compute every aggregate into dense slot arrays.
 
@@ -311,9 +312,36 @@ def _accumulate(
     ``distinct_flags``: per count_distinct agg name, a bool row mask that
     is True on the first occurrence of each (group, value) pair (in the
     same row order as ``block``).
+    ``sorted_layout``: (group_start_flags, ends_dense) for sorted rows —
+    enables scatter-free segmented reduction: per-group results come from
+    cumulative scans differenced/read at each group's last row (XLA
+    ``segment_sum`` lowers to a serialized scatter on TPU even with
+    sorted ids — measured ~0.9 s per reduce over 6M rows).
     """
     out: List[Tuple[str, Column]] = []
     S = num_slots + 1  # trailing trash slot for dead rows
+
+    if sorted_layout is not None:
+        first_flags, ends_dense = sorted_layout
+        ends_ok = ends_dense >= 0
+        e_idx = jnp.maximum(ends_dense, 0)
+        prev_e = jnp.concatenate(
+            [jnp.full((1,), -1, ends_dense.dtype), ends_dense[:-1]]
+        )
+        pe_idx = jnp.maximum(prev_e, 0)
+
+    def segreduce(op: str, vals: jnp.ndarray) -> jnp.ndarray:
+        if sorted_layout is None:
+            return _segment_reduce(op, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+        if op == "sum":
+            ps = jnp.cumsum(vals)
+            at_end = jnp.take(ps, e_idx)
+            at_prev = jnp.where(prev_e >= 0, jnp.take(ps, pe_idx), 0)
+            return jnp.where(ends_ok, at_end - at_prev, 0).astype(vals.dtype)
+        from .window import _segmented_prefix
+
+        run = _segmented_prefix(op, vals, first_flags)
+        return jnp.take(run, e_idx)  # padding slots masked by cnt>0 upstream
 
     def agg_live(a: AggDesc) -> jnp.ndarray:
         """Row mask for one aggregate: live rows passing its -If filter."""
@@ -330,7 +358,7 @@ def _accumulate(
         ones = base.astype(jnp.int64)
         if col is not None and col.validity is not None:
             ones = ones * col.validity.astype(jnp.int64)
-        return _segment_reduce("sum", ones, gids, S, sorted_ids=sorted_ids)[:num_slots]
+        return segreduce("sum", ones)
 
     for a in aggs:
         col = block[a.arg] if a.arg is not None else None
@@ -349,7 +377,7 @@ def _accumulate(
             flags = distinct_flags[a.name]
             ident = _identity_for("max", col.dtype)
             vals = jnp.where(base & flags, col.data, ident)
-            red = _segment_reduce("max", vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            red = segreduce("max", vals)
             cnt = nn_count(col, base)
             out.append((a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary)))
             continue
@@ -361,8 +389,8 @@ def _accumulate(
             if col.dtype.is_decimal:
                 x = x / (10 ** col.dtype.scale)
             x = jnp.where(valid_row, x, 0.0)
-            s1 = _segment_reduce("sum", x, gids, S, sorted_ids=sorted_ids)[:num_slots]
-            s2 = _segment_reduce("sum", x * x, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            s1 = segreduce("sum", x)
+            s2 = segreduce("sum", x * x)
             cnt = nn_count(col, base)
             nf = jnp.maximum(cnt, 1).astype(jnp.float64)
             var = jnp.maximum(s2 / nf - (s1 / nf) ** 2, 0.0)
@@ -380,7 +408,7 @@ def _accumulate(
             acc_dt = FLOAT64 if col.dtype.is_float else INT64
             vals = col.data.astype(acc_dt.jnp_dtype)
             vals = jnp.where(valid_row, vals, _identity_for("sum", acc_dt))
-            sums = _segment_reduce("sum", vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            sums = segreduce("sum", vals)
             cnt = nn_count(col, base)
             if a.func == "sum":
                 scale_shift = rdt.scale - (col.dtype.scale if col.dtype.is_decimal else 0)
@@ -400,7 +428,7 @@ def _accumulate(
         elif a.func in ("min", "max"):
             ident = _identity_for(a.func, col.dtype)
             vals = jnp.where(valid_row, col.data, ident)
-            red = _segment_reduce(a.func, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
+            red = segreduce(a.func, vals)
             cnt = nn_count(col, base)
             out.append(
                 (a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary))
@@ -704,13 +732,19 @@ def aggregate_sort(
             pos = jnp.arange(n, dtype=jnp.int64)
             first_of_grp = neq.at[0].set(True)
             start = jnp.maximum.accumulate(jnp.where(first_of_grp, pos, 0))
-            gid0 = jnp.cumsum(first_of_grp.astype(jnp.int32)) - 1
             valid_s = ~sorted_special[0]
-            cnt = jax.ops.segment_sum(
-                valid_s.astype(jnp.int64), gid0, num_segments=n,
-                indices_are_sorted=True,
+            # per-row group valid-count via cumsum differenced at the
+            # per-row group end (backward-filled last flags) — scatter-free
+            last_flag = jnp.roll(first_of_grp, -1).at[n - 1].set(True)
+            end_row = jnp.flip(jnp.minimum.accumulate(
+                jnp.where(jnp.flip(last_flag), jnp.flip(pos), n - 1)
+            ))
+            cumv = jnp.cumsum(valid_s.astype(jnp.int64))
+            at_end = jnp.take(cumv, end_row.astype(jnp.int32))
+            at_prev = jnp.where(
+                start > 0, jnp.take(cumv, jnp.maximum(start - 1, 0).astype(jnp.int32)), 0
             )
-            cnt_row = jnp.take(cnt, gid0)
+            cnt_row = at_end - at_prev
             target = start + jnp.floor(
                 q * (cnt_row - 1).astype(jnp.float64)
             ).astype(jnp.int64)
@@ -718,25 +752,34 @@ def aggregate_sort(
     else:
         dflags = _compute_distinct_flags(block, keys, aggs, live)
         dflags = {k: jnp.take(v, perm) for k, v in dflags.items()}
-    acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots,
-                      sorted_ids=True, distinct_flags=dflags)
 
-    # materialize group keys: first sorted row of each group writes its keys
+    # group layout for scatter-free segmented reduction + key gathers
+    pos32 = jnp.arange(n, dtype=jnp.int32)
     first_of_group = live_sorted & (
-        (jnp.arange(n) == 0) | neq | ~jnp.roll(live_sorted, 1)
+        (pos32 == 0) | neq | ~jnp.roll(live_sorted, 1)
     )
-    write_to = jnp.where(first_of_group, gids, num_slots)
+    live_next = jnp.concatenate([live_sorted[1:], jnp.zeros(1, jnp.bool_)])
+    neq_next = jnp.concatenate([neq[1:], jnp.ones(1, jnp.bool_)])
+    last_of_group = live_sorted & (neq_next | ~live_next)
+    ends_dense = jnp.full(num_slots + 1, -1, jnp.int32).at[
+        jnp.where(last_of_group, gids, num_slots)
+    ].set(pos32, mode="drop")[:num_slots]
+
+    acc = _accumulate(aggs, sorted_block, gids, live_sorted, num_slots,
+                      sorted_ids=True, distinct_flags=dflags,
+                      sorted_layout=(first_of_group, ends_dense))
+
+    # materialize group keys by GATHERING each group's first row (starts =
+    # previous group's end + 1; slot 0 starts at row 0)
+    prev_ends = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends_dense[:-1]])
+    starts_dense = jnp.maximum(prev_ends + 1, 0)
     out_key_cols = []
     for c in key_cols:
         src = jnp.take(c.data, perm)
-        dst = jnp.zeros(num_slots + 1, dtype=c.data.dtype).at[write_to].set(
-            src, mode="drop"
-        )[:num_slots]
+        dst = jnp.take(src, starts_dense)
         if c.validity is not None:
             vsrc = jnp.take(c.validity, perm)
-            vdst = jnp.zeros(num_slots + 1, dtype=jnp.bool_).at[write_to].set(
-                vsrc, mode="drop"
-            )[:num_slots]
+            vdst = jnp.take(vsrc, starts_dense)
         else:
             vdst = None
         out_key_cols.append(Column(dst, vdst, c.dtype, c.dictionary))
