@@ -43,11 +43,15 @@ def _local_group_by_partition(
     n = block.capacity
     live = block.sel_mask()
     p = jnp.where(live, pids, num_parts).astype(jnp.int32)
-    _, perm = jax.lax.sort((p, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    sorted_p, perm = jax.lax.sort((p, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     grouped = block.take(perm)
-    ones = jnp.ones(n, dtype=jnp.int32)
-    counts = jax.ops.segment_sum(ones, p, num_segments=num_parts + 1)[:num_parts]
-    offsets = jnp.cumsum(counts) - counts
+    # per-partition counts from the sorted ids' run boundaries —
+    # segment_sum would lower to a serialized scatter-add on TPU
+    bounds = jnp.searchsorted(
+        sorted_p, jnp.arange(num_parts + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]
+    offsets = bounds[:-1]
     return grouped, counts, offsets
 
 

@@ -333,11 +333,15 @@ def _accumulate(
     def segreduce(op: str, vals: jnp.ndarray) -> jnp.ndarray:
         if sorted_layout is None:
             return _segment_reduce(op, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
-        if op == "sum":
+        if op == "sum" and not jnp.issubdtype(vals.dtype, jnp.floating):
+            # exact integer path: global cumsum differenced at group ends
             ps = jnp.cumsum(vals)
             at_end = jnp.take(ps, e_idx)
             at_prev = jnp.where(prev_e >= 0, jnp.take(ps, pe_idx), 0)
             return jnp.where(ends_ok, at_end - at_prev, 0).astype(vals.dtype)
+        # float sums and min/max: boundary-resetting segmented scan keeps
+        # magnitudes per-group (global-cumsum differencing cancels
+        # catastrophically for floats), read at each group's last row
         from .window import _segmented_prefix
 
         run = _segmented_prefix(op, vals, first_flags)
