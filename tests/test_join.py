@@ -142,3 +142,14 @@ def test_join_wide_keys_hash_verify(kind):
     got = O.block_to_pytable(joined)
     want = O.o_join(left, right, ["a", "b", "c"], ["x", "y", "z"], kind=kind)
     O.assert_tables_equal(got, want)
+
+
+@pytest.mark.parametrize("kind", ["left_outer_semi", "left_outer_semi_null_aware"])
+@pytest.mark.parametrize("unique", [True, False])
+def test_left_outer_semi(kind, unique):
+    left, right, lb, rb = make_tables(seed=31, unique_build=unique)
+    cap = None if unique else 4096
+    joined, _ = J.hash_join(lb, rb, ["lk"], ["rk"], kind=kind, output_capacity=cap)
+    got = O.block_to_pytable(joined)
+    want = O.o_join(left, right, ["lk"], ["rk"], kind=kind)
+    O.assert_tables_equal(got, want)

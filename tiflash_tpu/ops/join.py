@@ -254,6 +254,23 @@ def probe_join_unique(
     if kind == "anti_null_aware":
         sel = _null_aware_anti_sel(build, matched, probe_null)
         return probe_block.and_sel(sel), _matched_flags(build, bidx)
+    if kind in ("left_outer_semi", "left_outer_semi_null_aware"):
+        # EXISTS in the select list (reference LeftOuterSemiJoin): keep all
+        # probe rows, append a bool 'matched' column.  Null-aware (IN in
+        # select list): unmatched is NULL when the probe key is NULL or
+        # the build side contains NULLs.
+        from ..core.dtypes import BOOL
+
+        if kind == "left_outer_semi":
+            col = Column(matched, None, BOOL)
+        else:
+            selected_b = build.sorted_block.sel_mask()
+            build_has_null = jnp.any(selected_b & (build.sorted_keys == _KEY_INF))
+            build_empty = ~jnp.any(selected_b)
+            unknown = (~matched) & (probe_null | build_has_null) & ~build_empty
+            col = Column(matched, ~unknown, BOOL.with_nullable(True))
+        out = probe_block.with_column("__semi_matched", col)
+        return out, _matched_flags(build, bidx)
 
     build_rows = build.sorted_block.take(bidx, fill_invalid=True)
     joined = _merge_blocks(probe_block, build_rows)
@@ -346,15 +363,33 @@ def probe_join_general(
     lo = jnp.where(probe_live, lo, 0)
     hi = jnp.where(probe_live, hi, 0)
     counts = hi - lo
-    if verify is None and kind in ("semi", "anti", "anti_null_aware"):
+    if verify is None and kind in (
+        "semi", "anti", "anti_null_aware",
+        "left_outer_semi", "left_outer_semi_null_aware",
+    ):
         matched = probe_live & (counts > 0)
+        bflags = _matched_flags(build, jnp.where(matched, lo, -1))
+        if kind in ("left_outer_semi", "left_outer_semi_null_aware"):
+            from ..core.dtypes import BOOL
+
+            if kind == "left_outer_semi":
+                col = Column(matched, None, BOOL)
+            else:
+                selected_b = build.sorted_block.sel_mask()
+                build_has_null = jnp.any(
+                    selected_b & (build.sorted_keys == _KEY_INF)
+                )
+                build_empty = ~jnp.any(selected_b)
+                unknown = (~matched) & (probe_null | build_has_null) & ~build_empty
+                col = Column(matched, ~unknown, BOOL.with_nullable(True))
+            out = probe_block.with_column("__semi_matched", col)
+            return out, bflags, jnp.int64(0)
         if kind == "semi":
             sel = matched
         elif kind == "anti":
             sel = ~matched
         else:
             sel = _null_aware_anti_sel(build, matched, probe_null)
-        bflags = _matched_flags(build, jnp.where(matched, lo, -1))
         return probe_block.and_sel(sel), bflags, jnp.int64(0)
     if kind in ("left", "left_outer"):
         # every selected probe row emits at least once (NULL-key rows too)

@@ -451,6 +451,11 @@ def o_join(
     for i in range(nl):
         k = tuple(left[kn][i] for kn in left_keys)
         matches = [] if any(v is None for v in k) else index.get(k, [])
+        if kind in ("left_outer_semi", "left_outer_semi_null_aware"):
+            for n in ln:
+                out.setdefault(n, [])
+            out.setdefault("__semi_matched", [])
+            continue  # handled below, full scan after loop
         if kind == "semi":
             if matches:
                 for n in ln:
@@ -473,6 +478,29 @@ def o_join(
                 out[n].append(left[n][i])
             for on in out_names[len(ln):]:
                 out[on].append(None)
+    if kind in ("left_outer_semi", "left_outer_semi_null_aware"):
+        res = {n: list(left[n]) for n in ln}
+        build_has_null = any(
+            any(right[kn][j] is None for kn in right_keys) for j in range(nr)
+        )
+        flags = []
+        for i in range(nl):
+            k = tuple(left[kn][i] for kn in left_keys)
+            has_null_key = any(v is None for v in k)
+            m = (not has_null_key) and k in index
+            if kind == "left_outer_semi":
+                flags.append(m)
+            else:
+                if m:
+                    flags.append(True)
+                elif nr == 0:
+                    flags.append(False)
+                elif has_null_key or build_has_null:
+                    flags.append(None)
+                else:
+                    flags.append(False)
+        res["__semi_matched"] = flags
+        return res
     if kind in ("semi", "anti"):
         return {n: out[n] for n in ln}
     if kind in ("right", "right_outer", "full"):
