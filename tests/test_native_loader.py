@@ -82,3 +82,27 @@ def test_multithreaded_parse_matches(tmp_path):
     four = load_table(str(p), SCHEMA, nthreads=4)
     for k in one:
         assert np.asarray(one[k].data).tolist() == np.asarray(four[k].data).tolist()
+
+
+def test_save_and_reload_engine_columns(tmp_path):
+    """Engine block -> TFC file -> reload: exact round-trip incl. strings."""
+    from tiflash_tpu.storage.native_loader import load_cached_table, save_table
+    from tiflash_tpu.testing import oracle as O
+
+    schema = {"k": dt.STRING, "v": dt.Decimal(12, 2), "d": dt.DATE,
+              "x": dt.FLOAT64, "i": dt.INT64}
+    t = {
+        "k": ["b", "a", "b", "c"],
+        "v": [O.D("1.25"), O.D("-3.00"), O.D("0.10"), O.D("99.99")],
+        "d": [__import__("datetime").date(2020, 1, i + 1) for i in range(4)],
+        "x": [0.5, -1.5, 2.0, 3.25],
+        "i": [10, -20, 30, -40],
+    }
+    block = O.pytable_to_block(t, schema)
+    path = str(tmp_path / "out.tfc")
+    names = save_table(path, dict(zip(block.names, block.columns)))
+    cols = load_cached_table(path, [(n, schema[n]) for n in names])
+    reloaded = O.block_to_pytable(
+        __import__("tiflash_tpu").Block.from_dict(cols)
+    )
+    O.assert_tables_equal(reloaded, t, ordered=True)

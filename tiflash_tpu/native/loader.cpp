@@ -282,6 +282,53 @@ void tfl_copy_dict(void* h, int col, char* dst) {
 
 void tfl_free(void* h) { delete static_cast<LoadedTable*>(h); }
 
+// ---- table construction from caller buffers (engine block -> TFC) ----
+
+void* tfl_table_create(int64_t rows) {
+  auto* t = new LoadedTable();
+  t->rows = rows;
+  return t;
+}
+
+// Append one column from a caller buffer.  type/scale as in parsing;
+// for strings: data = int32 codes, dict_blob = \n-terminated entries.
+int tfl_table_add_column(void* h, int type, int scale, const void* data,
+                         const char* dict_blob, int64_t dict_len) {
+  auto* t = static_cast<LoadedTable*>(h);
+  t->types.push_back(type);
+  t->scales.push_back(scale);
+  t->i64.emplace_back();
+  t->i32.emplace_back();
+  t->f64.emplace_back();
+  t->codes.emplace_back();
+  t->dict_blob.emplace_back();
+  size_t c = t->types.size() - 1;
+  switch (type) {
+    case 0:
+    case 1:
+      t->i64[c].assign(static_cast<const int64_t*>(data),
+                       static_cast<const int64_t*>(data) + t->rows);
+      break;
+    case 2:
+      t->i32[c].assign(static_cast<const int32_t*>(data),
+                       static_cast<const int32_t*>(data) + t->rows);
+      break;
+    case 3:
+      t->f64[c].assign(static_cast<const double*>(data),
+                       static_cast<const double*>(data) + t->rows);
+      break;
+    case 4:
+      t->codes[c].assign(static_cast<const int32_t*>(data),
+                         static_cast<const int32_t*>(data) + t->rows);
+      t->dict_blob[c].assign(dict_blob, dict_blob + dict_len);
+      break;
+    default:
+      return -1;
+  }
+  t->ncols = static_cast<int>(t->types.size());
+  return 0;
+}
+
 // ---- binary columnar cache ("TFC1"): fast reload without re-parse ----
 // layout: magic u32 | rows i64 | ncols i32 | per col: type i32, scale i32,
 //         nbytes i64, raw bytes | for strings additionally dict nbytes i64,

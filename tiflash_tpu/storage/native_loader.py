@@ -150,6 +150,66 @@ def load_table(
         lib.tfl_free(h)
 
 
+def save_table(path: str, columns: Dict[str, "Column"]) -> List[str]:
+    """Persist engine columns (host-synced) to a TFC1 file.
+
+    Returns the column-name order written (TFC stores no names; pair with
+    a schema when reloading via ``load_cached_table``).  The
+    checkpoint-file analog: query results / staged tables round-trip
+    through the native format."""
+    lib = get_lib()
+    lib.tfl_table_create.restype = ctypes.c_void_p
+    lib.tfl_table_create.argtypes = [ctypes.c_int64]
+    lib.tfl_table_add_column.restype = ctypes.c_int
+    lib.tfl_table_add_column.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    first = next(iter(columns.values()))
+    rows = int(first.data.shape[0])
+    h = lib.tfl_table_create(rows)
+    names = []
+    try:
+        for name, col in columns.items():
+            code, scale = _type_code(col.dtype)
+            if code == _T_STRING:
+                data = np.ascontiguousarray(np.asarray(col.data), dtype=np.int32)
+                blob = ("\n".join(col.dictionary or ()) + "\n").encode() if col.dictionary else b""
+                rc = lib.tfl_table_add_column(
+                    h, code, scale, data.ctypes.data_as(ctypes.c_void_p),
+                    blob, len(blob),
+                )
+            else:
+                phys = {_T_INT64: np.int64, _T_DECIMAL: np.int64,
+                        _T_DATE: np.int32, _T_FLOAT64: np.float64}[code]
+                data = np.ascontiguousarray(np.asarray(col.data), dtype=phys)
+                rc = lib.tfl_table_add_column(
+                    h, code, scale, data.ctypes.data_as(ctypes.c_void_p), b"", 0
+                )
+            assert rc == 0, name
+            names.append(name)
+        rc = lib.tfl_save_cache(h, path.encode())
+        assert rc == 0, path
+    finally:
+        lib.tfl_free(h)
+    return names
+
+
+def load_cached_table(
+    path: str, schema: Sequence[Tuple[str, dt.DataType]]
+) -> Dict[str, "Column"]:
+    """Load a TFC1 file produced by save_table (schema supplies names)."""
+    lib = get_lib()
+    h = lib.tfl_load_cache(path.encode())
+    if not h:
+        raise IOError(f"cannot load TFC cache {path}")
+    try:
+        n = lib.tfl_num_rows(h)
+        return _extract_columns(lib, h, list(schema), n)
+    finally:
+        lib.tfl_free(h)
+
+
 TPCH_SCHEMAS: Dict[str, List[Tuple[str, Optional[dt.DataType]]]] = {
     "lineitem": [
         ("l_orderkey", dt.INT64), ("l_partkey", dt.INT64),
