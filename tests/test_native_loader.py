@@ -106,3 +106,25 @@ def test_save_and_reload_engine_columns(tmp_path):
         __import__("tiflash_tpu").Block.from_dict(cols)
     )
     O.assert_tables_equal(reloaded, t, ordered=True)
+
+
+def test_catalog_append_write_path():
+    """INSERT analog: appended rows visible to queries; merged dictionaries."""
+    from tiflash_tpu.storage.catalog import Catalog
+    from tiflash_tpu.testing import oracle as O
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.compiler import compile_fragment
+    from tiflash_tpu.ops.aggregate import AggDesc
+
+    schema = {"k": dt.STRING, "v": dt.INT64}
+    cat = Catalog()
+    b1 = O.pytable_to_block({"k": ["b", "a"], "v": [1, 2]}, schema)
+    cat.register("t", dict(zip(b1.names, b1.columns)))
+    b2 = O.pytable_to_block({"k": ["c", "a"], "v": [3, 4]}, schema)
+    cat.append("t", dict(zip(b2.names, b2.columns)))
+    assert cat["t"].row_count == 4
+    plan = P.Aggregation(["k"], [AggDesc("sum", "v", "s")], P.TableScan("t"))
+    out, _ = compile_fragment(plan)(cat.blocks())
+    got = O.block_to_pytable(out)
+    want = {"k": ["a", "b", "c"], "s": [6, 1, 3]}
+    O.assert_tables_equal(got, want)

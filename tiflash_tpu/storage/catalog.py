@@ -44,6 +44,24 @@ def encode_strings(values: np.ndarray) -> Tuple[np.ndarray, Tuple[str, ...]]:
     return codes.astype(np.int32), tuple(uniq.tolist())
 
 
+def _merge_dictionaries(a: Column, b: Column):
+    """Re-encode two dictionary string columns into one merged sorted
+    dictionary (codes stay order-preserving)."""
+    import jax.numpy as jnp
+
+    da = a.dictionary or ()
+    db = b.dictionary or ()
+    merged = tuple(sorted(set(da) | set(db)))
+    rank = {s: i for i, s in enumerate(merged)}
+
+    def remap(col, src):
+        table = np.array([rank[s] for s in src] or [0], dtype=np.int32)
+        data = jnp.asarray(table)[jnp.clip(col.data, 0, max(len(src) - 1, 0))]
+        return Column(data, col.validity, col.dtype, merged)
+
+    return remap(a, da), remap(b, db)
+
+
 @dataclasses.dataclass
 class TableDef:
     name: str
@@ -76,6 +94,30 @@ class Catalog:
             row_count=block.capacity,
         )
         self.tables[name] = td
+        return td
+
+    def append(self, name: str, columns: Dict[str, Column]) -> TableDef:
+        """Append rows to a table (the write-path analog: the reference
+        ingests via Raft into DeltaTree memtables; here host-side block
+        concatenation — dictionaries are merged order-preservingly)."""
+        td = self.tables[name]
+        new_block = Block.from_dict(columns)
+        merged_cols: Dict[str, Column] = {}
+        for cname in td.block.names:
+            a = td.block[cname]
+            b = new_block[cname]
+            if a.dtype.is_string:
+                a, b = _merge_dictionaries(a, b)
+            import jax.numpy as jnp
+
+            data = jnp.concatenate([a.data, b.data])
+            if a.validity is None and b.validity is None:
+                validity = None
+            else:
+                validity = jnp.concatenate([a.valid_mask(), b.valid_mask()])
+            merged_cols[cname] = Column(data, validity, a.dtype, a.dictionary)
+        td.block = Block.from_dict(merged_cols)
+        td.row_count = td.block.capacity
         return td
 
     def blocks(self) -> Dict[str, Block]:
