@@ -1,0 +1,53 @@
+"""Extended TPC-H-shaped query parity (Q4/Q5/Q10/Q12/Q14/Q16/Q22 analogs)
+vs the plan oracle, single-chip and auto-distributed."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tiflash_tpu.bench import tpch_queries as Q
+from tiflash_tpu.plan.auto import distribute_plan
+from tiflash_tpu.plan.compiler import compile_fragment
+from tiflash_tpu.runtime.executor import run_query
+from tiflash_tpu.storage.tpch import generate_tpch
+from tiflash_tpu.testing import oracle as O
+from tiflash_tpu.testing.plan_oracle import execute_plan_oracle
+
+PLANS = {
+    "q4": Q.q4_plan, "q5": Q.q5_plan, "q10": Q.q10_plan, "q12": Q.q12_plan,
+    "q14": Q.q14_plan, "q16": Q.q16_plan, "q22": Q.q22_plan,
+}
+
+
+@pytest.fixture(scope="module")
+def env():
+    cat = generate_tpch(sf=0.002, seed=11)
+    blocks = cat.blocks()
+    pytables = {n: O.block_to_pytable(b) for n, b in blocks.items()}
+    stats = {n: t.row_count for n, t in cat.tables.items()}
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    return blocks, pytables, stats, mesh
+
+
+@pytest.mark.parametrize("name", list(PLANS))
+def test_single_chip(env, name):
+    blocks, pytables, _, _ = env
+    plan = PLANS[name]()
+    out, ov = compile_fragment(plan)(blocks)
+    assert all(int(np.asarray(v)) == 0 for v in ov.values()), (name, ov)
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, pytables)
+    approx = ["promo_share"] if name == "q14" else ()
+    O.assert_tables_equal(got, want, approx_cols=approx)
+
+
+@pytest.mark.parametrize("name", ["q4", "q12", "q16", "q22"])
+def test_distributed(env, name):
+    blocks, pytables, stats, mesh = env
+    plan = PLANS[name]()
+    dist = distribute_plan(plan, stats, 8)
+    out, _ = run_query(dist, blocks, mesh=mesh)
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, pytables)
+    O.assert_tables_equal(got, want)
