@@ -134,3 +134,20 @@ def test_date_parts(data):
     check(call("year", col("t")), data)
     check(call("month", col("t")), data)
     check(call("day_of_month", col("t")), data)
+
+
+def test_string_column_vs_column_cross_dictionary():
+    """Comparing string columns from different tables (different
+    dictionaries) must compare the STRINGS, not the raw codes."""
+    a = cfn(["apple", "pear", "zebra", "kiwi"], dt.STRING)
+    b_vals = ["pear", "apple", "aaa", "kiwi"]
+    b = cfn(b_vals, dt.STRING)
+    block = Block.from_dict({"a": a, "b": b})
+    for op, pyop in [("equals", lambda x, y: x == y),
+                     ("less", lambda x, y: x < y),
+                     ("greater_or_equals", lambda x, y: x >= y)]:
+        from tiflash_tpu.expr.nodes import call as _call
+
+        got = evaluate_expr(_call(op, col("a"), col("b")), block).to_pylist()
+        want = [pyop(x, y) for x, y in zip(["apple", "pear", "zebra", "kiwi"], b_vals)]
+        assert got == want, (op, got, want)

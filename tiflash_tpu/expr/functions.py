@@ -277,14 +277,32 @@ def _encode_literal_for(col_dtype: DataType, dictionary, value):
     raise AssertionError("string literals handled in compile step")
 
 
+def _remap_to_merged_dict(a: Column, b: Column):
+    """Re-encode two string columns into one merged sorted dictionary so
+    code comparisons are exact across tables (host-side LUTs)."""
+    da_ = a.dictionary or ()
+    db_ = b.dictionary or ()
+    if da_ == db_:
+        return a.data, b.data
+    merged = sorted(set(da_) | set(db_))
+    rank = {s: i for i, s in enumerate(merged)}
+
+    def remap(col, src):
+        table = _np.array([rank[s] for s in src] or [0], dtype=_np.int32)
+        return jnp.asarray(table)[jnp.clip(col.data, 0, max(len(src) - 1, 0))]
+
+    return remap(a, da_), remap(b, db_)
+
+
 def _cmp_eval(op: str):
     def evaluate(cols: Sequence[Column], out: DataType) -> Column:
         a, b = cols
         validity = _and_validity(cols)
         if a.dtype.is_string or b.dtype.is_string:
-            # both sides must share a dictionary (compile layer guarantees:
-            # either same column's dict or literal encoded into it)
-            da, db = a.data, b.data
+            # literals are pre-encoded into the column's dictionary by the
+            # compile layer; column-vs-column comparisons re-encode both
+            # sides into a merged dictionary (exact for all six operators)
+            da, db = _remap_to_merged_dict(a, b)
         elif a.dtype.is_decimal or b.dtype.is_decimal:
             da, db, _ = _align_decimal_pair(a, b)
         elif a.dtype.is_float or b.dtype.is_float:
