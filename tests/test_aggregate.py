@@ -278,3 +278,25 @@ def test_agg_direct_mid_domain_segment_path():
     want = O.o_aggregate(table, ["k"],
                          [("sum", "v", "s"), ("avg", "v", "a"), ("min", "v", "mn")])
     O.assert_tables_equal(got, want)
+
+
+def test_first_any_value():
+    rng = np.random.default_rng(40)
+    schema = {"k": dt.STRING, "v": dt.INT64.with_nullable(True), "s": dt.STRING}
+    table = O.random_pytable(rng, 300, schema, int_range=(0, 50))
+    block = O.pytable_to_block(table, schema)
+    aggs = [AggDesc("first", "v", "fv"), AggDesc("first", "s", "fs")]
+    for force in ("direct", "sort"):
+        if force == "direct":
+            packed = pack_keys_direct([block["k"]])
+            res = aggregate_direct(block, ["k"], aggs, packed)
+        else:
+            res = aggregate_sort(block, ["k"], aggs, num_slots=300)
+        got = O.block_to_pytable(res.block)
+        want = O.o_aggregate(table, ["k"], [(a.func, a.arg, a.name) for a in aggs])
+        # 'first' in sort order may differ from input order for the sort
+        # method; only the direct/masked method guarantees input order
+        if force == "direct":
+            O.assert_tables_equal(got, want)
+        else:
+            assert sorted(got["k"]) == sorted(want["k"])

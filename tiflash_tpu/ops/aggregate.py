@@ -437,6 +437,15 @@ def _accumulate(
             out.append(
                 (a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0, rdt, col.dictionary))
             )
+        elif a.func == "first":
+            # any_value/first_row: value at the group's first valid row
+            n_rows = col.data.shape[0]
+            pos = jnp.arange(n_rows, dtype=jnp.int64)
+            pmin = segreduce("min", jnp.where(valid_row, pos, n_rows))
+            cnt = nn_count(col, base)
+            idx = jnp.minimum(pmin, n_rows - 1).astype(jnp.int32)
+            out.append((a.name, Column(
+                jnp.take(col.data, idx), cnt > 0, rdt, col.dictionary)))
         else:
             raise NotImplementedError(a.func)
     return out
@@ -533,13 +542,23 @@ def _accumulate_masked(
             out.append(
                 (a.name, Column(reds.astype(rdt.jnp_dtype), cnts > 0, rdt, col.dictionary))
             )
+        elif a.func == "first":
+            n_rows = col.data.shape[0]
+            pos = jnp.arange(n_rows, dtype=jnp.int64)
+            pmins = per_slot(
+                lambda s: jnp.min(jnp.where(slot_masks[s] & valid, pos, n_rows))
+            )
+            cnts = per_slot(nn)
+            idx = jnp.minimum(pmins, n_rows - 1).astype(jnp.int32)
+            out.append((a.name, Column(
+                jnp.take(col.data, idx), cnts > 0, rdt, col.dictionary)))
         else:
             raise NotImplementedError(f"masked method: {a.func}")
     return out, occupied
 
 
 def _masked_eligible(block: Block, aggs: Sequence[AggDesc]) -> bool:
-    return all(a.func in ("sum", "count", "avg", "min", "max") for a in aggs)
+    return all(a.func in ("sum", "count", "avg", "min", "max", "first") for a in aggs)
 
 
 def _use_kernel() -> bool:

@@ -57,7 +57,7 @@ def split_aggregation(
             partial.append(AggDesc("count", a.arg, a.name, a.filter_col))
             final.append(AggDesc("sum", a.name, a.name))
             post[a.name] = col(a.name)
-        elif a.func in ("min", "max"):
+        elif a.func in ("min", "max", "first"):
             partial.append(AggDesc(a.func, a.arg, a.name, a.filter_col))
             final.append(AggDesc(a.func, a.name, a.name))
             post[a.name] = col(a.name)

@@ -406,6 +406,8 @@ def o_aggregate(
                 continue
             if func == "sum":
                 out[on].append(sum(nn))
+            elif func == "first":
+                out[on].append(nn[0])
             elif func == "min":
                 out[on].append(min(nn))
             elif func == "max":
