@@ -112,3 +112,19 @@ def test_http_system_tables(server):
             "child": {"exec": "TableScan", "table": "system_metrics", "columns": None}}
     code, resp = _post(server, "/query", {"plan": plan})
     assert code == 200 and len(resp["columns"]["name"]) >= 1
+
+
+def test_http_concurrent_queries(server):
+    """Admission-bounded concurrent execution; all queries complete."""
+    import concurrent.futures as cf
+
+    plan = serde.plan_to_json(q1_plan())
+
+    def one(_):
+        code, resp = _post(server, "/query", {"plan": plan})
+        return code, resp["summary"]["rows"]
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(one, range(12)))
+    assert all(code == 200 for code, _ in results)
+    assert len({rows for _, rows in results}) == 1  # identical results
