@@ -82,3 +82,35 @@ def test_memory_limit_enforced():
         settings=Settings(max_bytes_per_device=10**9),
     )
     assert out.capacity == 10_000
+
+
+def test_out_of_core_chunked_aggregation():
+    """Memory-quota breach falls back to chunked partial/final execution
+    with identical results (the spill analog)."""
+    import tiflash_tpu.core.dtypes as dtt
+    from tiflash_tpu.expr.nodes import col
+    from tiflash_tpu.ops.aggregate import AggDesc
+
+    rng = __import__("numpy").random.default_rng(5)
+    n = 50_000
+    t = {
+        "k": [int(x) for x in rng.integers(0, 20, n)],
+        "v": [int(x) for x in rng.integers(-100, 100, n)],
+    }
+    blocks = {"t": O.pytable_to_block(t, {"k": dtt.INT32, "v": dtt.INT64})}
+    plan = P.Aggregation(
+        ["k"],
+        [AggDesc("sum", "v", "s"), AggDesc("count", None, "c"),
+         AggDesc("avg", "v", "a"), AggDesc("min", "v", "mn")],
+        P.Selection(col("v") > -90, P.TableScan("t")),
+    )
+    # generous run for the expected answer
+    want_out, _ = run_query(plan, blocks)
+    want = O.block_to_pytable(want_out)
+    # tight quota forces chunking
+    out, summary = run_query(
+        plan, blocks, settings=Settings(max_bytes_per_device=300_000)
+    )
+    assert "chunked" in summary.plan_text
+    got = O.block_to_pytable(out)
+    O.assert_tables_equal(got, want)

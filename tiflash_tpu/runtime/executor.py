@@ -146,9 +146,34 @@ class QueryRunner:
         import jax
 
         fail_point("exception_before_fragment_run")
-        from .memory import check_memory
+        from .memory import MemoryLimitError, check_memory
 
-        check_memory(self.plan, tables, self.settings.max_bytes_per_device)
+        try:
+            check_memory(self.plan, tables, self.settings.max_bytes_per_device)
+        except MemoryLimitError:
+            # out-of-core fallback (the spill analog): chunk the base
+            # table through a partial/final aggregation when possible
+            from .outofcore import chunkable, run_chunked_aggregate
+
+            if self.mesh is None and chunkable(self.plan):
+                from .logging import get_logger
+
+                get_logger("tiflash_tpu.executor").info(
+                    "memory limit exceeded: switching to chunked execution"
+                )
+                chunk_rows = max(
+                    4096,
+                    int(self.settings.max_bytes_per_device // 256) if
+                    self.settings.max_bytes_per_device else 1 << 20,
+                )
+                out = run_chunked_aggregate(self.plan, tables, chunk_rows)
+                summary = ExecutionSummary(
+                    plan_text=self.plan.pretty() + "\n  [chunked out-of-core]",
+                )
+                summary.result_rows = int(np.asarray(out.num_rows()))
+                METRICS.counter("queries_total").inc()
+                return out, summary
+            raise
         if self.settings.resource_group:
             from .resource import RESOURCE_GROUPS, to_ru
 
