@@ -272,7 +272,9 @@ def _quantile_row_flags(
     gb = gb.at[0].set(True)
     pos = jnp.arange(n, dtype=jnp.int64)
     gid = jnp.cumsum(gb.astype(jnp.int32)) - 1
-    start = jnp.maximum.accumulate(jnp.where(gb, pos, 0))
+    from .segments import forward_fill_positions
+
+    start = forward_fill_positions(gb).astype(jnp.int64)
     valid_s = jnp.take(valid, perm)
     cnt = jax.ops.segment_sum(valid_s.astype(jnp.int64), gid, num_segments=n)
     cnt_row = jnp.take(cnt, gid)
@@ -754,14 +756,14 @@ def aggregate_sort(
             q = a0.param if a0.param is not None else 0.5
             pos = jnp.arange(n, dtype=jnp.int64)
             first_of_grp = neq.at[0].set(True)
-            start = jnp.maximum.accumulate(jnp.where(first_of_grp, pos, 0))
+            from .segments import backward_fill_positions, forward_fill_positions
+
+            start = forward_fill_positions(first_of_grp).astype(jnp.int64)
             valid_s = ~sorted_special[0]
             # per-row group valid-count via cumsum differenced at the
             # per-row group end (backward-filled last flags) — scatter-free
             last_flag = jnp.roll(first_of_grp, -1).at[n - 1].set(True)
-            end_row = jnp.flip(jnp.minimum.accumulate(
-                jnp.where(jnp.flip(last_flag), jnp.flip(pos), n - 1)
-            ))
+            end_row = backward_fill_positions(last_flag).astype(jnp.int64)
             cumv = jnp.cumsum(valid_s.astype(jnp.int64))
             at_end = jnp.take(cumv, end_row.astype(jnp.int32))
             at_prev = jnp.where(

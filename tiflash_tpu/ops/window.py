@@ -115,21 +115,19 @@ def window_block(
     part_start = boundaries(sorted_ops[:n_part_ops])
     peer_start = boundaries(sorted_ops[:n_sort_ops])
 
+    from .segments import backward_fill_positions, forward_fill_positions
+
     pos = jnp.arange(n, dtype=jnp.int64)
     # index of this row's partition start / peer-group start
-    part_start_idx = jnp.maximum.accumulate(jnp.where(part_start, pos, 0))
-    peer_start_idx = jnp.maximum.accumulate(jnp.where(peer_start, pos, 0))
+    part_start_idx = forward_fill_positions(part_start).astype(jnp.int64)
+    peer_start_idx = forward_fill_positions(peer_start).astype(jnp.int64)
     # partition end (backward fill of last-row flags) and sizes
     _last_flag = jnp.roll(part_start, -1).at[n - 1].set(True)
-    part_end_idx = jnp.flip(
-        jnp.minimum.accumulate(jnp.where(jnp.flip(_last_flag), jnp.flip(pos), n - 1))
-    )
+    part_end_idx = backward_fill_positions(_last_flag).astype(jnp.int64)
     part_size = part_end_idx - part_start_idx + 1
     # peer-group end (for cume_dist)
     _peer_last = jnp.roll(peer_start, -1).at[n - 1].set(True)
-    peer_end_idx = jnp.flip(
-        jnp.minimum.accumulate(jnp.where(jnp.flip(_peer_last), jnp.flip(pos), n - 1))
-    )
+    peer_end_idx = backward_fill_positions(_peer_last).astype(jnp.int64)
 
     out_cols = dict(zip(sblock.names, sblock.columns))
     for f in funcs:
