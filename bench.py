@@ -28,7 +28,7 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
-    ap.add_argument("--config", default="q1", choices=["q1", "q6", "topn"])
+    ap.add_argument("--config", default="q1", choices=["q1", "q3", "q6", "topn"])
     ap.add_argument("--k1", type=int, default=8)
     ap.add_argument("--k2", type=int, default=32)
     ap.add_argument("--verbose", action="store_true")
@@ -38,7 +38,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     import tiflash_tpu  # noqa: F401  (x64 on)
-    from tiflash_tpu.bench.tpch_queries import q1_plan, q6_plan, sort_topn_plan
+    from tiflash_tpu.bench.tpch_queries import q1_plan, q3_plan, q6_plan, sort_topn_plan
     from tiflash_tpu.plan.compiler import execute_plan
     from tiflash_tpu.storage.tpch import generate_tpch
 
@@ -46,12 +46,12 @@ def main() -> None:
         if args.verbose:
             print(msg, file=sys.stderr, flush=True)
 
-    plan = {"q1": q1_plan, "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[
-        args.config
-    ]()
+    plan = {"q1": q1_plan, "q3": lambda: q3_plan(agg_slots=2**21),
+            "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[args.config]()
 
     t0 = time.time()
-    cat = generate_tpch(sf=args.sf, seed=7, tables=["lineitem"])
+    tables = ["lineitem"] if args.config != "q3" else ["lineitem", "orders", "customer"]
+    cat = generate_tpch(sf=args.sf, seed=7, tables=tables)
     blocks = cat.blocks()
     jax.block_until_ready(blocks)
     n_rows = cat["lineitem"].row_count
@@ -61,6 +61,7 @@ def main() -> None:
     cols_read = {
         "q1": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
                "l_returnflag", "l_linestatus", "l_shipdate"],
+        "q3": ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         "q6": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
         "topn": ["l_orderkey", "l_extendedprice"],
     }[args.config]
