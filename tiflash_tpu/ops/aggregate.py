@@ -330,16 +330,22 @@ def _accumulate(
         prev_e = jnp.concatenate(
             [jnp.full((1,), -1, ends_dense.dtype), ends_dense[:-1]]
         )
-        pe_idx = jnp.maximum(prev_e, 0)
+        # group sizes come free from the dense ends (groups are dense in
+        # slot order, so slot g's start is slot g-1's end + 1)
+        group_sizes = jnp.where(
+            ends_ok, (ends_dense - prev_e).astype(jnp.int64), 0
+        )
 
     def segreduce(op: str, vals: jnp.ndarray) -> jnp.ndarray:
         if sorted_layout is None:
             return _segment_reduce(op, vals, gids, S, sorted_ids=sorted_ids)[:num_slots]
         if op == "sum" and not jnp.issubdtype(vals.dtype, jnp.floating):
-            # exact integer path: global cumsum differenced at group ends
+            # exact integer path: global cumsum differenced at group ends;
+            # the previous group's cumsum-at-end is this result shifted,
+            # so only ONE gather is needed
             ps = jnp.cumsum(vals)
             at_end = jnp.take(ps, e_idx)
-            at_prev = jnp.where(prev_e >= 0, jnp.take(ps, pe_idx), 0)
+            at_prev = jnp.concatenate([jnp.zeros(1, dtype=at_end.dtype), at_end[:-1]])
             return jnp.where(ends_ok, at_end - at_prev, 0).astype(vals.dtype)
         # float sums and min/max: boundary-resetting segmented scan keeps
         # magnitudes per-group (global-cumsum differencing cancels
@@ -361,6 +367,13 @@ def _accumulate(
 
     # per-slot non-null counts are needed by count/avg and null-ness of sums
     def nn_count(col: Optional[Column], base: jnp.ndarray) -> jnp.ndarray:
+        if (
+            sorted_layout is not None
+            and base is live
+            and (col is None or col.validity is None)
+        ):
+            # live rows of a group are exactly its span: size is free
+            return group_sizes
         ones = base.astype(jnp.int64)
         if col is not None and col.validity is not None:
             ones = ones * col.validity.astype(jnp.int64)
@@ -743,7 +756,17 @@ def aggregate_sort(
     overflow = jnp.where(num_groups > num_slots, num_groups, 0).astype(jnp.int64)
     gids = jnp.where(live_sorted, jnp.minimum(gid_sorted, num_slots), num_slots)
 
-    sorted_block = block.take(perm)
+    # permute only the columns the aggregates read — keys are gathered at
+    # group starts below (far fewer rows)
+    needed = []
+    for a in aggs:
+        if a.arg is not None and a.arg not in needed:
+            needed.append(a.arg)
+        if a.filter_col is not None and a.filter_col not in needed:
+            needed.append(a.filter_col)
+    sorted_block = block.select(needed).take(perm) if needed else Block(
+        names=(), columns=(), sel=None
+    )
     if in_sort_special:
         a0 = special[0]
         pneq = neq
@@ -795,18 +818,17 @@ def aggregate_sort(
                       sorted_layout=(first_of_group, ends_dense))
 
     # materialize group keys by GATHERING each group's first row (starts =
-    # previous group's end + 1; slot 0 starts at row 0)
+    # previous group's end + 1; slot 0 starts at row 0) — composed through
+    # perm so key columns are never permuted wholesale
     prev_ends = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends_dense[:-1]])
     starts_dense = jnp.maximum(prev_ends + 1, 0)
+    orig_start_idx = jnp.take(perm, starts_dense)
     out_key_cols = []
     for c in key_cols:
-        src = jnp.take(c.data, perm)
-        dst = jnp.take(src, starts_dense)
-        if c.validity is not None:
-            vsrc = jnp.take(c.validity, perm)
-            vdst = jnp.take(vsrc, starts_dense)
-        else:
-            vdst = None
+        dst = jnp.take(c.data, orig_start_idx)
+        vdst = (
+            jnp.take(c.validity, orig_start_idx) if c.validity is not None else None
+        )
         out_key_cols.append(Column(dst, vdst, c.dtype, c.dictionary))
 
     occupied = jnp.arange(num_slots, dtype=jnp.int32) < num_groups
