@@ -300,3 +300,18 @@ def test_first_any_value():
             O.assert_tables_equal(got, want)
         else:
             assert sorted(got["k"]) == sorted(want["k"])
+
+
+def test_distinct_shape_no_aggs():
+    """SELECT DISTINCT == Aggregation(keys, []) — both methods."""
+    rng = np.random.default_rng(50)
+    schema = {"a": dt.STRING, "b": dt.INT32.with_nullable(True)}
+    table = O.random_pytable(rng, 300, schema, int_range=(0, 6))
+    block = O.pytable_to_block(table, schema)
+    res = hash_aggregate(block, ["a", "b"], [])
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(table, ["a", "b"], [])
+    O.assert_tables_equal(got, want)
+    res2 = aggregate_sort(block, ["a", "b"], [], num_slots=300)
+    got2 = O.block_to_pytable(res2.block)
+    O.assert_tables_equal(got2, want)
