@@ -81,6 +81,7 @@ def detect_hot_keys(
     threshold = jnp.maximum(2, total // (P * hot_frac_denom))
     hot_mask = first & (counts >= threshold) & (sorted_s != sent)
     # rank hot candidates by count, keep top hot_k
+    hot_k = min(hot_k, total)
     score = jnp.where(hot_mask, counts, -1)
     _, top_idx = jax.lax.top_k(score, hot_k)
     hot_keys = jnp.where(
