@@ -40,7 +40,6 @@ from ..core.dtypes import (
     FLOAT64,
     INT64,
     TypeKind,
-    UINT64,
 )
 
 # ---------------------------------------------------------------------------
@@ -160,14 +159,6 @@ DIRECT_DOMAIN_LIMIT = 4096
 # ---------------------------------------------------------------------------
 # segmented reduction helpers
 # ---------------------------------------------------------------------------
-
-_INT_MIN = {
-    TypeKind.INT8: -(2**7), TypeKind.INT16: -(2**15),
-    TypeKind.INT32: -(2**31), TypeKind.INT64: -(2**63),
-    TypeKind.DECIMAL: -(2**63), TypeKind.DATE: -(2**31),
-    TypeKind.DATETIME: -(2**63), TypeKind.STRING: -(2**31),
-}
-
 
 def _identity_for(func: str, dtype: DataType):
     phys = dtype.jnp_dtype
