@@ -54,7 +54,21 @@ class WindowDesc:
 
 
 def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive segmented scan: resets at rows where seg_start is True."""
+    """Inclusive segmented scan: resets at rows where seg_start is True.
+
+    Integer sums use a plain cumsum differenced against the segment-start
+    prefix (exact, and much cheaper than associative_scan on TPU); float
+    sums and min/max run the boundary-resetting associative scan (floats
+    would cancel catastrophically under global differencing)."""
+    if op == "sum" and not jnp.issubdtype(vals.dtype, jnp.floating):
+        from .segments import forward_fill_positions
+
+        ps = jnp.cumsum(vals)
+        start = forward_fill_positions(seg_start)
+        before = jnp.where(
+            start > 0, jnp.take(ps, jnp.maximum(start - 1, 0)), 0
+        )
+        return ps - before
 
     def combine(a, b):
         a_flag, a_val = a
