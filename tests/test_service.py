@@ -128,3 +128,29 @@ def test_http_concurrent_queries(server):
         results = list(ex.map(one, range(12)))
     assert all(code == 200 for code, _ in results)
     assert len({rows for _, rows in results}) == 1  # identical results
+
+
+def test_service_distributed_mesh():
+    """QueryService over the 8-device mesh: distributed execution via HTTP."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from tiflash_tpu.mpp.service import QueryService, serve_background
+    from tiflash_tpu.plan.auto import distribute_plan
+    from tiflash_tpu.storage.tpch import generate_tpch
+
+    cat2 = generate_tpch(sf=0.001, seed=9)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    svc = QueryService(cat2, mesh=mesh)
+    httpd, port = serve_background(svc)
+    try:
+        stats = {n: t.row_count for n, t in cat2.tables.items()}
+        dist = distribute_plan(q1_plan(), stats, 8)
+        code, resp = _post(f"http://127.0.0.1:{port}", "/query",
+                           {"plan": serde.plan_to_json(dist)})
+        assert code == 200
+        assert resp["summary"]["devices"] == 8
+        assert resp["summary"]["rows"] >= 3
+    finally:
+        httpd.shutdown()
