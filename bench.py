@@ -70,8 +70,10 @@ def main() -> None:
     )
 
     # carry-perturbed bench step: xor the carry's low bit into one int64
-    # column so every iteration is a fresh, value-dependent execution
-    perturb_col = cols_read[0]
+    # column so every iteration is a fresh, value-dependent execution.
+    # Perturb a measure column, never a clustering key — flipping key bits
+    # would void the block's clustered_by property and change the plan.
+    perturb_col = {"q3": "l_extendedprice"}.get(args.config, cols_read[0])
 
     def checksum(block):
         """Folds EVERY output byte so no operator can be dead-code

@@ -315,3 +315,133 @@ def test_distinct_shape_no_aggs():
     res2 = aggregate_sort(block, ["a", "b"], [], num_slots=300)
     got2 = O.block_to_pytable(res2.block)
     O.assert_tables_equal(got2, want)
+
+
+# ---------------------------------------------------------------------------
+# StreamAgg (clustered input, no sort) — tipb StreamAgg analog
+# ---------------------------------------------------------------------------
+
+def run_stream(schema, keys, aggs, n=500, null_prob=0.15, seed=3, sel_frac=None):
+    """Cluster random data host-side, optionally kill rows via sel, then
+    compare aggregate_stream against the oracle on the live subset."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from tiflash_tpu.ops.aggregate import aggregate_stream
+
+    rng = np.random.default_rng(seed)
+    table = O.random_pytable(rng, n, schema, null_prob=null_prob)
+
+    def keyval(i):
+        out = []
+        for k in keys:
+            v = table[k][i]
+            out.append((v is None, v if v is not None else 0))
+        return tuple(out)
+
+    order = sorted(range(n), key=keyval)
+    table = {c: [table[c][i] for i in order] for c in table}
+    block = O.pytable_to_block(table, schema)
+    block = _dc.replace(block, clustered_by=tuple(keys))
+    if sel_frac is not None:
+        sel_np = rng.random(n) < sel_frac
+        block = block.and_sel(jnp.asarray(sel_np))
+        table = {c: [v for v, s in zip(table[c], sel_np) if s] for c in table}
+    res = aggregate_stream(block, keys, aggs, num_slots=n)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(
+        table, keys, [(a.func, a.arg, a.name, a.filter_col) for a in aggs]
+    )
+    O.assert_tables_equal(
+        got,
+        want,
+        approx_cols=[a.name for a in aggs
+                     if a.func in ("sum", "avg")
+                     and schema.get(a.arg, dt.INT64).is_float],
+    )
+    assert int(res.num_groups) == len(want[keys[0]])
+    assert not bool(res.overflow)
+
+
+def test_stream_agg_int_key():
+    run_stream({"k": dt.INT32, "v": dt.INT64.with_nullable(True)}, ["k"], AGGS)
+
+
+def test_stream_agg_dead_rows_interspersed():
+    """Filtered rows stay in place; groups that lose every row vanish."""
+    run_stream({"k": dt.INT32, "v": dt.INT64.with_nullable(True)}, ["k"], AGGS,
+               sel_frac=0.55, seed=11)
+
+
+def test_stream_agg_multi_key_nullable():
+    run_stream(
+        {"k1": dt.INT64.with_nullable(True), "k2": dt.STRING,
+         "v": dt.FLOAT64.with_nullable(True)},
+        ["k1", "k2"], AGGS, sel_frac=0.7, seed=12,
+    )
+
+
+def test_stream_agg_distinct_and_filter():
+    aggs = [
+        AggDesc("count_distinct", "v", "cd"),
+        AggDesc("sum", "v", "s", filter_col="f"),
+    ]
+    run_stream(
+        {"k": dt.INT32, "v": dt.INT32.with_nullable(True), "f": dt.BOOL},
+        ["k"], aggs, sel_frac=0.8, seed=13,
+    )
+
+
+def test_stream_agg_dispatch_via_clustered_by():
+    """hash_aggregate picks StreamAgg when keys match the clustering."""
+    import dataclasses as _dc
+
+    from tiflash_tpu.ops import aggregate as agg_mod
+
+    rng = np.random.default_rng(14)
+    schema = {"k": dt.INT64, "v": dt.INT64}
+    table = O.random_pytable(rng, 200, schema, null_prob=0.0)
+    order = sorted(range(200), key=lambda i: table["k"][i])
+    table = {c: [table[c][i] for i in order] for c in table}
+    block = O.pytable_to_block(table, schema)
+    block = _dc.replace(block, clustered_by=("k", "v"))
+    called = {}
+    orig = agg_mod.aggregate_stream
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    agg_mod.aggregate_stream = spy
+    try:
+        res = agg_mod.hash_aggregate(block, ["k"], [AggDesc("sum", "v", "s")])
+    finally:
+        agg_mod.aggregate_stream = orig
+    assert called.get("yes")
+    want = O.o_aggregate(table, ["k"], [("sum", "v", "s")])
+    O.assert_tables_equal(O.block_to_pytable(res.block), want)
+
+
+def test_clustering_metadata_propagation():
+    """Block ops preserve/invalidate clustered_by correctly."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from tiflash_tpu.core.block import Block, Column
+
+    b = Block.from_dict({
+        "a": Column(jnp.arange(6, dtype=jnp.int64), None, dt.INT64),
+        "b": Column(jnp.arange(6, dtype=jnp.int64), None, dt.INT64),
+        "c": Column(jnp.arange(6, dtype=jnp.int64), None, dt.INT64),
+    })
+    b = _dc.replace(b, clustered_by=("a", "b"))
+    assert b.and_sel(jnp.arange(6) < 3).clustered_by == ("a", "b")
+    assert b.select(["a", "c"]).clustered_by == ("a",)
+    assert b.select(["b", "c"]).clustered_by == ()
+    assert b.with_column("c", b["a"]).clustered_by == ("a", "b")
+    assert b.with_column("a", b["c"]).clustered_by == ()
+    assert b.with_column("b", b["c"]).clustered_by == ("a",)
+    assert b.take(jnp.arange(6)).clustered_by == ()
+    assert b.and_sel(jnp.arange(6) % 2 == 0).compact().clustered_by == ("a", "b")

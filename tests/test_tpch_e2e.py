@@ -71,3 +71,25 @@ def test_union_partition_table_scan(data):
                               AggDesc("sum", "l_quantity", "s")],
                          P.Union([p1, p2]))
     run_both(plan, data, ordered=True)
+
+
+def test_q3_rewrite_equivalence(data):
+    """eager_aggregation rewrite: same rows as the unrewritten plan."""
+    blocks, _ = data
+    got_rw, ov1 = compile_fragment(q3_plan(rewrite=True))(blocks)
+    got_raw, ov2 = compile_fragment(q3_plan(rewrite=False))(blocks)
+    for v in list(ov1.values()) + list(ov2.values()):
+        assert not bool(v)
+    from tiflash_tpu.testing import oracle as O
+
+    O.assert_tables_equal(
+        O.block_to_pytable(got_rw), O.block_to_pytable(got_raw), ordered=True
+    )
+
+
+def test_q3_rewrite_shape():
+    """The aggregation lands below the orders join and streams."""
+    s = q3_plan().pretty()
+    agg_at = s.index("Aggregation")
+    join_at = s.index("Join")
+    assert join_at < agg_at, "aggregation should sit under the join"

@@ -53,8 +53,14 @@ def q1_plan() -> P.PlanNode:
     return P.Sort([SortKey("l_returnflag"), SortKey("l_linestatus")], agg)
 
 
-def q3_plan(agg_slots: int | None = None) -> P.PlanNode:
-    """Shipping priority: 2 joins + group-by + topN (config 2)."""
+def q3_plan(agg_slots: int | None = None, rewrite: bool = True) -> P.PlanNode:
+    """Shipping priority: 2 joins + group-by + topN (config 2).
+
+    With ``rewrite`` (default) the plan goes through
+    ``plan.rewrite.eager_aggregation``: the revenue aggregation is pushed
+    below the orders join, turning the 3-key post-join sort-agg over 6M
+    joined rows into a sort-free single-key StreamAgg on the
+    orderkey-clustered lineitem scan + a join over ~1.5M groups."""
     cust = P.Selection(
         col("c_mktsegment") == "BUILDING",
         P.TableScan("customer", columns=["c_custkey", "c_mktsegment"]),
@@ -100,11 +106,16 @@ def q3_plan(agg_slots: int | None = None) -> P.PlanNode:
         child=proj,
         num_slots=agg_slots,
     )
-    return P.TopN(
+    top = P.TopN(
         [SortKey("revenue", desc=True, nulls_first=False), SortKey("o_orderdate")],
         10,
         agg,
     )
+    if rewrite:
+        from ..plan.rewrite import eager_aggregation
+
+        top = eager_aggregation(top)
+    return top
 
 
 def q6_plan() -> P.PlanNode:

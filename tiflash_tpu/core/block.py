@@ -162,15 +162,21 @@ class Block:
     names: Tuple[str, ...]
     columns: Tuple[Column, ...]
     sel: Optional[jnp.ndarray] = None  # bool (n,) or None == all rows live
+    # Physical clustering property: rows with equal values in these columns
+    # are ADJACENT (the reference's DeltaTree stable layer is PK-sorted;
+    # TiDB plans StreamAgg over such order).  Only equal-adjacency is ever
+    # relied upon, not full ordering.  Static aux data under jit.
+    clustered_by: Tuple[str, ...] = ()
 
     # -- pytree protocol --
     def tree_flatten(self):
-        return (self.columns, self.sel), self.names
+        return (self.columns, self.sel), (self.names, self.clustered_by)
 
     @classmethod
-    def tree_unflatten(cls, names, children):
+    def tree_unflatten(cls, aux, children):
+        names, clustered_by = aux
         columns, sel = children
-        return cls(names=names, columns=columns, sel=sel)
+        return cls(names=names, columns=columns, sel=sel, clustered_by=clustered_by)
 
     # -- construction --
     @staticmethod
@@ -209,10 +215,12 @@ class Block:
 
     # -- transformation --
     def with_sel(self, sel: Optional[jnp.ndarray]) -> "Block":
-        return Block(names=self.names, columns=self.columns, sel=sel)
+        return Block(names=self.names, columns=self.columns, sel=sel,
+                     clustered_by=self.clustered_by)
 
     def and_sel(self, mask: jnp.ndarray) -> "Block":
-        """Narrow the selection (a lazy filter)."""
+        """Narrow the selection (a lazy filter — physical order unchanged,
+        so clustering survives)."""
         new = mask if self.sel is None else (self.sel & mask)
         return self.with_sel(new)
 
@@ -221,16 +229,33 @@ class Block:
         if missing:
             raise KeyError(f"columns {missing} not in block {list(self.names)}")
         cols = self.as_dict()
+        kept = self.clustered_by
+        if kept and any(k not in names for k in kept):
+            # clustering by a prefix still holds if only a suffix is dropped
+            keep_n = 0
+            for k in kept:
+                if k in names:
+                    keep_n += 1
+                else:
+                    break
+            kept = kept[:keep_n]
         return Block(
             names=tuple(names),
             columns=tuple(cols[n] for n in names),
             sel=self.sel,
+            clustered_by=kept,
         )
 
     def with_column(self, name: str, col: Column) -> "Block":
         d = self.as_dict()
         d[name] = col
-        return Block.from_dict(d, sel=self.sel)
+        kept = self.clustered_by
+        if name in kept:
+            # replacing a clustering column invalidates the property from
+            # that column onward (data may no longer be adjacent-equal)
+            kept = kept[: kept.index(name)]
+        return Block(names=tuple(d.keys()), columns=tuple(d.values()),
+                     sel=self.sel, clustered_by=kept)
 
     def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Block":
         """Gather rows by index into a new block (sel dropped/absorbed).
@@ -296,6 +321,8 @@ class Block:
         )[:n]
         out = self.take(gather_idx)
         live = jnp.arange(n, dtype=jnp.int32) < count
+        # compaction is order-preserving over live rows: clustering survives
+        out = dataclasses.replace(out, clustered_by=self.clustered_by)
         return out.with_sel(live)
 
     # -- host conversion --

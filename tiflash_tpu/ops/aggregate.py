@@ -297,6 +297,7 @@ def _accumulate(
     sorted_ids: bool,
     distinct_flags: Optional[dict] = None,
     sorted_layout: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    spans_all_live: bool = True,
 ) -> List[Tuple[str, Column]]:
     """Shared accumulation: compute every aggregate into dense slot arrays.
 
@@ -360,6 +361,7 @@ def _accumulate(
     def nn_count(col: Optional[Column], base: jnp.ndarray) -> jnp.ndarray:
         if (
             sorted_layout is not None
+            and spans_all_live
             and base is live
             and (col is None or col.validity is None)
         ):
@@ -829,6 +831,80 @@ def aggregate_sort(
     return AggregateResult(out, num_groups, overflow)
 
 
+def aggregate_stream(
+    block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], num_slots: int
+) -> AggregateResult:
+    """Stream aggregation over key-clustered input — NO sort.
+
+    The tipb ``StreamAgg`` analog (``Flash/Planner/PhysicalPlan.cpp``
+    handles StreamAgg next to Aggregation): when rows with equal group
+    keys are already adjacent (``Block.clustered_by``, e.g. a scan of the
+    PK-sorted DeltaTree stable layer), group boundaries come from a
+    prev-row compare and reductions use the same scatter-free
+    cumsum-at-ends layout as the sort method — the whole O(n log n) sort
+    disappears.
+
+    Dead (filtered) rows stay in place: boundaries are detected over ALL
+    rows, dead rows contribute nothing via the live mask, and groups with
+    no live rows end up unoccupied.  Only equal-adjacency is required —
+    full ordering is not.
+    """
+    n = block.capacity
+    live = block.sel_mask()
+    key_cols = [block[k] for k in keys]
+
+    neq = jnp.zeros(n, dtype=jnp.bool_)
+    for c in key_cols:
+        neq = neq | (c.data != jnp.roll(c.data, 1))
+        if c.validity is not None:
+            neq = neq | (c.validity != jnp.roll(c.validity, 1))
+    neq = neq.at[0].set(False)
+    gid_all = jnp.cumsum(neq.astype(jnp.int32))  # monotone over ALL rows
+    total_groups = gid_all[-1] + 1
+    overflow = jnp.where(total_groups > num_slots, total_groups, 0).astype(jnp.int64)
+    gids = jnp.minimum(gid_all, num_slots)
+
+    # group layout: spans are contiguous over ALL rows, so slot g's start
+    # is slot g-1's end + 1 (one sorted scatter for the dense ends)
+    pos32 = jnp.arange(n, dtype=jnp.int32)
+    first_of_group = neq.at[0].set(True)
+    last_of_group = jnp.concatenate([neq[1:], jnp.ones(1, jnp.bool_)])
+    ends_dense = jnp.full(num_slots + 1, -1, jnp.int32).at[
+        jnp.where(last_of_group, gids, num_slots)
+    ].set(pos32, mode="drop")[:num_slots]
+
+    dflags = _compute_distinct_flags(block, keys, aggs, live)
+
+    acc = _accumulate(aggs, block, gids, live, num_slots,
+                      sorted_ids=True, distinct_flags=dflags,
+                      sorted_layout=(first_of_group, ends_dense),
+                      spans_all_live=False)
+
+    # occupied slots = groups with >= 1 live row (cumsum-at-ends, no scatter)
+    prev_ends = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends_dense[:-1]])
+    starts_dense = jnp.maximum(prev_ends + 1, 0)
+    ends_ok = ends_dense >= 0
+    e_idx = jnp.maximum(ends_dense, 0)
+    ps_live = jnp.cumsum(live.astype(jnp.int64))
+    at_end = jnp.take(ps_live, e_idx)
+    at_prev = jnp.where(starts_dense > 0,
+                        jnp.take(ps_live, jnp.maximum(starts_dense - 1, 0)), 0)
+    occupied = ends_ok & ((at_end - at_prev) > 0)
+    num_groups = jnp.sum(occupied, dtype=jnp.int32)
+
+    # keys gathered at each group's first row (input order — no permute)
+    out_key_cols = []
+    for c in key_cols:
+        dst = jnp.take(c.data, starts_dense)
+        vdst = jnp.take(c.validity, starts_dense) if c.validity is not None else None
+        out_key_cols.append(Column(dst, vdst, c.dtype, c.dictionary))
+
+    names = tuple(keys) + tuple(n_ for n_, _ in acc)
+    cols = tuple(out_key_cols) + tuple(c for _, c in acc)
+    out = Block(names=names, columns=cols, sel=occupied)
+    return AggregateResult(out, num_groups, overflow)
+
+
 def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
     """Aggregation without GROUP BY: single-row output (slot 0).
 
@@ -985,6 +1061,10 @@ def hash_aggregate(
         return aggregate_direct(block, keys, aggs, packed)
     if num_slots is None:
         num_slots = block.capacity
+    cb = block.clustered_by
+    if cb and len(keys) <= len(cb) and set(keys) == set(cb[: len(keys)]):
+        # equal group keys are already adjacent: StreamAgg, no sort
+        return aggregate_stream(block, keys, aggs, num_slots)
     return aggregate_sort(block, keys, aggs, num_slots)
 
 
@@ -994,6 +1074,7 @@ __all__ = [
     "hash_aggregate",
     "aggregate_direct",
     "aggregate_sort",
+    "aggregate_stream",
     "aggregate_scalar",
     "auto_passthrough_aggregate",
     "passthrough_as_partial",

@@ -73,10 +73,27 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         return out
 
     if isinstance(node, P.Projection):
+        from ..expr.nodes import ColumnRef
+
         child = _exec(node.child, tables, diag, ctr)
         ev = ExprEvaluator(child)
         cols = {name: ev.evaluate(e) for name, e in node.exprs.items()}
         out = Block.from_dict(cols, sel=child.sel)
+        # row order is unchanged: clustering survives through bare-column
+        # passthroughs (renames included)
+        if child.clustered_by:
+            rename = {
+                e.name: out_name
+                for out_name, e in node.exprs.items()
+                if isinstance(e, ColumnRef)
+            }
+            kept = []
+            for k in child.clustered_by:
+                if k not in rename:
+                    break
+                kept.append(rename[k])
+            if kept:
+                out = dataclasses.replace(out, clustered_by=tuple(kept))
         diag.rows[nid] = out.num_rows()
         return out
 

@@ -84,8 +84,14 @@ class Catalog:
         name: str,
         columns: Dict[str, Column],
         unique_keys: Sequence[Sequence[str]] = (),
+        clustered_by: Sequence[str] = (),
     ) -> TableDef:
+        """``clustered_by``: physical-layout hint — rows with equal values
+        in these columns are adjacent (the DeltaTree stable layer is
+        PK-sorted; scans of it carry this property).  Enables StreamAgg."""
         block = Block.from_dict(columns)
+        if clustered_by:
+            block = dataclasses.replace(block, clustered_by=tuple(clustered_by))
         td = TableDef(
             name=name,
             block=block,
@@ -116,6 +122,7 @@ class Catalog:
             else:
                 validity = jnp.concatenate([a.valid_mask(), b.valid_mask()])
             merged_cols[cname] = Column(data, validity, a.dtype, a.dictionary)
+        # appended rows break adjacency at the seam: clustering is dropped
         td.block = Block.from_dict(merged_cols)
         td.row_count = td.block.capacity
         return td

@@ -183,6 +183,7 @@ def generate_tpch(
                     ),
                 },
                 unique_keys=[["o_orderkey"]],
+                clustered_by=["o_orderkey"],
             )
 
         if wanted("lineitem"):
@@ -232,6 +233,7 @@ def generate_tpch(
                     "l_shipmode": column_from_arrays(mode_codes, dt.STRING, dictionary=mode_dict),
                 },
                 unique_keys=[["l_orderkey", "l_linenumber"]],
+                clustered_by=["l_orderkey", "l_linenumber"],
             )
     return cat
 
