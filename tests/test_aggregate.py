@@ -445,3 +445,92 @@ def test_clustering_metadata_propagation():
     assert b.with_column("b", b["c"]).clustered_by == ("a",)
     assert b.take(jnp.arange(6)).clustered_by == ()
     assert b.and_sel(jnp.arange(6) % 2 == 0).compact().clustered_by == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# group_concat (sort method + host-side decode)
+# ---------------------------------------------------------------------------
+
+def run_group_concat(n=200, seed=21, null_prob=0.2, param=None, sep=",",
+                     sel_frac=None):
+    import jax.numpy as jnp
+
+    schema = {"k": dt.INT32, "s": dt.STRING.with_nullable(True),
+              "v": dt.INT64.with_nullable(True)}
+    rng = np.random.default_rng(seed)
+    table = O.random_pytable(rng, n, schema, null_prob=null_prob, int_range=(0, 8))
+    block = O.pytable_to_block(table, schema)
+    if sel_frac is not None:
+        sel_np = rng.random(n) < sel_frac
+        block = block.and_sel(jnp.asarray(sel_np))
+        table = {c: [v for v, s_ in zip(table[c], sel_np) if s_] for c in table}
+    aggs = [
+        AggDesc("group_concat", "s", "gc", param=param, separator=sep),
+        AggDesc("sum", "v", "sv"),
+    ]
+    res = hash_aggregate(block, ["k"], aggs)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(
+        table, ["k"],
+        [("group_concat", "s", "gc", None, param, sep), ("sum", "v", "sv")],
+    )
+    O.assert_tables_equal(got, want)
+
+
+def test_group_concat_basic():
+    run_group_concat()
+
+
+def test_group_concat_truncation_and_separator():
+    run_group_concat(param=3, sep="|", seed=22)
+
+
+def test_group_concat_with_dead_rows():
+    run_group_concat(sel_frac=0.6, seed=23)
+
+
+def test_group_concat_all_null_group_is_null():
+    import jax.numpy as jnp
+
+    from tiflash_tpu.core.block import Block, Column
+
+    b = Block.from_dict({
+        "k": Column(jnp.asarray([0, 0, 1, 1], dtype=jnp.int64), None, dt.INT64),
+        "s": Column(jnp.asarray([0, 1, 0, 0], dtype=jnp.int32),
+                    jnp.asarray([True, True, False, False]),
+                    dt.STRING.with_nullable(True), ("a", "b")),
+    })
+    res = hash_aggregate(b, ["k"], [AggDesc("group_concat", "s", "gc")])
+    got = O.block_to_pytable(res.block)
+    assert got["gc"] == ["a,b", None]
+
+
+def test_group_concat_through_topn():
+    """gc columns survive a downstream TopN permute (2-D Block.take)."""
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.compiler import compile_fragment
+    from tiflash_tpu.ops.sort import SortKey
+    from tiflash_tpu.storage.catalog import Catalog
+
+    schema = {"k": dt.INT32, "s": dt.STRING, "v": dt.INT64}
+    rng = np.random.default_rng(24)
+    table = O.random_pytable(rng, 120, schema, null_prob=0.0, int_range=(0, 9))
+    cat = Catalog()
+    block = O.pytable_to_block(table, schema)
+    cat.register("t", dict(zip(block.names, block.columns)))
+    plan = P.TopN(
+        [SortKey("sv", desc=True)], 5,
+        P.Aggregation(
+            keys=["k"],
+            aggs=[AggDesc("group_concat", "s", "gc"), AggDesc("sum", "v", "sv")],
+            child=P.TableScan("t"),
+        ),
+    )
+    out, ov = compile_fragment(plan)(cat.blocks())
+    assert all(not bool(x) for x in ov.values())
+    got = O.block_to_pytable(out)
+    want = O.o_aggregate(table, ["k"], [
+        ("group_concat", "s", "gc"), ("sum", "v", "sv")])
+    order = sorted(range(len(want["sv"])), key=lambda i: -want["sv"][i])[:5]
+    assert got["sv"] == [want["sv"][i] for i in order]
+    assert got["gc"] == [want["gc"][i] for i in order]

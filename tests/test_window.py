@@ -16,6 +16,7 @@ SCHEMA = {
     "o": dt.INT64,
     "v": dt.INT64.with_nullable(True),
     "d": dt.Decimal(10, 2),
+    "s": dt.STRING.with_nullable(True),
 }
 
 
@@ -126,3 +127,22 @@ def test_ntile_percent_rank_cume_dist():
         WindowDesc("percent_rank", "pr"),
         WindowDesc("cume_dist", "cd"),
     ], seed=9)
+
+
+def test_bounded_rows_frames_min_max():
+    """ROWS-frame min/max via the sparse-table (doubling) RMQ path."""
+    run([
+        WindowDesc("min", "fmn", arg="v", frame=(2, 1)),
+        WindowDesc("max", "fmx", arg="v", frame=(1, 2)),
+        WindowDesc("min", "fmd", arg="d", frame=(0, 3)),
+        WindowDesc("max", "fwide", arg="d", frame=(64, 64)),
+        WindowDesc("min", "fpoint", arg="v", frame=(0, 0)),
+    ], seed=10)
+
+
+def test_bounded_rows_frames_min_max_string():
+    """Frame min/max on dictionary strings (codes are order-preserving)."""
+    run([
+        WindowDesc("min", "smin", arg="s", frame=(3, 0)),
+        WindowDesc("max", "smax", arg="s", frame=(2, 2)),
+    ], seed=11)

@@ -51,16 +51,20 @@ class Column:
     validity: Optional[jnp.ndarray] = None
     dtype: DataType = dataclasses.field(default=None)  # type: ignore[assignment]
     dictionary: Optional[Tuple[str, ...]] = None
+    # group_concat result columns: data is (n, max_items) dictionary codes,
+    # validity the matching item mask; joined with this separator on decode
+    concat_sep: Optional[str] = None
 
     # -- pytree protocol --
     def tree_flatten(self):
-        return (self.data, self.validity), (self.dtype, self.dictionary)
+        return (self.data, self.validity), (self.dtype, self.dictionary, self.concat_sep)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, validity = children
-        dtype, dictionary = aux
-        return cls(data=data, validity=validity, dtype=dtype, dictionary=dictionary)
+        dtype, dictionary, concat_sep = aux
+        return cls(data=data, validity=validity, dtype=dtype,
+                   dictionary=dictionary, concat_sep=concat_sep)
 
     # -- basics --
     def __len__(self) -> int:
@@ -78,7 +82,8 @@ class Column:
 
     def with_data(self, data, validity="_keep") -> "Column":
         v = self.validity if validity == "_keep" else validity
-        return Column(data=data, validity=v, dtype=self.dtype, dictionary=self.dictionary)
+        return Column(data=data, validity=v, dtype=self.dtype,
+                      dictionary=self.dictionary, concat_sep=self.concat_sep)
 
     def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Column":
         """Gather rows (reference ``IColumn::permute`` / ``index``).
@@ -103,6 +108,22 @@ class Column:
         """Decode to python values (strings decoded, decimals as scaled int
         left intact — formatting is the responsibility of the printer)."""
         data = np.asarray(self.data)
+        if data.ndim == 2:
+            # group_concat column: join each row's valid dictionary items
+            sep = self.concat_sep if self.concat_sep is not None else ","
+            valid = (
+                np.ones(data.shape, dtype=bool)
+                if self.validity is None
+                else np.asarray(self.validity)
+            )
+            if sel is not None:
+                data = data[sel]
+                valid = valid[sel]
+            out = []
+            for row, ok_row in zip(data.tolist(), valid.tolist()):
+                items = [self.dictionary[c] for c, ok in zip(row, ok_row) if ok]
+                out.append(sep.join(items) if items else None)
+            return out
         valid = (
             np.ones(len(data), dtype=bool)
             if self.validity is None
@@ -276,9 +297,9 @@ class Block:
 
         groups = defaultdict(list)
         for i, c in enumerate(self.columns):
-            groups[str(c.data.dtype)].append((i, "data", c.data))
+            groups[(str(c.data.dtype), c.data.shape[1:])].append((i, "data", c.data))
             if c.validity is not None:
-                groups["bool"].append((i, "validity", c.validity))
+                groups[("bool", c.validity.shape[1:])].append((i, "validity", c.validity))
         results = {}
         for _, entries in groups.items():
             if len(entries) == 1:

@@ -63,8 +63,11 @@ class AggDesc:
     arg: Optional[str]
     name: str
     filter_col: Optional[str] = None
-    # function parameter (quantile fraction for 'quantile')
+    # function parameter (quantile fraction for 'quantile'; max collected
+    # items for 'group_concat' — the group_concat_max_len analog)
     param: Optional[float] = None
+    # group_concat separator
+    separator: str = ","
 
 
 def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
@@ -89,6 +92,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
     if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
         return FLOAT64.with_nullable(True)
     if func == "quantile":
+        return arg.with_nullable(True)
+    if func == "group_concat":
         return arg.with_nullable(True)
     raise NotImplementedError(f"aggregate {func}")
 
@@ -384,6 +389,36 @@ def _accumulate(
             flags = distinct_flags[a.name]
             cnt = nn_count(col, base & flags)
             out.append((a.name, Column(cnt, None, INT64)))
+            continue
+        if a.func == "group_concat":
+            # Per-group code list as a (num_slots, max_items) GATHER matrix
+            # (never a scatter): valid values sit contiguously at each
+            # group's span start (the sort put NULL args at the tail), so
+            # slot g item j lives at row start_g + j.  Host side joins
+            # dictionary strings with the separator at decode time —
+            # fixed-width on device, varlen only at output
+            # (reference: AggregateFunctionGroupConcat, TiDB
+            # group_concat_max_len truncation ≈ max_items cap).
+            if sorted_layout is None:
+                raise NotImplementedError("group_concat requires the sort method")
+            if a.filter_col is not None:
+                raise NotImplementedError("group_concat with -If filter")
+            if col is None or col.dictionary is None:
+                raise NotImplementedError(
+                    "group_concat argument must be a dictionary string column"
+                )
+            max_items = int(a.param) if a.param else 64
+            valid_cnt = nn_count(col, base)
+            starts = jnp.maximum(prev_e + 1, 0).astype(jnp.int32)
+            n_rows = col.data.shape[0]
+            item = jnp.arange(max_items, dtype=jnp.int32)
+            idx = jnp.clip(starts[:, None] + item[None, :], 0, n_rows - 1)
+            codes = jnp.take(col.data, idx.reshape(-1)).reshape(idx.shape)
+            vmat = item[None, :] < jnp.minimum(valid_cnt, max_items)[:, None].astype(
+                jnp.int32
+            )
+            out.append((a.name, Column(codes, vmat, rdt, col.dictionary,
+                                       concat_sep=a.separator)))
             continue
         if a.func == "quantile":
             flags = distinct_flags[a.name]
@@ -713,9 +748,14 @@ def aggregate_sort(
     live = block.sel_mask()
     key_cols = [block[k] for k in keys]
 
+    gcs = [a for a in aggs if a.func == "group_concat"]
+    if sum(1 for a in gcs if block[a.arg].validity is not None) > 1:
+        raise NotImplementedError(
+            "at most one group_concat with a nullable argument per aggregation"
+        )
     special = [a for a in aggs if a.func in ("count_distinct", "quantile")]
     in_sort_special = (
-        len(special) == 1 and special[0].filter_col is None
+        len(special) == 1 and special[0].filter_col is None and not gcs
     )
 
     operands: List[jnp.ndarray] = [~live]  # False (live) sorts first
@@ -728,9 +768,16 @@ def aggregate_sort(
         sc = block[special[0].arg]
         operands.append(~sc.valid_mask())  # valid arg values first in group
         operands.append(sc.data)
+    for a in gcs:
+        gcol = block[a.arg]
+        if gcol.validity is not None:
+            operands.append(~gcol.validity)  # NULL args sort to group tail
     num_sort_keys = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))  # original row index
-    sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_sort_keys)
+    # group_concat output order is input-row order: the row index becomes a
+    # trailing sort key (full determinism) instead of a mere payload
+    nk = num_sort_keys + 1 if gcs else num_sort_keys
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=nk)
     perm = sorted_ops[-1]
     sorted_keys = sorted_ops[:num_group_keys]
     sorted_special = sorted_ops[num_group_keys:num_sort_keys]
@@ -1056,6 +1103,9 @@ def hash_aggregate(
         b = aggregate_scalar(block, aggs)
         return AggregateResult(b, jnp.int32(1), jnp.int64(0))
     key_cols = [block[k] for k in keys]
+    if any(a.func == "group_concat" for a in aggs):
+        # group_concat needs the sorted contiguous-span layout
+        return aggregate_sort(block, keys, aggs, num_slots or block.capacity)
     packed = pack_keys_direct(key_cols)
     if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
         return aggregate_direct(block, keys, aggs, packed)

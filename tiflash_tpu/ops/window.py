@@ -213,6 +213,67 @@ def window_block(
             data = jnp.take(c.data, idx)
             validity = jnp.take(c.validity, idx) if c.validity is not None else None
             out_cols[f.name] = Column(data, validity, c.dtype, c.dictionary)
+        elif f.func in ("min", "max") and f.frame is not None:
+            # Bounded ROWS frame min/max: sparse table (doubling).  Level j
+            # holds the reduction over [i, i+2^j); a frame [lo, hi] (already
+            # clamped to the partition) is covered by two overlapping
+            # level-j blocks with j = floor(log2(len)).  Build is
+            # log2(frame width) shifted reductions; query is two flat
+            # gathers — no per-row loops, frame length may vary freely at
+            # partition edges.  (Reference: WindowTransformAction frame
+            # advance recomputes per step; a GPU/TPU-style RMQ replaces it.)
+            prec, foll = f.frame
+            c = sblock[f.arg]
+            lo = jnp.maximum(pos - prec, part_start_idx)
+            hi = jnp.minimum(pos + foll, part_end_idx)
+            length = hi - lo + 1
+            ones = jnp.ones(n, dtype=jnp.int64)
+            if c.validity is not None:
+                ones = ones * c.validity.astype(jnp.int64)
+            pc = _segmented_prefix("sum", ones, part_start)
+            at_hi = jnp.take(pc, jnp.clip(hi, 0, n - 1).astype(jnp.int32))
+            lom1 = jnp.clip(lo - 1, 0, n - 1).astype(jnp.int32)
+            at_lo = jnp.where(lo > part_start_idx, jnp.take(pc, lom1), 0)
+            cnt_f = at_hi - at_lo
+            if c.dtype.is_float:
+                ident = jnp.asarray(
+                    jnp.inf if f.func == "min" else -jnp.inf, c.data.dtype
+                )
+            else:
+                info = jnp.iinfo(c.data.dtype)
+                ident = jnp.asarray(
+                    info.max if f.func == "min" else info.min, c.data.dtype
+                )
+            vals = c.data if c.validity is None else jnp.where(
+                c.validity, c.data, ident
+            )
+            reduce2 = jnp.minimum if f.func == "min" else jnp.maximum
+            width = int(prec) + int(foll) + 1
+            levels = max(min(width, n), 1).bit_length()
+            tables = [vals]
+            for j in range(1, levels):
+                d = 1 << (j - 1)
+                prev = tables[-1]
+                pad = jnp.full((min(d, n),), ident, prev.dtype)
+                shifted = jnp.concatenate([prev[d:], pad])[:n]
+                tables.append(reduce2(prev, shifted))
+            T = jnp.stack(tables).reshape(-1)  # (levels*n,) flat
+            safe_len = jnp.maximum(length, 1)
+            j = jnp.floor(
+                jnp.log2(safe_len.astype(jnp.float64))
+            ).astype(jnp.int64)
+            j = jnp.clip(j, 0, levels - 1)
+            pw = jnp.int64(1) << j
+            ga = jnp.take(T, jnp.clip(j * n + lo, 0, levels * n - 1).astype(jnp.int32))
+            gb = jnp.take(
+                T, jnp.clip(j * n + hi - pw + 1, 0, levels * n - 1).astype(jnp.int32)
+            )
+            red = reduce2(ga, gb)
+            ok = (length > 0) & (cnt_f > 0)
+            rdt = c.dtype.with_nullable(True)
+            out_cols[f.name] = Column(
+                jnp.where(ok, red, jnp.zeros_like(red)), ok, rdt, c.dictionary
+            )
         elif f.func in ("sum", "count", "avg") and f.frame is not None:
             prec, foll = f.frame
             c = sblock[f.arg] if f.arg else None

@@ -401,6 +401,12 @@ def o_aggregate(
                 out[on].append(math.sqrt(var) if func.startswith("stddev") else var)
                 continue
             nn = [v for v in vals if v is not None]
+            if func == "group_concat":
+                # a = (func, arg, name, filter, max_items, separator)
+                max_items = int(a[4]) if len(a) > 4 and a[4] else 64
+                sep = a[5] if len(a) > 5 else ","
+                out[on].append(sep.join(nn[:max_items]) if nn else None)
+                continue
             if not nn:
                 out[on].append(None)
                 continue
@@ -684,7 +690,7 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                 col_out += [table[f.arg][part[0]]] * m
             elif f.func == "last_value":
                 col_out += [table[f.arg][ii] for ii in part]  # frame ..current
-            elif f.func in ("sum", "count", "avg") and getattr(f, "frame", None) is not None:
+            elif f.func in ("sum", "count", "avg", "min", "max") and getattr(f, "frame", None) is not None:
                 prec, foll = f.frame
                 for t_, ii in enumerate(part):
                     w0, w1 = max(0, t_ - prec), min(m - 1, t_ + foll)
@@ -694,6 +700,10 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                         col_out.append(len(nn) if f.arg else (w1 - w0 + 1))
                     elif not nn:
                         col_out.append(None)
+                    elif f.func == "min":
+                        col_out.append(min(nn))
+                    elif f.func == "max":
+                        col_out.append(max(nn))
                     elif f.func == "sum":
                         col_out.append(sum(nn))
                     else:  # avg
