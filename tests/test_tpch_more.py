@@ -1,4 +1,4 @@
-"""Extended TPC-H-shaped query parity (Q4/Q5/Q10/Q12/Q14/Q16/Q22 analogs)
+"""Extended TPC-H-shaped query parity (all remaining TPC-H shapes)
 vs the plan oracle, single-chip and auto-distributed."""
 
 import jax
@@ -15,8 +15,12 @@ from tiflash_tpu.testing import oracle as O
 from tiflash_tpu.testing.plan_oracle import execute_plan_oracle
 
 PLANS = {
-    "q4": Q.q4_plan, "q5": Q.q5_plan, "q10": Q.q10_plan, "q12": Q.q12_plan,
-    "q14": Q.q14_plan, "q16": Q.q16_plan, "q22": Q.q22_plan,
+    "q2": Q.q2_plan, "q4": Q.q4_plan, "q5": Q.q5_plan, "q7": Q.q7_plan,
+    "q8": Q.q8_plan, "q9": Q.q9_plan, "q10": Q.q10_plan, "q11": Q.q11_plan,
+    "q12": Q.q12_plan, "q13": lambda: Q.q13_plan(join_capacity=40000),
+    "q14": Q.q14_plan, "q15": Q.q15_plan, "q16": Q.q16_plan,
+    "q17": Q.q17_plan, "q18": Q.q18_plan, "q19": Q.q19_plan,
+    "q20": Q.q20_plan, "q21": Q.q21_plan, "q22": Q.q22_plan,
 }
 
 
@@ -38,11 +42,12 @@ def test_single_chip(env, name):
     assert all(int(np.asarray(v)) == 0 for v in ov.values()), (name, ov)
     got = O.block_to_pytable(out)
     want = execute_plan_oracle(plan, pytables)
-    approx = ["promo_share"] if name == "q14" else ()
+    approx = {"q14": ["promo_share"], "q8": ["mkt_share"],
+              "q7": ["revenue"], "q9": ["sum_profit"]}.get(name, ())
     O.assert_tables_equal(got, want, approx_cols=approx)
 
 
-@pytest.mark.parametrize("name", ["q4", "q12", "q16", "q22"])
+@pytest.mark.parametrize("name", ["q4", "q12", "q16", "q22", "q18", "q21"])
 def test_distributed(env, name):
     blocks, pytables, stats, mesh = env
     plan = PLANS[name]()
