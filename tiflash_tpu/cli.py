@@ -40,6 +40,86 @@ def _mesh(args):
     return Mesh(np.array(jax.devices()), ("d",))
 
 
+def _print_block(out, limit):
+    cols = out.to_pylists()
+    names = list(cols)
+    print("\t".join(names))
+    n = len(cols[names[0]]) if names else 0
+    for i in range(min(n, limit)):
+        print("\t".join(str(cols[c][i]) for c in names))
+    if n > limit:
+        print(f"... ({n} rows total)")
+
+
+def _repl(cat, mesh, limit, inp=None, outp=None):
+    """Interactive loop (the reference's debug-client / DBGInvoke analog).
+
+    Commands:
+      tables                      list catalog tables
+      explain <json-plan>         print the plan tree
+      <json-plan>                 execute and print rows (one line of JSON)
+      \\i FILE                     execute a JSON plan from a file
+      summary                     EXPLAIN ANALYZE of the last query
+      quit / EOF                  exit
+    """
+    import io
+
+    from .plan import serde
+    from .runtime.executor import run_query
+
+    inp = inp or sys.stdin
+    outp = outp or sys.stdout
+    last_summary = None
+
+    def say(*a):
+        print(*a, file=outp)
+
+    say(f"tiflash-tpu repl — {len(cat.tables)} tables; 'tables' to list, "
+        "'quit' to exit")
+    while True:
+        try:
+            print("tpu> ", end="", file=outp, flush=True)
+            line = inp.readline()
+        except KeyboardInterrupt:
+            break
+        if not line:
+            break
+        line = line.strip()
+        if not line:
+            continue
+        if line in ("quit", "exit"):
+            break
+        try:
+            if line == "tables":
+                for name, t in cat.tables.items():
+                    say(f"{name}  rows={t.row_count}")
+                continue
+            if line == "summary":
+                say(last_summary.pretty() if last_summary else "no query yet")
+                continue
+            if line.startswith("\\i "):
+                with open(line[3:].strip()) as f:
+                    line = f.read()
+            explain = False
+            if line.startswith("explain "):
+                explain = True
+                line = line[len("explain "):]
+            plan = serde.plan_from_json(json.loads(line))
+            if explain:
+                say(plan.pretty())
+                continue
+            out, last_summary = run_query(plan, cat.blocks(), mesh=mesh)
+            buf = io.StringIO()
+            import contextlib
+
+            with contextlib.redirect_stdout(buf):
+                _print_block(out, limit)
+            print(buf.getvalue(), end="", file=outp)
+        except Exception as e:  # REPL: report, keep running
+            say(f"error: {type(e).__name__}: {e}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tiflash-tpu")
     ap.add_argument("--tpch-sf", type=float, default=0.01)
@@ -59,6 +139,9 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8123)
 
     sub.add_parser("metrics", help="dump metrics counters")
+
+    r = sub.add_parser("repl", help="interactive JSON-plan REPL")
+    r.add_argument("--limit", type=int, default=20)
 
     args = ap.parse_args(argv)
 
@@ -83,17 +166,13 @@ def main(argv=None):
         with open(args.plan_file) as f:
             plan = serde.plan_from_json(json.load(f))
         out, summary = run_query(plan, cat.blocks(), mesh=_mesh(args))
-        cols = out.to_pylists()
-        names = list(cols)
-        print("\t".join(names))
-        n = len(cols[names[0]]) if names else 0
-        for i in range(min(n, args.limit)):
-            print("\t".join(str(cols[c][i]) for c in names))
-        if n > args.limit:
-            print(f"... ({n} rows total)")
+        _print_block(out, args.limit)
         if args.summary:
             print(summary.pretty(), file=sys.stderr)
         return 0
+
+    if args.cmd == "repl":
+        return _repl(cat, _mesh(args), args.limit)
 
     if args.cmd == "serve":
         from .mpp.service import QueryService, serve_background

@@ -87,12 +87,14 @@ def _sk_from_json(d):
 
 def _agg_to_json(a: AggDesc):
     return {"func": a.func, "arg": a.arg, "name": a.name,
-            "filter_col": a.filter_col, "param": a.param}
+            "filter_col": a.filter_col, "param": a.param,
+            "separator": a.separator}
 
 
 def _agg_from_json(d):
     return AggDesc(d["func"], d["arg"], d["name"],
-                   d.get("filter_col"), d.get("param"))
+                   d.get("filter_col"), d.get("param"),
+                   d.get("separator", ","))
 
 
 def _w_to_json(w: WindowDesc):
