@@ -353,7 +353,7 @@ def collect_result(out: Block) -> Block:
     for c in out.columns:
         data = jax.device_get(c.data)
         validity = jax.device_get(c.validity) if c.validity is not None else None
-        cols.append(Column(jnp.asarray(data), None if validity is None else jnp.asarray(validity), c.dtype, c.dictionary))
+        cols.append(Column(jnp.asarray(data), None if validity is None else jnp.asarray(validity), c.dtype, c.dictionary, c.concat_sep))
     sel = jnp.asarray(jax.device_get(out.sel_mask()))
     return Block(names=names, columns=tuple(cols), sel=sel)
 

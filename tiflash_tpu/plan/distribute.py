@@ -34,7 +34,8 @@ def split_aggregation(
     ``auto_passthrough`` makes the partial stage adaptive: it skips the
     pre-aggregation at runtime when a sample says the keys are
     high-cardinality (auto pass-through hashagg analog)."""
-    _COLOCATE = {"count_distinct", "var_pop", "var_samp", "stddev_pop", "stddev_samp", "quantile"}
+    _COLOCATE = {"count_distinct", "var_pop", "var_samp", "stddev_pop",
+                 "stddev_samp", "quantile", "group_concat"}
     if any(a.func in _COLOCATE for a in aggs):
         # distinct states don't merge: co-locate whole groups by shuffling
         # raw rows on the keys, then run the full aggregation locally
