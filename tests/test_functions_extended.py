@@ -203,3 +203,39 @@ def test_variance_aggregates():
     got = O.block_to_pytable(res.block)
     want = O.o_aggregate(table, ["k"], [(a.func, a.arg, a.name) for a in aggs])
     O.assert_tables_equal(got, want, approx_cols=["vp", "vs", "sp", "ss"])
+
+
+@pytest.mark.parametrize("expr,approx", [
+    (call("asin", col("f") / lit(1000.0)), True),
+    (call("acos", col("f") / lit(1000.0)), True),
+    (call("atan", col("f")), True),
+    (call("atan2", col("f"), col("i") + lit(100)), True),
+    (call("cot", col("f") + lit(55.5)), True),
+    (call("sinh", col("f") / lit(100.0)), True),
+    (call("cosh", col("f") / lit(100.0)), True),
+    (call("tanh", col("f")), True),
+])
+def test_more_math(expr, approx, data):
+    check(expr, data, approx=approx)
+
+
+@pytest.mark.parametrize("expr", [
+    call("bit_length", col("s")),
+    call("crc32", col("s")),
+    call("md5", col("s")),
+    call("sha1", col("s")),
+    call("hex", col("s")),
+    call("instr", col("s"), lit("a")),
+    call("locate", lit("a"), col("s")),
+    call("position", lit("e"), col("s")),
+    call("strcmp", col("s"), lit("beta")),
+    call("find_in_set", col("s"), lit("beta,Alpha,x")),
+    call("field", col("s"), lit("beta"), lit("DELTA x"), lit("")),
+    call("substring_index", col("s"), lit("a"), lit(1)),
+    call("substring_index", col("s"), lit("a"), lit(-1)),
+    call("insert_str", col("s"), lit(2), lit(1), lit("ZZ")),
+    call("month_name", col("t")),
+    call("day_name", col("t")),
+])
+def test_more_string_date_functions(expr, data):
+    check(expr, data)

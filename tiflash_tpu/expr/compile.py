@@ -171,6 +171,10 @@ class ExprEvaluator:
             st = self._maybe_string_transform(call)
             if st is not None:
                 return st
+        if name in _STRING_INT_TRANSFORMS:
+            st = self._maybe_string_int_transform(call)
+            if st is not None:
+                return st
         # string predicate against literal(s): rewrite to code space
         if name in (_ORDER_CMPS | _EQ_CMPS | {"in"}):
             rewritten = self._maybe_string_predicate(call)
@@ -269,6 +273,23 @@ class ExprEvaluator:
         params = [a.value for a in rest]
         return _map_string_to_string(target, lambda s: fn(s, *params))
 
+    def _maybe_string_int_transform(self, call: Call) -> Optional[Column]:
+        """str-column + literal params -> int via dictionary LUT
+        (instr/locate/strcmp/find_in_set/field)."""
+        col_idx, fn = _STRING_INT_TRANSFORMS[call.func]
+        if col_idx >= len(call.args):
+            return None
+        lits = [a for i, a in enumerate(call.args) if i != col_idx]
+        if not all(isinstance(a, Literal) for a in lits):
+            return None
+        target = self.evaluate(call.args[col_idx])
+        if not target.dtype.is_string:
+            return None
+        from .functions import _map_string_to_int
+
+        params = [a.value for a in lits]
+        return _map_string_to_int(target, lambda s: fn(s, *params))
+
     def _like(self, call: Call) -> Column:
         """LIKE pattern matching via host-side dictionary LUT."""
         target = self.evaluate(call.args[0])
@@ -316,6 +337,27 @@ _STRING_TRANSFORMS = {
     if len(s) < int(n) else s[: int(n)],
     "replace": lambda s, old, new: s.replace(str(old), str(new)),
     "repeat": lambda s, n: s * max(int(n), 0),
+    "insert_str": lambda s, pos, ln, new: (
+        s if int(pos) < 1 or int(pos) > len(s)
+        else s[: int(pos) - 1] + str(new) + s[int(pos) - 1 + max(int(ln), 0):]
+    ),
+    "substring_index": lambda s, delim, n: (
+        str(delim).join(s.split(str(delim))[: int(n)]) if int(n) > 0
+        else (str(delim).join(s.split(str(delim))[int(n):]) if int(n) < 0 else "")
+    ),
+}
+
+_STRING_INT_TRANSFORMS = {
+    # name: (column-arg index, fn(dict_entry, *literal_args) -> int);
+    # MySQL 1-based positions, 0 = not found
+    "instr": (0, lambda s, needle: s.find(str(needle)) + 1),
+    "locate": (1, lambda s, needle: s.find(str(needle)) + 1),
+    "position": (1, lambda s, needle: s.find(str(needle)) + 1),
+    "strcmp": (0, lambda s, other: (s > str(other)) - (s < str(other))),
+    "find_in_set": (0, lambda s, lst: (
+        str(lst).split(",").index(s) + 1 if s in str(lst).split(",") else 0)),
+    "field": (0, lambda s, *vals: (
+        [str(v) for v in vals].index(s) + 1 if s in [str(v) for v in vals] else 0)),
 }
 
 

@@ -593,6 +593,27 @@ _register_float_unary("cos", jnp.cos)
 _register_float_unary("tan", jnp.tan)
 _register_float_unary("radians", jnp.radians)
 _register_float_unary("degrees", jnp.degrees)
+_register_float_unary("asin", jnp.arcsin)
+_register_float_unary("acos", jnp.arccos)
+_register_float_unary("atan", jnp.arctan)
+_register_float_unary("cot", lambda x: 1.0 / jnp.tan(x))
+_register_float_unary("sinh", jnp.sinh)
+_register_float_unary("cosh", jnp.cosh)
+_register_float_unary("tanh", jnp.tanh)
+
+
+@register("atan2")
+def _atan2():
+    def infer(ts):
+        return DataType(TypeKind.FLOAT64, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        a, b = cols
+        da = cast_column(a, FLOAT64.with_nullable(False)).data
+        db = cast_column(b, FLOAT64.with_nullable(False)).data
+        return Column(jnp.arctan2(da, db), _and_validity(cols), out)
+
+    return infer, evaluate
 
 
 @register("pow")
@@ -1012,6 +1033,48 @@ _register_string_unary("trim", str.strip)
 _register_string_unary("length", len, to_int=True)
 _register_string_unary("char_length", len, to_int=True)
 _register_string_unary("ascii", lambda s: ord(s[0]) if s else 0, to_int=True)
+_register_string_unary("bit_length", lambda s: 8 * len(s.encode()), to_int=True)
+_register_string_unary("crc32", lambda s: __import__("zlib").crc32(s.encode()),
+                       to_int=True)
+_register_string_unary("md5", lambda s: __import__("hashlib").md5(s.encode()).hexdigest())
+_register_string_unary("sha1", lambda s: __import__("hashlib").sha1(s.encode()).hexdigest())
+_register_string_unary("hex", lambda s: s.encode().hex().upper())
+
+
+def _register_part_name(name: str, part_fn_name: str, names_list):
+    """month_name/dayname: temporal part -> constant string dictionary."""
+    sorted_dict = tuple(sorted(names_list))
+    rank = _np.array([sorted_dict.index(n) for n in names_list], dtype=_np.int32)
+
+    def factory():
+        def infer(ts):
+            return STRING.with_nullable(ts[0].nullable)
+
+        def evaluate(cols, out):
+            part = get_function(part_fn_name).evaluate(
+                cols, DataType(TypeKind.INT64, cols[0].dtype.nullable)
+            )
+            idx = jnp.clip(part.data - 1, 0, len(names_list) - 1).astype(jnp.int32)
+            return Column(jnp.asarray(rank)[idx], part.validity, out, sorted_dict)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_part_name("month_name", "month", [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December"])
+_register_part_name("monthname", "month", [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December"])
+# MySQL dayofweek: 1 = Sunday .. 7 = Saturday
+_register_part_name("day_name", "dayofweek", [
+    "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday"])
+_register_part_name("dayname", "dayofweek", [
+    "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday"])
 
 
 @register("in")

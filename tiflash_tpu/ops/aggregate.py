@@ -878,6 +878,153 @@ def aggregate_sort(
     return AggregateResult(out, num_groups, overflow)
 
 
+def _stream_accumulate_batched(
+    aggs: Sequence[AggDesc],
+    block: Block,
+    keys: Sequence[str],
+    key_cols: Sequence[Column],
+    live: jnp.ndarray,
+    first_of_group: jnp.ndarray,
+    ends_ok: jnp.ndarray,
+    e_idx: jnp.ndarray,
+) -> Tuple[List[Tuple[str, Column]], jnp.ndarray]:
+    """Stream-agg fast path: ONE packed row gather per dtype class.
+
+    Every per-group quantity is a read of some n-length running array at
+    the group's END row: cumulative sums difference against the previous
+    group's end (spans are dense, so that is just a shift), resetting
+    scans (float sums, min/max) read directly, and key values are
+    constant within a group so the end row serves as well as the start.
+    TPU gathers cost ~20ns/element regardless of locality (measured), so
+    k separate 2M-row gathers are ~k× slower than one (2M, k) packed row
+    gather — this batching alone took the 6M-row Q3 stream-agg stage
+    from ~206ms to the cost of one gather + passes.
+    """
+    n = block.capacity
+    reads: List[list] = []  # [source_array, kind('cum'|'direct'), result]
+
+    def req(arr: jnp.ndarray, kind: str) -> int:
+        reads.append([arr, kind, None])
+        return len(reads) - 1
+
+    live64 = live.astype(jnp.int64)
+    h_live = req(jnp.cumsum(live64), "cum")
+
+    # keys (+validities) read directly at the end row
+    h_keys = []
+    for c in key_cols:
+        hv = req(c.validity, "direct") if c.validity is not None else None
+        h_keys.append((req(c.data, "direct"), hv))
+
+    def agg_live(a: AggDesc) -> jnp.ndarray:
+        if a.filter_col is None:
+            return live
+        f = block[a.filter_col]
+        m = f.data.astype(jnp.bool_)
+        if f.validity is not None:
+            m = m & f.validity
+        return live & m
+
+    # request phase
+    plans = []
+    for a in aggs:
+        col = block[a.arg] if a.arg is not None else None
+        base = agg_live(a)
+        valid_row = base if col is None or col.validity is None else (
+            base & col.validity
+        )
+        plain = a.filter_col is None and (col is None or col.validity is None)
+        h_cnt = h_live if plain else req(
+            jnp.cumsum(valid_row.astype(jnp.int64)), "cum"
+        )
+        if a.func == "count":
+            plans.append((a, col, {"cnt": h_cnt}))
+        elif a.func in ("sum", "avg"):
+            acc_dt = FLOAT64 if col.dtype.is_float else INT64
+            vals = col.data.astype(acc_dt.jnp_dtype)
+            vals = jnp.where(valid_row, vals, _identity_for("sum", acc_dt))
+            if acc_dt.is_float:
+                from .window import _segmented_prefix
+
+                h_sum = req(_segmented_prefix("sum", vals, first_of_group),
+                            "direct")
+            else:
+                h_sum = req(jnp.cumsum(vals), "cum")
+            plans.append((a, col, {"sum": h_sum, "cnt": h_cnt}))
+        else:  # min / max
+            ident = _identity_for(a.func, col.dtype)
+            vals = jnp.where(valid_row, col.data, ident)
+            from .window import _segmented_prefix
+
+            h_red = req(_segmented_prefix(a.func, vals, first_of_group),
+                        "direct")
+            plans.append((a, col, {"red": h_red, "cnt": h_cnt}))
+
+    # execute phase: one packed gather per dtype class
+    from collections import defaultdict
+
+    classes = defaultdict(list)
+    for i, (arr, _, _) in enumerate(reads):
+        cls = "f64" if jnp.issubdtype(arr.dtype, jnp.floating) else "i64"
+        classes[cls].append(i)
+    for cls, idxs in classes.items():
+        tgt = jnp.float64 if cls == "f64" else jnp.int64
+        if len(idxs) == 1:
+            i = idxs[0]
+            reads[i][2] = jnp.take(reads[i][0].astype(tgt), e_idx)
+        else:
+            stacked = jnp.stack([reads[i][0].astype(tgt) for i in idxs], axis=1)
+            got = jnp.take(stacked, e_idx, axis=0)
+            for j, i in enumerate(idxs):
+                reads[i][2] = got[:, j]
+
+    def resolve(h: int) -> jnp.ndarray:
+        arr = reads[h][2]
+        if reads[h][1] == "cum":
+            prev = jnp.concatenate([jnp.zeros(1, arr.dtype), arr[:-1]])
+            return jnp.where(ends_ok, arr - prev, jnp.zeros((), arr.dtype))
+        return arr
+
+    live_counts = resolve(h_live)
+    occupied = ends_ok & (live_counts > 0)
+
+    out: List[Tuple[str, Column]] = []
+    for (name, c), (hd, hv) in zip(zip(keys, key_cols), h_keys):
+        data = resolve(hd).astype(c.data.dtype)
+        validity = resolve(hv).astype(jnp.bool_) if hv is not None else None
+        out.append((name, Column(data, validity, c.dtype, c.dictionary)))
+
+    # finish phase (same result-type rules as _accumulate)
+    for a, col, h in plans:
+        rdt = agg_result_dtype(a.func, col.dtype if col else None)
+        if a.func == "count":
+            out.append((a.name, Column(resolve(h["cnt"]), None, INT64)))
+            continue
+        cnt = resolve(h["cnt"])
+        if a.func == "sum":
+            sums = resolve(h["sum"])
+            scale_shift = rdt.scale - (col.dtype.scale if col.dtype.is_decimal else 0)
+            if rdt.is_decimal and scale_shift:
+                sums = sums * (10 ** scale_shift)
+            out.append((a.name, Column(sums.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+        elif a.func == "avg":
+            sums = resolve(h["sum"])
+            from ..expr.functions import _div_round_half_up
+
+            if rdt.is_decimal:
+                src_scale = col.dtype.scale if col.dtype.is_decimal else 0
+                num = sums * (10 ** (rdt.scale - src_scale))
+                data = _div_round_half_up(num, jnp.maximum(cnt, 1))
+            else:
+                data = sums / jnp.maximum(cnt, 1).astype(jnp.float64)
+            out.append((a.name, Column(data.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+        else:  # min / max
+            red = resolve(h["red"])
+            out.append((a.name, Column(red.astype(rdt.jnp_dtype), cnt > 0,
+                                       rdt, col.dictionary)))
+    return out, occupied
+
+
 def aggregate_stream(
     block: Block, keys: Sequence[str], aggs: Sequence[AggDesc], num_slots: int
 ) -> AggregateResult:
@@ -912,13 +1059,32 @@ def aggregate_stream(
     gids = jnp.minimum(gid_all, num_slots)
 
     # group layout: spans are contiguous over ALL rows, so slot g's start
-    # is slot g-1's end + 1 (one sorted scatter for the dense ends)
-    pos32 = jnp.arange(n, dtype=jnp.int32)
+    # is slot g-1's end + 1.  Dense ends come from a sort-method
+    # searchsorted on the monotone gid sequence — TPU scatter, even
+    # sorted/unique, costs ~2-3x a sort (measured, CLAUDE.md)
     first_of_group = neq.at[0].set(True)
-    last_of_group = jnp.concatenate([neq[1:], jnp.ones(1, jnp.bool_)])
-    ends_dense = jnp.full(num_slots + 1, -1, jnp.int32).at[
-        jnp.where(last_of_group, gids, num_slots)
-    ].set(pos32, mode="drop")[:num_slots]
+    slot_ids = jnp.arange(num_slots, dtype=gid_all.dtype)
+    ends_dense = jnp.where(
+        slot_ids < total_groups,
+        jnp.searchsorted(gid_all, slot_ids, side="right",
+                         method="sort").astype(jnp.int32) - 1,
+        jnp.int32(-1),
+    )
+
+    ends_ok = ends_dense >= 0
+    e_idx = jnp.maximum(ends_dense, 0)
+
+    fast = all(a.func in ("sum", "count", "avg", "min", "max") for a in aggs)
+    if fast:
+        acc, occupied = _stream_accumulate_batched(
+            aggs, block, keys, key_cols, live, first_of_group,
+            ends_ok, e_idx,
+        )
+        num_groups = jnp.sum(occupied, dtype=jnp.int32)
+        names = tuple(n_ for n_, _ in acc)
+        cols = tuple(c for _, c in acc)
+        out = Block(names=names, columns=cols, sel=occupied)
+        return AggregateResult(out, num_groups, overflow)
 
     dflags = _compute_distinct_flags(block, keys, aggs, live)
 
@@ -930,8 +1096,6 @@ def aggregate_stream(
     # occupied slots = groups with >= 1 live row (cumsum-at-ends, no scatter)
     prev_ends = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends_dense[:-1]])
     starts_dense = jnp.maximum(prev_ends + 1, 0)
-    ends_ok = ends_dense >= 0
-    e_idx = jnp.maximum(ends_dense, 0)
     ps_live = jnp.cumsum(live.astype(jnp.int64))
     at_end = jnp.take(ps_live, e_idx)
     at_prev = jnp.where(starts_dense > 0,

@@ -314,6 +314,61 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return a[:n]
         pad = (p * n)[: n - len(a)]
         return pad + a if f == "lpad" else a + pad
+    if f in ("asin", "acos", "atan"):
+        return getattr(math, f)(float(a))
+    if f == "atan2":
+        return math.atan2(float(a), float(b))
+    if f == "cot":
+        return 1.0 / math.tan(float(a))
+    if f in ("sinh", "cosh", "tanh"):
+        return getattr(math, f)(float(a))
+    if f == "bit_length":
+        return 8 * len(a.encode())
+    if f == "crc32":
+        import zlib
+
+        return zlib.crc32(a.encode())
+    if f == "md5":
+        import hashlib
+
+        return hashlib.md5(a.encode()).hexdigest()
+    if f == "sha1":
+        import hashlib
+
+        return hashlib.sha1(a.encode()).hexdigest()
+    if f == "hex":
+        return a.encode().hex().upper()
+    if f == "month_name":
+        return ["January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December"][a.month - 1]
+    if f == "day_name":
+        return ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+                "Friday", "Saturday"][a.isoweekday() % 7]
+    if f == "instr":
+        return a.find(str(b)) + 1
+    if f in ("locate", "position"):
+        return b.find(str(a)) + 1
+    if f == "strcmp":
+        return (a > str(b)) - (a < str(b))
+    if f == "find_in_set":
+        items = str(b).split(",")
+        return items.index(a) + 1 if a in items else 0
+    if f == "field":
+        rest = [str(v) for v in vals[1:]]
+        return rest.index(a) + 1 if a in rest else 0
+    if f == "substring_index":
+        delim, n = str(vals[1]), int(vals[2])
+        if n > 0:
+            return delim.join(a.split(delim)[:n])
+        if n < 0:
+            return delim.join(a.split(delim)[n:])
+        return ""
+    if f == "insert_str":
+        pos, ln, new = int(vals[1]), int(vals[2]), str(vals[3])
+        if pos < 1 or pos > len(a):
+            return a
+        return a[: pos - 1] + new + a[pos - 1 + max(ln, 0):]
     raise NotImplementedError(f"oracle function {f}")
 
 
