@@ -56,3 +56,20 @@ def test_distributed(env, name):
     got = O.block_to_pytable(out)
     want = execute_plan_oracle(plan, pytables)
     O.assert_tables_equal(got, want)
+
+
+@pytest.mark.parametrize("name", list(PLANS))
+def test_single_chip_pruned(env, name):
+    """Column pruning must not change any query's result."""
+    from tiflash_tpu.plan.rewrite import prune_columns
+
+    blocks, pytables, _, _ = env
+    plan = PLANS[name]()
+    pruned = prune_columns(plan)
+    out, ov = compile_fragment(pruned)(blocks)
+    assert all(int(np.asarray(v)) == 0 for v in ov.values()), (name, ov)
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, pytables)
+    approx = {"q14": ["promo_share"], "q8": ["mkt_share"],
+              "q7": ["revenue"], "q9": ["sum_profit"]}.get(name, ())
+    O.assert_tables_equal(got, want, approx_cols=approx)

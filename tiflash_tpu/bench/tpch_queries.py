@@ -112,9 +112,9 @@ def q3_plan(agg_slots: int | None = None, rewrite: bool = True) -> P.PlanNode:
         agg,
     )
     if rewrite:
-        from ..plan.rewrite import eager_aggregation
+        from ..plan.rewrite import eager_aggregation, prune_columns
 
-        top = eager_aggregation(top)
+        top = prune_columns(eager_aggregation(top))
     return top
 
 

@@ -71,11 +71,12 @@ def distribute_plan(
     """Rewrite a logical (exchange-free) plan into a distributed plan."""
     cfg = cfg or AutoPlanConfig()
 
-    # algebraic rewrites first: a pushed-down aggregation shrinks what the
-    # exchanges move (TiDB performs the same pushdown before fragmenting)
-    from .rewrite import eager_aggregation
+    # algebraic rewrites first: a pushed-down aggregation and pruned
+    # columns shrink what the exchanges move (TiDB performs the same
+    # pushdown + column pruning before fragmenting)
+    from .rewrite import eager_aggregation, prune_columns
 
-    plan = eager_aggregation(plan)
+    plan = prune_columns(eager_aggregation(plan))
 
     def walk(node: P.PlanNode) -> P.PlanNode:
         if isinstance(node, P.TableScan):

@@ -176,4 +176,100 @@ def _try_push_agg(agg: P.Aggregation) -> Optional[P.PlanNode]:
     return P.Projection(final_exprs, new_join)
 
 
-__all__ = ["eager_aggregation", "output_columns"]
+def _refs(e: Expr) -> Set[str]:
+    out: Set[str] = set()
+    _expr_refs(e, out)
+    return out
+
+
+def prune_columns(plan: P.PlanNode, required: Optional[Set[str]] = None) -> P.PlanNode:
+    """Top-down column pruning (the reference's DAGExpressionAnalyzer
+    column-prune/finalize pass, ``Flash/Coprocessor/``).
+
+    ``required=None`` means "everything" (the root keeps its full output).
+    TableScans drop unread columns; Projections drop unused expressions;
+    join children get narrowed to (side requirement ∪ join keys), with a
+    bare-column Projection inserted when a lazy Selection would otherwise
+    leak its filter columns into the join payload — every pruned column is
+    one fewer 20ns/element payload gather on the probe/build row sets.
+    Conservative (no pruning) under Window/Expand/CTE/exchange nodes.
+    """
+    node = plan
+    if isinstance(node, P.TableScan):
+        if required is not None and node.columns is not None:
+            cols = [c for c in node.columns if c in required]
+            return P.TableScan(node.table, cols)
+        return node
+    if isinstance(node, P.Selection):
+        creq = None if required is None else (required | _refs(node.cond))
+        return P.Selection(node.cond, prune_columns(node.child, creq))
+    if isinstance(node, P.Projection):
+        exprs = node.exprs if required is None else {
+            n: e for n, e in node.exprs.items() if n in required
+        }
+        if not exprs:  # degenerate: keep one column to preserve row count
+            first = next(iter(node.exprs))
+            exprs = {first: node.exprs[first]}
+        creq: Optional[Set[str]] = set()
+        for e in exprs.values():
+            creq |= _refs(e)
+        return P.Projection(exprs, prune_columns(node.child, creq))
+    if isinstance(node, P.Aggregation):
+        aggs = list(node.aggs) if required is None else [
+            a for a in node.aggs if a.name in required
+        ]
+        creq = set(node.keys)
+        for a in aggs:
+            for dep in (a.arg, a.filter_col):
+                if dep:
+                    creq.add(dep)
+        return P.Aggregation(keys=list(node.keys), aggs=aggs,
+                             child=prune_columns(node.child, creq),
+                             num_slots=node.num_slots, mode=node.mode)
+    if isinstance(node, (P.TopN, P.Sort)):
+        creq = None if required is None else (
+            required | {sk.name for sk in node.sort_keys}
+        )
+        child = prune_columns(node.children[0], creq)
+        if isinstance(node, P.TopN):
+            return P.TopN(list(node.sort_keys), node.limit, child)
+        return P.Sort(list(node.sort_keys), child)
+    if isinstance(node, P.Limit):
+        return P.Limit(prune_columns(node.child, required), node.limit)
+    if isinstance(node, P.Join) and node.rf_id is None:
+        probe_out = output_columns(node.probe)
+        build_out = output_columns(node.build)
+
+        def narrow(child, side_out, keys):
+            if required is None or side_out is None:
+                return prune_columns(child, None)
+            need = (required & side_out) | set(keys)
+            pruned = prune_columns(child, need)
+            got = output_columns(pruned)
+            if got is not None and got - need:
+                # e.g. a lazy Selection leaks its filter columns: cut them
+                order = [c for c in sorted(got) if c in need]
+                pruned = P.Projection({c: col(c) for c in order}, pruned)
+            return pruned
+
+        return P.Join(
+            kind=node.kind,
+            probe_keys=list(node.probe_keys),
+            build_keys=list(node.build_keys),
+            probe=narrow(node.probe, probe_out, node.probe_keys),
+            build=narrow(node.build, build_out, node.build_keys),
+            unique_build=node.unique_build,
+            output_capacity=node.output_capacity,
+        )
+    # conservative default: recurse with "everything required"
+    for i, c in enumerate(node.children):
+        new_c = prune_columns(c, None)
+        if new_c is not c:
+            for f in ("child", "probe", "build"):
+                if getattr(node, f, None) is c:
+                    setattr(node, f, new_c)
+            node.children = tuple(new_c if x is c else x for x in node.children)
+    return node
+
+
+__all__ = ["eager_aggregation", "prune_columns", "output_columns"]
