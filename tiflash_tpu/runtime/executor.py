@@ -90,9 +90,18 @@ class QueryRunner:
         mesh=None,
         settings: Optional[Settings] = None,
     ):
+        self.settings = settings or Settings()
+        if self.settings.enable_plan_rewrites:
+            # the optimizer pass TiDB runs before shipping fragments:
+            # aggregation pushdown + column pruning (plan/rewrite.py);
+            # distribute_plan applies the same pass itself
+            from ..plan.rewrite import eager_aggregation, prune_columns
+
+            has_exchange = "Exchange" in plan.pretty()
+            if not has_exchange:
+                plan = prune_columns(eager_aggregation(plan))
         self.plan = plan
         self.mesh = mesh
-        self.settings = settings or Settings()
         self.cfg = ExchangeConfig(shuffle_factor=self.settings.default_shuffle_factor)
         self._compiled = None
         self._compile_s = 0.0

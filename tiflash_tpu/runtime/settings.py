@@ -23,6 +23,8 @@ class Settings:
     # --- execution ---
     mesh_axis: str = "d"
     topn_fast_path: bool = True
+    # logical-plan optimizer (eager agg pushdown + column pruning)
+    enable_plan_rewrites: bool = True
     # --- memory (the MemoryTracker quota analog; enforced host-side) ---
     max_bytes_per_device: Optional[int] = None
     # --- observability ---
