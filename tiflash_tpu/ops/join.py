@@ -166,16 +166,32 @@ def _keys_equal(
 @dataclasses.dataclass
 class JoinBuild:
     """Sorted build side (the 'hash table').  Reference:
-    ``Join::insertFromBlock`` (Join.cpp:532) / JoinV2 ``buildRowFromBlock``."""
+    ``Join::insertFromBlock`` (Join.cpp:532) / JoinV2 ``buildRowFromBlock``.
+
+    Only the KEYS are physically sorted; payload columns stay in original
+    order and probes compose their sorted-position hits through ``perm``
+    (one cheap int gather) before the single packed payload gather.  The
+    old eager ``build_block.take(perm)`` materialized every payload column
+    twice — once at build, once at probe — and TPU gathers cost
+    ~20ns/element regardless of locality."""
 
     sorted_keys: jnp.ndarray       # int64 (n,), dead rows at +inf end
-    sorted_block: Block            # build payload rows in key order
+    block: Block                   # build payload, ORIGINAL row order
+    perm: jnp.ndarray              # sorted position -> original row (int32)
+    sorted_sel: jnp.ndarray        # selected flags in key order (bool)
     num_live: jnp.ndarray          # traced scalar
     unique: jnp.ndarray            # traced bool: no duplicate live keys
 
     @property
     def capacity(self) -> int:
         return int(self.sorted_keys.shape[0])
+
+    def take_sorted(self, sidx: jnp.ndarray, fill_invalid: bool = False) -> Block:
+        """Payload rows at SORTED positions ``sidx`` (compose via perm)."""
+        comp = jnp.take(self.perm, jnp.maximum(sidx, 0))
+        if fill_invalid:
+            comp = jnp.where(sidx >= 0, comp, jnp.int32(-1))
+        return self.block.take(comp, fill_invalid=fill_invalid)
 
 
 _KEY_INF = jnp.int64(2**63 - 1)
@@ -195,11 +211,11 @@ def build_join(
         num_keys=2,
     )
     skeys, _, perm = order
-    sblock = build_block.take(perm).with_sel(jnp.take(selected, perm))
+    sorted_sel = jnp.take(selected, perm)
     num_live = jnp.sum(matchable, dtype=jnp.int32)
     dup = (skeys[1:] == skeys[:-1]) & (skeys[1:] != _KEY_INF)
     unique = ~jnp.any(dup)
-    return JoinBuild(skeys, sblock, num_live, unique)
+    return JoinBuild(skeys, build_block, perm, sorted_sel, num_live, unique)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +280,7 @@ def probe_join_unique(
         if kind == "left_outer_semi":
             col = Column(matched, None, BOOL)
         else:
-            selected_b = build.sorted_block.sel_mask()
+            selected_b = build.sorted_sel
             build_has_null = jnp.any(selected_b & (build.sorted_keys == _KEY_INF))
             build_empty = ~jnp.any(selected_b)
             unknown = (~matched) & (probe_null | build_has_null) & ~build_empty
@@ -272,7 +288,7 @@ def probe_join_unique(
         out = probe_block.with_column("__semi_matched", col)
         return out, _matched_flags(build, bidx)
 
-    build_rows = build.sorted_block.take(bidx, fill_invalid=True)
+    build_rows = build.take_sorted(bidx, fill_invalid=True)
     joined = _merge_blocks(probe_block, build_rows)
     if kind == "inner":
         joined = joined.with_sel(matched)
@@ -295,7 +311,7 @@ def _null_aware_anti_sel(
       - unmatched but build has a NULL key -> drop (comparison with NULL)
       - else                      -> keep
     """
-    selected = build.sorted_block.sel_mask()
+    selected = build.sorted_sel
     matchable = build.sorted_keys != _KEY_INF
     build_empty = ~jnp.any(selected)
     build_has_null = jnp.any(selected & ~matchable)
@@ -375,7 +391,7 @@ def probe_join_general(
             if kind == "left_outer_semi":
                 col = Column(matched, None, BOOL)
             else:
-                selected_b = build.sorted_block.sel_mask()
+                selected_b = build.sorted_sel
                 build_has_null = jnp.any(
                     selected_b & (build.sorted_keys == _KEY_INF)
                 )
@@ -410,9 +426,8 @@ def probe_join_general(
     if verify is not None:
         probe_names, build_names = verify
         pvc = [probe_block[nm].take(prow_safe) for nm in probe_names]
-        bvc = [
-            build.sorted_block[nm].take(jnp.maximum(brow, 0)) for nm in build_names
-        ]
+        bcomp = jnp.take(build.perm, jnp.maximum(brow, 0))
+        bvc = [build.block[nm].take(bcomp) for nm in build_names]
         verified = _keys_equal(pvc, bvc) & has_match & live_out
         if kind in ("semi", "anti"):
             n_probe = probe_block.capacity
@@ -431,7 +446,7 @@ def probe_join_general(
             )
 
     probe_rows = probe_block.take(prow_safe)
-    build_rows = build.sorted_block.take(brow, fill_invalid=True)
+    build_rows = build.take_sorted(brow, fill_invalid=True)
     joined = _merge_blocks(probe_rows, build_rows).with_sel(live_out)
     bflags = _matched_flags(build, jnp.where(live_out, brow, -1))
     needed = jnp.where(total > output_capacity, total, 0).astype(jnp.int64)
@@ -440,7 +455,7 @@ def probe_join_general(
 
 def scan_non_matched(build: JoinBuild, matched_flags: jnp.ndarray, probe_names: Sequence[str], probe_block: Block) -> Block:
     """Right-outer tail: build rows never hit, with NULL probe columns."""
-    live = build.sorted_block.sel_mask() & ~matched_flags
+    live = build.sorted_sel & ~matched_flags
     cols: Dict[str, Column] = {}
     n = build.capacity
     for name in probe_names:
@@ -451,7 +466,9 @@ def scan_non_matched(build: JoinBuild, matched_flags: jnp.ndarray, probe_names: 
             c.dtype.with_nullable(True),
             c.dictionary,
         )
-    for name, c in zip(build.sorted_block.names, build.sorted_block.columns):
+    # right/full-outer only: materialize the payload in key order here
+    sorted_payload = build.block.take(build.perm)
+    for name, c in zip(sorted_payload.names, sorted_payload.columns):
         out_name = name if name not in cols else name + "_r"
         cols[out_name] = c
     return Block.from_dict(cols, sel=live)
