@@ -89,3 +89,45 @@ def test_sort_after_filter_mask():
     ftable = {k: [x for x, m in zip(vs, mask) if m] for k, vs in table.items()}
     want = O.o_sort(ftable, [("v", False)])
     O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_top_n_tiled_large_input():
+    """Large-n tiled top-N path (per-tile sort + candidate merge) parity."""
+    import jax.numpy as jnp
+
+    from tiflash_tpu.ops.sort import SortKey, top_n
+
+    rng = np.random.default_rng(33)
+    schema = {"a": dt.INT64.with_nullable(True), "b": dt.FLOAT64,
+              "v": dt.INT64}
+    n = 100_000
+    table = O.random_pytable(rng, n, schema, int_range=(0, 500))
+    block = O.pytable_to_block(table, schema)
+    mask = np.asarray(rng.random(n) < 0.8)
+    block = block.and_sel(jnp.asarray(mask))
+    ftable = {k: [x for x, m in zip(v, mask) if m] for k, v in table.items()}
+    got_b = top_n(block, [SortKey("a", desc=True, nulls_first=False),
+                          SortKey("b")], 150)
+    got = O.block_to_pytable(got_b)
+    want = O.o_sort(ftable, [("a", True), ("b", False)], limit=150)
+    O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_top_n_tiled_more_limit_than_live():
+    """Tiled path when the limit exceeds the live row count."""
+    import jax.numpy as jnp
+
+    from tiflash_tpu.ops.sort import SortKey, top_n
+
+    rng = np.random.default_rng(34)
+    schema = {"a": dt.INT64, "v": dt.INT64}
+    n = 20_000
+    table = O.random_pytable(rng, n, schema, null_prob=0)
+    block = O.pytable_to_block(table, schema)
+    mask = np.asarray(rng.random(n) < 0.002)  # ~40 live rows
+    block = block.and_sel(jnp.asarray(mask))
+    got_b = top_n(block, [SortKey("a")], 500)
+    ftable = {k: [x for x, m in zip(v, mask) if m] for k, v in table.items()}
+    got = O.block_to_pytable(got_b)
+    want = O.o_sort(ftable, [("a", False)], limit=500)
+    O.assert_tables_equal(got, want, ordered=True)

@@ -94,6 +94,51 @@ def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
     limit = min(limit, n)
     live = block.sel_mask()
 
+    # tiled selection for large inputs: any global top-k row is inside its
+    # tile's top-k, so sort (T, W) tiles along the short axis — a
+    # log²(W) bitonic network instead of log²(n) — keep k candidates per
+    # tile, then fully sort the T*k survivors.  Stability: candidates stay
+    # in tile order and both sorts are stable, so ties keep original
+    # row order exactly like the flat path.
+    TILE = 2048
+    if n >= 4 * TILE and limit <= TILE:
+        live = block.sel_mask()
+        operands: List[jnp.ndarray] = [~live]
+        for sk in sort_keys:
+            operands.extend(
+                _sort_operand(block[sk.name], sk.desc, sk.nulls_first)
+            )
+        nk = len(operands)
+        operands.append(jnp.arange(n, dtype=jnp.int32))
+        T = -(-n // TILE)
+        pad = T * TILE - n
+
+        def worst_of(arr):
+            if arr.dtype == jnp.bool_:
+                return True
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                return jnp.inf
+            return jnp.iinfo(arr.dtype).max
+
+        tiled = []
+        for i, arr in enumerate(operands):
+            fill = 0 if i == nk else worst_of(arr)  # payload pad is inert
+            if pad:
+                arr = jnp.concatenate(
+                    [arr, jnp.full((pad,), fill, arr.dtype)]
+                )
+            tiled.append(arr.reshape(T, TILE))
+        sorted2d = jax.lax.sort(
+            tuple(tiled), num_keys=nk, is_stable=True, dimension=-1
+        )
+        cands = tuple(op[:, :limit].reshape(-1) for op in sorted2d)
+        final = jax.lax.sort(cands, num_keys=nk, is_stable=True)
+        perm_small = final[-1][:limit]
+        out = block.take(perm_small)
+        count = jnp.sum(live, dtype=jnp.int32)
+        kept = jnp.arange(limit, dtype=jnp.int32) < count
+        return out.with_sel(kept)
+
     fast = (
         len(sort_keys) == 1
         and block[sort_keys[0].name].validity is None
