@@ -540,6 +540,12 @@ def _accumulate_masked(
     def per_slot(fn):
         return jnp.stack([fn(s) for s in range(domain)])
 
+    # sum/avg (and count) over the same (arg, filter) share one reduction
+    # set — Q1-style plans pair sum(x) with avg(x) for several columns, and
+    # this halves the per-slot VPU streams without relying on XLA CSE
+    memo_sums: dict = {}
+    memo_cnts: dict = {}
+
     for a in aggs:
         col = block[a.arg] if a.arg is not None else None
         rdt = agg_result_dtype(a.func, col.dtype if col else None)
@@ -552,17 +558,26 @@ def _accumulate_masked(
             mm = m if (col is None or col.validity is None) else (m & col.validity)
             return jnp.sum(mm, dtype=jnp.int64)
 
+        def counts():
+            key = (a.arg, a.filter_col)
+            if key not in memo_cnts:
+                memo_cnts[key] = per_slot(nn)
+            return memo_cnts[key]
+
         if a.func == "count":
-            out.append((a.name, Column(per_slot(nn), None, INT64)))
+            out.append((a.name, Column(counts(), None, INT64)))
             continue
         assert col is not None
         acc_dt = FLOAT64 if col.dtype.is_float else INT64
         data = col.data.astype(acc_dt.jnp_dtype)
         if a.func in ("sum", "avg"):
-            cnts = per_slot(nn)
-            sums = per_slot(
-                lambda s: jnp.sum(jnp.where(slot_masks[s] & valid, data, 0))
-            )
+            cnts = counts()
+            skey = (a.arg, a.filter_col)
+            if skey not in memo_sums:
+                memo_sums[skey] = per_slot(
+                    lambda s: jnp.sum(jnp.where(slot_masks[s] & valid, data, 0))
+                )
+            sums = memo_sums[skey]
             if a.func == "sum":
                 out.append((a.name, Column(sums.astype(rdt.jnp_dtype), cnts > 0, rdt)))
             else:
