@@ -141,21 +141,48 @@ class ExprEvaluator:
         return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt)
 
     def _encode_string_literal(self, value: str, context: Column) -> Column:
-        """Literal -> dictionary-code constant.  Works for both equality (code
-        or miss sentinel) and ordering (sorted dictionaries are
-        order-preserving; use bisect rank)."""
-        d = context.dictionary or ()
-        # sorted dictionaries: rank via bisect.  For an exact member this is
-        # its code; for a non-member the *2x+-1 trick below keeps ordering.
-        lo = bisect.bisect_left(d, value)
-        if lo < len(d) and d[lo] == value:
-            code = 2 * lo
-        else:
-            code = 2 * lo - 1  # sits strictly between neighbors; never equal
+        """Literal -> a constant string column in its OWN 1-entry dictionary.
+
+        The generic call path harmonizes all string arguments into one
+        merged dictionary afterwards (``_harmonize_string_args``), so the
+        literal needs no knowledge of the context's code space.  (The
+        2x/2x-1 rank trick lives only in ``_maybe_string_predicate`` where
+        comparisons are rewritten without touching dictionaries.)"""
+        del context
         return Column(
-            jnp.full(self.n, code, dtype=jnp.int32), None, STRING,
-            dictionary=d,
+            jnp.zeros(self.n, dtype=jnp.int32), None, STRING,
+            dictionary=(value,),
         )
+
+    def _harmonize_string_args(self, args):
+        """Re-encode all 1-D string arguments into one merged sorted
+        dictionary so generic functions (if/coalesce/case_when, comparisons)
+        operate in a single order-preserving code space.
+
+        Dictionaries are static trace-time aux data; re-encoding is a host
+        LUT + one device gather per differing column.  Returns
+        (new_args, merged_dictionary or None)."""
+        strs = [
+            (i, a) for i, a in enumerate(args)
+            if a.dtype.is_string and a.data.ndim == 1
+        ]
+        if not strs:
+            return args, None
+        dicts = [a.dictionary or () for _, a in strs]
+        if all(d == dicts[0] for d in dicts[1:]):
+            return args, dicts[0]
+        merged = tuple(sorted(set().union(*map(set, dicts))))
+        rank = {s: i for i, s in enumerate(merged)}
+        new_args = list(args)
+        for (i, a), d in zip(strs, dicts):
+            if d == merged:
+                continue
+            lut = np.fromiter((rank[s] for s in d), dtype=np.int32, count=len(d)) \
+                if d else np.zeros(1, dtype=np.int32)
+            data = jnp.asarray(lut)[jnp.clip(a.data, 0, len(lut) - 1)]
+            new_args[i] = Column(data, a.validity, a.dtype, dictionary=merged,
+                                 concat_sep=a.concat_sep)
+        return new_args, merged
 
     # -- calls ------------------------------------------------------------
 
@@ -188,13 +215,24 @@ class ExprEvaluator:
                 evaluated[i] = self.evaluate(a)
                 if ctx is None:
                     ctx = evaluated[i]
+        # string literals must take a STRING operand as context (the first
+        # operand may be e.g. the bool condition of if())
+        str_ctx = next(
+            (c for c in evaluated.values() if c.dtype.is_string), None
+        )
         for i, a in enumerate(call.args):
             if isinstance(a, Literal):
-                evaluated[i] = self._literal_column(a, ctx)
+                use = str_ctx if isinstance(a.value, str) and str_ctx is not None else ctx
+                evaluated[i] = self._literal_column(a, use)
         args = [evaluated[i] for i in range(len(call.args))]
+        args, merged_dict = self._harmonize_string_args(args)
         fn = get_function(name)
         out = fn.infer([a.dtype for a in args])
-        return fn.evaluate(args, out)
+        res = fn.evaluate(args, out)
+        if res.dtype.is_string and res.dictionary is None and merged_dict is not None:
+            res = Column(res.data, res.validity, res.dtype, dictionary=merged_dict,
+                         concat_sep=res.concat_sep)
+        return res
 
     def _maybe_string_predicate(self, call: Call) -> Optional[Column]:
         """Comparisons/IN where one side is a string column and the other(s)

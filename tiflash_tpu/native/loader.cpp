@@ -370,18 +370,34 @@ int tfl_save_cache(void* h, const char* path) {
   return 0;
 }
 
+// Every header field a corrupt/truncated cache could poison is validated
+// against the actual file size before any resize(); every fread result is
+// checked.  A bad file yields nullptr (callers fall back to re-parsing the
+// TBL source) instead of bad_alloc / silently zero-filled columns.
 void* tfl_load_cache(const char* path) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return nullptr;
+  fseeko(fp, 0, SEEK_END);
+  const int64_t fsize = static_cast<int64_t>(ftello(fp));
+  fseeko(fp, 0, SEEK_SET);
   uint32_t magic = 0;
   if (fread(&magic, 4, 1, fp) != 1 || magic != kMagic) {
     fclose(fp);
     return nullptr;
   }
   auto* t = new LoadedTable();
-  fread(&t->rows, 8, 1, fp);
+  auto fail = [&]() {
+    fclose(fp);
+    delete t;
+    return static_cast<void*>(nullptr);
+  };
   int32_t nc = 0;
-  fread(&nc, 4, 1, fp);
+  if (fread(&t->rows, 8, 1, fp) != 1 || fread(&nc, 4, 1, fp) != 1)
+    return fail();
+  // sanity: nonnegative rows; ncols bounded by the minimum per-column
+  // header size (4+4+8 bytes) actually present in the file
+  if (t->rows < 0 || nc < 0 || static_cast<int64_t>(nc) > fsize / 16)
+    return fail();
   t->ncols = nc;
   t->types.resize(nc);
   t->scales.resize(nc);
@@ -392,38 +408,44 @@ void* tfl_load_cache(const char* path) {
   t->dict_blob.resize(nc);
   for (int c = 0; c < nc; c++) {
     int32_t ty = 0, sc = 0;
-    fread(&ty, 4, 1, fp);
-    fread(&sc, 4, 1, fp);
+    int64_t nbytes = 0;
+    if (fread(&ty, 4, 1, fp) != 1 || fread(&sc, 4, 1, fp) != 1 ||
+        fread(&nbytes, 8, 1, fp) != 1)
+      return fail();
     t->types[c] = ty;
     t->scales[c] = sc;
-    int64_t nbytes = 0;
-    fread(&nbytes, 8, 1, fp);
+    const int64_t width = (ty == 2 || ty == 4) ? 4 : 8;
+    if (ty < 0 || ty > 4 || nbytes < 0 || nbytes > fsize ||
+        nbytes % width != 0 || nbytes / width != t->rows)
+      return fail();
+    size_t got = 0;
     switch (ty) {
       case 0:
       case 1:
         t->i64[c].resize(nbytes / 8);
-        fread(t->i64[c].data(), 1, nbytes, fp);
+        got = fread(t->i64[c].data(), 1, nbytes, fp);
         break;
       case 2:
         t->i32[c].resize(nbytes / 4);
-        fread(t->i32[c].data(), 1, nbytes, fp);
+        got = fread(t->i32[c].data(), 1, nbytes, fp);
         break;
       case 3:
         t->f64[c].resize(nbytes / 8);
-        fread(t->f64[c].data(), 1, nbytes, fp);
+        got = fread(t->f64[c].data(), 1, nbytes, fp);
         break;
       case 4:
         t->codes[c].resize(nbytes / 4);
-        fread(t->codes[c].data(), 1, nbytes, fp);
-        break;
-      default:
+        got = fread(t->codes[c].data(), 1, nbytes, fp);
         break;
     }
+    if (static_cast<int64_t>(got) != nbytes) return fail();
     if (ty == 4) {
       int64_t db = 0;
-      fread(&db, 8, 1, fp);
+      if (fread(&db, 8, 1, fp) != 1 || db < 0 || db > fsize) return fail();
       t->dict_blob[c].resize(db);
-      if (db) fread(&t->dict_blob[c][0], 1, db, fp);
+      if (db && static_cast<int64_t>(
+                    fread(&t->dict_blob[c][0], 1, db, fp)) != db)
+        return fail();
     }
   }
   fclose(fp);

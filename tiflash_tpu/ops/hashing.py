@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.block import Block, Column
 
@@ -51,16 +52,42 @@ def hash_array_u32(data: jnp.ndarray, init: jnp.ndarray | None = None) -> jnp.nd
     return h
 
 
+def _fnv1a32_host(s: str) -> int:
+    """Host-side FNV-1a over utf-8 bytes — a dictionary-INDEPENDENT string
+    hash.  Hashing raw dictionary codes would send equal strings encoded
+    under different dictionaries to different shuffle partitions (matches
+    silently lost); hashing the string VALUE via a per-entry LUT keeps the
+    partitioner consistent across any encodings (reference hashes the
+    string bytes themselves: ``Columns/ColumnString.h updateWeakHash32``)."""
+    h = 0x811C9DC5
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
+def string_value_hashes(col: Column) -> jnp.ndarray:
+    """Per-row uint32 value hashes for a dictionary-encoded string column:
+    host LUT over the (static, trace-time) dictionary, one device gather."""
+    d = col.dictionary or ()
+    lut = np.fromiter(
+        (_fnv1a32_host(s) for s in d), dtype=np.uint32, count=len(d)
+    ) if d else np.zeros(1, dtype=np.uint32)
+    return jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
+
+
 def hash_columns(
     cols: Sequence[Column], *, null_sentinel: bool = True, seed: int = 0
 ) -> jnp.ndarray:
     """Combined uint32 hash over multiple key columns.
 
     NULL hashes to a fixed sentinel distinct from any value hash bucket
-    choice (reference: nullable key methods hash the null map too)."""
+    choice (reference: nullable key methods hash the null map too).
+    Dictionary-encoded strings hash by VALUE (see string_value_hashes) so
+    two sides of an exchange agree regardless of their encodings."""
     h = jnp.uint32(seed) if seed else None
     for col in cols:
-        hc = hash_array_u32(col.data, init=h)
+        data = string_value_hashes(col) if col.dictionary is not None else col.data
+        hc = hash_array_u32(data, init=h)
         if col.validity is not None and null_sentinel:
             hc = jnp.where(col.validity, hc, jnp.uint32(0xDEADBEEF) ^ (h if h is not None else jnp.uint32(0)))
         h = hc
@@ -89,4 +116,10 @@ def partition_ids(hashes: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
     return (wide >> jnp.uint64(32)).astype(jnp.int32)
 
 
-__all__ = ["hash_array_u32", "hash_columns", "hash_block_keys", "partition_ids"]
+__all__ = [
+    "hash_array_u32",
+    "hash_columns",
+    "hash_block_keys",
+    "partition_ids",
+    "string_value_hashes",
+]

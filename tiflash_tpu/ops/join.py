@@ -41,16 +41,19 @@ from ..core.dtypes import DataType, TypeKind
 # ---------------------------------------------------------------------------
 
 
-def _translate_dictionary(col: Column, target_dict: Tuple[str, ...]) -> jnp.ndarray:
+def _translate_dictionary(
+    col: Column, target_dict: Tuple[str, ...], absent: int = -1
+) -> jnp.ndarray:
     """Re-encode string codes into another dictionary's code space.
 
     Host-side translation table built at trace time (both dictionaries are
-    static pytree aux data); unmatched strings map to -1 (never equal)."""
+    static pytree aux data); strings absent from the target dictionary map
+    to ``absent`` (a code no target row carries, so never equal)."""
     src = col.dictionary or ()
     rank = {s: i for i, s in enumerate(target_dict)}
-    table = np.array([rank.get(s, -1) for s in src], dtype=np.int64)
+    table = np.array([rank.get(s, absent) for s in src], dtype=np.int64)
     if len(table) == 0:
-        table = np.array([-1], dtype=np.int64)
+        table = np.array([absent], dtype=np.int64)
     return jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
 
 
@@ -82,9 +85,12 @@ def normalize_join_keys(
         if lc.dtype.is_string or rc.dtype.is_string:
             rdict = rc.dictionary or ()
             rv = rc.data.astype(jnp.int64)
-            lv = _translate_dictionary(lc, rdict)
-            l_null = l_null | (lv < 0)
-            lv = jnp.maximum(lv, 0)
+            # Probe strings absent from the build dictionary are NOT NULL —
+            # they are real values with no match.  Conflating them with NULL
+            # breaks null-aware semantics ('x' NOT IN ('a','b') must keep
+            # the row).  Map them to code len(rdict): one beyond any build
+            # code, inside the _key_bits budget (log2(size+2)), unmatchable.
+            lv = _translate_dictionary(lc, rdict, absent=len(rdict))
             b = _key_bits(rc.dtype, len(rdict))
         else:
             lv = lc.data.astype(jnp.int64)
@@ -511,7 +517,18 @@ def hash_join(
         )
     elif output_capacity is None:
         joined, bflags = probe_join_unique(build, probe_block, pkeys, pnull, kind)
-        overflow = jnp.int64(0)
+        # The unique fast path silently emits only the FIRST match per probe
+        # row if the caller's uniqueness promise is false (duplicate live
+        # build keys).  Surface that as an overflow so the runner retries on
+        # the general path instead of dropping rows (reference handles
+        # duplicates unconditionally: ``Interpreters/Join.cpp:1321``).
+        # Semi/anti kinds are duplicate-insensitive — no flag needed.
+        if kind in ("inner", "left", "left_outer", "right_as_probe_outer"):
+            overflow = jnp.where(
+                build.unique, jnp.int64(0), jnp.int64(probe_block.capacity) + 1
+            )
+        else:
+            overflow = jnp.int64(0)
     else:
         joined, bflags, overflow = probe_join_general(
             build, probe_block, pkeys, pnull, kind, output_capacity

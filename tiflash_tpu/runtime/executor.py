@@ -127,6 +127,10 @@ class QueryRunner:
                 node.num_slots = max(target, (node.num_slots or 0) * 2)
             elif isinstance(node, (P.Join, P.CrossJoin, P.SkewShuffleJoin)):
                 node.output_capacity = max(target, (node.output_capacity or 0) * 2)
+                # a unique-path overflow means the uniqueness promise was
+                # false — retry on the general (duplicate-correct) path
+                if getattr(node, "unique_build", False):
+                    node.unique_build = False
         self._compiled = None  # force recompile with new capacities
 
     # -- execution ------------------------------------------------------
