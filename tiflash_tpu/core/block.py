@@ -54,17 +54,25 @@ class Column:
     # group_concat result columns: data is (n, max_items) dictionary codes,
     # validity the matching item mask; joined with this separator on decode
     concat_sep: Optional[str] = None
+    # value-range statistics (vmin, vmax) of the PHYSICAL data, host ints —
+    # the rough-set index analog of the reference's per-pack MinMaxIndex
+    # (``Storages/DeltaMerge/Index/MinMaxIndex.h``).  Set by the storage
+    # layer at load; an INVARIANT: every live value lies in [vmin, vmax].
+    # Transformations must drop or widen it (with_data drops by default).
+    stats: Optional[Tuple[int, int]] = None
 
     # -- pytree protocol --
     def tree_flatten(self):
-        return (self.data, self.validity), (self.dtype, self.dictionary, self.concat_sep)
+        return (self.data, self.validity), (
+            self.dtype, self.dictionary, self.concat_sep, self.stats
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, validity = children
-        dtype, dictionary, concat_sep = aux
+        dtype, dictionary, concat_sep, stats = aux
         return cls(data=data, validity=validity, dtype=dtype,
-                   dictionary=dictionary, concat_sep=concat_sep)
+                   dictionary=dictionary, concat_sep=concat_sep, stats=stats)
 
     # -- basics --
     def __len__(self) -> int:
@@ -80,23 +88,27 @@ class Column:
             return jnp.ones(self.data.shape[0], dtype=jnp.bool_)
         return self.validity
 
-    def with_data(self, data, validity="_keep") -> "Column":
+    def with_data(self, data, validity="_keep", stats=None) -> "Column":
+        """New data, same metadata.  ``stats`` must be re-supplied by the
+        caller when still valid — new values void the old range."""
         v = self.validity if validity == "_keep" else validity
         return Column(data=data, validity=v, dtype=self.dtype,
-                      dictionary=self.dictionary, concat_sep=self.concat_sep)
+                      dictionary=self.dictionary, concat_sep=self.concat_sep,
+                      stats=stats)
 
     def take(self, indices: jnp.ndarray, fill_invalid: bool = False) -> "Column":
         """Gather rows (reference ``IColumn::permute`` / ``index``).
 
         If ``fill_invalid`` the caller passes indices that may be negative;
-        those rows become NULL."""
+        those rows become NULL.  Gathers permute/subset existing values, so
+        range stats survive."""
         safe = jnp.maximum(indices, 0)
         data = jnp.take(self.data, safe, axis=0)
         validity = None if self.validity is None else jnp.take(self.validity, safe, axis=0)
         if fill_invalid:
             ok = indices >= 0
             validity = ok if validity is None else (validity & ok)
-        return self.with_data(data, validity)
+        return self.with_data(data, validity, stats=self.stats)
 
     # -- host conversion (testing / output) --
     def to_numpy(self) -> np.ndarray:
@@ -167,7 +179,15 @@ def column_from_numpy(
         v = jnp.asarray(np.asarray(validity, dtype=bool))
     elif dtype.is_string and any(s is None for s in values):
         v = jnp.asarray(np.array([s is not None for s in values]))
-    return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary)
+    stats = None
+    if not dtype.is_string:
+        host = np.asarray(values, dtype=dtype.physical)
+        if validity is not None:
+            host = host[np.asarray(validity, dtype=bool)]
+        if host.size and np.issubdtype(host.dtype, np.integer):
+            stats = (int(host.min()), int(host.max()))
+    return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary,
+                  stats=stats)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -316,7 +336,8 @@ class Block:
             validity = results.get((i, "validity"))
             if ok is not None:
                 validity = ok if validity is None else (validity & ok)
-            cols.append(Column(data, validity, c.dtype, c.dictionary))
+            cols.append(Column(data, validity, c.dtype, c.dictionary,
+                               stats=c.stats))
         return Block(names=self.names, columns=tuple(cols), sel=None)
 
     def compact(self) -> "Block":

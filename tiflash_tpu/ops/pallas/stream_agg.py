@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: streaming VPU group-by accumulation.
+
+Role analog: the hot loop of ``Aggregator::executeImplBatch``
+(``/root/reference/dbms/src/Interpreters/Aggregator.cpp:776``) for the
+direct-key methods — re-designed for the VPU instead of a hash table.
+
+Design (ROADMAP round-2 priority: NOT the one-hot MXU kernel, which is
+K-bound at one row per MXU cycle):
+
+- Rows stream through VMEM in (64, 128) int tiles (one grid step = 8192
+  rows per input column).
+- The caller provides a traced ``make_tile_values`` that maps the raw
+  input tiles to (slot ids, limb columns): the scan's filter, projection
+  arithmetic and key packing all happen INSIDE the kernel on VMEM tiles,
+  so projected columns never round-trip through HBM.
+- Each limb column is a non-negative int32 < 2**LIMB_BITS (the fused-scan
+  compiler splits wide values into weighted 16-bit limbs using column
+  min/max stats).  Accumulation is ``acc[s,l] += where(slot==s, limb, 0)``
+  into per-(slot, limb) full-tile int32 accumulators — two VPU ops per
+  (slot, limb) per element, no scatter, no hash table, no matmul.
+- Overflow safety: each accumulator element receives one value < 2**16
+  per tile, so int32 is exact for up to 2**15 tiles = 268M rows.
+- The kernel's OUTPUT is the raw int32 accumulator (it stays resident in
+  VMEM across the whole grid — constant output index map — and is written
+  back to HBM once).  The (slots, limbs, 64, 128) -> int64 plane reduction
+  and limb/weight recombination happen outside in XLA: a few MB once per
+  scan, and the kernel never touches int64 (Mosaic emulates i64 as 2xi32;
+  keeping the hot loop pure int32 halves VPU work for the common case).
+
+All scalar constants are explicitly typed (x64 is on: bare python ints
+become weak int64 and break Mosaic lowering — see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LIMB_BITS = 16
+TILE_SUB = 64          # sublane rows per tile
+TILE_LANES = 128
+TILE = TILE_SUB * TILE_LANES  # 8192 rows per grid step
+MAX_TILES = 1 << 15    # int32 accumulator headroom: 2^16 * 2^15 = 2^31
+
+
+def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
+            *refs):
+    in_refs = refs[:n_inputs]
+    acc_ref = refs[n_inputs]
+    i = pl.program_id(0)
+
+    @pl.when(i == jnp.int32(0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # global row ids of this (64, 128) tile for the ragged tail mask
+    base = i * jnp.int32(TILE)
+    rid = (
+        base
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 0)
+        * jnp.int32(TILE_LANES)
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 1)
+    )
+    in_bounds = rid < jnp.int32(n_rows)
+
+    tile: Dict[str, jnp.ndarray] = {nm: r[...] for nm, r in zip(names, in_refs)}
+    slots, limbs = make_tile_values(tile, in_bounds)
+    assert len(limbs) == n_limbs, (len(limbs), n_limbs)
+
+    zero = jnp.zeros((TILE_SUB, TILE_LANES), dtype=jnp.int32)
+    for s in range(n_slots):
+        m = slots == jnp.int32(s)
+        for l, v in enumerate(limbs):
+            k = s * n_limbs + l
+            acc_ref[k * TILE_SUB:(k + 1) * TILE_SUB, :] += jnp.where(m, v, zero)
+
+
+def stream_group_sums(
+    inputs: Dict[str, jnp.ndarray],
+    make_tile_values: Callable,
+    n_slots: int,
+    n_limbs: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the streaming accumulation kernel.
+
+    ``inputs``: equal-length 1-D device arrays (any int/bool dtype).
+    ``make_tile_values(tile_dict, in_bounds) -> (slots int32, [limb int32])``
+      traced inside the kernel per (64, 128) tile; rows with
+      ``slot not in [0, n_slots)`` contribute nothing (dead/filtered rows).
+    Returns (n_slots, n_limbs) int64 limb sums.
+    """
+    names = list(inputs)
+    n = int(inputs[names[0]].shape[0])
+    n128 = -(-n // TILE_LANES)
+    grid = -(-n128 // TILE_SUB)
+    # align the row-block count to the grid so every step has a full tile
+    n128 = grid * TILE_SUB
+    assert grid <= MAX_TILES, "int32 accumulator headroom exceeded"
+
+    args = []
+    in_specs = []
+    for nm in names:
+        arr = inputs[nm]
+        assert int(arr.shape[0]) == n, (nm, arr.shape, n)
+        if arr.dtype == jnp.bool_:
+            arr = arr.astype(jnp.int32)
+        if n != n128 * TILE_LANES:
+            # ragged pad to a full-tile multiple (padded rows are masked by
+            # in_bounds inside the kernel)
+            arr = jnp.pad(arr, (0, n128 * TILE_LANES - n))
+        args.append(arr.reshape(n128, TILE_LANES))
+        in_specs.append(
+            pl.BlockSpec(
+                (TILE_SUB, TILE_LANES),
+                lambda i: (i, i * 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    acc_rows = n_slots * n_limbs * TILE_SUB
+    acc = pl.pallas_call(
+        functools.partial(
+            _kernel, n, n_slots, n_limbs, len(names), make_tile_values, names
+        ),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (acc_rows, TILE_LANES), lambda i: (i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((acc_rows, TILE_LANES), jnp.int32),
+        interpret=interpret,
+    )(*args)
+    # plane reduction in XLA (tiny: S*L*8192 int32 once per scan)
+    return (
+        acc.reshape(n_slots, n_limbs, TILE_SUB * TILE_LANES)
+        .astype(jnp.int64)
+        .sum(axis=2)
+    )
+
+
+__all__ = ["stream_group_sums", "LIMB_BITS", "TILE"]

@@ -98,6 +98,17 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         return out
 
     if isinstance(node, P.Aggregation):
+        from ..ops.stream_fuse import stream_kernel_mode, try_fuse_stream_agg
+
+        mode = stream_kernel_mode()
+        if mode is not None:
+            res = try_fuse_stream_agg(
+                node, tables, interpret=(mode == "interpret")
+            )
+            if res is not None:
+                diag.overflows[nid] = res.overflow
+                diag.rows[nid] = res.num_groups
+                return res.block
         child = _exec(node.child, tables, diag, ctr)
         if node.mode == "auto":
             res = auto_passthrough_aggregate(child, list(node.keys), list(node.aggs))

@@ -28,14 +28,22 @@ def column_from_arrays(
     """Zero-copy-ish column construction from numpy.
 
     For STRING columns the caller provides int32 codes + the sorted
-    dictionary (order-preserving codes contract, see core/block.py)."""
+    dictionary (order-preserving codes contract, see core/block.py).
+
+    Integer-family columns get (vmin, vmax) range stats computed here —
+    the per-pack MinMaxIndex analog
+    (``Storages/DeltaMerge/Index/MinMaxIndex.h``) that drives the
+    streaming-aggregate kernel's limb planning and rough-set filtering."""
+    stats = None
     if dtype.is_string:
         assert dictionary is not None, "string columns need a dictionary"
         assert data.dtype == np.int32
     else:
         data = np.ascontiguousarray(data, dtype=dtype.physical)
+        if data.size and np.issubdtype(data.dtype, np.integer):
+            stats = (int(data.min()), int(data.max()))
     v = None if validity is None else jnp.asarray(np.ascontiguousarray(validity, dtype=bool))
-    return Column(jnp.asarray(data), v, dtype, dictionary)
+    return Column(jnp.asarray(data), v, dtype, dictionary, stats=stats)
 
 
 def encode_strings(values: np.ndarray) -> Tuple[np.ndarray, Tuple[str, ...]]:
