@@ -96,7 +96,22 @@ def main() -> None:
     def bench_step(tables, carry):
         li = tables["lineitem"]
         col = li[perturb_col]
-        new_col = col.with_data(col.data ^ (carry & jnp.int64(1)).astype(col.data.dtype))
+        # xor of the low bit moves a value by at most 1: widen the range
+        # stats instead of dropping them (the fused stream-agg kernel's
+        # limb planning needs them), and keep the narrow32 storage shadow
+        # in sync by perturbing it identically (it is part of the table)
+        import dataclasses as _dc
+
+        bit = (carry & jnp.int64(1))
+        widened = None if col.stats is None else (col.stats[0] - 1,
+                                                  col.stats[1] + 1)
+        new_col = _dc.replace(
+            col,
+            data=col.data ^ bit.astype(col.data.dtype),
+            stats=widened,
+            narrow32=None if col.narrow32 is None
+            else col.narrow32 ^ bit.astype(jnp.int32),
+        )
         tables = dict(tables)
         tables["lineitem"] = li.with_column(perturb_col, new_col)
         out = execute_plan(plan, tables)

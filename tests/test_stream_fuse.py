@@ -210,6 +210,15 @@ def test_fallback_missing_stats():
     _run_parity(plan, tables, expect_fused=False)
 
 
+def test_flush_chunking(monkeypatch):
+    """Multi-chunk accumulation: periodic flush produces per-chunk partials
+    that recombine exactly (grid of 5 tiles, flush every 2)."""
+    from tiflash_tpu.ops.pallas import stream_agg as SA
+
+    monkeypatch.setattr(SA, "FLUSH_TILES", 2)
+    _run_parity(_q1_like(), _mktable(n=5 * 8192 - 7, seed=12))
+
+
 def test_tpch_q1_q6_fused_parity():
     from tiflash_tpu.bench.tpch_queries import q1_plan, q6_plan
     from tiflash_tpu.storage.tpch import generate_tpch

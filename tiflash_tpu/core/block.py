@@ -60,19 +60,27 @@ class Column:
     # layer at load; an INVARIANT: every live value lies in [vmin, vmax].
     # Transformations must drop or widen it (with_data drops by default).
     stats: Optional[Tuple[int, int]] = None
+    # int32 shadow of ``data``, pre-padded to a NARROW_PAD multiple — the
+    # storage-layer narrow physical representation (the reference stores
+    # small decimals as Decimal32/64, ``DataTypes/DataTypeDecimal.h``).
+    # Only set when stats prove the range fits int31 and vmin >= 0; lets
+    # the streaming scan kernel read 4 B/row with zero staging copies.
+    # Dropped by every transformation (with_data/take).
+    narrow32: Optional[jnp.ndarray] = None
 
     # -- pytree protocol --
     def tree_flatten(self):
-        return (self.data, self.validity), (
+        return (self.data, self.validity, self.narrow32), (
             self.dtype, self.dictionary, self.concat_sep, self.stats
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, validity = children
+        data, validity, narrow32 = children
         dtype, dictionary, concat_sep, stats = aux
         return cls(data=data, validity=validity, dtype=dtype,
-                   dictionary=dictionary, concat_sep=concat_sep, stats=stats)
+                   dictionary=dictionary, concat_sep=concat_sep, stats=stats,
+                   narrow32=narrow32)
 
     # -- basics --
     def __len__(self) -> int:
@@ -155,6 +163,24 @@ class Column:
         return out
 
 
+# Row multiple the narrow32 shadow is padded to — one streaming-kernel
+# grid step (ops/pallas/stream_agg.py TILE); pre-padding at load means the
+# scan kernel consumes the shadow with zero per-query copies.
+NARROW_PAD = 8192
+
+
+def make_narrow32(host: "np.ndarray", stats: Tuple[int, int]):
+    """Pre-padded int32 shadow when the PROVEN range fits non-negative
+    int31; values outside the range (dead/NULL slots) wrap harmlessly —
+    consumers mask them."""
+    if stats is None or stats[0] < 0 or stats[1] >= 2 ** 31:
+        return None
+    pad = (-len(host)) % NARROW_PAD
+    with np.errstate(over="ignore"):
+        arr = host.astype(np.int32)
+    return jnp.asarray(np.pad(arr, (0, pad)))
+
+
 def column_from_numpy(
     values: Sequence, dtype: DataType, validity: Optional[Sequence[bool]] = None
 ) -> Column:
@@ -180,14 +206,17 @@ def column_from_numpy(
     elif dtype.is_string and any(s is None for s in values):
         v = jnp.asarray(np.array([s is not None for s in values]))
     stats = None
+    narrow = None
     if not dtype.is_string:
-        host = np.asarray(values, dtype=dtype.physical)
+        host_all = np.asarray(values, dtype=dtype.physical)
+        host = host_all
         if validity is not None:
-            host = host[np.asarray(validity, dtype=bool)]
+            host = host_all[np.asarray(validity, dtype=bool)]
         if host.size and np.issubdtype(host.dtype, np.integer):
             stats = (int(host.min()), int(host.max()))
+            narrow = make_narrow32(host_all, stats)
     return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary,
-                  stats=stats)
+                  stats=stats, narrow32=narrow)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -39,16 +39,18 @@ from .shuffle import allgather_block, shuffle_block
 
 
 def concat_blocks(a: Block, b: Block) -> Block:
-    """Row-concatenate two blocks with identical schemas."""
+    """Row-concatenate two blocks with identical column names; nullability
+    is unioned (an outer-join tail contributes NULL-filled columns)."""
     assert a.names == b.names, (a.names, b.names)
     cols = []
     for ca, cb in zip(a.columns, b.columns):
-        data = jnp.concatenate([ca.data, cb.data])
+        data = jnp.concatenate([ca.data, cb.data.astype(ca.data.dtype)])
         if ca.validity is None and cb.validity is None:
             validity = None
         else:
             validity = jnp.concatenate([ca.valid_mask(), cb.valid_mask()])
-        cols.append(Column(data, validity, ca.dtype, ca.dictionary))
+        dt = ca.dtype.with_nullable(ca.dtype.nullable or cb.dtype.nullable)
+        cols.append(Column(data, validity, dt, ca.dictionary))
     sel = jnp.concatenate([a.sel_mask(), b.sel_mask()])
     return Block(names=a.names, columns=tuple(cols), sel=sel)
 

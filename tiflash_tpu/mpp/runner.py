@@ -201,7 +201,7 @@ def _exec_spmd(
             probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
             build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
         cap = None if node.unique_build else (node.output_capacity or probe.capacity)
-        joined, extras = J.hash_join(
+        joined, extras = J.hash_join_with_tail(
             probe, build, list(node.probe_keys), list(node.build_keys),
             kind=node.kind, output_capacity=cap,
         )

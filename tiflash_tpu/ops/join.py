@@ -536,6 +536,37 @@ def hash_join(
     return joined, {"build": build, "matched_flags": bflags, "overflow": overflow}
 
 
+def hash_join_with_tail(
+    probe_block: Block,
+    build_block: Block,
+    probe_key_names: Sequence[str],
+    build_key_names: Sequence[str],
+    kind: str,
+    output_capacity: Optional[int],
+):
+    """hash_join plus the right/full-outer non-matched build tail
+    (reference ``ScanHashMapAfterProbeBlockInputStream``): right outer =
+    inner pass + tail, full outer = left-outer pass + tail.  Under a
+    hash-shuffle each build row lives on exactly one device, so local
+    matched-flags are complete and the tail needs no cross-mesh reduce."""
+    probe_kind = {"right_outer": "inner", "full_outer": "left_outer"}.get(
+        kind, kind
+    )
+    joined, extras = hash_join(
+        probe_block, build_block, probe_key_names, build_key_names,
+        kind=probe_kind, output_capacity=output_capacity,
+    )
+    if kind in ("right_outer", "full_outer"):
+        from ..exchange.skew import concat_blocks
+
+        tail = scan_non_matched(
+            extras["build"], extras["matched_flags"],
+            probe_block.names, probe_block,
+        )
+        joined = concat_blocks(joined, tail)
+    return joined, extras
+
+
 __all__ = [
     "JoinBuild",
     "build_join",

@@ -13,19 +13,21 @@ K-bound at one row per MXU cycle):
   input tiles to (slot ids, limb columns): the scan's filter, projection
   arithmetic and key packing all happen INSIDE the kernel on VMEM tiles,
   so projected columns never round-trip through HBM.
-- Each limb column is a non-negative int32 < 2**LIMB_BITS (the fused-scan
-  compiler splits wide values into weighted 16-bit limbs using column
-  min/max stats).  Accumulation is ``acc[s,l] += where(slot==s, limb, 0)``
-  into per-(slot, limb) full-tile int32 accumulators — two VPU ops per
+- Each limb column is a non-negative int32 < 2**limb_bits (the fused-scan
+  compiler splits wide values into weighted limbs using column min/max
+  stats).  Accumulation is ``acc[s,l] += where(slot==s, limb, 0)`` into
+  per-(slot, limb) full-tile int32 accumulators — two VPU ops per
   (slot, limb) per element, no scatter, no hash table, no matmul.
-- Overflow safety: each accumulator element receives one value < 2**16
-  per tile, so int32 is exact for up to 2**15 tiles = 268M rows.
-- The kernel's OUTPUT is the raw int32 accumulator (it stays resident in
-  VMEM across the whole grid — constant output index map — and is written
-  back to HBM once).  The (slots, limbs, 64, 128) -> int64 plane reduction
-  and limb/weight recombination happen outside in XLA: a few MB once per
-  scan, and the kernel never touches int64 (Mosaic emulates i64 as 2xi32;
-  keeping the hot loop pure int32 halves VPU work for the common case).
+- Periodic flush ("periodic carry"): every FLUSH_TILES grid steps the
+  int32 accumulator block is written back to a fresh HBM chunk slot and
+  re-zeroed, so each element accumulates at most FLUSH_TILES values of
+  < 2**limb_bits — with FLUSH_TILES * 2**limb_bits <= 2**31 the int32
+  accumulation is exact for UNBOUNDED row counts, and limbs can be
+  25 bits wide instead of 16 (fewer planes -> less VPU work).
+- The (chunks, slots*limbs*64, 128) int32 output is reduced to int64
+  limb sums outside in XLA: a few MB once per scan, and the kernel never
+  touches int64 (Mosaic emulates i64 as 2xi32 and cannot even lower
+  i64->i32 converts — measured RecursionError).
 
 All scalar constants are explicitly typed (x64 is on: bare python ints
 become weak int64 and break Mosaic lowering — see CLAUDE.md).
@@ -41,11 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LIMB_BITS = 16
+MUL_SPLIT_BITS = 16    # factor-splitting width for wide products (fixed)
+FLUSH_TILES = 64       # grid steps between accumulator flushes
+ACC_LIMB_BITS = 25     # FLUSH_TILES * 2**ACC_LIMB_BITS == 2**31: exact
 TILE_SUB = 64          # sublane rows per tile
 TILE_LANES = 128
 TILE = TILE_SUB * TILE_LANES  # 8192 rows per grid step
-MAX_TILES = 1 << 15    # int32 accumulator headroom: 2^16 * 2^15 = 2^31
 
 
 def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
@@ -54,8 +57,10 @@ def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
     acc_ref = refs[n_inputs]
     i = pl.program_id(0)
 
-    @pl.when(i == jnp.int32(0))
+    @pl.when(jax.lax.rem(i, jnp.int32(FLUSH_TILES)) == jnp.int32(0))
     def _():
+        # fresh chunk slot (the previous block was auto-written back when
+        # the output block index advanced)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # global row ids of this (64, 128) tile for the ragged tail mask
@@ -77,7 +82,9 @@ def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
         m = slots == jnp.int32(s)
         for l, v in enumerate(limbs):
             k = s * n_limbs + l
-            acc_ref[k * TILE_SUB:(k + 1) * TILE_SUB, :] += jnp.where(m, v, zero)
+            acc_ref[0, k * TILE_SUB:(k + 1) * TILE_SUB, :] += jnp.where(
+                m, v, zero
+            )
 
 
 def stream_group_sums(
@@ -85,35 +92,41 @@ def stream_group_sums(
     make_tile_values: Callable,
     n_slots: int,
     n_limbs: int,
+    n_rows: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the streaming accumulation kernel.
 
-    ``inputs``: equal-length 1-D device arrays (any int/bool dtype).
+    ``inputs``: 1-D device arrays (int32/bool) of length ``n_rows`` OR
+      already padded to the full-tile multiple (storage-level narrow32
+      shadows arrive pre-padded — zero staging copies).
     ``make_tile_values(tile_dict, in_bounds) -> (slots int32, [limb int32])``
-      traced inside the kernel per (64, 128) tile; rows with
-      ``slot not in [0, n_slots)`` contribute nothing (dead/filtered rows).
+      traced inside the kernel per (64, 128) tile; each limb value must be
+      in [0, 2**ACC_LIMB_BITS); rows with ``slot not in [0, n_slots)``
+      contribute nothing (dead/filtered rows).
     Returns (n_slots, n_limbs) int64 limb sums.
     """
     names = list(inputs)
-    n = int(inputs[names[0]].shape[0])
-    n128 = -(-n // TILE_LANES)
-    grid = -(-n128 // TILE_SUB)
-    # align the row-block count to the grid so every step has a full tile
+    n = n_rows
+    grid = max(1, -(-n // TILE))
     n128 = grid * TILE_SUB
-    assert grid <= MAX_TILES, "int32 accumulator headroom exceeded"
+    padded = n128 * TILE_LANES
+    chunks = -(-grid // FLUSH_TILES)
 
     args = []
     in_specs = []
     for nm in names:
         arr = inputs[nm]
-        assert int(arr.shape[0]) == n, (nm, arr.shape, n)
+        assert int(arr.shape[0]) in (n, padded), (nm, arr.shape, n, padded)
         if arr.dtype == jnp.bool_:
             arr = arr.astype(jnp.int32)
-        if n != n128 * TILE_LANES:
+        # Mosaic cannot lower i64->i32 converts inside the kernel: the
+        # fused-scan stager must pre-narrow / pre-split every input
+        assert arr.dtype == jnp.int32, (nm, arr.dtype)
+        if int(arr.shape[0]) != padded:
             # ragged pad to a full-tile multiple (padded rows are masked by
             # in_bounds inside the kernel)
-            arr = jnp.pad(arr, (0, n128 * TILE_LANES - n))
+            arr = jnp.pad(arr, (0, padded - int(arr.shape[0])))
         args.append(arr.reshape(n128, TILE_LANES))
         in_specs.append(
             pl.BlockSpec(
@@ -131,18 +144,23 @@ def stream_group_sums(
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (acc_rows, TILE_LANES), lambda i: (i * 0, i * 0),
+            (1, acc_rows, TILE_LANES),
+            lambda i: (i // FLUSH_TILES, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((acc_rows, TILE_LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((chunks, acc_rows, TILE_LANES),
+                                       jnp.int32),
         interpret=interpret,
     )(*args)
-    # plane reduction in XLA (tiny: S*L*8192 int32 once per scan)
+    # chunk + plane reduction in XLA (chunks * S*L*8192 int32 once per scan)
     return (
-        acc.reshape(n_slots, n_limbs, TILE_SUB * TILE_LANES)
+        acc.reshape(chunks, n_slots, n_limbs, TILE_SUB * TILE_LANES)
         .astype(jnp.int64)
-        .sum(axis=2)
+        .sum(axis=(0, 3))
     )
 
 
-__all__ = ["stream_group_sums", "LIMB_BITS", "TILE"]
+__all__ = [
+    "stream_group_sums", "ACC_LIMB_BITS", "MUL_SPLIT_BITS", "TILE",
+    "FLUSH_TILES",
+]

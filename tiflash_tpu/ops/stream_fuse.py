@@ -18,9 +18,10 @@ quantities:
     expr(row) == sum_p  sign_p * 2**shift_p * part_p(row),  0 <= part < 2^31
 
 wide products split a factor into 16-bit halves (the grade-school
-multiply), and each part is further split into 16-bit limbs for exact
-int32 accumulation.  Recombination happens once per (slot, part) in int64
-— exactness is unconditional given the stats invariant.
+multiply), and each part is further split into ACC_LIMB_BITS-wide limbs
+for exact int32 accumulation under the kernel's periodic-flush headroom.
+Recombination happens once per (slot, part) in int64 — exactness is
+unconditional given the stats invariant.
 """
 
 from __future__ import annotations
@@ -35,9 +36,15 @@ import numpy as np
 from ..core.block import Block, Column
 from ..core.dtypes import BOOL, DataType, FLOAT64, INT64, TypeKind
 from ..expr.nodes import Call, ColumnRef, Expr, Literal
-from .pallas.stream_agg import LIMB_BITS, stream_group_sums
+from .pallas.stream_agg import (
+    ACC_LIMB_BITS, MUL_SPLIT_BITS, stream_group_sums,
+)
 
-_LIMB_MASK = (1 << LIMB_BITS) - 1
+# wide-product factor split (grade-school multiply) — fixed 16 bit so a
+# product of two split halves stays under 2^31
+_MUL_MASK = (1 << MUL_SPLIT_BITS) - 1
+# accumulation limb width — 25 bit (periodic-flush headroom), fewer planes
+_ACC_MASK = (1 << ACC_LIMB_BITS) - 1
 _I31 = 1 << 31
 
 
@@ -141,16 +148,16 @@ def _split_part(p: Part) -> List[Part]:
     assert p.const is None
 
     def blo(tile, _b=p.build):
-        return _b(tile) & jnp.int32(_LIMB_MASK)
+        return _b(tile) & jnp.int32(_MUL_MASK)
 
     def bhi(tile, _b=p.build):
-        return _b(tile) >> jnp.int32(LIMB_BITS)
+        return _b(tile) >> jnp.int32(MUL_SPLIT_BITS)
 
     return [
-        Part(blo, p.shift, p.sign, 0, min(p.hi, _LIMB_MASK),
+        Part(blo, p.shift, p.sign, 0, min(p.hi, _MUL_MASK),
              valid_cols=p.valid_cols),
-        Part(bhi, p.shift + LIMB_BITS, p.sign, p.lo >> LIMB_BITS,
-             p.hi >> LIMB_BITS, valid_cols=p.valid_cols),
+        Part(bhi, p.shift + MUL_SPLIT_BITS, p.sign, p.lo >> MUL_SPLIT_BITS,
+             p.hi >> MUL_SPLIT_BITS, valid_cols=p.valid_cols),
     ]
 
 
@@ -253,6 +260,11 @@ def _col_interval(col: Column) -> Tuple[int, int]:
 
 
 def _term_column(name: str, col: Column) -> Term:
+    """Mosaic cannot lower i64->i32 converts, so the kernel only ever sees
+    int32 tiles: narrow columns (hi < 2^31) are converted OUTSIDE the
+    kernel by the input stager; wide columns arrive pre-split as two
+    non-negative int32 words ``name__w0`` (low 31 bits) and ``name__w1``
+    (value >> 31) — see ``_stage_inputs``."""
     if col.dtype.kind not in _INT_KINDS:
         raise Ineligible(f"non-integer column {name}")
     lo, hi = _col_interval(col)
@@ -261,28 +273,22 @@ def _term_column(name: str, col: Column) -> Term:
     valid = (name + "__v",) if col.validity is not None else ()
     if hi < _I31:
         def build(tile, _n=name):
-            return tile[_n].astype(jnp.int32)
+            return tile[_n]
 
         return Term([Part(build, 0, 1, lo, hi, valid_cols=valid)], col.dtype)
     if hi >= 1 << 62:
         raise Ineligible("column range too wide")
-    # wide int64 column: read-time split into 16-bit limbs
-    parts: List[Part] = []
-    nl = -(-_bits(hi) // LIMB_BITS)
-    for l in range(nl):
-        def build(tile, _n=name, _l=l):
-            return (
-                (tile[_n] >> jnp.int64(LIMB_BITS * _l))
-                & jnp.int64(_LIMB_MASK)
-            ).astype(jnp.int32)
 
-        parts.append(Part(
-            build, LIMB_BITS * l, 1,
-            0 if l + 1 < nl else lo >> (LIMB_BITS * l),
-            min(hi >> (LIMB_BITS * l), _LIMB_MASK),
-            valid_cols=valid,
-        ))
-    return Term(parts, col.dtype)
+    def build_lo(tile, _n=name):
+        return tile[_n + "__w0"]
+
+    def build_hi(tile, _n=name):
+        return tile[_n + "__w1"]
+
+    return Term([
+        Part(build_lo, 0, 1, 0, min(hi, _I31 - 1), valid_cols=valid),
+        Part(build_hi, 31, 1, lo >> 31, hi >> 31, valid_cols=valid),
+    ], col.dtype)
 
 
 def _literal_scaled(value, ctx: DataType) -> Optional[Tuple[int, DataType]]:
@@ -733,7 +739,7 @@ def _fuse(node, tables, interpret):
     limb_of_part: List[List[int]] = []
     n_limbs = 0
     for p in part_list:
-        nl = -(-_bits(p.hi) // LIMB_BITS) if p.hi else 1
+        nl = -(-_bits(p.hi) // ACC_LIMB_BITS) if p.hi else 1
         limb_of_part.append(list(range(n_limbs, n_limbs + nl)))
         n_limbs += nl
     if domain * n_limbs > MAX_PLANES:
@@ -774,6 +780,10 @@ def _fuse(node, tables, interpret):
     if base.sel is not None:
         _want("__sel")
 
+    # Input staging: the kernel reads int32 tiles ONLY (Mosaic cannot lower
+    # i64->i32 converts — measured RecursionError in its lowering).  Narrow
+    # columns (range fits int31) convert outside the kernel; wide columns
+    # split into two non-negative int32 words (low 31 bits / high bits).
     inputs: Dict[str, jnp.ndarray] = {}
     for nm in input_names:
         if nm == "__sel":
@@ -781,7 +791,29 @@ def _fuse(node, tables, interpret):
         elif nm.endswith("__v"):
             inputs[nm] = base[nm[:-3]].validity
         else:
-            inputs[nm] = base[nm].data
+            col = base[nm]
+            if col.dtype.is_string or col.dtype.kind is TypeKind.BOOL:
+                inputs[nm] = col.data
+                continue
+            lo, hi = _col_interval(col)
+            if lo < 0:
+                raise Ineligible("negative value range")
+            if hi < _I31:
+                # pre-padded storage shadow when available: 4 B/row reads
+                # with no staging copy; otherwise narrow outside the kernel
+                if col.narrow32 is not None:
+                    inputs[nm] = col.narrow32
+                else:
+                    inputs[nm] = col.data.astype(jnp.int32)
+            elif hi < 1 << 62:
+                inputs[nm + "__w0"] = (
+                    col.data & jnp.int64(_I31 - 1)
+                ).astype(jnp.int32)
+                inputs[nm + "__w1"] = (col.data >> jnp.int64(31)).astype(
+                    jnp.int32
+                )
+            else:
+                raise Ineligible("column range too wide")
 
     key_meta = [(kn, base[kn].dtype, base[kn].dictionary,
                  base[kn].validity is not None) for kn in key_names]
@@ -817,9 +849,9 @@ def _fuse(node, tables, interpret):
                 limbs[lidx[0]] = v
                 continue
             for j, li in enumerate(lidx):
-                piece = v >> jnp.int32(LIMB_BITS * j)
+                piece = v >> jnp.int32(ACC_LIMB_BITS * j)
                 if j + 1 < len(lidx):
-                    piece = piece & jnp.int32(_LIMB_MASK)
+                    piece = piece & jnp.int32(_ACC_MASK)
                 limbs[li] = piece
         return slot, limbs
 
@@ -827,14 +859,14 @@ def _fuse(node, tables, interpret):
     FUSE_STATS["slots"] = S
     FUSE_STATS["limbs"] = n_limbs
     sums = stream_group_sums(inputs, make_tile_values, S, n_limbs,
-                             interpret=interpret)
+                             n_rows=base.capacity, interpret=interpret)
 
     # ---- recombination (XLA, S x L values) ----
     def part_total(pi: int) -> jnp.ndarray:
         p = pl_[pi]
         acc = jnp.zeros(S, dtype=jnp.int64)
         for j, li in enumerate(lof[pi]):
-            acc = acc + (sums[:, li] << jnp.int64(LIMB_BITS * j))
+            acc = acc + (sums[:, li] << jnp.int64(ACC_LIMB_BITS * j))
         if p.shift:
             acc = acc << jnp.int64(p.shift)
         return acc * jnp.int64(p.sign)

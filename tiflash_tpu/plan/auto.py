@@ -105,7 +105,11 @@ def distribute_plan(
             cap = node.output_capacity
             if build_rows <= max(
                 cfg.broadcast_threshold_rows, probe_rows // (4 * num_devices)
-            ) and node.kind != "right":
+            ) and node.kind not in ("right", "right_outer", "full_outer"):
+                # right/full outer must hash-shuffle: with a replicated
+                # build, every device would re-emit the whole non-matched
+                # tail (matched-flags are only complete when each build row
+                # lives on exactly one device)
                 return broadcast_join(
                     node.kind, list(node.probe_keys), list(node.build_keys),
                     probe, build, unique_build=node.unique_build,

@@ -150,7 +150,7 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         if cap is None and not node.unique_build:
             # default: assume 1:1-ish expansion, probe capacity
             cap = probe.capacity
-        joined, extras = J.hash_join(
+        joined, extras = J.hash_join_with_tail(
             probe, build, list(node.probe_keys), list(node.build_keys),
             kind=node.kind, output_capacity=cap,
         )

@@ -15,7 +15,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.block import Block, Column
+from ..core.block import Block, Column, make_narrow32
 from ..core.dtypes import DataType, TypeKind
 
 
@@ -35,6 +35,7 @@ def column_from_arrays(
     (``Storages/DeltaMerge/Index/MinMaxIndex.h``) that drives the
     streaming-aggregate kernel's limb planning and rough-set filtering."""
     stats = None
+    narrow = None
     if dtype.is_string:
         assert dictionary is not None, "string columns need a dictionary"
         assert data.dtype == np.int32
@@ -42,8 +43,10 @@ def column_from_arrays(
         data = np.ascontiguousarray(data, dtype=dtype.physical)
         if data.size and np.issubdtype(data.dtype, np.integer):
             stats = (int(data.min()), int(data.max()))
+            narrow = make_narrow32(data, stats)
     v = None if validity is None else jnp.asarray(np.ascontiguousarray(validity, dtype=bool))
-    return Column(jnp.asarray(data), v, dtype, dictionary, stats=stats)
+    return Column(jnp.asarray(data), v, dtype, dictionary, stats=stats,
+                  narrow32=narrow)
 
 
 def encode_strings(values: np.ndarray) -> Tuple[np.ndarray, Tuple[str, ...]]:

@@ -536,7 +536,7 @@ def o_join(
                     out[n].append(left[n][i])
                 for n, on in zip(rn, out_names[len(ln):]):
                     out[on].append(right[n][j])
-        elif kind in ("left", "left_outer"):
+        elif kind in ("left", "left_outer", "full", "full_outer"):
             for n in ln:
                 out[n].append(left[n][i])
             for on in out_names[len(ln):]:
@@ -566,7 +566,7 @@ def o_join(
         return res
     if kind in ("semi", "anti"):
         return {n: out[n] for n in ln}
-    if kind in ("right", "right_outer", "full"):
+    if kind in ("right", "right_outer", "full", "full_outer"):
         for j in range(nr):
             if j not in matched_r:
                 for n in ln:
