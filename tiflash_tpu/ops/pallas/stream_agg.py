@@ -145,7 +145,7 @@ def stream_group_sums(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, acc_rows, TILE_LANES),
-            lambda i: (i // FLUSH_TILES, i * 0, i * 0),
+            lambda i: (i // jnp.int32(FLUSH_TILES), i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((chunks, acc_rows, TILE_LANES),
