@@ -128,6 +128,18 @@ class Column:
         """Decode to python values (strings decoded, decimals as scaled int
         left intact — formatting is the responsibility of the printer)."""
         data = np.asarray(self.data)
+        if self.dtype.is_wide_decimal and data.ndim == 2:
+            # two-limb mantissa (core/wide.py): python bigints out.
+            # 1-D wide columns are "narrow-stored" (the int64 mantissa
+            # provably fits — ops/aggregate._wide_rewrite) and decode below
+            # like any other decimal.
+            from .wide import wide_to_host_ints
+
+            valid = None if self.validity is None else np.asarray(self.validity)
+            if sel is not None:
+                data = data[sel]
+                valid = None if valid is None else valid[sel]
+            return wide_to_host_ints(data, valid)
         if data.ndim == 2:
             # group_concat column: join each row's valid dictionary items
             sep = self.concat_sep if self.concat_sep is not None else ","

@@ -110,6 +110,13 @@ class DataType:
         return self.kind is TypeKind.DECIMAL
 
     @property
+    def is_wide_decimal(self) -> bool:
+        """Precision 19..38: two-limb base-10^18 mantissa, column data is
+        (n, 2) int64 (core/wide.py).  Reference: Decimal128/256
+        (``DataTypes/DataTypeDecimal.h:194``)."""
+        return self.kind is TypeKind.DECIMAL and self.precision > 18
+
+    @property
     def is_numeric(self) -> bool:
         return self.is_integer or self.is_float or self.is_decimal
 
@@ -150,9 +157,9 @@ STRING = DataType(TypeKind.STRING)
 
 
 def Decimal(precision: int, scale: int, nullable: bool = False) -> DataType:
-    if precision > 18:
+    if precision > 38:
         raise NotImplementedError(
-            "Decimal precision > 18 (Int128/Int256 mantissa) not supported yet"
+            "Decimal precision > 38 (Int256 mantissa) not supported"
         )
     return DataType(TypeKind.DECIMAL, nullable=nullable, precision=precision, scale=scale)
 
@@ -165,7 +172,8 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
         # decimal arithmetic keeps max scale (add/sub); mul adds scales —
         # callers that need mul semantics adjust explicitly.
         scale = max(a.scale, b.scale)
-        prec = min(18, max(a.precision - a.scale, b.precision - b.scale) + scale + 1)
+        cap = 38 if (a.is_wide_decimal or b.is_wide_decimal) else 18
+        prec = min(cap, max(a.precision - a.scale, b.precision - b.scale) + scale + 1)
         return Decimal(prec, scale, nullable)
     if a.is_float or b.is_float:
         return DataType(TypeKind.FLOAT64, nullable)

@@ -165,11 +165,13 @@ def _exchange_columns_packed(grouped: Block, exch) -> list:
     analog of the reference packing many columns into one MPPDataPacket."""
     from collections import defaultdict
 
-    groups = defaultdict(list)  # dtype -> list of (col_idx, kind, array)
+    # keyed by (dtype, trailing shape): 2-D columns (two-limb decimals,
+    # group_concat matrices) only pack with same-shaped peers
+    groups = defaultdict(list)  # key -> list of (col_idx, kind, array)
     for i, c in enumerate(grouped.columns):
-        groups[str(c.data.dtype)].append((i, "data", c.data))
+        groups[(str(c.data.dtype), c.data.shape[1:])].append((i, "data", c.data))
         if c.validity is not None:
-            groups["bool"].append((i, "validity", c.validity))
+            groups[("bool", c.validity.shape[1:])].append((i, "validity", c.validity))
 
     results: dict = {}
     for dt_key, entries in groups.items():

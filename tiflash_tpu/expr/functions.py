@@ -152,11 +152,23 @@ def _arith_infer(op: str):
         if op == "multiply" and (a.is_decimal or b.is_decimal):
             sa = a.scale if a.is_decimal else 0
             sb = b.scale if b.is_decimal else 0
-            prec = min(18, (a.precision or 18) + (b.precision or 18))
+            if a.is_wide_decimal or b.is_wide_decimal:
+                # true MulDecimalInferer (prec_a + prec_b) once an operand
+                # is already wide; row-level expression multiplies keep the
+                # int64-mantissa cap (documented deviation)
+                prec = min((a.precision or 18) + (b.precision or 18), 38)
+            else:
+                prec = min(18, (a.precision or 18) + (b.precision or 18))
             return Decimal(prec, sa + sb, a.nullable or b.nullable)
         if op == "divide":
             if a.is_decimal or (a.is_integer and (b.is_decimal or b.is_integer)):
                 sa = a.scale if a.is_decimal else 0
+                if a.is_wide_decimal:
+                    # DivDecimalInferer (Common/Decimal.h:140), capped at 38
+                    sb = b.scale if b.is_decimal else 0
+                    return Decimal(
+                        min(a.precision + sb + DIV_PRECISION_INCREMENT, 38),
+                        min(sa + DIV_PRECISION_INCREMENT, 30), True)
                 return Decimal(18, sa + DIV_PRECISION_INCREMENT, True)
             return DataType(TypeKind.FLOAT64, True)
         if op in ("int_div", "modulo"):
@@ -177,10 +189,87 @@ def _align_decimal_pair(a: Column, b: Column) -> Tuple[jnp.ndarray, jnp.ndarray,
     return da, db, s
 
 
+def _as_wide(c: Column):
+    """Column -> two-limb array (widening narrow-stored / plain mantissas)."""
+    from ..core import wide as W
+
+    if c.data.ndim == 2:
+        return c.data
+    return W.widen_i64(c.data.astype(jnp.int64))
+
+
+def _wide_align(a: Column, b: Column):
+    """Both operands as two-limb mantissas at the common (max) scale."""
+    from ..core import wide as W
+
+    sa = a.dtype.scale if a.dtype.is_decimal else 0
+    sb = b.dtype.scale if b.dtype.is_decimal else 0
+    s = max(sa, sb)
+    wa, _ = W.wide_scale_up(_as_wide(a), s - sa)
+    wb, _ = W.wide_scale_up(_as_wide(b), s - sb)
+    return wa, wb, s
+
+
 def _arith_eval(op: str):
     def evaluate(cols: Sequence[Column], out: DataType) -> Column:
         a, b = cols
         validity = _and_validity(cols)
+        wide_operand = (
+            (a.dtype.is_wide_decimal or b.dtype.is_wide_decimal)
+            and out.is_decimal
+        )
+        if wide_operand and op in ("plus", "minus"):
+            from ..core import wide as W
+
+            wa, wb, s = _wide_align(a, b)
+            if out.scale > s:
+                wa, _ = W.wide_scale_up(wa, out.scale - s)
+                wb, _ = W.wide_scale_up(wb, out.scale - s)
+            data = W.wide_add(wa, wb) if op == "plus" else W.wide_sub(wa, wb)
+            return Column(data, validity, out)
+        if wide_operand and op == "multiply":
+            from ..core import wide as W
+
+            sa = a.dtype.scale if a.dtype.is_decimal else 0
+            sb = b.dtype.scale if b.dtype.is_decimal else 0
+            data, ovf = W.wide_mul(_as_wide(a), _as_wide(b))
+            extra = (sa + sb) - out.scale
+            if extra > 0:
+                p10, _ = W.wide_scale_up(
+                    W.widen_i64(jnp.ones_like(W.wide_hi(data))), extra
+                )
+                data = W.wide_div_wide_round_half_up(data, p10)
+            # beyond-precision-38 products: NULL (the reference errors;
+            # documented deviation — shape-static programs cannot throw)
+            validity = ~ovf if validity is None else (validity & ~ovf)
+            return Column(data, validity, out)
+        if op == "divide" and a.dtype.is_wide_decimal:
+            # wide numerator (a merged sum state / its count, ratios of two
+            # sums e.g. Q8 mkt_share) — exact two-limb long division
+            # (core/wide.py); the divisor may itself be wide
+            from ..core import wide as W
+
+            w = a.data if a.data.ndim == 2 else W.widen_i64(
+                a.data.astype(jnp.int64))
+            sa = a.dtype.scale
+            sb = b.dtype.scale if b.dtype.is_decimal else 0
+            shift = out.scale - sa + sb
+            assert shift >= 0, (out.scale, sa, sb)
+            while shift > 0:
+                w, _ = W.wide_mul_pow10(w, min(shift, 9))
+                shift -= 9
+            if b.data.ndim == 2:
+                den_w = b.data
+                nonzero = (W.wide_hi(den_w) != 0) | (W.wide_lo(den_w) != 0)
+            else:
+                den = b.data.astype(jnp.int64)
+                nonzero = den != 0
+                den_w = W.widen_i64(den)
+            one = W.widen_i64(jnp.ones_like(W.wide_hi(den_w)))
+            den_w = jnp.where(nonzero[..., None], den_w, one)
+            data = W.wide_div_wide_round_half_up(w, den_w)
+            validity = nonzero if validity is None else (validity & nonzero)
+            return Column(data, validity, out)
         if out.is_decimal:
             if op in ("plus", "minus"):
                 da, db, s = _align_decimal_pair(a, b)
@@ -303,6 +392,22 @@ def _cmp_eval(op: str):
             # compile layer; column-vs-column comparisons re-encode both
             # sides into a merged dictionary (exact for all six operators)
             da, db = _remap_to_merged_dict(a, b)
+        elif a.dtype.is_wide_decimal or b.dtype.is_wide_decimal:
+            # two-limb compare: (hi, lo) is lexicographic (lo >= 0)
+            from ..core import wide as W
+
+            wa, wb, _ = _wide_align(a, b)
+            lt = W.wide_cmp_lt(wa, wb)
+            eq = W.wide_eq(wa, wb)
+            data = {
+                "equals": eq,
+                "not_equals": ~eq,
+                "less": lt,
+                "less_or_equals": lt | eq,
+                "greater": ~(lt | eq),
+                "greater_or_equals": ~lt,
+            }[op]
+            return Column(data, validity, out)
         elif a.dtype.is_decimal or b.dtype.is_decimal:
             da, db, _ = _align_decimal_pair(a, b)
         elif a.dtype.is_float or b.dtype.is_float:

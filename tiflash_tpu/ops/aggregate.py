@@ -71,8 +71,11 @@ class AggDesc:
 
 
 def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
-    """TiDB result-type rules (``AggregateFunctions/AggregateFunctionSum.h``,
-    TiDB: avg adds DIV_PRECISION_INCREMENT=4 to the scale)."""
+    """TiDB result-type rules (``AggregateFunctions/AggregateFunctionSum.h:293``
+    via ``SumDecimalInferer``/``AvgDecimalInferer``, ``Common/Decimal.h:156``:
+    sum widens precision by decimal_longlong_digits=22, avg adds
+    DIV_PRECISION_INCREMENT=4 to precision and scale; both cap at our
+    MAX_WIDE_PRECISION=38 instead of the reference's 65)."""
     if func in ("count", "count_distinct"):
         return INT64
     assert arg is not None
@@ -80,15 +83,17 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
         return arg.with_nullable(True)
     if func == "sum":
         if arg.is_decimal:
-            return Decimal(18, arg.scale, nullable=True)
+            return Decimal(min(arg.precision + 22, 38), arg.scale, nullable=True)
         if arg.is_float:
             return FLOAT64.with_nullable(True)
         return INT64.with_nullable(True)
     if func == "avg":
         if arg.is_float:
             return FLOAT64.with_nullable(True)
-        scale = (arg.scale if arg.is_decimal else 0) + 4
-        return Decimal(18, scale, nullable=True)
+        if arg.is_decimal:
+            return Decimal(min(arg.precision + 4, 38), min(arg.scale + 4, 30),
+                           nullable=True)
+        return Decimal(18, 4, nullable=True)
     if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
         return FLOAT64.with_nullable(True)
     if func == "quantile":
@@ -96,6 +101,186 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
     if func == "group_concat":
         return arg.with_nullable(True)
     raise NotImplementedError(f"aggregate {func}")
+
+
+# ---------------------------------------------------------------------------
+# wide-decimal (precision 19..38) sum/avg
+# ---------------------------------------------------------------------------
+
+# scaled-sum magnitudes below this are provably exact in int64 accumulation
+_WIDE_SAFE = 2 ** 62
+
+
+def _abs_bound(col: Column) -> Optional[int]:
+    if col.stats is None:
+        return None
+    return max(abs(int(col.stats[0])), abs(int(col.stats[1])))
+
+
+def _wide_rewrite(block: Block, aggs: Sequence[AggDesc]):
+    """Exact wide-decimal (result precision > 18) sum/avg AROUND the
+    unchanged int64 aggregation methods.
+
+    Two physical strategies, chosen per aggregate from column range
+    statistics (the MinMaxIndex analog on ``Column.stats``):
+
+    - **narrow-stored**: when stats prove ``rows * max|mantissa| * 10^shift``
+      fits int64, the method's int64 accumulation is already exact and its
+      1-D output is simply *typed* wide (the result-side mirror of the
+      reference's Decimal32/64 physical narrowing,
+      ``DataTypes/DataTypeDecimal.h``).  Zero extra compute — this is the
+      path every TPC-H sum takes when scanned columns carry stats.
+    - **digit decomposition**: otherwise the argument splits into base-10^9
+      digit columns (2 for int64 mantissas, 4 for two-limb ``(n, 2)``
+      inputs e.g. partial-aggregate states), each digit is summed by the
+      unchanged method (digit sums cannot overflow below ~9e9 rows), and
+      the digit sums carry-normalize into a two-limb column
+      (``core/wide.py``) — bit-exact regardless of value distribution.
+
+    Returns None when no aggregate needs widening, else
+    ``(block', aggs', post)`` where ``post`` maps the method's result block
+    back to the requested schema.  Reference: Decimal128/256 sum states,
+    ``AggregateFunctions/AggregateFunctionSum.h:331``.
+    """
+    from ..core.wide import (
+        digits_of_i64,
+        digits_of_wide,
+        renorm_digits,
+        wide_div_round_half_up,
+        wide_mul_pow10,
+    )
+
+    def _is_wide2(c: Column) -> bool:
+        return c.dtype.is_wide_decimal and c.data.ndim == 2
+
+    relevant = [
+        a for a in aggs
+        if a.func in ("sum", "avg") and a.arg is not None
+        and block[a.arg].dtype.is_decimal
+        and agg_result_dtype(a.func, block[a.arg].dtype).is_wide_decimal
+    ]
+    minmax = [
+        a for a in aggs
+        if a.func in ("min", "max", "first") and a.arg is not None
+        and _is_wide2(block[a.arg])
+    ]
+    for a in aggs:
+        if (
+            a.arg is not None
+            and _is_wide2(block[a.arg])
+            and a.func not in ("sum", "avg", "count", "min", "max", "first")
+        ):
+            raise NotImplementedError(
+                f"{a.func} over a two-limb wide-decimal column"
+            )
+    if not relevant and not minmax:
+        return None
+
+    rows = block.capacity
+    out_block = block
+    aggs2: List[AggDesc] = []
+    skip: set = set()
+    assemble: dict = {}
+    for a in aggs:
+        col = block[a.arg] if a.arg is not None else None
+        if a in minmax:
+            # min/max/first over a two-limb column: aggregate an
+            # order-preserving int64 RANK surrogate (one lexicographic
+            # (hi, lo) sort), then gather the real value back by rank in
+            # post — the positional trick that keeps the methods int64
+            n = col.data.shape[0]
+            iota = jnp.arange(n, dtype=jnp.int64)
+            s_hi, s_lo, s_row = jax.lax.sort(
+                (col.data[:, 0], col.data[:, 1], iota), num_keys=2,
+                is_stable=True,
+            )
+            ranks = jnp.zeros(n, dtype=jnp.int64).at[s_row].set(iota)
+            nm = f"__wm__{a.name}"
+            out_block = out_block.with_column(nm, Column(ranks, col.validity, INT64))
+            res_nm = f"__wmr__{a.name}"
+            aggs2.append(AggDesc(a.func, nm, res_nm, a.filter_col))
+            assemble[res_nm] = (
+                "rank_gather", a, jnp.stack([s_hi, s_lo], axis=-1),
+                agg_result_dtype(a.func, col.dtype),
+            )
+            continue
+        if a not in relevant:
+            aggs2.append(a)
+            continue
+        rdt = agg_result_dtype(a.func, col.dtype)
+        shift = rdt.scale - col.dtype.scale
+        wide_in = col.data.ndim == 2
+        if not wide_in:
+            b = _abs_bound(col)
+            if b is not None and b * rows * (10 ** shift) < _WIDE_SAFE:
+                aggs2.append(a)
+                vb = b * rows if a.func == "sum" else b * (10 ** shift)
+                assemble[a.name] = ("narrow", vb)
+                continue
+        digs = (
+            digits_of_wide(col.data)
+            if wide_in
+            else digits_of_i64(col.data.astype(jnp.int64))
+        )
+        sum_names = []
+        for j, d in enumerate(digs):
+            nm = f"__wd{j}__{a.name}"
+            out_block = out_block.with_column(nm, Column(d, col.validity, INT64))
+            sum_names.append(f"__ws{j}__{a.name}")
+            aggs2.append(AggDesc("sum", nm, sum_names[-1], a.filter_col))
+        cnt_name = None
+        if a.func == "avg":
+            cnt_name = f"__wc__{a.name}"
+            aggs2.append(
+                AggDesc("count", f"__wd0__{a.name}", cnt_name, a.filter_col)
+            )
+            skip.add(cnt_name)
+        skip.update(sum_names[1:])
+        assemble[sum_names[0]] = ("wide", a, sum_names, cnt_name, shift, rdt)
+
+    def post(res: Block) -> Block:
+        names: List[str] = []
+        cols: List[Column] = []
+        d = res.as_dict()
+        for nm in res.names:
+            if nm in skip:
+                continue
+            spec = assemble.get(nm)
+            if spec is None:
+                names.append(nm)
+                cols.append(d[nm])
+                continue
+            if spec[0] == "narrow":
+                c = d[nm]
+                names.append(nm)
+                cols.append(Column(c.data, c.validity, c.dtype,
+                                   stats=(-spec[1], spec[1])))
+                continue
+            if spec[0] == "rank_gather":
+                _, a, sorted_w, rdt = spec
+                c = d[nm]
+                idx = jnp.clip(c.data, 0, sorted_w.shape[0] - 1).astype(jnp.int32)
+                names.append(a.name)
+                cols.append(Column(jnp.take(sorted_w, idx, axis=0),
+                                   c.validity, rdt))
+                continue
+            _, a, sum_names, cnt_name, shift, rdt = spec
+            validity = d[sum_names[0]].validity
+            # |sum| >= ~9.2e36 exceeds precision 38 anyway; the reference
+            # errors there — renorm saturates (flag currently dropped)
+            w, _ovf = renorm_digits([d[s].data for s in sum_names])
+            if a.func == "avg":
+                if shift:
+                    w, _ = wide_mul_pow10(w, shift)
+                w = wide_div_round_half_up(
+                    w, jnp.maximum(d[cnt_name].data, 1)
+                )
+            names.append(a.name)
+            cols.append(Column(w, validity, rdt))
+        return Block(names=tuple(names), columns=tuple(cols), sel=res.sel,
+                     clustered_by=res.clustered_by)
+
+    return out_block, aggs2, post
 
 
 # ---------------------------------------------------------------------------
@@ -1202,14 +1387,24 @@ def auto_passthrough_aggregate(
     flow through unreduced (so the shuffle isn't preceded by a useless
     hash agg), low-cardinality inputs shrink before exchange.  Only
     meaningful ahead of an exchange; requires avg already decomposed."""
+    rw = _wide_rewrite(block, aggs)
+    post = None
+    if rw is not None:
+        block, aggs, post = rw
+
+    def fin(res: AggregateResult) -> AggregateResult:
+        if post is None:
+            return res
+        return AggregateResult(post(res.block), res.num_groups, res.overflow)
+
     if not keys:
         b = aggregate_scalar(block, aggs)
-        return AggregateResult(b, jnp.int32(1), jnp.int64(0))
+        return fin(AggregateResult(b, jnp.int32(1), jnp.int64(0)))
     key_cols = [block[k] for k in keys]
     packed = pack_keys_direct(key_cols)
     if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
         # tiny domain: always aggregate, never pass through
-        return aggregate_direct(block, keys, aggs, packed)
+        return fin(aggregate_direct(block, keys, aggs, packed))
     n = block.capacity
     n_live = block.num_rows()
 
@@ -1268,7 +1463,7 @@ def auto_passthrough_aggregate(
         for dd, vv, (name, dt_, dic) in zip(d, v, ref_res_schema)
     )
     out = Block(names=tuple(agg_names), columns=cols, sel=s)
-    return AggregateResult(out, groups, jnp.int64(0))
+    return fin(AggregateResult(out, groups, jnp.int64(0)))
 
 
 def hash_aggregate(
@@ -1278,6 +1473,20 @@ def hash_aggregate(
     num_slots: Optional[int] = None,
 ) -> AggregateResult:
     """Method dispatch (the ``chooseAggregationMethod`` analog)."""
+    rw = _wide_rewrite(block, aggs)
+    if rw is not None:
+        block, aggs, post = rw
+        res = _dispatch_aggregate(block, keys, aggs, num_slots)
+        return AggregateResult(post(res.block), res.num_groups, res.overflow)
+    return _dispatch_aggregate(block, keys, aggs, num_slots)
+
+
+def _dispatch_aggregate(
+    block: Block,
+    keys: Sequence[str],
+    aggs: Sequence[AggDesc],
+    num_slots: Optional[int] = None,
+) -> AggregateResult:
     if not keys:
         b = aggregate_scalar(block, aggs)
         return AggregateResult(b, jnp.int32(1), jnp.int64(0))

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.block import Block, Column
+from ..core.dtypes import INT64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +42,18 @@ def _sort_operand(col: Column, desc: bool, nulls_first: bool) -> List[jnp.ndarra
     on the raw key.  We keep it simple: emit (null_rank, value') where
     value' is transformed so ascending lax.sort yields the wanted order."""
     data = col.data
+    if col.dtype.is_wide_decimal and data.ndim == 2:
+        # two-limb mantissa (core/wide.py): value order == lexicographic
+        # (hi, lo) order because lo is non-negative — recurse per limb
+        ops: List[jnp.ndarray] = []
+        if col.validity is not None:
+            rank = jnp.where(col.validity, 1 if nulls_first else 0,
+                             0 if nulls_first else 1)
+            ops.append(rank.astype(jnp.int8))
+        for limb in (data[:, 0], data[:, 1]):
+            ops.extend(_sort_operand(Column(limb, None, INT64), desc,
+                                     nulls_first))
+        return ops
     if data.dtype == jnp.bool_:
         data = data.astype(jnp.int8)
     if desc:

@@ -704,6 +704,25 @@ def _fuse(node, tables, interpret):
             part_list.append(p)
         term_part_idx[arg] = idxs
 
+    # int64-exactness guard: recombined per-slot totals (and the avg
+    # numerator after its 10^shift scale-up) must PROVABLY fit int64 —
+    # otherwise the plane recombination could wrap.  Wide-decimal results
+    # beyond this bound fall back to the generic methods, whose
+    # _wide_rewrite digit path is exact.
+    sum_bounds: Dict[str, int] = {}
+    for a in node.aggs:
+        if a.arg is None or a.arg not in agg_terms:
+            continue
+        t = agg_terms[a.arg]
+        bound = sum(p.hi << p.shift for p in t.parts) * base.capacity
+        if a.func == "avg":
+            dt = t.dtype
+            rdt = agg_result_dtype(a.func, dt)
+            bound *= 10 ** (rdt.scale - (dt.scale if dt.is_decimal else 0))
+        if bound >= 1 << 62:
+            raise Ineligible("sum bound exceeds int64")
+        sum_bounds[a.name] = bound
+
     # live-row counter part (also the occupancy signal)
     live_count_idx = len(part_list)
     part_list.append(_const_part(1))
@@ -892,8 +911,11 @@ def _fuse(node, tables, interpret):
             continue
         s = term_total(a.arg)
         cnt = part_total(nn_part_idx[a.arg])
+        bnd = sum_bounds.get(a.name)
+        st = None if bnd is None else (-bnd, bnd)
         if a.func == "sum":
-            out_cols.append((a.name, Column(s.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+            out_cols.append((a.name, Column(s.astype(rdt.jnp_dtype), cnt > 0,
+                                            rdt, stats=st)))
         else:  # avg — mirror _accumulate_masked exactly
             from ..expr.functions import _div_round_half_up
 
@@ -903,7 +925,8 @@ def _fuse(node, tables, interpret):
                 d = _div_round_half_up(num, jnp.maximum(cnt, 1))
             else:
                 d = s / jnp.maximum(cnt, 1).astype(jnp.float64)
-            out_cols.append((a.name, Column(d.astype(rdt.jnp_dtype), cnt > 0, rdt)))
+            out_cols.append((a.name, Column(d.astype(rdt.jnp_dtype), cnt > 0,
+                                            rdt, stats=st)))
 
     # keyless aggregation ALWAYS yields one row (SQL scalar-agg semantics:
     # count over zero rows is 0, sums are NULL) — grouped aggregation only

@@ -50,6 +50,7 @@ def _slice_block(block: Block, start: int, rows: int) -> Block:
             None if c.validity is None else jnp.asarray(c.validity[start:start + rows]),
             c.dtype,
             c.dictionary,
+            stats=c.stats,  # a row slice keeps the range invariant
         )
         for c in block.columns
     )

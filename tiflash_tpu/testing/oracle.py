@@ -42,8 +42,11 @@ def block_to_pytable(block: Block) -> PyTable:
     for name, col in zip(block.names, block.columns):
         vals = raw[name]
         if col.dtype.is_decimal:
-            q = D(1).scaleb(-col.dtype.scale)
-            vals = [None if v is None else D(v) * q for v in vals]
+            # scaleb under the prec-38 context: exact exponent shift for
+            # wide-decimal mantissas (the default prec-28 context rounds)
+            vals = [None if v is None
+                    else D(v).scaleb(-col.dtype.scale, context=_CTX)
+                    for v in vals]
         elif col.dtype.kind is TypeKind.DATE:
             vals = [
                 None if v is None else datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
@@ -414,6 +417,14 @@ def o_aggregate(
     table: PyTable, keys: Sequence[str], aggs: Sequence[tuple]
 ) -> PyTable:
     """aggs: list of (func, arg_name, out_name[, filter_col])."""
+    with decimal.localcontext(_CTX):
+        return _o_aggregate_inner(table, keys, aggs)
+
+
+def _o_aggregate_inner(
+    table: PyTable, keys: Sequence[str], aggs: Sequence[tuple]
+) -> PyTable:
+    # runs under _CTX (prec 38) so Decimal sums of wide mantissas stay exact
     names = list(table.keys())
     n = len(table[names[0]]) if names else 0
     groups: Dict[tuple, List[int]] = {}
