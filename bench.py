@@ -8,6 +8,11 @@ publishes no absolute numbers — BASELINE.md — so the roofline IS the
 baseline; 1.0 means memory-bound speed of light, and the north-star
 target "within 1.2x of roofline" is vs_baseline >= 0.83).
 
+With no --config (the driver's invocation), ALL four configs run and the
+one JSON line carries q1 as the headline plus an ``extra`` dict with the
+q3/q6/topn numbers — VERDICT round-1 weak-item 5 (per-round visibility of
+every config).
+
 Timing methodology (required under the axon relay, where
 block_until_ready returns before device completion and identical
 dispatches can be elided): every iteration's input is perturbed by a
@@ -24,56 +29,40 @@ import json
 import sys
 import time
 
+# columns each config actually reads (for the roofline denominator)
+COLS_READ = {
+    "q1": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+           "l_returnflag", "l_linestatus", "l_shipdate"],
+    "q3": ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    "q6": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    "topn": ["l_orderkey", "l_extendedprice"],
+}
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", type=float, default=1.0)
-    ap.add_argument("--config", default="q1", choices=["q1", "q3", "q6", "topn"])
-    ap.add_argument("--k1", type=int, default=8)
-    ap.add_argument("--k2", type=int, default=32)
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
+HBM_BW = 819e9  # v5e peak HBM bandwidth
 
+
+def bench_config(config: str, cat, args, vlog) -> dict:
     import jax
     import jax.numpy as jnp
 
-    import tiflash_tpu  # noqa: F401  (x64 on)
-    from tiflash_tpu.bench.tpch_queries import q1_plan, q3_plan, q6_plan, sort_topn_plan
+    from tiflash_tpu.bench.tpch_queries import (
+        q1_plan, q3_plan, q6_plan, sort_topn_plan,
+    )
     from tiflash_tpu.plan.compiler import execute_plan
-    from tiflash_tpu.storage.tpch import generate_tpch
-
-    def vlog(msg):
-        if args.verbose:
-            print(msg, file=sys.stderr, flush=True)
 
     plan = {"q1": q1_plan, "q3": lambda: q3_plan(agg_slots=2**21),
-            "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[args.config]()
-
-    t0 = time.time()
-    tables = ["lineitem"] if args.config != "q3" else ["lineitem", "orders", "customer"]
-    cat = generate_tpch(sf=args.sf, seed=7, tables=tables)
+            "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[config]()
     blocks = cat.blocks()
-    jax.block_until_ready(blocks)
     n_rows = cat["lineitem"].row_count
-    vlog(f"gen+stage {time.time()-t0:.1f}s rows={n_rows}")
-
-    # columns each config actually reads (for the roofline denominator)
-    cols_read = {
-        "q1": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
-               "l_returnflag", "l_linestatus", "l_shipdate"],
-        "q3": ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        "q6": ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-        "topn": ["l_orderkey", "l_extendedprice"],
-    }[args.config]
     bytes_per_row = sum(
-        cat["lineitem"].block[c].data.dtype.itemsize for c in cols_read
+        cat["lineitem"].block[c].data.dtype.itemsize for c in COLS_READ[config]
     )
 
     # carry-perturbed bench step: xor the carry's low bit into one int64
     # column so every iteration is a fresh, value-dependent execution.
     # Perturb a measure column, never a clustering key — flipping key bits
     # would void the block's clustered_by property and change the plan.
-    perturb_col = {"q3": "l_extendedprice"}.get(args.config, cols_read[0])
+    perturb_col = {"q3": "l_extendedprice"}.get(config, COLS_READ[config][0])
 
     def checksum(block):
         """Folds EVERY output byte so no operator can be dead-code
@@ -88,7 +77,12 @@ def main() -> None:
                 d = d.astype(jnp.int32)
             if jnp.issubdtype(d.dtype, jnp.floating):
                 d = jax.lax.bitcast_convert_type(d.astype(jnp.float64), jnp.int64)
-            mask = live if c.validity is None else (live & c.validity)
+            mask = live
+            if c.validity is not None:
+                v = c.validity
+                mask = (mask[:, None] & v) if v.ndim == 2 else (mask & v)
+            if d.ndim == 2 and mask.ndim == 1:  # two-limb columns
+                mask = mask[:, None]
             acc = acc + jnp.sum(jnp.where(mask, d.astype(jnp.int64), 0))
         return acc
 
@@ -127,24 +121,68 @@ def main() -> None:
 
     t0 = time.time()
     chain(1)  # compile
-    vlog(f"compile+first {time.time()-t0:.1f}s")
+    vlog(f"[{config}] compile+first {time.time()-t0:.1f}s")
     chain(2)  # warm
 
     t_k1 = min(chain(args.k1) for _ in range(2))
     t_k2 = min(chain(args.k2) for _ in range(2))
     t_iter = max((t_k2 - t_k1) / (args.k2 - args.k1), 1e-9)
     rows_per_s = n_rows / t_iter
-    vlog(f"t(K1={args.k1})={t_k1*1e3:.1f}ms t(K2={args.k2})={t_k2*1e3:.1f}ms "
-         f"-> {t_iter*1e3:.3f}ms/iter")
+    vlog(f"[{config}] t(K1={args.k1})={t_k1*1e3:.1f}ms "
+         f"t(K2={args.k2})={t_k2*1e3:.1f}ms -> {t_iter*1e3:.3f}ms/iter")
 
-    HBM_BW = 819e9  # v5e peak HBM bandwidth
     roofline_rows_per_s = HBM_BW / bytes_per_row
-    print(json.dumps({
-        "metric": f"tpch_{args.config}_sf{args.sf:g}_rows_per_s",
+    return {
+        "metric": f"tpch_{config}_sf{args.sf:g}_rows_per_s",
         "value": round(rows_per_s / 1e6, 1),
         "unit": "Mrows/s",
         "vs_baseline": round(rows_per_s / roofline_rows_per_s, 3),
-    }))
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--config", default="all",
+                    choices=["all", "q1", "q3", "q6", "topn"])
+    ap.add_argument("--k1", type=int, default=8)
+    ap.add_argument("--k2", type=int, default=32)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    import tiflash_tpu  # noqa: F401  (x64 on)
+    from tiflash_tpu.storage.tpch import generate_tpch
+
+    def vlog(msg):
+        if args.verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    configs = ["q1", "q3", "q6", "topn"] if args.config == "all" else [args.config]
+    tables = ["lineitem"]
+    if "q3" in configs:
+        tables = ["lineitem", "orders", "customer"]
+    t0 = time.time()
+    cat = generate_tpch(sf=args.sf, seed=7, tables=tables)
+    jax.block_until_ready(cat.blocks())
+    vlog(f"gen+stage {time.time()-t0:.1f}s rows={cat['lineitem'].row_count}")
+
+    results = {}
+    for cfg in configs:
+        try:
+            results[cfg] = bench_config(cfg, cat, args, vlog)
+        except Exception as e:  # one config must not sink the round record
+            vlog(f"[{cfg}] FAILED: {e!r}")
+            results[cfg] = {"metric": f"tpch_{cfg}_failed", "value": 0,
+                            "unit": "Mrows/s", "vs_baseline": 0,
+                            "error": str(e)[:200]}
+
+    head = results[configs[0]]
+    if len(configs) > 1:
+        head = dict(head)
+        head["extra"] = {c: results[c] for c in configs[1:]}
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

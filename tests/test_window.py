@@ -146,3 +146,52 @@ def test_bounded_rows_frames_min_max_string():
         WindowDesc("min", "smin", arg="s", frame=(3, 0)),
         WindowDesc("max", "smax", arg="s", frame=(2, 2)),
     ], seed=11)
+
+
+def test_range_frames_basic():
+    """RANGE BETWEEN x PRECEDING AND y FOLLOWING (value distance on the
+    single numeric order key; reference WindowTransformAction.h:122-146)."""
+    run([
+        WindowDesc("sum", "rs", arg="v", frame=(3, 3), frame_type="range"),
+        WindowDesc("count", "rc", arg="v", frame=(2, 0), frame_type="range"),
+        WindowDesc("avg", "ra", arg="d", frame=(0, 4), frame_type="range"),
+        WindowDesc("min", "rmn", arg="v", frame=(5, 1), frame_type="range"),
+        WindowDesc("max", "rmx", arg="d", frame=(1, 5), frame_type="range"),
+    ], seed=20)
+
+
+def test_range_frames_desc_and_current_row():
+    """DESC order: value windows flip direction; 0 offsets = peers."""
+    run([
+        WindowDesc("sum", "rs", arg="v", frame=(4, 2), frame_type="range"),
+        WindowDesc("count", "rc", None, frame=(0, 0), frame_type="range"),
+        WindowDesc("sum", "peers", arg="v", frame=(0, 0), frame_type="range"),
+    ], seed=21, order_desc=True)
+
+
+def test_range_frames_unbounded_sides():
+    """None bounds: UNBOUNDED PRECEDING / FOLLOWING mixed with offsets."""
+    run([
+        WindowDesc("sum", "ub1", arg="v", frame=(None, 2), frame_type="range"),
+        WindowDesc("sum", "ub2", arg="v", frame=(3, None), frame_type="range"),
+        WindowDesc("min", "ub3", arg="v", frame=(None, 0), frame_type="range"),
+        WindowDesc("count", "ub4", arg="v", frame=(None, None)),
+    ], seed=22)
+
+
+def test_range_frames_nullable_order_key():
+    """NULL order keys form their own peer frame (MySQL RANGE semantics)."""
+    schema = dict(SCHEMA)
+    schema["o"] = dt.INT64.with_nullable(True)
+    rng = np.random.default_rng(23)
+    table = O.random_pytable(rng, 250, schema, int_range=(0, 9))
+    block = O.pytable_to_block(table, schema)
+    order = [SortKey("o", desc=False, nulls_first=True)]
+    funcs = [
+        WindowDesc("sum", "rs", arg="v", frame=(2, 2), frame_type="range"),
+        WindowDesc("count", "rc", arg="v", frame=(1, 0), frame_type="range"),
+    ]
+    out = window_block(block, ["p"], order, funcs)
+    got = O.block_to_pytable(out)
+    want = O.o_window(table, ["p"], [("o", False)], funcs)
+    O.assert_tables_equal(got, want)

@@ -40,17 +40,22 @@ class WindowDesc:
     last_value, sum, count, min, max, avg}; ``arg`` names the value column
     where applicable; lead/lag take ``offset`` and optional ``default``.
 
-    ``frame``: ROWS-mode frame (n_preceding, n_following) for
-    sum/count/avg — computed as segmented-prefix differences (reference:
-    WindowTransformAction frame advance).  None = unbounded preceding ..
-    current row (the running-aggregate default)."""
+    ``frame``: (preceding, following) bounds for sum/count/avg/min/max.
+    ``frame_type`` selects the unit: "rows" counts rows; "range" measures
+    ORDER-BY *value* distance (reference ``WindowTransformAction.h:122-146``
+    ``stepToStartForRangeFrame``) and requires exactly one numeric order
+    key — offsets are in the column's physical unit (mantissa steps for
+    decimals, days for dates).  A None bound = UNBOUNDED on that side; a 0
+    range bound = CURRENT ROW *including peers* (SQL RANGE semantics).
+    frame=None = unbounded preceding .. current row (running default)."""
 
     func: str
     name: str
     arg: Optional[str] = None
     offset: int = 1
     default: Optional[object] = None
-    frame: Optional[Tuple[int, int]] = None
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    frame_type: str = "rows"
 
 
 def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +90,64 @@ def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp
 
     _, out = jax.lax.associative_scan(combine, (seg_start, vals))
     return out
+
+
+def _merge_count(data_keys, query_keys, right: bool) -> jnp.ndarray:
+    """#data rows with lexicographic key < query (right=False) or
+    <= query (right=True), for every query row.
+
+    Both sequences are whole columns of the same batch; counting is one
+    combined ``lax.sort`` of 2n rows (a tie-break tag orders queries
+    before/after equal data keys) + one sort back to query order — the
+    TPU replacement for WindowTransformAction's per-row
+    ``stepToStartForRangeFrame`` walk: O(n log n) total instead of a
+    data-dependent pointer chase per row."""
+    n = data_keys[0].shape[0]
+    tag_d = jnp.full(n, 0 if right else 1, dtype=jnp.int8)
+    tag_q = jnp.full(n, 1 if right else 0, dtype=jnp.int8)
+    ops = [jnp.concatenate([d, q]) for d, q in zip(data_keys, query_keys)]
+    ops.append(jnp.concatenate([tag_d, tag_q]))
+    is_data = jnp.concatenate(
+        [jnp.ones(n, jnp.int32), jnp.zeros(n, jnp.int32)]
+    )
+    orig = jnp.concatenate([jnp.arange(n, dtype=jnp.int32)] * 2)
+    s = jax.lax.sort(tuple(ops) + (is_data, orig), num_keys=len(ops),
+                     is_stable=True)
+    cnt_at = jnp.cumsum(s[-2])  # inclusive: at a query slot == #data before
+    back = jax.lax.sort((s[-2], s[-1], cnt_at), num_keys=2, is_stable=True)
+    return back[2][:n].astype(jnp.int64)
+
+
+def _range_bounds(
+    order_ops: List[jnp.ndarray],
+    part_start_idx: jnp.ndarray,
+    part_end_idx: jnp.ndarray,
+    prec: Optional[int],
+    foll: Optional[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RANGE-frame (lo, hi) row indices from the sorted order-key operands.
+
+    ``order_ops`` are the order key's ascending-transformed sort operands
+    ([null_rank,] value'); offsets are uniform in the transformed space
+    for ASC and DESC alike (DESC flips via ~v / -v, so value-distance
+    windows map to v' -/+ offset unchanged).  NULL order keys carry a
+    distinct null_rank operand, which confines their frame to the null
+    peer set (MySQL RANGE-with-NULL semantics) for free.  The partition id
+    leads the key, so counts ARE global row indices — no per-partition
+    clamping needed."""
+    vals = order_ops[-1]
+    if not jnp.issubdtype(vals.dtype, jnp.floating):
+        vals = vals.astype(jnp.int64)
+    lead = [part_start_idx] + [o for o in order_ops[:-1]]
+    if prec is None:
+        lo = part_start_idx
+    else:
+        lo = _merge_count(lead + [vals], lead + [vals - prec], right=False)
+    if foll is None:
+        hi = part_end_idx
+    else:
+        hi = _merge_count(lead + [vals], lead + [vals + foll], right=True) - 1
+    return lo, hi
 
 
 def window_block(
@@ -144,6 +207,24 @@ def window_block(
     peer_end_idx = backward_fill_positions(_peer_last).astype(jnp.int64)
 
     out_cols = dict(zip(sblock.names, sblock.columns))
+
+    def frame_lo_hi(f: WindowDesc) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        prec, foll = f.frame
+        if f.frame_type == "range":
+            if len(order_by) != 1:
+                raise NotImplementedError(
+                    "RANGE frames require exactly one order key"
+                )
+            return _range_bounds(
+                list(sorted_ops[n_part_ops:n_sort_ops]),
+                part_start_idx, part_end_idx, prec, foll,
+            )
+        lo = part_start_idx if prec is None else jnp.maximum(
+            pos - prec, part_start_idx)
+        hi = part_end_idx if foll is None else jnp.minimum(
+            pos + foll, part_end_idx)
+        return lo, hi
+
     for f in funcs:
         if f.func == "row_number":
             data = pos - part_start_idx + 1
@@ -222,10 +303,8 @@ def window_block(
             # gathers — no per-row loops, frame length may vary freely at
             # partition edges.  (Reference: WindowTransformAction frame
             # advance recomputes per step; a GPU/TPU-style RMQ replaces it.)
-            prec, foll = f.frame
             c = sblock[f.arg]
-            lo = jnp.maximum(pos - prec, part_start_idx)
-            hi = jnp.minimum(pos + foll, part_end_idx)
+            lo, hi = frame_lo_hi(f)
             length = hi - lo + 1
             ones = jnp.ones(n, dtype=jnp.int64)
             if c.validity is not None:
@@ -248,7 +327,11 @@ def window_block(
                 c.validity, c.data, ident
             )
             reduce2 = jnp.minimum if f.func == "min" else jnp.maximum
-            width = int(prec) + int(foll) + 1
+            prec, foll = f.frame
+            if f.frame_type == "range" or prec is None or foll is None:
+                width = n  # value-distance / unbounded: any length possible
+            else:
+                width = int(prec) + int(foll) + 1
             levels = max(min(width, n), 1).bit_length()
             tables = [vals]
             for j in range(1, levels):
@@ -275,10 +358,8 @@ def window_block(
                 jnp.where(ok, red, jnp.zeros_like(red)), ok, rdt, c.dictionary
             )
         elif f.func in ("sum", "count", "avg") and f.frame is not None:
-            prec, foll = f.frame
             c = sblock[f.arg] if f.arg else None
-            lo = jnp.maximum(pos - prec, part_start_idx)
-            hi = jnp.minimum(pos + foll, part_end_idx)
+            lo, hi = frame_lo_hi(f)
             ones = jnp.ones(n, dtype=jnp.int64)
             if c is not None and c.validity is not None:
                 ones = ones * c.validity.astype(jnp.int64)

@@ -100,14 +100,16 @@ def _agg_from_json(d):
 def _w_to_json(w: WindowDesc):
     return {"func": w.func, "name": w.name, "arg": w.arg,
             "offset": w.offset, "default": w.default,
-            "frame": list(w.frame) if w.frame else None}
+            "frame": list(w.frame) if w.frame else None,
+            "frame_type": w.frame_type}
 
 
 def _w_from_json(d):
     fr = d.get("frame")
     return WindowDesc(d["func"], d["name"], d.get("arg"),
                       d.get("offset", 1), d.get("default"),
-                      tuple(fr) if fr else None)
+                      tuple(fr) if fr else None,
+                      d.get("frame_type", "rows"))
 
 
 # ---- plan nodes ----

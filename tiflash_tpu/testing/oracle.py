@@ -758,12 +758,31 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                 col_out += [table[f.arg][ii] for ii in part]  # frame ..current
             elif f.func in ("sum", "count", "avg", "min", "max") and getattr(f, "frame", None) is not None:
                 prec, foll = f.frame
+                is_range = getattr(f, "frame_type", "rows") == "range"
                 for t_, ii in enumerate(part):
-                    w0, w1 = max(0, t_ - prec), min(m - 1, t_ + foll)
-                    xs = [table[f.arg][part[j]] for j in range(w0, w1 + 1)] if f.arg else [1] * (w1 - w0 + 1)
+                    if is_range:
+                        oname, odesc = order_by[0]
+                        vi = table[oname][ii]
+                        frame_js = []
+                        for jj in range(m):  # NB: must not shadow j
+                            vj = table[oname][part[jj]]
+                            if vi is None or vj is None:
+                                if vi is None and vj is None:
+                                    frame_js.append(jj)
+                                continue
+                            d_ = (vi - vj) if not odesc else (vj - vi)
+                            if ((prec is None or d_ <= prec)
+                                    and (foll is None or -d_ <= foll)):
+                                frame_js.append(jj)
+                    else:
+                        w0 = 0 if prec is None else max(0, t_ - prec)
+                        w1 = m - 1 if foll is None else min(m - 1, t_ + foll)
+                        frame_js = list(range(w0, w1 + 1))
+                    xs = ([table[f.arg][part[j]] for j in frame_js]
+                          if f.arg else [1] * len(frame_js))
                     nn = [x for x in xs if x is not None]
                     if f.func == "count":
-                        col_out.append(len(nn) if f.arg else (w1 - w0 + 1))
+                        col_out.append(len(nn) if f.arg else len(frame_js))
                     elif not nn:
                         col_out.append(None)
                     elif f.func == "min":
