@@ -111,8 +111,15 @@ def bench_config(config: str, cat, args, vlog) -> dict:
         out = execute_plan(plan, tables)
         return checksum(out) + carry * jnp.int64(0x9E3779B1)
 
+    # every chain invocation gets a fresh carry seed so no dispatch in any
+    # run is byte-identical to an earlier one — the relay elides repeated
+    # identical dispatches, which made repeated chain(K) runs (identical
+    # carry sequences!) report fantasy iteration times
+    seed_ctr = [0]
+
     def chain(K):
-        carry = jnp.int64(1)
+        seed_ctr[0] += 1
+        carry = jnp.int64(seed_ctr[0])
         t0 = time.time()
         for _ in range(K):
             carry = bench_step(blocks, carry)

@@ -7,15 +7,23 @@ HTTP status/metrics servers (``Server/MetricsPrometheus.cpp``,
 we need here (plans arrive as JSON — plan/serde.py is the tipb analog),
 so the surface is a small threaded HTTP server:
 
-  POST /query    {"plan": <plan json>, "distributed": bool}
+  POST /query    {"plan": <plan json>, "distributed": bool, "async": bool}
                  -> {"columns": {name: [values...]}, "summary": {...}}
+                 (async: -> {"query_id": N} immediately; poll /result)
+  GET  /result?id=N -> state (+ columns/summary when FINISHED)
+  POST /cancel   {"query_id": N} -> cooperative abort (the
+                 ``FlashService::CancelMPPTask`` analog: frees the
+                 admission slot at the next executor checkpoint)
   GET  /metrics  -> flat counter dump (Prometheus-ish, JSON)
   GET  /status   -> tables, devices, backend
-  POST /failpoint {"name": ..., "action": "enable"|"disable", "probability": p}
+  POST /failpoint {"name": ..., "action": "enable"|"disable"|"pause",
+                   "probability": p}
 
 Admission control: a bounded semaphore caps concurrent queries (the
 MinTSO-scheduler slot analog — deadlock-freedom is trivial here because
 queries never wait on each other's exchanges; they are single programs).
+The admission wait itself polls the query's cancel flag, so a QUEUED
+query can be cancelled before it ever takes a slot.
 """
 
 from __future__ import annotations
@@ -52,6 +60,9 @@ class QueryService:
         # query registry: the MPPTaskManager / process-list analog
         self._qid = 0
         self._queries: Dict[int, Dict] = {}
+        # per-query cancel flags + async results, keyed by query id
+        self._cancels: Dict[int, "object"] = {}
+        self._results: Dict[int, Dict] = {}
 
     def _tables(self):
         with self._lock:
@@ -64,32 +75,83 @@ class QueryService:
                 self._blocks = blocks
             return self._blocks
 
-    def execute(self, plan_json: Dict, distributed: Optional[bool] = None) -> Dict:
+    def _register(self) -> int:
+        from ..runtime.cancel import CancelFlag
+
+        with self._lock:
+            self._qid += 1
+            qid = self._qid
+            self._queries[qid] = {"id": qid, "state": "QUEUED"}
+            self._cancels[qid] = CancelFlag()
+        return qid
+
+    def cancel(self, qid: int) -> Dict:
+        """FlashService::CancelMPPTask analog: cooperative abort."""
+        with self._lock:
+            flag = self._cancels.get(qid)
+            entry = self._queries.get(qid)
+            if flag is None or entry is None:
+                return {"ok": False, "error": f"unknown query id {qid}"}
+            terminal = entry["state"] in ("FINISHED", "FAILED", "CANCELLED")
+            if not terminal:
+                entry["state"] = "CANCELLING"
+        flag.set()
+        METRICS.counter("queries_cancelled_total").inc()
+        return {"ok": True, "state": "CANCELLING" if not terminal
+                else entry["state"]}
+
+    def _acquire_admission(self, flag) -> None:
+        """Take an admission slot, polling the cancel flag while QUEUED."""
+        from ..runtime.cancel import QueryCancelled
+
+        while not self._admission.acquire(timeout=0.05):
+            if flag.is_set():
+                raise QueryCancelled("cancelled while queued for admission")
+
+    def execute(self, plan_json: Dict, distributed: Optional[bool] = None,
+                qid: Optional[int] = None) -> Dict:
+        from ..runtime.cancel import QueryCancelled
+
         plan = plan_from_json(plan_json)
         mesh = self.mesh if (distributed is None or distributed) else None
         # system tables are injected fresh per query (single-device scans)
         uses_system = "system_" in json.dumps(plan_json)
+        if qid is None:
+            qid = self._register()
         with self._lock:
-            self._qid += 1
-            qid = self._qid
-            self._queries[qid] = {"id": qid, "state": "RUNNING"}
+            flag = self._cancels[qid]
         from ..runtime.logging import get_logger, query_context
 
         log = get_logger("tiflash_tpu.service")
         try:
-            with self._admission, query_context(qid):
-                log.info("query %d start", qid)
-                tables = self._tables()
-                if uses_system:
-                    from ..storage.system import system_blocks
+            self._acquire_admission(flag)
+            try:
+                with query_context(qid):
+                    with self._lock:
+                        if self._queries[qid]["state"] == "QUEUED":
+                            self._queries[qid]["state"] = "RUNNING"
+                    log.info("query %d start", qid)
+                    flag.check()
+                    tables = self._tables()
+                    if uses_system:
+                        from ..storage.system import system_blocks
 
-                    tables = dict(tables)
-                    tables.update(system_blocks(
-                        self.catalog, self.settings, self.queries()["queries"]
-                    ))
-                    mesh = None  # system scans run single-device
-                runner = QueryRunner(plan, mesh=mesh, settings=self.settings)
-                out, summary = runner.run(tables)
+                        tables = dict(tables)
+                        tables.update(system_blocks(
+                            self.catalog, self.settings,
+                            self.queries()["queries"]
+                        ))
+                        mesh = None  # system scans run single-device
+                    runner = QueryRunner(plan, mesh=mesh,
+                                         settings=self.settings, cancel=flag)
+                    out, summary = runner.run(tables)
+            finally:
+                self._admission.release()
+        except QueryCancelled:
+            with self._lock:
+                self._queries[qid]["state"] = "CANCELLED"
+            log.info("query %d cancelled", qid)
+            raise
         except Exception:
             with self._lock:
                 self._queries[qid]["state"] = "FAILED"
@@ -111,6 +173,37 @@ class QueryService:
                 "devices": summary.num_devices,
             },
         }
+
+    def execute_async(self, plan_json: Dict,
+                      distributed: Optional[bool] = None) -> Dict:
+        """Submit and return the query id immediately; poll result()."""
+        qid = self._register()
+
+        def work():
+            try:
+                res = self.execute(plan_json, distributed, qid=qid)
+                with self._lock:
+                    self._results[qid] = res
+            except Exception as e:
+                with self._lock:
+                    self._results[qid] = {
+                        "query_id": qid,
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+
+        threading.Thread(target=work, daemon=True).start()
+        return {"query_id": qid}
+
+    def result(self, qid: int) -> Dict:
+        with self._lock:
+            entry = self._queries.get(qid)
+            if entry is None:
+                return {"error": f"unknown query id {qid}"}
+            res = self._results.get(qid)
+            out = {"query_id": qid, "state": entry["state"]}
+            if res is not None:
+                out.update(res)
+            return out
 
     def queries(self) -> Dict:
         with self._lock:
@@ -150,6 +243,16 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 self._send(200, service.status())
             elif self.path == "/queries":
                 self._send(200, service.queries())
+            elif self.path.startswith("/result"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    qid = int(q["id"][0])
+                except (KeyError, ValueError):
+                    self._send(400, {"error": "need ?id=<query_id>"})
+                    return
+                self._send(200, service.result(qid))
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -160,20 +263,31 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"bad json: {e}"})
                 return
+            from ..runtime.cancel import QueryCancelled
+
             try:
                 if self.path == "/query":
-                    self._send(
-                        200,
-                        service.execute(req["plan"], req.get("distributed")),
-                    )
+                    if req.get("async"):
+                        self._send(200, service.execute_async(
+                            req["plan"], req.get("distributed")))
+                    else:
+                        self._send(200, service.execute(
+                            req["plan"], req.get("distributed")))
+                elif self.path == "/cancel":
+                    self._send(200, service.cancel(int(req["query_id"])))
                 elif self.path == "/failpoint":
-                    if req.get("action") == "enable":
+                    action = req.get("action")
+                    if action == "enable":
                         FailPoint.enable(req["name"], req.get("probability"))
+                    elif action == "pause":
+                        FailPoint.enable(req["name"], pause=True)
                     else:
                         FailPoint.disable(req["name"])
                     self._send(200, {"ok": True})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
+            except QueryCancelled as e:
+                self._send(499, {"error": str(e), "kind": "cancelled"})
             except FailPointError as e:
                 self._send(500, {"error": str(e), "kind": "failpoint"})
             except KeyError as e:

@@ -89,7 +89,13 @@ class QueryRunner:
         plan: P.PlanNode,
         mesh=None,
         settings: Optional[Settings] = None,
+        cancel: "Optional[object]" = None,
     ):
+        # cooperative cancellation flag (runtime/cancel.CancelFlag);
+        # checked at every host orchestration boundary below
+        from .cancel import CancelFlag
+
+        self.cancel: "Optional[CancelFlag]" = cancel
         self.settings = settings or Settings()
         if self.settings.enable_plan_rewrites:
             # the optimizer pass TiDB runs before shipping fragments:
@@ -156,8 +162,17 @@ class QueryRunner:
         return self._compiled
 
     def run(self, tables: Dict[str, Block]) -> Tuple[Block, ExecutionSummary]:
+        from .cancel import cancel_scope
+
+        with cancel_scope(self.cancel):
+            return self._run_cancellable(tables)
+
+    def _run_cancellable(self, tables) -> Tuple[Block, ExecutionSummary]:
         import jax
 
+        from .cancel import checkpoint
+
+        checkpoint()
         fail_point("exception_before_fragment_run")
         from .memory import MemoryLimitError, check_memory
 
@@ -221,12 +236,17 @@ class QueryRunner:
         from .logging import get_logger
 
         log = get_logger("tiflash_tpu.executor")
+        from .cancel import checkpoint
+
         for attempt in range(self.settings.max_capacity_retries + 1):
+            checkpoint()  # between retry attempts (MPPTask::abort analog)
             fn = self._compile()
+            checkpoint()
             res = fn(tables)
             out, overflows = res[0], res[1]
             node_rows = res[2] if len(res) == 3 else {}
             jax.block_until_ready(out)
+            checkpoint()
             flagged = {
                 k: int(np.asarray(v).max())
                 for k, v in overflows.items()

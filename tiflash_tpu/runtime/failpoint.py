@@ -29,6 +29,7 @@ class FailPoint:
         self.name = name
         self.enabled = False
         self.probability: Optional[float] = None
+        self.pause = False  # block instead of raise (FAIL_POINT_PAUSE analog)
         self.hits = 0
 
     @classmethod
@@ -41,33 +42,49 @@ class FailPoint:
         return cls.register(name)
 
     @classmethod
-    def enable(cls, name: str, probability: Optional[float] = None):
+    def enable(cls, name: str, probability: Optional[float] = None,
+               pause: bool = False):
         fp = cls.register(name)
         fp.enabled = True
         fp.probability = probability
+        fp.pause = pause
 
     @classmethod
     def disable(cls, name: str):
         fp = cls.register(name)
         fp.enabled = False
         fp.probability = None
+        fp.pause = False
 
     @classmethod
     def disable_all(cls):
         for fp in cls._registry.values():
             fp.enabled = False
             fp.probability = None
+            fp.pause = False
 
 
 def fail_point(name: str):
     """Trigger point: raises FailPointError when the named point is armed
-    (maybe probabilistically)."""
+    (maybe probabilistically).  A ``pause`` failpoint blocks instead
+    (``FAIL_POINT_PAUSE``, ``Common/FailPoint.cpp``) until disabled — or
+    until the executing query is cancelled, which raises QueryCancelled
+    (the reference unblocks paused tasks on abort the same way)."""
     fp = FailPoint.register(name)
     if not fp.enabled:
         return
     if fp.probability is not None and random.random() >= fp.probability:
         return
     fp.hits += 1
+    if fp.pause:
+        import time
+
+        from .cancel import checkpoint
+
+        while fp.enabled and fp.pause:
+            checkpoint()  # QueryCancelled breaks the pause
+            time.sleep(0.01)
+        return
     raise FailPointError(f"failpoint {name!r} triggered")
 
 

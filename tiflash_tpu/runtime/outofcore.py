@@ -73,9 +73,12 @@ def run_chunked_aggregate(
     n = base.capacity
     # pad chunks to a uniform size so every chunk reuses one compilation
     fn = compile_fragment(partial_plan)
+    from .cancel import checkpoint
+
     partials: List[Block] = []
     start = 0
     while start < n:
+        checkpoint()  # cancellable between chunks
         rows = min(chunk_rows, n - start)
         chunk = _slice_block(base, start, rows)
         if rows < chunk_rows:
