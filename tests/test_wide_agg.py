@@ -251,3 +251,44 @@ def test_wide_expr_compare_and_arith():
         None, wdt)
     gotl = ltf.evaluate([a, b2], dt.BOOL).to_pylist()
     assert gotl == [x < y for x, y in zip(mants, reversed(mants))]
+
+
+def test_expression_stats_keep_sums_narrow():
+    """Interval propagation through projections: revenue-style expression
+    sums carry provable bounds and stay 1-D narrow-stored (no two-limb
+    digit path) — the Q1/Q3 fast path."""
+    from tiflash_tpu.expr.nodes import col, lit
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.compiler import compile_fragment
+    from tiflash_tpu.core.block import column_from_numpy
+
+    rng = np.random.default_rng(30)
+    n = 500
+    price = [int(rng.integers(90000, 11000000)) for _ in range(n)]
+    disc = [int(rng.integers(0, 11)) for _ in range(n)]
+    keys = [int(rng.integers(0, 5)) for _ in range(n)]
+    b = Block.from_dict({
+        "k": column_from_numpy(keys, dt.INT32),
+        "price": column_from_numpy(price, dt.Decimal(15, 2)),
+        "disc": column_from_numpy(disc, dt.Decimal(15, 2)),
+    })
+    plan = P.Aggregation(
+        keys=["k"],
+        aggs=[AggDesc("sum", "rev", "s"), AggDesc("avg", "rev", "a")],
+        child=P.Projection(
+            {"k": col("k"), "rev": col("price") * (lit(1.0) - col("disc"))},
+            P.TableScan("t"),
+        ),
+    )
+    out, _ = compile_fragment(plan)({"t": b})
+    scol = out["s"]
+    assert scol.dtype.is_wide_decimal and scol.data.ndim == 1, (
+        scol.dtype, scol.data.shape)
+    # parity vs oracle (values still exact)
+    got = O.block_to_pytable(out.compact() if out.sel is not None else out)
+    pt = {"k": keys,
+          "rev": [D(p).scaleb(-2) * (1 - D(dd).scaleb(-2))
+                  for p, dd in zip(price, disc)]}
+    want = O.o_aggregate(pt, ["k"], [("sum", "rev", "s"), ("avg", "rev", "a")])
+    # engine rev scale: 2+2=4 (mul adds scales); oracle matches exactly
+    O.assert_tables_equal(got, want)

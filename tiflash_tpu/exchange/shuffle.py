@@ -188,7 +188,10 @@ def _exchange_columns_packed(grouped: Block, exch) -> list:
     for i, c in enumerate(grouped.columns):
         data = results[(i, "data")]
         validity = results.get((i, "validity"))
-        cols.append(Column(data, validity, c.dtype, c.dictionary))
+        # stats survive an exchange: values only move between devices, and
+        # the (trace-time) range is identical on every shard under SPMD
+        cols.append(Column(data, validity, c.dtype, c.dictionary,
+                           stats=c.stats))
     return cols
 
 
@@ -216,6 +219,7 @@ def allgather_block(block: Block, axis_name: str) -> Block:
             g(c.validity) if c.validity is not None else None,
             c.dtype,
             c.dictionary,
+            stats=c.stats,
         )
         for c in block.columns
     )

@@ -50,7 +50,10 @@ def concat_blocks(a: Block, b: Block) -> Block:
         else:
             validity = jnp.concatenate([ca.valid_mask(), cb.valid_mask()])
         dt = ca.dtype.with_nullable(ca.dtype.nullable or cb.dtype.nullable)
-        cols.append(Column(data, validity, dt, ca.dictionary))
+        st = None
+        if ca.stats is not None and cb.stats is not None:
+            st = (min(ca.stats[0], cb.stats[0]), max(ca.stats[1], cb.stats[1]))
+        cols.append(Column(data, validity, dt, ca.dictionary, stats=st))
     sel = jnp.concatenate([a.sel_mask(), b.sel_mask()])
     return Block(names=a.names, columns=tuple(cols), sel=sel)
 

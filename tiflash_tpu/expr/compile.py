@@ -132,13 +132,16 @@ class ExprEvaluator:
                 if md is not None:
                     m, s = md
                     return Column(
-                        jnp.full(self.n, m, dtype=jnp.int64), None, Decimal(18, s)
+                        jnp.full(self.n, m, dtype=jnp.int64), None,
+                        Decimal(18, s), stats=(m, m),
                     )
         if dt.is_string:
             raise ValueError(
                 f"string literal {value!r} used outside a string-column context"
             )
-        return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt)
+        st = (int(value), int(value)) if isinstance(value, (int, bool)) else None
+        return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt,
+                      stats=st)
 
     def _encode_string_literal(self, value: str, context: Column) -> Column:
         """Literal -> a constant string column in its OWN 1-entry dictionary.
@@ -232,6 +235,14 @@ class ExprEvaluator:
         if res.dtype.is_string and res.dictionary is None and merged_dict is not None:
             res = Column(res.data, res.validity, res.dtype, dictionary=merged_dict,
                          concat_sep=res.concat_sep)
+        if res.stats is None:
+            from .functions import propagate_stats
+
+            st = propagate_stats(name, args, out)
+            if st is not None:
+                res = Column(res.data, res.validity, res.dtype,
+                             res.dictionary, concat_sep=res.concat_sep,
+                             stats=st)
         return res
 
     def _maybe_string_predicate(self, call: Call) -> Optional[Column]:

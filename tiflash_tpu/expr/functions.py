@@ -102,6 +102,74 @@ def _div_round_half_up(num: jnp.ndarray, den) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# interval propagation (range statistics through expressions)
+# ---------------------------------------------------------------------------
+
+_I63 = 2 ** 63
+
+
+def propagate_stats(name: str, args: Sequence[Column], out: DataType):
+    """Conservative [vmin, vmax] for an expression result, or None.
+
+    The MinMaxIndex invariant (``Column.stats``: every VALID value lies in
+    the range) survives arithmetic as interval arithmetic — mirroring the
+    exact scale transforms ``_arith_eval`` applies.  This is what keeps
+    TPC-H expression columns (revenue = extendedprice * (1-discount))
+    eligible for the narrow-stored wide-sum path and the fused streaming
+    kernel: without it every expression sum pays the two-limb digit
+    decomposition.  Returns None when any endpoint could overflow int64
+    (the evaluation itself would wrap — no claim can be made)."""
+    if out.is_float or out.is_string:
+        return None
+    ivs = []
+    sel = {"if": args[1:], "coalesce": args, "case_when": None}.get(
+        name, args if name in ("plus", "minus", "multiply") else ())
+    if name == "case_when":
+        # args are [when1, then1, when2, then2, ..., else?]
+        sel = [a for i, a in enumerate(args) if i % 2 == 1]
+        if len(args) % 2 == 1:
+            sel.append(args[-1])
+    if name not in ("plus", "minus", "multiply", "if", "coalesce",
+                    "case_when"):
+        return None
+    for a in sel:
+        if a.stats is None or a.data.ndim != 1:
+            return None
+        if not (a.dtype.is_integer or a.dtype.is_decimal or a.dtype.is_temporal
+                or a.dtype.kind is TypeKind.BOOL):
+            return None
+        ivs.append((int(a.stats[0]), int(a.stats[1])))
+    if name in ("if", "coalesce", "case_when"):
+        # result is one of the branch values (scales equal by typing)
+        if any(a.dtype.is_decimal and a.dtype.scale != out.scale for a in sel):
+            return None
+        lo = min(l for l, _ in ivs)
+        hi = max(h for _, h in ivs)
+        return (lo, hi) if max(abs(lo), abs(hi)) < _I63 else None
+    a, b = args
+    (la, ha), (lb, hb) = ivs
+    sa = a.dtype.scale if a.dtype.is_decimal else 0
+    sb = b.dtype.scale if b.dtype.is_decimal else 0
+    if name in ("plus", "minus"):
+        fa = _pow10(out.scale - sa) if out.is_decimal else 1
+        fb = _pow10(out.scale - sb) if out.is_decimal else 1
+        if name == "plus":
+            lo, hi = la * fa + lb * fb, ha * fa + hb * fb
+        else:
+            lo, hi = la * fa - hb * fb, ha * fa - lb * fb
+    else:  # multiply
+        cands = [x * y for x in (la, ha) for y in (lb, hb)]
+        lo, hi = min(cands), max(cands)
+        if max(abs(lo), abs(hi)) >= _I63:
+            return None  # the int64 product itself may wrap
+        extra = (sa + sb) - out.scale if out.is_decimal else 0
+        if extra > 0:
+            q = _pow10(extra)
+            lo, hi = lo // q - 1, hi // q + 1  # half-up rounding slack
+    return (lo, hi) if max(abs(lo), abs(hi)) < _I63 else None
+
+
+# ---------------------------------------------------------------------------
 # registry plumbing
 # ---------------------------------------------------------------------------
 
