@@ -179,29 +179,43 @@ class QueryRunner:
         try:
             check_memory(self.plan, tables, self.settings.max_bytes_per_device)
         except MemoryLimitError:
-            # out-of-core fallback (the spill analog): chunk the base
-            # table through a partial/final aggregation when possible
-            from .outofcore import chunkable, run_chunked_aggregate
+            # out-of-core fallbacks (the spill analogs): chunked partial
+            # aggregation, grace hash join, or external sort/topN
+            from .outofcore import (
+                chunkable, grace_spec, run_chunked_aggregate,
+                run_grace_join, run_sliced, sliced_spec,
+            )
 
-            if self.mesh is None and chunkable(self.plan):
-                from .logging import get_logger
+            mode = None
+            if self.mesh is None:
+                if chunkable(self.plan):
+                    mode = "chunked"
+                elif grace_spec(self.plan) is not None:
+                    mode = "grace"
+                elif sliced_spec(self.plan) is not None:
+                    mode = "sliced"
+            if mode is None:
+                raise
+            from .logging import get_logger
 
-                get_logger("tiflash_tpu.executor").info(
-                    "memory limit exceeded: switching to chunked execution"
-                )
-                chunk_rows = max(
-                    4096,
-                    int(self.settings.max_bytes_per_device // 256) if
-                    self.settings.max_bytes_per_device else 1 << 20,
-                )
+            get_logger("tiflash_tpu.executor").info(
+                "memory limit exceeded: switching to %s out-of-core execution",
+                mode,
+            )
+            budget = self.settings.max_bytes_per_device or (1 << 32)
+            chunk_rows = max(4096, int(budget // 256))
+            if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
-                summary = ExecutionSummary(
-                    plan_text=self.plan.pretty() + "\n  [chunked out-of-core]",
-                )
-                summary.result_rows = int(np.asarray(out.num_rows()))
-                METRICS.counter("queries_total").inc()
-                return out, summary
-            raise
+            elif mode == "grace":
+                out = run_grace_join(self.plan, tables, budget)
+            else:
+                out = run_sliced(self.plan, tables, chunk_rows)
+            summary = ExecutionSummary(
+                plan_text=self.plan.pretty() + f"\n  [{mode} out-of-core]",
+            )
+            summary.result_rows = int(np.asarray(out.num_rows()))
+            METRICS.counter("queries_total").inc()
+            return out, summary
         if self.settings.resource_group:
             from .resource import RESOURCE_GROUPS, to_ru
 

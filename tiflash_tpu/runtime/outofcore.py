@@ -1,14 +1,23 @@
-"""Out-of-core aggregation: process a too-large table in chunks.
+"""Out-of-core execution: aggregation chunking, grace hash join, external
+sort.
 
 Role analog: the reference's spill-to-disk machinery
-(``Core/Spiller.h:87``, agg spill + ``MergingBuckets`` restore).  The TPU
-inversion: instead of spilling state OUT of memory mid-query, never let
-the working set exceed HBM — slice the scanned table into fixed-size row
-chunks, run the partial aggregation per chunk (one compiled program,
-reused for every chunk), concatenate the partial states host-side, and
-run the final merge.  Works for any plan of shape
-``Aggregation(pipeline over a single base table)`` with splittable
-aggregates (sum/count/avg/min/max/first).
+(``Core/Spiller.h:87``, agg spill + ``MergingBuckets`` restore, join
+restore rounds ``Interpreters/Join.h:95-100``, sort spill
+``Interpreters/SortSpillContext.h``).  The TPU inversion: instead of
+spilling state OUT of memory mid-query, never let the working set exceed
+HBM — the host (whose RAM is the spill tier) splits the inputs and the
+device runs one compiled program per piece:
+
+- **chunked aggregation** (``run_chunked_aggregate``): row-slice the base
+  table, partial-aggregate per chunk, merge partial states.
+- **grace hash join** (``run_grace_join``): hash-partition the big
+  side(s) by join key on the host, run the FULL plan per partition
+  (co-partitioned or replicated-build), then re-apply the reducing
+  wrappers (TopN/Sort/Limit) over the concatenated partials — the
+  restore-round analog with partitions instead of spilled files.
+- **external sort** (``run_sliced``): row-slice, per-chunk sort/topN
+  runs, final merge pass over the concatenated runs.
 """
 
 from __future__ import annotations
@@ -122,4 +131,330 @@ def run_chunked_aggregate(
     return out
 
 
-__all__ = ["run_chunked_aggregate", "chunkable"]
+# ---------------------------------------------------------------------------
+# grace hash join (join spill / restore-round analog)
+# ---------------------------------------------------------------------------
+
+# top-level join kinds that partition cleanly by key hash (NULL-aware
+# kinds need the whole build side for NULL probe keys; cross has no keys)
+_GRACE_KINDS = {"inner", "left", "semi", "anti", "left_outer_semi",
+                "right_outer", "full_outer"}
+# kinds with no build-side tail: safe with a replicated (unpartitioned)
+# build side
+_NO_BUILD_TAIL = {"inner", "left", "semi", "anti", "left_outer_semi"}
+
+
+def _resolve_key_base(node: P.PlanNode, key: str):
+    """Trace a join-key column through a pipeline to its base-table
+    column: returns (table, base_col) or None.  Pipelines may contain
+    Selection/Projection (plain renames), Aggregation whose keys include
+    the tracked key (groups are then partition-local), and nested Joins
+    (descend the probe side; the build side is replicated whole)."""
+    from ..expr.nodes import ColumnRef
+
+    if isinstance(node, P.TableScan):
+        return (node.table, key)
+    if isinstance(node, (P.Selection, P.RuntimeFilterApply)):
+        return _resolve_key_base(node.child, key)
+    if isinstance(node, P.Projection):
+        e = node.exprs.get(key)
+        if not isinstance(e, ColumnRef):
+            return None
+        return _resolve_key_base(node.child, e.name)
+    if isinstance(node, P.Aggregation):
+        if key not in node.keys:
+            return None
+        return _resolve_key_base(node.child, key)
+    if isinstance(node, P.Join):
+        r = _resolve_key_base(node.probe, key)
+        if r is not None:
+            return r
+        # build-side columns appear in the output only for kinds without
+        # NULL extension of duplicated replicated-probe rows
+        if node.kind == "inner":
+            return _resolve_key_base(node.build, key)
+        return None
+    return None
+
+
+def grace_spec(plan: P.PlanNode):
+    """Match ``[TopN|Sort|Limit|Projection|Selection|Aggregation]* Join``
+    where both join sides resolve their keys to base-table columns.
+    Returns a dict spec or None."""
+    wrappers = []
+    node = plan
+    while isinstance(node, (P.TopN, P.Sort, P.Limit, P.Projection,
+                            P.Selection, P.Aggregation)):
+        wrappers.append(node)
+        node = node.child
+    if not isinstance(node, P.Join) or node.kind not in _GRACE_KINDS:
+        return None
+    key_names = set(node.probe_keys) | set(node.build_keys)
+    for w in wrappers:
+        if isinstance(w, P.Aggregation) and not (set(w.keys) & key_names):
+            return None  # groups would span partitions
+    probe_base = [_resolve_key_base(node.probe, k) for k in node.probe_keys]
+    build_base = [_resolve_key_base(node.build, k) for k in node.build_keys]
+    if any(b is None for b in probe_base + build_base):
+        return None
+    if len({t for t, _ in probe_base}) != 1 or len({t for t, _ in build_base}) != 1:
+        return None  # each side partitions exactly one base table
+    pt, bt = probe_base[0][0], build_base[0][0]
+    if pt == bt:
+        return None
+    return {
+        "wrappers": wrappers,
+        "join": node,
+        "probe_table": pt,
+        "probe_cols": [c for _, c in probe_base],
+        "build_table": bt,
+        "build_cols": [c for _, c in build_base],
+    }
+
+
+def _host_key_hash(block: Block, cols: List[str]) -> "object":
+    """Stable value-based uint64 hash of the key columns, on host.
+    Dictionary strings hash by VALUE (not code) so co-partitioning holds
+    across tables with different dictionaries."""
+    import zlib
+
+    import numpy as np
+
+    h = np.full(block.capacity, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for name in cols:
+        c = block[name]
+        data = np.asarray(c.data)
+        if c.dictionary is not None:
+            lut = np.fromiter(
+                (zlib.crc32(s.encode()) for s in c.dictionary),
+                dtype=np.uint64, count=len(c.dictionary),
+            ) if c.dictionary else np.zeros(1, dtype=np.uint64)
+            x = lut[np.clip(data, 0, max(len(lut) - 1, 0))]
+        else:
+            x = data.astype(np.int64).view(np.uint64)
+        if c.validity is not None:
+            x = np.where(np.asarray(c.validity), x, np.uint64(0))
+        # splitmix64 finalizer
+        z = (h ^ x) * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        h = z ^ (z >> np.uint64(31))
+    return h
+
+
+def _partition_block(block: Block, pid, P_: int, cap: int) -> List[Block]:
+    """Row-select each partition into a fixed-capacity padded Block.
+    Order-preserving (equal-key adjacency — clustered_by — survives)."""
+    import numpy as np
+
+    out = []
+    for p in range(P_):
+        idx = np.nonzero(pid == p)[0]
+        n = len(idx)
+        pad_idx = np.zeros(cap, dtype=np.int64)
+        pad_idx[:n] = idx
+        cols = []
+        for c in block.columns:
+            data = np.asarray(c.data)[pad_idx]
+            validity = (None if c.validity is None
+                        else np.asarray(c.validity)[pad_idx])
+            cols.append(Column(jnp.asarray(data),
+                               None if validity is None else jnp.asarray(validity),
+                               c.dtype, c.dictionary, stats=c.stats))
+        sel = jnp.asarray(np.arange(cap) < n)
+        out.append(Block(names=block.names, columns=tuple(cols), sel=sel,
+                         clustered_by=block.clustered_by))
+    return out
+
+
+def _to_host_rows(block: Block) -> Tuple[Tuple[str, ...], List, "object"]:
+    """Compacted host copy of a device block's live rows."""
+    import numpy as np
+
+    b = block.compact()
+    n = int(np.asarray(b.num_rows()))
+    cols = []
+    for c in b.columns:
+        data = np.asarray(c.data)[:n]
+        validity = None if c.validity is None else np.asarray(c.validity)[:n]
+        cols.append((data, validity, c))
+    return b.names, cols, n
+
+
+def _concat_host_parts(parts) -> Block:
+    import numpy as np
+
+    names = parts[0][0]
+    ncols = len(parts[0][1])
+    cols = []
+    for i in range(ncols):
+        datas = [p[1][i][0] for p in parts]
+        ref = parts[0][1][i][2]
+        data = np.concatenate(datas) if datas else np.zeros(0)
+        if any(p[1][i][1] is not None for p in parts):
+            validity = np.concatenate([
+                p[1][i][1] if p[1][i][1] is not None
+                else np.ones(len(p[1][i][0]), dtype=bool)
+                for p in parts
+            ])
+        else:
+            validity = None
+        cols.append(Column(jnp.asarray(data),
+                           None if validity is None else jnp.asarray(validity),
+                           ref.dtype, ref.dictionary, stats=ref.stats))
+    return Block(names=names, columns=tuple(cols), sel=None)
+
+
+def _reapply_reducers(wrappers, merged: Block) -> Block:
+    """Re-run the reducing wrappers (outermost last) over concatenated
+    partition outputs.  Projection/Selection already ran per partition;
+    a partition-local Aggregation needs no re-merge (groups are disjoint
+    across partitions by construction)."""
+    for w in reversed(wrappers):
+        if isinstance(w, P.TopN):
+            mini = P.TopN(w.sort_keys, w.limit, P.TableScan("__oc"))
+        elif isinstance(w, P.Sort):
+            mini = P.Sort(w.sort_keys, P.TableScan("__oc"))
+        elif isinstance(w, P.Limit):
+            mini = P.Limit(w.limit, P.TableScan("__oc"))
+        else:
+            continue
+        out, overflows = compile_fragment(mini)({"__oc": merged})
+        import numpy as np
+
+        for k, v in overflows.items():
+            if int(np.asarray(v).max()) > 0:
+                raise RuntimeError(f"out-of-core merge overflow at {k}")
+        merged = out.compact()
+    return merged
+
+
+def run_grace_join(
+    plan: P.PlanNode,
+    tables: Dict[str, Block],
+    budget_bytes: int,
+) -> Block:
+    """Execute a join-rooted plan whose inputs exceed the device budget.
+
+    Host hash-partitions the keyed base table(s); each partition runs the
+    FULL per-partition plan (one compilation, fixed padded capacity);
+    partition outputs spill to host and the reducing wrappers merge them.
+    When the build side fits in the budget it is replicated whole
+    (broadcast-grace); otherwise both sides co-partition (classic grace).
+    """
+    from ..runtime.memory import block_bytes
+
+    spec = grace_spec(plan)
+    assert spec is not None, "run_grace_join on a non-graceable plan"
+    probe_b = tables[spec["probe_table"]]
+    build_b = tables[spec["build_table"]]
+    big = block_bytes(probe_b) + block_bytes(build_b)
+    P_ = 1
+    while big // P_ > max(budget_bytes // 4, 1):
+        P_ *= 2
+    P_ = min(P_, 256)
+
+    import numpy as np
+
+    hp = _host_key_hash(probe_b, spec["probe_cols"])
+    pid_probe = (hp % np.uint64(P_)).astype(np.int64)
+    counts = np.bincount(pid_probe, minlength=P_)
+    cap_p = int(-(-(counts.max()) // 8192) * 8192) or 8192
+    probe_parts = _partition_block(probe_b, pid_probe, P_, cap_p)
+
+    replicate_build = (
+        spec["join"].kind in _NO_BUILD_TAIL
+        and block_bytes(build_b) * 3 <= budget_bytes
+    )
+    if replicate_build:
+        build_parts = [build_b] * P_
+    else:
+        if spec["join"].kind not in _GRACE_KINDS:
+            raise RuntimeError("join kind not grace-partitionable")
+        hb = _host_key_hash(build_b, spec["build_cols"])
+        pid_build = (hb % np.uint64(P_)).astype(np.int64)
+        bc = np.bincount(pid_build, minlength=P_)
+        cap_b = int(-(-(bc.max()) // 8192) * 8192) or 8192
+        build_parts = _partition_block(build_b, pid_build, P_, cap_b)
+
+    fn = compile_fragment(plan)
+    host_parts = []
+    from .cancel import checkpoint
+
+    for p in range(P_):
+        checkpoint()
+        sub = dict(tables)
+        sub[spec["probe_table"]] = probe_parts[p]
+        sub[spec["build_table"]] = build_parts[p]
+        out, overflows = fn(sub)
+        for k, v in overflows.items():
+            if int(np.asarray(v).max()) > 0:
+                raise RuntimeError(f"grace partition overflow at {k}")
+        host_parts.append(_to_host_rows(out))
+    merged = _concat_host_parts(host_parts)
+    return _reapply_reducers(spec["wrappers"], merged)
+
+
+# ---------------------------------------------------------------------------
+# external sort / sliced execution (sort spill analog)
+# ---------------------------------------------------------------------------
+
+
+def sliced_spec(plan: P.PlanNode):
+    """Match ``[TopN|Sort|Limit|Projection|Selection]*`` over one base
+    table: row-sliced runs + a final merge pass are exact (no agg/join)."""
+    wrappers = []
+    node = plan
+    reducing = False
+    while isinstance(node, (P.TopN, P.Sort, P.Limit, P.Projection,
+                            P.Selection)):
+        if isinstance(node, (P.TopN, P.Sort, P.Limit)):
+            reducing = True
+        wrappers.append(node)
+        node = node.child
+    if not isinstance(node, P.TableScan) or not reducing:
+        return None
+    return {"wrappers": wrappers, "table": node.table}
+
+
+def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
+               chunk_rows: int) -> Block:
+    """External sort/topN: per-chunk runs, host-concatenated, one merge
+    pass (chunk-sorted runs re-sorted — the restore-merge analog)."""
+    import numpy as np
+
+    spec = sliced_spec(plan)
+    assert spec is not None
+    base = tables[spec["table"]]
+    n = base.capacity
+    fn = compile_fragment(plan)
+    from .cancel import checkpoint
+
+    host_parts = []
+    start = 0
+    while start < n:
+        checkpoint()
+        rows = min(chunk_rows, n - start)
+        chunk = _slice_block(base, start, rows)
+        if rows < chunk_rows:
+            pad = chunk_rows - rows
+            filler = _slice_block(base, 0, pad).and_sel(
+                jnp.zeros(pad, dtype=jnp.bool_))
+            chunk = concat_blocks(chunk, filler)
+        sub = dict(tables)
+        sub[spec["table"]] = chunk
+        out, overflows = fn(sub)
+        for k, v in overflows.items():
+            if int(np.asarray(v).max()) > 0:
+                raise RuntimeError(f"sliced run overflow at {k}")
+        host_parts.append(_to_host_rows(out))
+        start += rows
+    merged = _concat_host_parts(host_parts)
+    return _reapply_reducers(spec["wrappers"], merged)
+
+
+__all__ = [
+    "run_chunked_aggregate", "chunkable",
+    "run_grace_join", "grace_spec",
+    "run_sliced", "sliced_spec",
+]
