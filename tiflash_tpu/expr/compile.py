@@ -205,6 +205,10 @@ class ExprEvaluator:
             st = self._maybe_string_int_transform(call)
             if st is not None:
                 return st
+        if name in _STRING_BOOL_TRANSFORMS:
+            st = self._maybe_string_bool_transform(call)
+            if st is not None:
+                return st
         # string predicate against literal(s): rewrite to code space
         if name in (_ORDER_CMPS | _EQ_CMPS | {"in"}):
             rewritten = self._maybe_string_predicate(call)
@@ -339,6 +343,24 @@ class ExprEvaluator:
         params = [a.value for a in lits]
         return _map_string_to_int(target, lambda s: fn(s, *params))
 
+    def _maybe_string_bool_transform(self, call: Call) -> Optional[Column]:
+        """str-column + literal params -> bool via dictionary LUT
+        (regexp_like / json_valid)."""
+        col_idx, fn = _STRING_BOOL_TRANSFORMS[call.func]
+        if col_idx >= len(call.args):
+            return None
+        lits = [a for i, a in enumerate(call.args) if i != col_idx]
+        if not all(isinstance(a, Literal) for a in lits):
+            return None
+        target = self.evaluate(call.args[col_idx])
+        if not target.dtype.is_string:
+            return None
+        from .functions import _map_string_to_int
+
+        params = [a.value for a in lits]
+        return _map_string_to_int(target, lambda s: fn(s, *params),
+                                  kind=TypeKind.BOOL)
+
     def _like(self, call: Call) -> Column:
         """LIKE pattern matching via host-side dictionary LUT."""
         target = self.evaluate(call.args[0])
@@ -396,6 +418,25 @@ _STRING_TRANSFORMS = {
     ),
 }
 
+from . import regexp_json as _rj  # noqa: E402
+
+_STRING_TRANSFORMS.update({
+    # regexp family (FunctionsRegexpLike.h / FunctionsRegexpReplace.h)
+    "regexp_substr": _rj.regexp_substr,
+    "regexp_replace": _rj.regexp_replace,
+    # JSON subset (FunctionsJson.h)
+    "json_extract": _rj.json_extract,
+    "json_unquote": _rj.json_unquote,
+    "json_type": _rj.json_type,
+    # codecs / misc (FunctionsString.h breadth)
+    "to_base64": _rj.to_base64,
+    "from_base64": _rj.from_base64,
+    "unhex": _rj.unhex,
+    "quote": _rj.quote,
+    "soundex": _rj.soundex,
+    "conv": _rj.conv,
+})
+
 _STRING_INT_TRANSFORMS = {
     # name: (column-arg index, fn(dict_entry, *literal_args) -> int);
     # MySQL 1-based positions, 0 = not found
@@ -407,6 +448,16 @@ _STRING_INT_TRANSFORMS = {
         str(lst).split(",").index(s) + 1 if s in str(lst).split(",") else 0)),
     "field": (0, lambda s, *vals: (
         [str(v) for v in vals].index(s) + 1 if s in [str(v) for v in vals] else 0)),
+    "regexp_instr": (0, _rj.regexp_instr),
+    "json_length": (0, _rj.json_length),
+    "json_depth": (0, _rj.json_depth),
+}
+
+_STRING_BOOL_TRANSFORMS = {
+    # name: (column-arg index, fn(dict_entry, *literal_args) -> bool|None)
+    "regexp_like": (0, _rj.regexp_like),
+    "json_valid": (0, _rj.json_valid),
+    "json_contains_path": (0, _rj.json_contains_path),
 }
 
 

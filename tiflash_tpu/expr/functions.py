@@ -1162,21 +1162,43 @@ import numpy as _np
 from ..core.dtypes import STRING
 
 
+def _lut_validity(col: Column, nulls: "_np.ndarray"):
+    """AND a per-dictionary-entry NULL LUT into the column validity.
+    Returns (validity_or_None, result_nullable)."""
+    if not nulls.any():
+        return col.validity, col.dtype.nullable
+    not_null = jnp.asarray(~nulls)[jnp.clip(col.data, 0, len(nulls) - 1)]
+    v = not_null if col.validity is None else (col.validity & not_null)
+    return v, True
+
+
 def _map_string_to_string(col: Column, fn) -> Column:
+    """Host LUT over the dictionary; ``fn`` may return None -> SQL NULL
+    (e.g. regexp_substr with no match, from_base64 on invalid input)."""
     d = col.dictionary or ()
     mapped = [fn(s) for s in d]
+    nulls = _np.array([m is None for m in mapped] or [False])
+    mapped = ["" if m is None else m for m in mapped]
     new_dict = tuple(sorted(set(mapped))) or ("",)
     rank = {s: i for i, s in enumerate(new_dict)}
     table = _np.array([rank[m] for m in mapped] or [0], dtype=_np.int32)
     data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
-    return Column(data, col.validity, STRING.with_nullable(col.dtype.nullable), new_dict)
+    validity, nullable = _lut_validity(col, nulls)
+    return Column(data, validity, STRING.with_nullable(nullable), new_dict)
 
 
-def _map_string_to_int(col: Column, fn) -> Column:
+def _map_string_to_int(col: Column, fn, kind: TypeKind = TypeKind.INT64) -> Column:
     d = col.dictionary or ()
-    table = _np.array([fn(s) for s in d] or [0], dtype=_np.int64)
+    mapped = [fn(s) for s in d]
+    nulls = _np.array([m is None for m in mapped] or [False])
+    table = _np.array([0 if m is None else int(m) for m in mapped] or [0],
+                      dtype=_np.int64)
     data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
-    return Column(data, col.validity, DataType(TypeKind.INT64, col.dtype.nullable))
+    validity, nullable = _lut_validity(col, nulls)
+    out = jnp.asarray(data)
+    if kind is TypeKind.BOOL:
+        out = out.astype(jnp.bool_)
+    return Column(out, validity, DataType(kind, nullable))
 
 
 def _register_string_unary(name: str, fn, to_int: bool = False):
@@ -1292,6 +1314,13 @@ _ALIASES = {
     "ge": "greater_or_equals",
     "plus_int": "plus",
     "isnull": "is_null",
+    # resolved by the expression compiler's transform dispatch (these
+    # targets live in expr/compile.py transform tables, not REGISTRY)
+    "regexp": "regexp_like",
+    "rlike": "regexp_like",
+    "mid": "substring",
+    "octet_length": "length",
+    "insert": "insert_str",
 }
 for _alias, _target in _ALIASES.items():
     if _alias not in REGISTRY and _target in REGISTRY:

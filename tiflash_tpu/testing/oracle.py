@@ -372,6 +372,234 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         if pos < 1 or pos > len(a):
             return a
         return a[: pos - 1] + new + a[pos - 1 + max(ln, 0):]
+
+    # regexp family — independent implementation (oracle discipline)
+    if f in ("regexp", "rlike"):
+        f = "regexp_like"
+    if f.startswith("regexp"):
+        return _oracle_regexp(f, a, [str(v) if isinstance(v, str) else v
+                                     for v in vals[1:]])
+    # JSON family
+    if f.startswith("json"):
+        return _oracle_json(f, a, vals[1:])
+    if f == "to_base64":
+        import base64 as _b64
+
+        raw = _b64.b64encode(a.encode()).decode()
+        chunks = [raw[i:i + 76] for i in range(0, len(raw), 76)]
+        return "\n".join(chunks)
+    if f == "from_base64":
+        import base64 as _b64
+
+        try:
+            return _b64.b64decode(a.replace("\n", ""), validate=True).decode()
+        except Exception:
+            return None
+    if f == "unhex":
+        if len(a) % 2 or not all(c in "0123456789abcdefABCDEF" for c in a):
+            return None
+        return "".join(chr(int(a[i:i + 2], 16)) for i in range(0, len(a), 2))
+    if f == "quote":
+        body = ""
+        for ch in a:
+            if ch == "\\":
+                body += "\\\\"
+            elif ch == "'":
+                body += "\\'"
+            elif ch == "\0":
+                body += "\\0"
+            elif ch == "\x1a":
+                body += "\\Z"
+            else:
+                body += ch
+        return "'%s'" % body
+    if f == "soundex":
+        table = str.maketrans("BFPVCGJKQSXZDTLMNR", "111122222222334556")
+        letters = [c for c in a.upper() if c.isalpha()]
+        if not letters:
+            return ""
+        res = letters[0]
+        last = letters[0].translate(table)
+        last = last if last.isdigit() else ""
+        for c in letters[1:]:
+            code = c.translate(table)
+            code = code if code.isdigit() else ""
+            if code and code != last:
+                res += code
+            if c not in ("H", "W"):
+                last = code
+        return res.ljust(4, "0")
+    if f == "conv":
+        fb, tb = int(vals[1]), int(vals[2])
+        if not (2 <= fb <= 36 and 2 <= abs(tb) <= 36):
+            return None
+        t = a.strip()
+        neg = t[:1] == "-"
+        if t[:1] in "+-":
+            t = t[1:]
+        n, any_digit = 0, False
+        for ch in t.lower():
+            try:
+                dv = int(ch, fb)
+            except ValueError:
+                break
+            n = n * fb + dv
+            any_digit = True
+        if not any_digit:
+            return "0"
+        if neg:
+            n = -n
+        if tb > 0 and n < 0:
+            n += 1 << 64
+        pre = ""
+        if tb < 0 and n < 0:
+            pre, n = "-", -n
+        base = abs(tb)
+        if n == 0:
+            return "0"
+        digs = ""
+        while n:
+            digs = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"[n % base] + digs
+            n //= base
+        return pre + digs
+    raise NotImplementedError(f"oracle function {f}")
+
+
+def _oracle_regexp(f: str, s: str, rest: List[Any]):
+    pat = str(rest[0])
+
+    def rx(mt: str):
+        fl = re.S if ("n" in mt or "s" in mt) else 0
+        if "i" in mt and "c" not in mt:
+            fl |= re.I
+        if "m" in mt:
+            fl |= re.M
+        return re.compile(pat, fl)
+
+    if f == "regexp_like":
+        mt = str(rest[1]) if len(rest) > 1 else ""
+        return rx(mt).search(s) is not None
+    if f == "regexp_instr":
+        pos = int(rest[1]) if len(rest) > 1 else 1
+        occ = int(rest[2]) if len(rest) > 2 else 1
+        ret = int(rest[3]) if len(rest) > 3 else 0
+        mt = str(rest[4]) if len(rest) > 4 else ""
+        k = 0
+        for m in rx(mt).finditer(s, pos - 1):
+            k += 1
+            if k == occ:
+                return m.end() + 1 if ret else m.start() + 1
+        return 0
+    if f == "regexp_substr":
+        pos = int(rest[1]) if len(rest) > 1 else 1
+        occ = int(rest[2]) if len(rest) > 2 else 1
+        mt = str(rest[3]) if len(rest) > 3 else ""
+        k = 0
+        for m in rx(mt).finditer(s, pos - 1):
+            k += 1
+            if k == occ:
+                return m.group(0)
+        return None
+    if f == "regexp_replace":
+        repl = str(rest[1])
+        pos = int(rest[2]) if len(rest) > 2 else 1
+        occ = int(rest[3]) if len(rest) > 3 else 0
+        mt = str(rest[4]) if len(rest) > 4 else ""
+        head, tail = s[:pos - 1], s[pos - 1:]
+        matches = list(rx(mt).finditer(tail))
+        if occ == 0:
+            keep = matches
+        else:
+            keep = matches[occ - 1:occ]
+        out, last = [], 0
+        for m in keep:
+            out.append(tail[last:m.start()])
+            out.append(repl)
+            last = m.end()
+        out.append(tail[last:])
+        return head + "".join(out)
+    raise NotImplementedError(f"oracle function {f}")
+
+
+def _oracle_json(f: str, doc: str, rest: List[Any]):
+    import json as _json
+
+    def load(d):
+        try:
+            return True, _json.loads(d)
+        except Exception:
+            return False, None
+
+    def walk(value, path: str):
+        """Returns (found, node) for the $.a.b[0] path subset."""
+        assert path[0] == "$"
+        node = value
+        i = 1
+        while i < len(path):
+            if path[i] == ".":
+                i += 1
+                if path[i] == '"':
+                    end = path.index('"', i + 1)
+                    key, i = path[i + 1:end], end + 1
+                else:
+                    j = i
+                    while j < len(path) and (path[j].isalnum() or path[j] == "_"):
+                        j += 1
+                    key, i = path[i:j], j
+                if not isinstance(node, dict) or key not in node:
+                    return False, None
+                node = node[key]
+            elif path[i] == "[":
+                end = path.index("]", i)
+                idx, i = int(path[i + 1:end]), end + 1
+                if isinstance(node, list):
+                    if not (0 <= idx < len(node)):
+                        return False, None
+                    node = node[idx]
+                elif idx != 0:
+                    return False, None
+            else:
+                raise ValueError(path)
+        return True, node
+
+    if f == "json_valid":
+        return load(doc)[0]
+    ok, value = load(doc)
+    if f == "json_unquote":
+        if doc[:1] == '"' and doc[-1:] == '"' and ok and isinstance(value, str):
+            return value
+        return doc
+    if not ok:
+        return None
+    if f == "json_extract":
+        found, node = walk(value, str(rest[0]))
+        if not found:
+            return None
+        return _json.dumps(node, separators=(", ", ": "), ensure_ascii=False)
+    if f == "json_type":
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return "BOOLEAN"
+        return {dict: "OBJECT", list: "ARRAY", str: "STRING",
+                int: "INTEGER", float: "DOUBLE"}[type(value)]
+    if f == "json_length":
+        found, node = walk(value, str(rest[0]) if rest else "$")
+        if not found:
+            return None
+        return len(node) if isinstance(node, (dict, list)) else 1
+    if f == "json_depth":
+        def dep(x):
+            if isinstance(x, dict):
+                return 1 + max([dep(v) for v in x.values()] or [0])
+            if isinstance(x, list):
+                return 1 + max([dep(v) for v in x] or [0])
+            return 1
+        return dep(value)
+    if f == "json_contains_path":
+        mode = str(rest[0]).lower()
+        hits = [walk(value, str(p))[0] for p in rest[1:]]
+        return all(hits) if mode == "all" else any(hits)
     raise NotImplementedError(f"oracle function {f}")
 
 
