@@ -201,3 +201,50 @@ def test_runtime_filter_actually_prunes(mesh):
     got = O.block_to_pytable(collect_result(out))
     want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
     O.assert_tables_equal(got, want)
+
+
+def test_runtime_filter_in_set_prunes_gaps(mesh):
+    """IN-set runtime filter: build keys {5, 600} — min/max alone keeps
+    every probe row in [5, 600]; the sorted-set membership must prune the
+    gap so a tiny exchange capacity survives (DataStreams/RuntimeFilter.h
+    IN type analog)."""
+    import tiflash_tpu.core.dtypes as dtt
+
+    lt = {"lk": list(range(640)), "lv": [1] * 640}
+    rt = {"rk": [5, 600], "rv": [7, 8]}
+    blocks = shard_catalog_blocks(
+        {
+            "l": O.pytable_to_block(lt, {"lk": dtt.INT32, "lv": dtt.INT64}),
+            "r": O.pytable_to_block(rt, {"rk": dtt.INT32, "rv": dtt.INT64}),
+        },
+        mesh,
+    )
+    from tiflash_tpu.plan.distribute import shuffle_join
+
+    # 640 in-range rows would overflow; only 2 survive the IN-set
+    plan = shuffle_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=256, runtime_filter=True,
+    )
+    fn = compile_distributed(plan, mesh, cfg=ExchangeConfig(shuffle_factor=0.25))
+    out, overflows = fn(blocks)
+    assert not any(bool(np.asarray(v).max()) for v in overflows.values())
+    got = O.block_to_pytable(collect_result(out))
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)
+
+
+def test_runtime_filter_in_set_respects_size_gate(mesh):
+    """Builds larger than rf_in_set_max_build publish min/max only —
+    results stay correct (the set is an optimization, never semantics)."""
+    lt, rt, blocks = make_join_tables(mesh, seed=13)
+    from tiflash_tpu.plan.distribute import shuffle_join
+
+    plan = shuffle_join(
+        "inner", ["lk"], ["rk"], P.TableScan("l"), P.TableScan("r"),
+        output_capacity=8192, runtime_filter=True,
+    )
+    got = run_dist(plan, mesh, blocks, shuffle_factor=8.0,
+                   rf_in_set_max_build=1)
+    want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
+    O.assert_tables_equal(got, want)

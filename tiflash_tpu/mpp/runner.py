@@ -94,13 +94,25 @@ class ExchangeConfig:
     capacities: Dict[int, int] = dataclasses.field(default_factory=dict)
     factors: Dict[int, float] = dataclasses.field(default_factory=dict)
     # transient per-trace store of published runtime filters
-    # rf_id -> list of (min, max) traced scalars per build key column
+    # rf_id -> list of (min, max, sorted_keys|None) per build key column
     rf_values: Dict[str, list] = dataclasses.field(default_factory=dict)
+    # IN-set filters are published only for build sides at most this big
+    # (the reference gates IN filters by build NDV the same way,
+    # ``DataStreams/RuntimeFilter.h:32`` rs_operator IN type)
+    rf_in_set_max_build: int = 1 << 20
 
 
-def _publish_runtime_filter(node: P.Join, build: Block, cfg: ExchangeConfig, axis: Optional[str]):
-    """min/max of each (numeric) build key column over live+valid rows,
-    reduced across the mesh when running SPMD."""
+def _publish_runtime_filter(node: P.Join, build: Block, rf_values: Dict[str, list],
+                            axis: Optional[str], in_set_max: int = 1 << 20):
+    """min/max — plus, for small builds, a sorted key set — of each
+    (numeric) build key column over live+valid rows, reduced/gathered
+    across the mesh when running SPMD.
+
+    The IN form is the TPU answer to the reference's IN-set runtime
+    filter (``DataStreams/RuntimeFilter.h:32``): instead of a host hash
+    set, the live build keys are kept as a sorted array (dead rows at
+    +inf) and membership at apply time is two sort-method searchsorteds —
+    a semi-join in exchange for shuffle volume."""
     live = build.sel_mask()
     entries = []
     for kn in node.build_keys:
@@ -116,22 +128,34 @@ def _publish_runtime_filter(node: P.Join, build: Block, cfg: ExchangeConfig, axi
         if axis is not None:
             mn = jax.lax.pmin(mn, axis)
             mx = jax.lax.pmax(mx, axis)
-        entries.append((mn, mx))
-    cfg.rf_values[node.rf_id] = entries
+        key_set = None
+        if build.capacity <= in_set_max:
+            local = jnp.where(ok, data, big)
+            if axis is not None:
+                # global membership set: gather every shard's keys
+                local = jax.lax.all_gather(local, axis).reshape(-1)
+            key_set = jax.lax.sort(local)
+        entries.append((mn, mx, key_set))
+    rf_values[node.rf_id] = entries
 
 
-def _apply_runtime_filter(node: P.RuntimeFilterApply, child: Block, cfg: ExchangeConfig) -> Block:
-    rf = cfg.rf_values.get(node.rf_id)
+def _apply_runtime_filter(node: P.RuntimeFilterApply, child: Block,
+                          rf_values: Dict[str, list]) -> Block:
+    rf = rf_values.get(node.rf_id)
     if rf is None:
         return child  # filter not built yet — degrade to no-op (rf timeout analog)
     sel = child.sel_mask()
     for kn, entry in zip(node.key_names, rf):
         if entry is None:
             continue
-        mn, mx = entry
+        mn, mx, key_set = entry
         c = child[kn]
         data = c.data.astype(jnp.int64)
         keep = (data >= mn) & (data <= mx)
+        if key_set is not None:
+            lo = jnp.searchsorted(key_set, data, side="left", method="sort")
+            hi = jnp.searchsorted(key_set, data, side="right", method="sort")
+            keep = keep & (hi > lo)
         if c.validity is not None:
             keep = keep & c.validity
         sel = sel & keep
@@ -195,7 +219,8 @@ def _exec_spmd(
         if node.rf_id is not None:
             # build first so its min/max filter reaches the probe subtree
             build = _exec_spmd(node.build, tables, axis, cfg, overflows, ctr)
-            _publish_runtime_filter(node, build, cfg, axis)
+            _publish_runtime_filter(node, build, cfg.rf_values, axis,
+                                    cfg.rf_in_set_max_build)
             probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
         else:
             probe = _exec_spmd(node.probe, tables, axis, cfg, overflows, ctr)
@@ -210,7 +235,7 @@ def _exec_spmd(
 
     if isinstance(node, P.RuntimeFilterApply):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
-        return _apply_runtime_filter(node, child, cfg)
+        return _apply_runtime_filter(node, child, cfg.rf_values)
 
     if isinstance(node, P.SkewShuffleJoin):
         from ..exchange.skew import skew_shuffle_join

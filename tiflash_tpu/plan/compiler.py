@@ -41,7 +41,9 @@ class Diagnostics:
 
     overflows: Dict[str, jnp.ndarray]
     rows: Dict[str, jnp.ndarray]
+    # published runtime filters: rf_id -> [(min, max, sorted_set|None), ...]
     rf: Dict[str, list] = dataclasses.field(default_factory=dict)
+    rf_in_set_max: int = 1 << 20
 
 
 def execute_plan(plan: P.PlanNode, tables: Dict[str, Block], diag: Optional[Diagnostics] = None) -> Block:
@@ -134,14 +136,12 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         return out
 
     if isinstance(node, P.Join):
-        from ..mpp.runner import _apply_runtime_filter, _publish_runtime_filter
-
-        class _RFBox:  # adapter: Diagnostics.rf plays ExchangeConfig.rf_values
-            rf_values = diag.rf
+        from ..mpp.runner import _publish_runtime_filter
 
         if node.rf_id is not None:
             build = _exec(node.build, tables, diag, ctr)
-            _publish_runtime_filter(node, build, _RFBox, None)
+            _publish_runtime_filter(node, build, diag.rf, None,
+                                    diag.rf_in_set_max)
             probe = _exec(node.probe, tables, diag, ctr)
         else:
             probe = _exec(node.probe, tables, diag, ctr)
@@ -161,11 +161,8 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
     if isinstance(node, P.RuntimeFilterApply):
         from ..mpp.runner import _apply_runtime_filter
 
-        class _RFBox2:
-            rf_values = diag.rf
-
         child = _exec(node.child, tables, diag, ctr)
-        out = _apply_runtime_filter(node, child, _RFBox2)
+        out = _apply_runtime_filter(node, child, diag.rf)
         diag.rows[nid] = out.num_rows()
         return out
 
@@ -229,6 +226,7 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
 def compile_fragment(
     plan: P.PlanNode,
     collect_rows: bool = False,
+    rf_in_set_max: int = 1 << 20,
 ) -> Callable[[Dict[str, Block]], Tuple[Block, Dict[str, jnp.ndarray]]]:
     """jit-compile a whole exchange-free fragment.
 
@@ -238,7 +236,7 @@ def compile_fragment(
 
     @jax.jit
     def run(tables: Dict[str, Block]):
-        diag = Diagnostics({}, {})
+        diag = Diagnostics({}, {}, rf_in_set_max=rf_in_set_max)
         out = execute_plan(plan, tables, diag)
         if collect_rows:
             return out, diag.overflows, diag.rows

@@ -108,7 +108,10 @@ class QueryRunner:
                 plan = prune_columns(eager_aggregation(plan))
         self.plan = plan
         self.mesh = mesh
-        self.cfg = ExchangeConfig(shuffle_factor=self.settings.default_shuffle_factor)
+        self.cfg = ExchangeConfig(
+            shuffle_factor=self.settings.default_shuffle_factor,
+            rf_in_set_max_build=self.settings.rf_in_set_max_build,
+        )
         self._compiled = None
         self._compile_s = 0.0
 
@@ -146,7 +149,10 @@ class QueryRunner:
             return self._compiled
         t0 = time.perf_counter()
         if self.mesh is None:
-            inner = compile_fragment(self.plan, collect_rows=self.settings.collect_summaries)
+            inner = compile_fragment(
+                self.plan, collect_rows=self.settings.collect_summaries,
+                rf_in_set_max=self.settings.rf_in_set_max_build,
+            )
 
             def wrap(tables):
                 r = inner(tables)

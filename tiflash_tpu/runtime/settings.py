@@ -20,6 +20,7 @@ class Settings:
     default_shuffle_factor: float = 2.0      # exchange out-capacity multiplier
     join_output_factor: float = 2.0          # N:M join expansion multiplier
     max_capacity_retries: int = 4            # overflow re-run doublings
+    rf_in_set_max_build: int = 1 << 20       # IN-set runtime-filter size gate
     # --- execution ---
     mesh_axis: str = "d"
     topn_fast_path: bool = True
