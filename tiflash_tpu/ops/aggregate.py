@@ -76,7 +76,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
     sum widens precision by decimal_longlong_digits=22, avg adds
     DIV_PRECISION_INCREMENT=4 to precision and scale; both cap at our
     MAX_WIDE_PRECISION=38 instead of the reference's 65)."""
-    if func in ("count", "count_distinct"):
+    if func in ("count", "count_distinct", "approx_count_distinct",
+                "approx_cd_partial", "approx_cd_final"):
         return INT64
     assert arg is not None
     if func in ("min", "max", "first"):
@@ -1316,12 +1317,70 @@ def aggregate_stream(
     return AggregateResult(out, num_groups, overflow)
 
 
+def _sketch_hashes(block: Block, a: AggDesc) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(62-bit value hashes, live-and-not-null mask) for a sketch agg.
+    ``approx_cd_final`` consumes already-hashed candidate rows from the
+    partial stage (+inf padding counts as dead)."""
+    from .sketch import _INF
+
+    col = block[a.arg]
+    live = block.sel_mask()
+    if a.filter_col is not None:
+        f = block[a.filter_col]
+        m = f.data.astype(jnp.bool_)
+        if f.validity is not None:
+            m = m & f.validity
+        live = live & m
+    if col.validity is not None:
+        live = live & col.validity
+    if a.func == "approx_cd_final":
+        h = col.data
+        return h, live & (h < _INF)
+    from .hashing import hash_columns_u63
+
+    return hash_columns_u63([col]), live
+
+
+def kmv_partial(block: Block, aggs: Sequence[AggDesc]) -> AggregateResult:
+    """Partial stage of distributed approx_count_distinct: the sketch AS
+    ROWS — a k-row block of candidate hashes per agg.  A passthrough
+    exchange concatenates the shards' candidates and ``approx_cd_final``
+    re-sketches the union (KMV merge == re-selection).  This replaces the
+    reference's serialized uniq-state merge
+    (``AggregateFunctionUniq.h: merge``)."""
+    from .sketch import SKETCH_K, kmv_candidates
+
+    cols = {}
+    for a in aggs:
+        h, live = _sketch_hashes(block, a)
+        cols[a.name] = Column(kmv_candidates(h, live, SKETCH_K), None, INT64)
+    out = Block.from_dict(cols)
+    return AggregateResult(out, jnp.int32(SKETCH_K), jnp.int64(0))
+
+
+_SKETCH_FUNCS = ("approx_count_distinct", "approx_cd_final")
+
+
 def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
     """Aggregation without GROUP BY: single-row output (slot 0).
 
     Uses the masked method (plain fused reductions) whenever possible —
     the segment path would lower to a serialized TPU scatter and run
     ~500x slower (measured: Q6 at 925ms vs ~2ms)."""
+    if any(a.func in _SKETCH_FUNCS for a in aggs):
+        from .sketch import SKETCH_K, kmv_candidates, kmv_estimate
+
+        rest = [a for a in aggs if a.func not in _SKETCH_FUNCS]
+        base = aggregate_scalar(block, rest) if rest else None
+        cols: dict = {}
+        for a in aggs:
+            if a.func not in _SKETCH_FUNCS:
+                cols[a.name] = base[a.name]
+                continue
+            h, live = _sketch_hashes(block, a)
+            est = kmv_estimate(kmv_candidates(h, live, SKETCH_K))
+            cols[a.name] = Column(est[None], None, INT64)
+        return Block.from_dict(cols)
     live = block.sel_mask()
     gids = jnp.where(live, 0, 1).astype(jnp.int32)
     if _masked_eligible(block, aggs):
@@ -1487,7 +1546,15 @@ def _dispatch_aggregate(
     aggs: Sequence[AggDesc],
     num_slots: Optional[int] = None,
 ) -> AggregateResult:
+    if keys and any(a.func == "approx_count_distinct" for a in aggs):
+        # grouped approx distinct: groups are co-located (exchange shuffles
+        # by key — plan/distribute._COLOCATE), so the exact sorted-flag
+        # path is available and "approximate" may legally be exact
+        aggs = [dataclasses.replace(a, func="count_distinct")
+                if a.func == "approx_count_distinct" else a for a in aggs]
     if not keys:
+        if aggs and all(a.func == "approx_cd_partial" for a in aggs):
+            return kmv_partial(block, aggs)
         b = aggregate_scalar(block, aggs)
         return AggregateResult(b, jnp.int32(1), jnp.int64(0))
     key_cols = [block[k] for k in keys]

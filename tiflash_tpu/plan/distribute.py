@@ -36,7 +36,25 @@ def split_aggregation(
     high-cardinality (auto pass-through hashagg analog)."""
     _COLOCATE = {"count_distinct", "var_pop", "var_samp", "stddev_pop",
                  "stddev_samp", "quantile", "group_concat"}
-    if any(a.func in _COLOCATE for a in aggs):
+    if (not keys and aggs
+            and all(a.func == "approx_count_distinct" for a in aggs)):
+        # mergeable-sketch NDV (AggregateFunctionUniq.h analog): each shard
+        # emits its KMV candidates as k rows, a passthrough exchange
+        # concatenates them, and the final stage re-sketches the union —
+        # no raw-row shuffle, fixed k-row exchange volume per shard
+        partial = [AggDesc("approx_cd_partial", a.arg, a.name, a.filter_col)
+                   for a in aggs]
+        x = P.ExchangeReceiver(P.ExchangeSender(
+            "passthrough", [], P.Aggregation(keys=[], aggs=partial,
+                                             child=child, mode="partial")))
+        return P.Aggregation(
+            keys=[], aggs=[AggDesc("approx_cd_final", a.name, a.name)
+                           for a in aggs],
+            child=x, mode="final",
+        )
+    # grouped (or mixed-scalar) approx: co-locate like count_distinct
+    if any(a.func in _COLOCATE or a.func == "approx_count_distinct"
+           for a in aggs):
         # distinct states don't merge: co-locate whole groups by shuffling
         # raw rows on the keys, then run the full aggregation locally
         # (the reference would push a uniq-state; exactness > state size

@@ -679,7 +679,8 @@ def _o_aggregate_inner(
                     len(idxs) if arg is None else sum(v is not None for v in vals)
                 )
                 continue
-            if func == "count_distinct":
+            if func in ("count_distinct", "approx_count_distinct"):
+                # oracle is exact; approx parity tests assert tolerance
                 out[on].append(len({v for v in vals if v is not None}))
                 continue
             if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
