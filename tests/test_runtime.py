@@ -157,3 +157,32 @@ def test_summary_node_rows_explain_analyze():
     assert summary.node_rows.get("TableScan_2") == 100
     sel_rows = summary.node_rows.get("Selection_1")
     assert sel_rows == summary.result_rows
+
+
+def test_explain_analyze_per_operator_times():
+    """Per-node subtree/self timings (ExecutorStatisticsCollector.h:38
+    analog, via subtree differencing — runtime/analyze.py)."""
+    from tiflash_tpu.runtime.analyze import explain_analyze, format_analyze
+    from tiflash_tpu.ops.sort import SortKey
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    table = {"k": rng.integers(0, 9, n).tolist(),
+             "v": rng.integers(0, 100, n).tolist()}
+    blocks = {"t": O.pytable_to_block(table, {"k": dt.INT32, "v": dt.INT64})}
+    plan = P.TopN(
+        [SortKey("s", desc=True)], 3,
+        P.Aggregation(keys=["k"], aggs=[AggDesc("sum", "v", "s")],
+                      child=P.Selection(col("v") > 10, P.TableScan("t"))),
+    )
+    report = explain_analyze(plan, blocks, k1=1, k2=3)
+    ops = [r["operator"] for r in report]
+    assert ops == ["TopN", "Aggregation", "Selection", "TableScan"]
+    for r in report:
+        assert r["subtree_s"] is not None and r["subtree_s"] >= 0
+        assert r["self_s"] is not None and r["self_s"] >= 0
+    # self times decompose the root's subtree time
+    total_self = sum(r["self_s"] for r in report)
+    assert abs(total_self - report[0]["subtree_s"]) < 1e-6
+    text = format_analyze(report)
+    assert "Aggregation" in text and "ms" in text

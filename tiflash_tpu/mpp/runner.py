@@ -170,6 +170,19 @@ def _exec_spmd(
     overflows: Dict[str, jnp.ndarray],
     ctr: List[int],
 ) -> Block:
+    # per-operator profiler scopes (see plan/compiler._exec)
+    with jax.named_scope(type(node).__name__):
+        return _exec_spmd_node(node, tables, axis, cfg, overflows, ctr)
+
+
+def _exec_spmd_node(
+    node: P.PlanNode,
+    tables: Dict[str, Block],
+    axis: str,
+    cfg: ExchangeConfig,
+    overflows: Dict[str, jnp.ndarray],
+    ctr: List[int],
+) -> Block:
     ctr[0] += 1
     nid = f"{type(node).__name__}_{ctr[0]}"
 

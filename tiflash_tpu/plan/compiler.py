@@ -54,6 +54,15 @@ def execute_plan(plan: P.PlanNode, tables: Dict[str, Block], diag: Optional[Diag
 
 
 def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: List[int]) -> Block:
+    # profiler attribution: each node's traced ops carry its scope name, so
+    # XProf/Perfetto traces group compute per operator (the
+    # ExecutorStatisticsCollector analog for a fused program; subtree
+    # *timings* come from runtime/analyze.py)
+    with jax.named_scope(type(node).__name__):
+        return _exec_node(node, tables, diag, ctr)
+
+
+def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: List[int]) -> Block:
     ctr[0] += 1
     nid = f"{type(node).__name__}_{ctr[0]}"
 
