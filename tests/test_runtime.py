@@ -181,8 +181,9 @@ def test_explain_analyze_per_operator_times():
     for r in report:
         assert r["subtree_s"] is not None and r["subtree_s"] >= 0
         assert r["self_s"] is not None and r["self_s"] >= 0
-    # self times decompose the root's subtree time
+    # self times telescope to at least the root's subtree time (clamping
+    # at 0 can only push the sum up; exact equality is noise-sensitive)
     total_self = sum(r["self_s"] for r in report)
-    assert abs(total_self - report[0]["subtree_s"]) < 1e-6
+    assert total_self >= report[0]["subtree_s"] - 1e-6
     text = format_analyze(report)
     assert "Aggregation" in text and "ms" in text
