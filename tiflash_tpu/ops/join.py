@@ -209,17 +209,21 @@ def build_join(
     selected = build_block.sel_mask()
     matchable = selected & ~build_null
     # NULL-key rows never match (key -> +inf) but stay selected so the
-    # right-outer non-matched scan still emits them.
+    # right-outer non-matched scan still emits them.  A REAL live key of
+    # exactly 2^63-1 is disambiguated positionally, not by value: the
+    # secondary sort key (~matchable) places real _KEY_INF rows BEFORE the
+    # forced NULL/dead rows, so the matchable rows are exactly the first
+    # ``num_live`` sorted positions and probe ranges clamp there.
     keys = jnp.where(matchable, build_keys, _KEY_INF)
     n = build_block.capacity
     order = jax.lax.sort(
-        (keys, (~selected).astype(jnp.int8), jnp.arange(n, dtype=jnp.int32)),
+        (keys, (~matchable).astype(jnp.int8), jnp.arange(n, dtype=jnp.int32)),
         num_keys=2,
     )
     skeys, _, perm = order
     sorted_sel = jnp.take(selected, perm)
     num_live = jnp.sum(matchable, dtype=jnp.int32)
-    dup = (skeys[1:] == skeys[:-1]) & (skeys[1:] != _KEY_INF)
+    dup = (skeys[1:] == skeys[:-1]) & (jnp.arange(1, n) < num_live)
     unique = ~jnp.any(dup)
     return JoinBuild(skeys, build_block, perm, sorted_sel, num_live, unique)
 
@@ -235,7 +239,11 @@ def _probe_ranges(build: JoinBuild, probe_keys: jnp.ndarray):
     # 2.6 s for the default scan method on TPU)
     lo = jnp.searchsorted(build.sorted_keys, probe_keys, side="left", method="sort")
     hi = jnp.searchsorted(build.sorted_keys, probe_keys, side="right", method="sort")
-    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+    # clamp into the matchable prefix: positions >= num_live hold forced
+    # NULL/dead rows whose sentinel key (2^63-1) must never match a probe
+    # key of that same real value
+    return (jnp.minimum(lo.astype(jnp.int32), build.num_live),
+            jnp.minimum(hi.astype(jnp.int32), build.num_live))
 
 
 def _merge_blocks(
@@ -287,7 +295,8 @@ def probe_join_unique(
             col = Column(matched, None, BOOL)
         else:
             selected_b = build.sorted_sel
-            build_has_null = jnp.any(selected_b & (build.sorted_keys == _KEY_INF))
+            forced = jnp.arange(build.capacity) >= build.num_live
+            build_has_null = jnp.any(selected_b & forced)
             build_empty = ~jnp.any(selected_b)
             unknown = (~matched) & (probe_null | build_has_null) & ~build_empty
             col = Column(matched, ~unknown, BOOL.with_nullable(True))
@@ -318,7 +327,7 @@ def _null_aware_anti_sel(
       - else                      -> keep
     """
     selected = build.sorted_sel
-    matchable = build.sorted_keys != _KEY_INF
+    matchable = jnp.arange(build.capacity) < build.num_live
     build_empty = ~jnp.any(selected)
     build_has_null = jnp.any(selected & ~matchable)
     keep = (~probe_null) & (~matched) & (~build_has_null)
@@ -398,9 +407,8 @@ def probe_join_general(
                 col = Column(matched, None, BOOL)
             else:
                 selected_b = build.sorted_sel
-                build_has_null = jnp.any(
-                    selected_b & (build.sorted_keys == _KEY_INF)
-                )
+                forced = jnp.arange(build.capacity) >= build.num_live
+                build_has_null = jnp.any(selected_b & forced)
                 build_empty = ~jnp.any(selected_b)
                 unknown = (~matched) & (probe_null | build_has_null) & ~build_empty
                 col = Column(matched, ~unknown, BOOL.with_nullable(True))
