@@ -90,4 +90,15 @@ def shard_local_blocks(
     return out
 
 
-__all__ = ["init_multihost", "global_mesh", "shard_local_blocks"]
+def replicate_result(out: Block, mesh: Mesh) -> Block:
+    """Make a (possibly cross-host-sharded) result fully addressable on
+    every process: one all-gather into a replicated layout.  Required
+    before ``collect_result``/``device_get`` under multi-process JAX,
+    where a host can only read its own shards (the analog of the
+    reference root MPPTask streaming the final result to the client)."""
+    rep = NamedSharding(mesh, PSpec())
+    return jax.jit(lambda b: b, out_shardings=rep)(out)
+
+
+__all__ = ["init_multihost", "global_mesh", "shard_local_blocks",
+           "replicate_result"]

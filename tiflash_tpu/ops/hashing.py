@@ -19,9 +19,9 @@ import numpy as np
 
 from ..core.block import Block, Column
 
-_C1 = jnp.uint32(0x85EBCA6B)
-_C2 = jnp.uint32(0xC2B2AE35)
-_SEED_MIX = jnp.uint32(0x9E3779B9)  # golden-ratio combine like boost
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_SEED_MIX = np.uint32(0x9E3779B9)  # golden-ratio combine like boost
 
 
 def _fmix32(h: jnp.ndarray) -> jnp.ndarray:

@@ -200,7 +200,7 @@ class JoinBuild:
         return self.block.take(comp, fill_invalid=fill_invalid)
 
 
-_KEY_INF = jnp.int64(2**63 - 1)
+_KEY_INF = np.int64(2**63 - 1)  # np: no backend init at import (multihost)
 
 
 def build_join(

@@ -21,11 +21,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SKETCH_K = 4096
 _TILE = 2048
 _HASH_SPACE = float(2**62)
-_INF = jnp.int64(2**62)  # above every hash (hashes are masked to 62 bits)
+_INF = np.int64(2**62)  # above every hash (hashes are masked to 62 bits)
 
 
 def _dedupe_sorted(arr: jnp.ndarray) -> jnp.ndarray:
