@@ -123,14 +123,19 @@ class QueryService:
         from ..runtime.logging import get_logger, query_context
 
         log = get_logger("tiflash_tpu.service")
+        from ..runtime.cancel import cancel_scope
+        from ..runtime.syncpoint import sync_point
+
         try:
+            sync_point("service.query.queued")
             self._acquire_admission(flag)
             try:
-                with query_context(qid):
+                with query_context(qid), cancel_scope(flag):
                     with self._lock:
                         if self._queries[qid]["state"] == "QUEUED":
                             self._queries[qid]["state"] = "RUNNING"
                     log.info("query %d start", qid)
+                    sync_point("service.query.running")
                     flag.check()
                     tables = self._tables()
                     if uses_system:

@@ -258,7 +258,10 @@ class QueryRunner:
         log = get_logger("tiflash_tpu.executor")
         from .cancel import checkpoint
 
+        from .syncpoint import sync_point
+
         for attempt in range(self.settings.max_capacity_retries + 1):
+            sync_point("executor.attempt")
             checkpoint()  # between retry attempts (MPPTask::abort analog)
             fn = self._compile()
             checkpoint()
