@@ -187,3 +187,30 @@ def test_explain_analyze_per_operator_times():
     assert total_self >= report[0]["subtree_s"] - 1e-6
     text = format_analyze(report)
     assert "Aggregation" in text and "ms" in text
+
+
+def test_plan_chunk_rows_uses_real_row_width():
+    """Chunk sizing must reflect actual column widths, not a flat
+    bytes-per-row constant: a 2x-wider scan halves the chunk rows."""
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.memory import plan_chunk_rows
+    from tiflash_tpu.testing import oracle as O
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    narrow_schema = {"a": dt.INT64}
+    wide_schema = {c: dt.INT64 for c in "abcdefgh"}
+    narrow = O.pytable_to_block(O.random_pytable(rng, 256, narrow_schema),
+                                narrow_schema)
+    wide = O.pytable_to_block(O.random_pytable(rng, 256, wide_schema),
+                              wide_schema)
+    budget = 1 << 26
+    rows_narrow = plan_chunk_rows(P.TableScan("t"), {"t": narrow}, budget)
+    rows_wide = plan_chunk_rows(P.TableScan("t"), {"t": wide}, budget)
+    assert rows_wide < rows_narrow
+    assert rows_narrow == budget // (8 * 8)
+    # column pruning: scanning one column of the wide table = narrow cost
+    pruned = plan_chunk_rows(P.TableScan("t", columns=["a"]),
+                             {"t": wide}, budget)
+    assert pruned == rows_narrow

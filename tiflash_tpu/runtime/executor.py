@@ -208,8 +208,10 @@ class QueryRunner:
                 "memory limit exceeded: switching to %s out-of-core execution",
                 mode,
             )
+            from .memory import plan_chunk_rows
+
             budget = self.settings.max_bytes_per_device or (1 << 32)
-            chunk_rows = max(4096, int(budget // 256))
+            chunk_rows = plan_chunk_rows(self.plan, tables, budget)
             if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
             elif mode == "grace":
