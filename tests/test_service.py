@@ -154,3 +154,23 @@ def test_service_distributed_mesh():
         assert resp["summary"]["rows"] >= 3
     finally:
         httpd.shutdown()
+
+
+def test_error_codes(server):
+    """Errors carry stable registry codes (Common/ErrorCodes.cpp analog)."""
+    code, resp = _post(server, "/query",
+                       {"plan": {"node": "TableScan", "table": "nope"}})
+    assert code in (400, 500)
+    assert "code" in resp and "code_name" in resp
+    from tiflash_tpu.runtime import errors as E
+
+    assert resp["code"] in (E.UNKNOWN_TABLE, E.UNKNOWN_COLUMN, E.BAD_PLAN,
+                            E.INTERNAL)
+    # classification unit checks
+    from tiflash_tpu.runtime.cancel import QueryCancelled
+    from tiflash_tpu.runtime.memory import MemoryLimitError
+
+    assert E.classify(QueryCancelled("x")) == E.CANCELLED
+    assert E.classify(MemoryLimitError("x")) == E.MEMORY_LIMIT
+    assert E.classify(NotImplementedError("x")) == E.UNSUPPORTED
+    assert E.error_name(E.CANCELLED) == "CANCELLED"

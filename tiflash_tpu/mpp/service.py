@@ -292,13 +292,21 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
             except QueryCancelled as e:
-                self._send(499, {"error": str(e), "kind": "cancelled"})
+                from ..runtime.errors import error_payload
+
+                self._send(499, {**error_payload(e), "kind": "cancelled"})
             except FailPointError as e:
-                self._send(500, {"error": str(e), "kind": "failpoint"})
+                from ..runtime.errors import error_payload
+
+                self._send(500, {**error_payload(e), "kind": "failpoint"})
             except KeyError as e:
-                self._send(400, {"error": f"missing/unknown: {e}"})
+                from ..runtime.errors import error_payload
+
+                self._send(400, error_payload(e))
             except Exception as e:  # surface engine errors as 500s
-                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                from ..runtime.errors import error_payload
+
+                self._send(500, error_payload(e))
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 

@@ -1,0 +1,102 @@
+"""Error-code registry.
+
+Role analog: ``Common/ErrorCodes.cpp`` (the reference numbers every
+engine error; clients and logs key off the code, not the message) and
+TiFlash's gRPC status mapping.  Codes are stable integers; the service
+surfaces them in error payloads and the /metrics counter family
+``errors_total{code}`` counts by code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Type
+
+# stable numeric registry (never renumber; append only)
+OK = 0
+UNKNOWN = 1
+BAD_PLAN = 10            # malformed / unsupported plan json
+UNKNOWN_TABLE = 11
+UNKNOWN_COLUMN = 12
+TYPE_MISMATCH = 13
+UNSUPPORTED = 14         # feature combination not implemented
+CAPACITY_OVERFLOW = 20   # bounded-output overflow after max retries
+MEMORY_LIMIT = 21
+CANCELLED = 30
+FAILPOINT = 40
+RESOURCE_EXHAUSTED = 41  # RU admission rejected
+INTERNAL = 50
+
+_NAMES: Dict[int, str] = {
+    OK: "OK",
+    UNKNOWN: "UNKNOWN",
+    BAD_PLAN: "BAD_PLAN",
+    UNKNOWN_TABLE: "UNKNOWN_TABLE",
+    UNKNOWN_COLUMN: "UNKNOWN_COLUMN",
+    TYPE_MISMATCH: "TYPE_MISMATCH",
+    UNSUPPORTED: "UNSUPPORTED",
+    CAPACITY_OVERFLOW: "CAPACITY_OVERFLOW",
+    MEMORY_LIMIT: "MEMORY_LIMIT",
+    CANCELLED: "CANCELLED",
+    FAILPOINT: "FAILPOINT",
+    RESOURCE_EXHAUSTED: "RESOURCE_EXHAUSTED",
+    INTERNAL: "INTERNAL",
+}
+
+
+def error_name(code: int) -> str:
+    return _NAMES.get(code, f"CODE_{code}")
+
+
+class EngineError(RuntimeError):
+    """Base for typed engine errors; carries a stable code."""
+
+    code: int = UNKNOWN
+
+    def __init__(self, message: str, code: Optional[int] = None):
+        super().__init__(message)
+        if code is not None:
+            self.code = code
+
+
+def classify(exc: BaseException) -> int:
+    """Map any exception to a registry code (the gRPC-status analog)."""
+    from .cancel import QueryCancelled
+    from .failpoint import FailPointError
+    from .memory import MemoryLimitError
+
+    if isinstance(exc, EngineError):
+        return exc.code
+    if isinstance(exc, QueryCancelled):
+        return CANCELLED
+    if isinstance(exc, MemoryLimitError):
+        return MEMORY_LIMIT
+    if isinstance(exc, FailPointError):
+        return FAILPOINT
+    if isinstance(exc, KeyError):
+        return UNKNOWN_COLUMN
+    if isinstance(exc, NotImplementedError):
+        return UNSUPPORTED
+    if isinstance(exc, (TypeError, ValueError)):
+        return BAD_PLAN
+    msg = str(exc)
+    if "capacity" in msg and "overflow" in msg:
+        return CAPACITY_OVERFLOW
+    if "resource group" in msg:
+        return RESOURCE_EXHAUSTED
+    return INTERNAL
+
+
+def error_payload(exc: BaseException) -> Dict:
+    """JSON error body for the service: message + stable code + name."""
+    code = classify(exc)
+    from .metrics import METRICS
+
+    METRICS.counter(f"errors_total_code_{code}").inc()
+    return {
+        "error": f"{type(exc).__name__}: {exc}",
+        "code": code,
+        "code_name": error_name(code),
+    }
+
+
+__all__ = ["EngineError", "classify", "error_payload", "error_name"]
