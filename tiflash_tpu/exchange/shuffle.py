@@ -199,8 +199,10 @@ def _row_pids_after_sort(send_sizes: jnp.ndarray, n: int) -> jnp.ndarray:
     """Recover each grouped row's destination from the size vector:
     rows are sorted by destination, so row r belongs to partition
     searchsorted(cumsum(sizes), r, 'right')."""
+    from ..ops.merge import dense_inverse
+
     ends = jnp.cumsum(send_sizes)
-    return jnp.searchsorted(ends, jnp.arange(n, dtype=send_sizes.dtype), side="right", method="sort").astype(jnp.int32)
+    return dense_inverse(ends, n)
 
 
 def allgather_block(block: Block, axis_name: str) -> Block:

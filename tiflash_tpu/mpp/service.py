@@ -49,12 +49,13 @@ class QueryService:
         catalog: Catalog,
         mesh=None,
         settings: Optional[Settings] = None,
-        max_concurrency: int = 4,
+        max_concurrency: Optional[int] = None,
     ):
         self.catalog = catalog
         self.mesh = mesh
         self.settings = settings or Settings()
-        self._admission = threading.BoundedSemaphore(max_concurrency)
+        self._admission = threading.BoundedSemaphore(
+            max_concurrency or self.settings.service_max_concurrency)
         self._blocks = None
         self._lock = threading.Lock()
         # query registry: the MPPTaskManager / process-list analog

@@ -1260,17 +1260,16 @@ def aggregate_stream(
     gids = jnp.minimum(gid_all, num_slots)
 
     # group layout: spans are contiguous over ALL rows, so slot g's start
-    # is slot g-1's end + 1.  Dense ends come from a sort-method
-    # searchsorted on the monotone gid sequence — TPU scatter, even
-    # sorted/unique, costs ~2-3x a sort (measured, CLAUDE.md)
+    # is slot g-1's end + 1 and slot g's END is the g-th row whose NEXT
+    # row opens a new group.  That dense ends table is a flagged-position
+    # compaction: ONE single-operand packed sort (measured 16ms at 6M) —
+    # the previous sort-method searchsorted(gid_all, slots) cost 100ms,
+    # and TPU scatter, even sorted/unique, costs ~2-3x a sort (CLAUDE.md)
+    from .merge import flagged_positions
+
     first_of_group = neq.at[0].set(True)
-    slot_ids = jnp.arange(num_slots, dtype=gid_all.dtype)
-    ends_dense = jnp.where(
-        slot_ids < total_groups,
-        jnp.searchsorted(gid_all, slot_ids, side="right",
-                         method="sort").astype(jnp.int32) - 1,
-        jnp.int32(-1),
-    )
+    is_end = jnp.concatenate([neq[1:], jnp.ones(1, dtype=jnp.bool_)])
+    ends_dense = flagged_positions(is_end, num_slots)
 
     ends_ok = ends_dense >= 0
     e_idx = jnp.maximum(ends_dense, 0)

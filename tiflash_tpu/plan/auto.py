@@ -43,12 +43,27 @@ class AutoPlanConfig:
     runtime_filters: bool = True
     auto_passthrough_agg: bool = False
     join_output_factor: float = 2.0
+    selectivity_sample_rows: int = 4096      # 0 disables sampling
+
+    @classmethod
+    def from_settings(cls, s) -> "AutoPlanConfig":
+        """Planner knobs from engine Settings (the Settings.h subset that
+        steers plan shape)."""
+        return cls(
+            broadcast_threshold_rows=s.broadcast_threshold_rows,
+            skew_aware_joins=s.skew_aware_joins,
+            runtime_filters=s.runtime_filters,
+            auto_passthrough_agg=s.auto_passthrough_agg,
+            join_output_factor=s.join_output_factor,
+            selectivity_sample_rows=s.selectivity_sample_rows,
+        )
 
 
 _SAMPLE_ROWS = 4096
 
 
-def _sampled_selectivity(cond, scan: P.TableScan, tables) -> Optional[float]:
+def _sampled_selectivity(cond, scan: P.TableScan, tables,
+                         sample_rows: int = _SAMPLE_ROWS) -> Optional[float]:
     """Evaluate ``cond`` eagerly on the first _SAMPLE_ROWS of the scanned
     table; returns live fraction, or None when not measurable.  The
     reference gets selectivities from TiDB's optimizer statistics; a
@@ -64,7 +79,7 @@ def _sampled_selectivity(cond, scan: P.TableScan, tables) -> Optional[float]:
 
         from ..expr.compile import ExprEvaluator
 
-        k = min(_SAMPLE_ROWS, b.capacity)
+        k = min(sample_rows, b.capacity)
         head = b.take(jnp.arange(k, dtype=jnp.int32))
         c = ExprEvaluator(head).evaluate(cond)
         mask = c.data.astype(bool)
@@ -78,30 +93,32 @@ def _sampled_selectivity(cond, scan: P.TableScan, tables) -> Optional[float]:
 
 
 def _estimate_rows(node: P.PlanNode, stats: Dict[str, int],
-                   tables=None) -> int:
+                   tables=None, sample_rows: int = _SAMPLE_ROWS) -> int:
     """Cardinality estimate: catalog row counts at the scans, sampled
     predicate selectivity at Selections (when table data is available)."""
     if isinstance(node, P.TableScan):
         return stats.get(node.table, 1 << 20)
     if isinstance(node, P.Selection):
-        base = _estimate_rows(node.child, stats, tables)
+        base = _estimate_rows(node.child, stats, tables, sample_rows)
         scan = node.child
         while isinstance(scan, (P.Selection, P.Projection)):
             scan = scan.child
         if isinstance(scan, P.TableScan):
-            sel = _sampled_selectivity(node.cond, scan, tables)
+            sel = _sampled_selectivity(node.cond, scan, tables,
+                                       sample_rows)
             if sel is not None:
                 return max(1, int(base * sel))
         return base
     if isinstance(node, (P.Join, P.CrossJoin, P.SkewShuffleJoin)):
-        return max(_estimate_rows(c, stats, tables) for c in node.children)
+        return max(_estimate_rows(c, stats, tables, sample_rows)
+                   for c in node.children)
     if isinstance(node, P.TopN):
         return node.limit
     if isinstance(node, P.Limit):
         return node.limit
     if isinstance(node, P.Aggregation):
         return node.num_slots or _estimate_rows(node.children[0], stats,
-                                                tables)
+                                                tables, sample_rows)
     if not node.children:
         return 1 << 20
     return max(_estimate_rows(c, stats, tables) for c in node.children)
@@ -150,8 +167,10 @@ def distribute_plan(
         if isinstance(node, P.Join):
             probe = walk(node.probe)
             build = walk(node.build)
-            build_rows = _estimate_rows(node.build, stats, tables)
-            probe_rows = _estimate_rows(node.probe, stats, tables)
+            sr = cfg.selectivity_sample_rows
+            tbls = tables if sr > 0 else None
+            build_rows = _estimate_rows(node.build, stats, tbls, sr or 1)
+            probe_rows = _estimate_rows(node.probe, stats, tbls, sr or 1)
             cap = node.output_capacity
             if build_rows <= max(
                 cfg.broadcast_threshold_rows, probe_rows // (4 * num_devices)

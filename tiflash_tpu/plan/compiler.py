@@ -162,6 +162,7 @@ def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ct
         joined, extras = J.hash_join_with_tail(
             probe, build, list(node.probe_keys), list(node.build_keys),
             kind=node.kind, output_capacity=cap,
+            build_payload=node.build_payload,
         )
         diag.overflows[nid] = extras["overflow"]
         diag.rows[nid] = joined.num_rows()

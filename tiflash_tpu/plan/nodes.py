@@ -120,6 +120,10 @@ class Join(PlanNode):
     unique_build: bool = False
     output_capacity: Optional[int] = None
     rf_id: Optional[str] = None
+    # payload columns the join must emit from the build side; None =
+    # all of them.  Set by the prune pass so unused build columns (e.g.
+    # the duplicate join key) never pay the probe-time payload gather.
+    build_payload: Optional[Sequence[str]] = None
 
     def __post_init__(self):
         self.children = (self.probe, self.build)

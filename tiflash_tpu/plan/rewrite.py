@@ -252,6 +252,18 @@ def prune_columns(plan: P.PlanNode, required: Optional[Set[str]] = None) -> P.Pl
                 pruned = P.Projection({c: col(c) for c in order}, pruned)
             return pruned
 
+        # payload narrowing: the build INPUT must keep its join keys (for
+        # the sorted-key build) but the probe-time payload gather only
+        # needs columns the parent actually reads.  Conservative when
+        # probe/build names collide (the join suffixes those with "_r",
+        # which this static set algebra doesn't model) or when required
+        # names resolve to neither side (suffixed refs).
+        build_payload = None
+        if (required is not None and build_out is not None
+                and probe_out is not None
+                and not (probe_out & build_out)
+                and not (required - (probe_out | build_out))):
+            build_payload = sorted(required & build_out)
         return P.Join(
             kind=node.kind,
             probe_keys=list(node.probe_keys),
@@ -260,6 +272,7 @@ def prune_columns(plan: P.PlanNode, required: Optional[Set[str]] = None) -> P.Pl
             build=narrow(node.build, build_out, node.build_keys),
             unique_build=node.unique_build,
             output_capacity=node.output_capacity,
+            build_payload=build_payload,
         )
     # conservative default: recurse with "everything required"
     for i, c in enumerate(node.children):

@@ -138,6 +138,8 @@ def plan_to_json(node: P.PlanNode) -> Dict[str, Any]:
                 "unique_build": node.unique_build,
                 "output_capacity": node.output_capacity,
                 "rf_id": node.rf_id,
+                "build_payload": (None if node.build_payload is None
+                                  else list(node.build_payload)),
                 "probe": plan_to_json(node.probe),
                 "build": plan_to_json(node.build)}
     if isinstance(node, P.SkewShuffleJoin):
@@ -208,7 +210,7 @@ def plan_from_json(d: Dict[str, Any]) -> P.PlanNode:
             d["kind"], d["probe_keys"], d["build_keys"],
             plan_from_json(d["probe"]), plan_from_json(d["build"]),
             d.get("unique_build", False), d.get("output_capacity"),
-            d.get("rf_id"),
+            d.get("rf_id"), d.get("build_payload"),
         )
     if t == "SkewShuffleJoin":
         return P.SkewShuffleJoin(

@@ -26,6 +26,14 @@ class Settings:
     topn_fast_path: bool = True
     # logical-plan optimizer (eager agg pushdown + column pruning)
     enable_plan_rewrites: bool = True
+    # --- auto-planner (plan/auto.py AutoPlanConfig.from_settings) ---
+    broadcast_threshold_rows: int = 100_000
+    skew_aware_joins: bool = False
+    runtime_filters: bool = True
+    auto_passthrough_agg: bool = False
+    selectivity_sample_rows: int = 4096   # 0 disables sampling
+    # --- service ---
+    service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     # --- memory (the MemoryTracker quota analog; enforced host-side) ---
     max_bytes_per_device: Optional[int] = None
     # --- observability ---
