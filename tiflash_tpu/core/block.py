@@ -176,9 +176,9 @@ class Column:
 
 
 # Row multiple the narrow32 shadow is padded to — one streaming-kernel
-# grid step (ops/pallas/stream_agg.py TILE); pre-padding at load means the
-# scan kernel consumes the shadow with zero per-query copies.
-NARROW_PAD = 8192
+# grid step (ops/pallas/stream_agg.py STEP_ROWS); pre-padding at load
+# means the scan kernel consumes the shadow with zero per-query copies.
+NARROW_PAD = 65536
 
 
 def make_narrow32(host: "np.ndarray", stats: Tuple[int, int]):
@@ -219,7 +219,9 @@ def column_from_numpy(
         v = jnp.asarray(np.array([s is not None for s in values]))
     stats = None
     narrow = None
-    if not dtype.is_string:
+    if dtype.is_string:
+        narrow = make_narrow32(codes, (0, max(0, len(dictionary) - 1)))
+    else:
         host_all = np.asarray(values, dtype=dtype.physical)
         host = host_all
         if validity is not None:

@@ -7,8 +7,9 @@ direct-key methods — re-designed for the VPU instead of a hash table.
 Design (ROADMAP round-2 priority: NOT the one-hot MXU kernel, which is
 K-bound at one row per MXU cycle):
 
-- Rows stream through VMEM in (64, 128) int tiles (one grid step = 8192
-  rows per input column).
+- Rows stream through VMEM in (64, 128) int tiles, STEP_TILES sub-tiles
+  per grid step (65536 rows per step — batching amortizes the measured
+  ~0.4 us fixed per-step cost).
 - The caller provides a traced ``make_tile_values`` that maps the raw
   input tiles to (slot ids, limb columns): the scan's filter, projection
   arithmetic and key packing all happen INSIDE the kernel on VMEM tiles,
@@ -18,9 +19,10 @@ K-bound at one row per MXU cycle):
   stats).  Accumulation is ``acc[s,l] += where(slot==s, limb, 0)`` into
   per-(slot, limb) full-tile int32 accumulators — two VPU ops per
   (slot, limb) per element, no scatter, no hash table, no matmul.
-- Periodic flush ("periodic carry"): every FLUSH_TILES grid steps the
-  int32 accumulator block is written back to a fresh HBM chunk slot and
-  re-zeroed, so each element accumulates at most FLUSH_TILES values of
+- Periodic flush ("periodic carry"): every FLUSH_STEPS grid steps (=
+  FLUSH_TILES sub-tiles) the int32 accumulator block is written back to a
+  fresh HBM chunk slot and re-zeroed, so each element accumulates at most
+  FLUSH_TILES values of
   < 2**limb_bits — with FLUSH_TILES * 2**limb_bits <= 2**31 the int32
   accumulation is exact for UNBOUNDED row counts, and limbs can be
   25 bits wide instead of 16 (fewer planes -> less VPU work).
@@ -44,11 +46,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MUL_SPLIT_BITS = 16    # factor-splitting width for wide products (fixed)
-FLUSH_TILES = 64       # grid steps between accumulator flushes
+FLUSH_TILES = 64       # accumulate sub-tiles between accumulator flushes
 ACC_LIMB_BITS = 25     # FLUSH_TILES * 2**ACC_LIMB_BITS == 2**31: exact
 TILE_SUB = 64          # sublane rows per tile
 TILE_LANES = 128
-TILE = TILE_SUB * TILE_LANES  # 8192 rows per grid step
+TILE = TILE_SUB * TILE_LANES  # 8192 rows per accumulate sub-tile
+# Sub-tiles processed per GRID step.  Measured (v5e): the kernel carries
+# ~0.4 us of fixed cost per grid step (memfloor probe: S=1/L=1 over 6M
+# rows ran 0.36 ms against a 0.06 ms HBM floor at 733 steps) — batching 8
+# sub-tiles per step divides that overhead by 8 while the VMEM working
+# set stays small (inputs 8x256 KB double-buffered + accumulator).
+STEP_TILES = 8
+STEP_ROWS = STEP_TILES * TILE           # 65536 rows per grid step
+FLUSH_STEPS = FLUSH_TILES // STEP_TILES  # grid steps between flushes
 
 
 def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
@@ -57,34 +67,34 @@ def _kernel(n_rows, n_slots, n_limbs, n_inputs, make_tile_values, names,
     acc_ref = refs[n_inputs]
     i = pl.program_id(0)
 
-    @pl.when(jax.lax.rem(i, jnp.int32(FLUSH_TILES)) == jnp.int32(0))
+    @pl.when(jax.lax.rem(i, jnp.int32(FLUSH_STEPS)) == jnp.int32(0))
     def _():
         # fresh chunk slot (the previous block was auto-written back when
         # the output block index advanced)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # global row ids of this (64, 128) tile for the ragged tail mask
-    base = i * jnp.int32(TILE)
-    rid = (
-        base
-        + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 0)
-        * jnp.int32(TILE_LANES)
-        + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 1)
-    )
-    in_bounds = rid < jnp.int32(n_rows)
-
-    tile: Dict[str, jnp.ndarray] = {nm: r[...] for nm, r in zip(names, in_refs)}
-    slots, limbs = make_tile_values(tile, in_bounds)
-    assert len(limbs) == n_limbs, (len(limbs), n_limbs)
-
+    step: Dict[str, jnp.ndarray] = {nm: r[...] for nm, r in zip(names, in_refs)}
     zero = jnp.zeros((TILE_SUB, TILE_LANES), dtype=jnp.int32)
-    for s in range(n_slots):
-        m = slots == jnp.int32(s)
-        for l, v in enumerate(limbs):
-            k = s * n_limbs + l
-            acc_ref[0, k * TILE_SUB:(k + 1) * TILE_SUB, :] += jnp.where(
-                m, v, zero
-            )
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANES), 1)
+    for r in range(STEP_TILES):
+        # global row ids of this (64, 128) sub-tile for the ragged tail mask
+        base = i * jnp.int32(STEP_ROWS) + jnp.int32(r * TILE)
+        rid = base + iota_s * jnp.int32(TILE_LANES) + iota_l
+        in_bounds = rid < jnp.int32(n_rows)
+
+        tile = {nm: v[r * TILE_SUB:(r + 1) * TILE_SUB, :]
+                for nm, v in step.items()}
+        slots, limbs = make_tile_values(tile, in_bounds)
+        assert len(limbs) == n_limbs, (len(limbs), n_limbs)
+
+        for s in range(n_slots):
+            m = slots == jnp.int32(s)
+            for l, v in enumerate(limbs):
+                k = s * n_limbs + l
+                acc_ref[0, k * TILE_SUB:(k + 1) * TILE_SUB, :] += jnp.where(
+                    m, v, zero
+                )
 
 
 def stream_group_sums(
@@ -108,10 +118,10 @@ def stream_group_sums(
     """
     names = list(inputs)
     n = n_rows
-    grid = max(1, -(-n // TILE))
-    n128 = grid * TILE_SUB
+    grid = max(1, -(-n // STEP_ROWS))
+    n128 = grid * STEP_TILES * TILE_SUB
     padded = n128 * TILE_LANES
-    chunks = -(-grid // FLUSH_TILES)
+    chunks = -(-grid // FLUSH_STEPS)
 
     args = []
     in_specs = []
@@ -130,7 +140,7 @@ def stream_group_sums(
         args.append(arr.reshape(n128, TILE_LANES))
         in_specs.append(
             pl.BlockSpec(
-                (TILE_SUB, TILE_LANES),
+                (STEP_TILES * TILE_SUB, TILE_LANES),
                 lambda i: (i, i * 0),
                 memory_space=pltpu.VMEM,
             )
@@ -145,7 +155,7 @@ def stream_group_sums(
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, acc_rows, TILE_LANES),
-            lambda i: (i // jnp.int32(FLUSH_TILES), i * 0, i * 0),
+            lambda i: (i // jnp.int32(FLUSH_STEPS), i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((chunks, acc_rows, TILE_LANES),

@@ -812,7 +812,8 @@ def _fuse(node, tables, interpret):
         else:
             col = base[nm]
             if col.dtype.is_string or col.dtype.kind is TypeKind.BOOL:
-                inputs[nm] = col.data
+                inputs[nm] = (col.narrow32 if col.narrow32 is not None
+                              else col.data)
                 continue
             lo, hi = _col_interval(col)
             if lo < 0:

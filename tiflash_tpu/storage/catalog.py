@@ -39,6 +39,9 @@ def column_from_arrays(
     if dtype.is_string:
         assert dictionary is not None, "string columns need a dictionary"
         assert data.dtype == np.int32
+        # dictionary codes are already int32: a pre-padded shadow lets the
+        # streaming scan kernel read them with zero per-query copies too
+        narrow = make_narrow32(data, (0, max(0, len(dictionary) - 1)))
     else:
         data = np.ascontiguousarray(data, dtype=dtype.physical)
         if data.size and np.issubdtype(data.dtype, np.integer):
