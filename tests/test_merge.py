@@ -71,6 +71,30 @@ def test_probe_ranges_sentinel_value_key():
     assert int(lo[1]) == 1 and int(hi[1]) == 2
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_probe_ranges_garbage_queries_small_key_span(seed):
+    """Narrow LIVE key span + wild query values (dead probe slots carry
+    garbage, e.g. unoccupied aggregation-output slots feeding a join):
+    the query values must not disable the packed fast path, and clipped
+    queries must still get exact lo/hi (0 or num_live)."""
+    rng = np.random.default_rng(seed)
+    nk, nq = 150, 400
+    keys = rng.integers(1000, 2000, nk)
+    num_live = int(rng.integers(1, nk + 1))
+    live = np.sort(keys[:num_live])
+    skeys = np.concatenate(
+        [live, np.full(nk - num_live, 2 ** 63 - 1, dtype=np.int64)])
+    queries = rng.integers(900, 2100, nq)
+    wild = rng.integers(0, nq, 40)
+    queries[wild[:20]] = rng.integers(-(2 ** 62), -(2 ** 40), 20)
+    queries[wild[20:]] = rng.integers(2 ** 40, 2 ** 62, 20)
+    lo, hi = jax.jit(probe_ranges_fast)(
+        jnp.asarray(skeys), jnp.asarray(queries), jnp.int32(num_live))
+    wlo, whi = _ref_ranges(live, queries)
+    np.testing.assert_array_equal(np.asarray(lo), wlo)
+    np.testing.assert_array_equal(np.asarray(hi), whi)
+
+
 def test_probe_ranges_empty_live():
     skeys = jnp.full(8, 2 ** 63 - 1, dtype=jnp.int64)
     lo, hi = probe_ranges_fast(skeys, jnp.arange(5, dtype=jnp.int64),

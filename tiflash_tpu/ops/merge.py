@@ -86,8 +86,15 @@ def probe_ranges_fast(
     left/right), both int32 and clamped to ``num_live``.
 
     Runtime-dispatches (``lax.cond``) between the packed-merge fast path
-    (live key span + 2 fits 31 bits) and the searchsorted fallback —
-    both branches compile, the cheap one runs."""
+    (live KEY span + 2 fits 31 bits) and the searchsorted fallback —
+    both branches compile, the cheap one runs.  Query values play no part
+    in the span: every query is clipped into [vmin-1, vmax+1], which
+    preserves its order relative to every live key (a clipped query gets
+    the correct lo == hi of 0 or num_live).  This matters beyond perf
+    hygiene: dead probe slots routinely carry garbage keys (e.g. the
+    unoccupied slots of an aggregation output feeding a join), and
+    letting them into the span check silently forced the 4x-slower
+    fallback on exactly the hot Q3-shaped plans."""
     nk = sorted_keys.shape[0]
     nq = queries.shape[0]
     keys64 = sorted_keys.astype(jnp.int64)
@@ -98,8 +105,8 @@ def probe_ranges_fast(
     big = jnp.int64(1) << 62
     kmin = jnp.min(jnp.where(live, keys64, big))
     kmax = jnp.max(jnp.where(live, keys64, -big))
-    vmin = jnp.where(any_live, jnp.minimum(kmin, jnp.min(q64)), jnp.int64(0))
-    vmax = jnp.where(any_live, jnp.maximum(kmax, jnp.max(q64)), jnp.int64(0))
+    vmin = jnp.where(any_live, kmin, jnp.int64(0))
+    vmax = jnp.where(any_live, kmax, jnp.int64(0))
     fits = (
         (vmin >= -big) & (vmax <= big)
         & ((vmax - vmin) < jnp.int64((1 << _IDX_BITS) - 4))
