@@ -197,6 +197,22 @@ class ExprEvaluator:
             call = Call(name, call.args)
         if name == "like":
             return self._like(call)
+        if name == "pi":
+            import math as _math
+
+            return self._literal_column(Literal(_math.pi), None)
+        if name == "elt":
+            return self._elt(call)
+        if name == "concat_ws":
+            return self._concat_ws(call)
+        if name == "timestampdiff":
+            return self._timestampdiff(call)
+        if name == "date_format":
+            return self._date_format(call)
+        if name in _STRING_DATE_TRANSFORMS:
+            st = self._maybe_string_date_transform(call)
+            if st is not None:
+                return st
         if name in _STRING_TRANSFORMS:
             st = self._maybe_string_transform(call)
             if st is not None:
@@ -361,6 +377,149 @@ class ExprEvaluator:
         return _map_string_to_int(target, lambda s: fn(s, *params),
                                   kind=TypeKind.BOOL)
 
+    def _maybe_string_date_transform(self, call: Call) -> Optional[Column]:
+        """str-column + literal params -> DATE via dictionary LUT
+        (str_to_date)."""
+        fn = _STRING_DATE_TRANSFORMS[call.func]
+        rest = call.args[1:]
+        if not all(isinstance(a, Literal) for a in rest):
+            return None
+        target = self.evaluate(call.args[0])
+        if not target.dtype.is_string:
+            return None
+        from .functions import _map_string_to_date
+
+        params = [a.value for a in rest]
+        return _map_string_to_date(target, lambda s: fn(s, *params))
+
+    def _elt(self, call: Call) -> Column:
+        """MySQL ELT(n, s1, s2, ...): int index column + string literals;
+        out-of-range n -> NULL.  Device side is one clipped gather."""
+        n_col = self.evaluate(call.args[0])
+        items = [a.value for a in call.args[1:]]
+        assert all(isinstance(a, Literal) and isinstance(a.value, str)
+                   for a in call.args[1:]), "ELT needs string literals"
+        d = tuple(sorted(set(items)))
+        rank = {s: i for i, s in enumerate(d)}
+        lut = jnp.asarray(np.array([rank[s] for s in items], dtype=np.int32))
+        idx = n_col.data.astype(jnp.int64)
+        ok = (idx >= 1) & (idx <= len(items))
+        data = lut[jnp.clip(idx - 1, 0, len(items) - 1).astype(jnp.int32)]
+        v = ok if n_col.validity is None else (n_col.validity & ok)
+        return Column(data, v, STRING.with_nullable(True), d)
+
+    def _concat_ws(self, call: Call) -> Column:
+        """CONCAT_WS(sep, ...): literal separator, at most one string
+        column among the pieces (dictionary LUT); NULL pieces are skipped
+        (MySQL), so a NULL column value yields the literals-only join."""
+        sep_a = call.args[0]
+        assert isinstance(sep_a, Literal) and isinstance(sep_a.value, str), \
+            "CONCAT_WS separator must be a string literal"
+        sep = sep_a.value
+        col_idx = [i for i, a in enumerate(call.args[1:], start=1)
+                   if not isinstance(a, Literal)]
+        lits = {i: a.value for i, a in enumerate(call.args[1:], start=1)
+                if isinstance(a, Literal)}
+        if len(col_idx) != 1:
+            raise ValueError("CONCAT_WS supports exactly one column piece")
+        target = self.evaluate(call.args[col_idx[0]])
+        if not target.dtype.is_string:
+            raise ValueError("CONCAT_WS column piece must be a string")
+        ci = col_idx[0]
+        d = target.dictionary or ()
+
+        def joined(col_val):
+            pieces = []
+            for i in range(1, len(call.args)):
+                v = col_val if i == ci else lits[i]
+                if v is not None:
+                    pieces.append(str(v))
+            return sep.join(pieces)
+
+        mapped = [joined(s) for s in d]
+        null_case = joined(None)
+        new_dict = tuple(sorted(set(mapped) | {null_case}))
+        rank = {s: i for i, s in enumerate(new_dict)}
+        table = np.array([rank[m] for m in mapped] or [rank[null_case]],
+                         dtype=np.int32)
+        data = jnp.asarray(table)[jnp.clip(target.data, 0, len(table) - 1)]
+        if target.validity is not None:
+            data = jnp.where(target.validity, data,
+                             jnp.int32(rank[null_case]))
+        return Column(data, None, STRING, new_dict)
+
+    def _timestampdiff(self, call: Call) -> Column:
+        """TIMESTAMPDIFF(unit, a, b): complete units from a to b
+        (MySQL truncation toward zero; month family adjusts on
+        day/time-of-day comparison)."""
+        unit_a = call.args[0]
+        assert isinstance(unit_a, Literal), "TIMESTAMPDIFF unit must be a literal"
+        unit = str(unit_a.value).upper()
+        a = self.evaluate(call.args[1])
+        b = self.evaluate(call.args[2])
+        from .functions import _and_validity, _civil_from_days, _date_days
+
+        def to_us(c):
+            if c.dtype.kind is TypeKind.DATE:
+                return c.data.astype(jnp.int64) * 86_400_000_000
+            return c.data.astype(jnp.int64)
+
+        va = _and_validity([a, b])
+        if unit in ("MONTH", "QUARTER", "YEAR"):
+            da, db = _date_days(a), _date_days(b)
+            ya, ma, dda = _civil_from_days(da)
+            yb, mb, ddb = _civil_from_days(db)
+            ta = to_us(a) - da * 86_400_000_000
+            tb = to_us(b) - db * 86_400_000_000
+            m = (yb - ya) * 12 + (mb - ma)
+            b_early = (ddb < dda) | ((ddb == dda) & (tb < ta))
+            b_late = (ddb > dda) | ((ddb == dda) & (tb > ta))
+            m = jnp.where((m > 0) & b_early, m - 1, m)
+            m = jnp.where((m < 0) & b_late, m + 1, m)
+            q = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+            data = jnp.sign(m) * (jnp.abs(m) // q)
+        else:
+            unit_us = {
+                "MICROSECOND": 1, "SECOND": 1_000_000,
+                "MINUTE": 60_000_000, "HOUR": 3_600_000_000,
+                "DAY": 86_400_000_000, "WEEK": 7 * 86_400_000_000,
+            }[unit]
+            diff = to_us(b) - to_us(a)
+            data = jnp.sign(diff) * (jnp.abs(diff) // unit_us)
+        return Column(data, va, DataType(TypeKind.INT64,
+                                         a.dtype.nullable or b.dtype.nullable))
+
+    def _date_format(self, call: Call) -> Column:
+        """DATE_FORMAT(date_col, fmt): formatted-string LUT over the
+        column's PROVEN day range (MinMaxIndex stats) — the TPU answer to
+        per-row formatting; device side is one gather."""
+        target = self.evaluate(call.args[0])
+        fmt_a = call.args[1]
+        assert isinstance(fmt_a, Literal), "DATE_FORMAT needs a literal format"
+        if target.dtype.kind is not TypeKind.DATE:
+            raise ValueError("DATE_FORMAT supports DATE columns (datetime: "
+                             "cast to date first)")
+        if target.stats is None:
+            raise ValueError("DATE_FORMAT needs column range stats")
+        lo, hi = int(target.stats[0]), int(target.stats[1])
+        if hi - lo > 200_000:
+            raise ValueError("DATE_FORMAT day range too wide for LUT")
+        from .regexp_json import format_mysql_date
+
+        epoch = datetime.date(1970, 1, 1)
+        fmt = fmt_a.value
+        mapped = [
+            format_mysql_date(epoch + datetime.timedelta(days=day), fmt)
+            for day in range(lo, hi + 1)
+        ]
+        new_dict = tuple(sorted(set(mapped))) or ("",)
+        rank = {s: i for i, s in enumerate(new_dict)}
+        table = np.array([rank[m] for m in mapped] or [0], dtype=np.int32)
+        idx = jnp.clip(target.data.astype(jnp.int64) - lo, 0, len(table) - 1)
+        data = jnp.asarray(table)[idx.astype(jnp.int32)]
+        return Column(data, target.validity,
+                      STRING.with_nullable(target.dtype.nullable), new_dict)
+
     def _like(self, call: Call) -> Column:
         """LIKE pattern matching via host-side dictionary LUT."""
         target = self.evaluate(call.args[0])
@@ -435,6 +594,9 @@ _STRING_TRANSFORMS.update({
     "quote": _rj.quote,
     "soundex": _rj.soundex,
     "conv": _rj.conv,
+    "sha2": _rj.sha2,
+    "json_quote": _rj.json_quote,
+    "json_keys": _rj.json_keys,
 })
 
 _STRING_INT_TRANSFORMS = {
@@ -451,6 +613,7 @@ _STRING_INT_TRANSFORMS = {
     "regexp_instr": (0, _rj.regexp_instr),
     "json_length": (0, _rj.json_length),
     "json_depth": (0, _rj.json_depth),
+    "inet_aton": (0, _rj.inet_aton),
 }
 
 _STRING_BOOL_TRANSFORMS = {
@@ -458,6 +621,14 @@ _STRING_BOOL_TRANSFORMS = {
     "regexp_like": (0, _rj.regexp_like),
     "json_valid": (0, _rj.json_valid),
     "json_contains_path": (0, _rj.json_contains_path),
+    "json_contains": (0, _rj.json_contains),
+    "is_ipv4": (0, _rj.is_ipv4),
+    "is_ipv6": (0, _rj.is_ipv6),
+}
+
+_STRING_DATE_TRANSFORMS = {
+    # name: fn(dict_entry, *literal_args) -> datetime.date | None
+    "str_to_date": _rj.str_to_date,
 }
 
 

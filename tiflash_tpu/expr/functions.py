@@ -1151,6 +1151,236 @@ def _last_day_fn():
     return infer, evaluate
 
 
+def _week_mode0(days):
+    """MySQL WEEK(d) default mode 0: weeks start Sunday, week 1 is the
+    first week containing a Sunday of the year; earlier days are week 0."""
+    y, _, _ = _civil_from_days(days)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    dow_mon0 = (jan1 + 3) % 7  # epoch day 0 = Thursday
+    first_sunday_doy = 1 + (6 - dow_mon0) % 7
+    doy = days - jan1 + 1
+    return jnp.where(doy < first_sunday_doy, 0,
+                     (doy - first_sunday_doy) // 7 + 1)
+
+
+def _yearweek_mode0(days):
+    y, _, _ = _civil_from_days(days)
+    week = _week_mode0(days)
+    # week 0 belongs to the previous year's last week (YYYYWW never has
+    # WW == 0): recompute against the previous year's first Sunday
+    py = y - 1
+    pjan1 = _days_from_civil(py, jnp.ones_like(py), jnp.ones_like(py))
+    pfs = 1 + (6 - (pjan1 + 3) % 7) % 7
+    pweek = (days - pjan1 + 1 - pfs) // 7 + 1
+    return jnp.where(week > 0, y * 100 + week, py * 100 + pweek)
+
+
+_register_date_fn("weekday", lambda days: (days + 3) % 7)  # 0 = Monday
+_register_date_fn("week", _week_mode0)
+_register_date_fn("yearweek", _yearweek_mode0)
+
+
+@register("from_days")
+def _from_days():
+    def infer(ts):
+        return DataType(TypeKind.DATE, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        days = a.data.astype(jnp.int64) - 719528  # inverse of TO_DAYS
+        return Column(days.astype(jnp.int32), a.validity, out)
+
+    return infer, evaluate
+
+
+@register("makedate")
+def _makedate():
+    def infer(ts):
+        return DataType(TypeKind.DATE, True)  # dayofyear < 1 -> NULL
+
+    def evaluate(cols, out):
+        y, doy = cols
+        yy = y.data.astype(jnp.int64)
+        dd = doy.data.astype(jnp.int64)
+        days = _days_from_civil(yy, jnp.ones_like(yy), jnp.ones_like(yy)) + dd - 1
+        ok = dd >= 1
+        v = _and_validity(cols)
+        v = ok if v is None else (v & ok)
+        return Column(days.astype(jnp.int32), v, out)
+
+    return infer, evaluate
+
+
+@register("time_to_sec")
+def _time_to_sec():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        if a.dtype.kind is TypeKind.DATE:
+            data = jnp.zeros_like(a.data, dtype=jnp.int64)
+        else:
+            us = a.data.astype(jnp.int64)
+            us = us - jnp.floor_divide(us, 86_400_000_000) * 86_400_000_000
+            data = us // 1_000_000
+        return Column(data, a.validity, out)
+
+    return infer, evaluate
+
+
+def _period_to_months(p):
+    """MySQL period YYMM/YYYYMM -> linear months (2-digit years: 70+ ->
+    19xx, else 20xx)."""
+    y = p // 100
+    m = p % 100
+    y = jnp.where(y < 70, y + 2000, jnp.where(y < 100, y + 1900, y))
+    return y * 12 + m - 1
+
+
+@register("period_add")
+def _period_add():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        p, n = cols
+        months = _period_to_months(p.data.astype(jnp.int64)) + n.data.astype(jnp.int64)
+        period = (months // 12) * 100 + months % 12 + 1
+        return Column(period, _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("period_diff")
+def _period_diff():
+    infer = REGISTRY["period_add"].infer
+
+    def evaluate(cols, out):
+        p1, p2 = cols
+        d = (_period_to_months(p1.data.astype(jnp.int64))
+             - _period_to_months(p2.data.astype(jnp.int64)))
+        return Column(d, _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+def _add_months_days(days, n):
+    """Month arithmetic with MySQL day clamping (Jan 31 + 1 month = Feb 28/29)."""
+    y, m, d = _civil_from_days(days)
+    tot = y * 12 + (m - 1) + n
+    ny = jnp.floor_divide(tot, 12)
+    nm = tot - ny * 12 + 1
+    start = _days_from_civil(ny, nm, jnp.ones_like(nm))
+    nxt = _days_from_civil(ny + (nm == 12), jnp.where(nm == 12, 1, nm + 1),
+                           jnp.ones_like(nm))
+    nd = jnp.minimum(d, nxt - start)
+    return start + nd - 1
+
+
+def _register_add_months(name: str, sign: int, unit_months: int):
+    def factory():
+        def infer(ts):
+            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
+
+        def evaluate(cols, out):
+            a, n = cols
+            months = n.data.astype(jnp.int64) * (sign * unit_months)
+            days = _date_days(a)
+            new_days = _add_months_days(days, months)
+            if a.dtype.kind is TypeKind.DATETIME:
+                tod = a.data.astype(jnp.int64) - days * 86_400_000_000
+                return Column(new_days * 86_400_000_000 + tod,
+                              _and_validity(cols), out)
+            return Column(new_days.astype(jnp.int32), _and_validity(cols), out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_add_months("date_add_months", 1, 1)
+_register_add_months("date_sub_months", -1, 1)
+_register_add_months("date_add_years", 1, 12)
+_register_add_months("date_sub_years", -1, 12)
+
+
+@register("bit_count")
+def _bit_count():
+    def infer(ts):
+        return DataType(TypeKind.INT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        from jax import lax
+
+        data = lax.population_count(a.data.astype(jnp.int64)).astype(jnp.int64)
+        return Column(data, a.validity, out)
+
+    return infer, evaluate
+
+
+@register("xor")
+def _logical_xor():
+    def infer(ts):
+        return DataType(TypeKind.BOOL, ts[0].nullable or ts[1].nullable)
+
+    def evaluate(cols, out):
+        a, b = cols
+        data = a.data.astype(jnp.bool_) ^ b.data.astype(jnp.bool_)
+        return Column(data, _and_validity(cols), out)
+
+    return infer, evaluate
+
+
+@register("is_not_true")
+def _is_not_true():
+    def infer(ts):
+        return BOOL
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(~(a.data.astype(jnp.bool_) & a.valid_mask()), None, out)
+
+    return infer, evaluate
+
+
+@register("is_not_false")
+def _is_not_false():
+    def infer(ts):
+        return BOOL
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(~((~a.data.astype(jnp.bool_)) & a.valid_mask()), None, out)
+
+    return infer, evaluate
+
+
+@register("interval")
+def _interval_fn():
+    """MySQL INTERVAL(N, a, b, ...): index of the last arg <= N (args are
+    ascending); -1 when N is NULL (documented MySQL quirk, not SQL NULL)."""
+
+    def infer(ts):
+        return DataType(TypeKind.INT64, False)
+
+    def evaluate(cols, out):
+        n = cols[0]
+        nv = n.data.astype(jnp.float64)
+        acc = jnp.zeros(n.data.shape[0], dtype=jnp.int64)
+        for c in cols[1:]:
+            le = c.data.astype(jnp.float64) <= nv
+            if c.validity is not None:
+                le = le & c.validity
+            acc = acc + le.astype(jnp.int64)
+        if n.validity is not None:
+            acc = jnp.where(n.validity, acc, jnp.int64(-1))
+        return Column(acc, None, out)
+
+    return infer, evaluate
+
+
 # ---------------------------------------------------------------------------
 # string functions — host-side dictionary transforms, device-side gathers
 # (the TPU answer to Functions/FunctionsString.h: any unary string fn is a
@@ -1234,6 +1464,30 @@ _register_string_unary("crc32", lambda s: __import__("zlib").crc32(s.encode()),
 _register_string_unary("md5", lambda s: __import__("hashlib").md5(s.encode()).hexdigest())
 _register_string_unary("sha1", lambda s: __import__("hashlib").sha1(s.encode()).hexdigest())
 _register_string_unary("hex", lambda s: s.encode().hex().upper())
+# MySQL ORD: leading character's multibyte code (UTF-8 bytes big-endian)
+_register_string_unary(
+    "ord",
+    lambda s: int.from_bytes(s[0].encode(), "big") if s else 0,
+    to_int=True,
+)
+
+
+def _map_string_to_date(col: Column, fn) -> Column:
+    """Host LUT dictionary -> epoch-day DATE column; fn returns a
+    ``datetime.date`` or None (parse failure -> SQL NULL)."""
+    import datetime as _dt
+
+    d = col.dictionary or ()
+    epoch = _dt.date(1970, 1, 1)
+    mapped = [fn(s) for s in d]
+    nulls = _np.array([m is None for m in mapped] or [False])
+    table = _np.array(
+        [0 if m is None else (m - epoch).days for m in mapped] or [0],
+        dtype=_np.int32,
+    )
+    data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
+    validity, nullable = _lut_validity(col, nulls)
+    return Column(data, validity, DataType(TypeKind.DATE, nullable))
 
 
 def _register_part_name(name: str, part_fn_name: str, names_list):
@@ -1321,6 +1575,11 @@ _ALIASES = {
     "mid": "substring",
     "octet_length": "length",
     "insert": "insert_str",
+    "adddate": "date_add_days",
+    "subdate": "date_sub_days",
+    "add_months": "date_add_months",
+    "bit_neg": "bit_not",
+    "json_array_length": "json_length",
 }
 for _alias, _target in _ALIASES.items():
     if _alias not in REGISTRY and _target in REGISTRY:

@@ -288,6 +288,183 @@ def soundex(s: str) -> str:
     return ("".join(out) + "000")[:4] if len(out) < 4 else "".join(out)
 
 
+def sha2(s: str, bits: int) -> Optional[str]:
+    """MySQL SHA2(str, bits): bits in {0, 224, 256, 384, 512}; 0 = 256."""
+    import hashlib
+
+    algo = {0: "sha256", 224: "sha224", 256: "sha256", 384: "sha384",
+            512: "sha512"}.get(int(bits))
+    if algo is None:
+        return None
+    return getattr(hashlib, algo)(s.encode()).hexdigest()
+
+
+def is_ipv4(s: str) -> bool:
+    """MySQL IS_IPV4: strict dotted-quad, no leading '+'/spaces; leading
+    zeros allowed."""
+    parts = s.split(".")
+    if len(parts) != 4:
+        return False
+    for p in parts:
+        if not p or len(p) > 3 or not p.isdigit() or int(p) > 255:
+            return False
+    return True
+
+
+def is_ipv6(s: str) -> bool:
+    import ipaddress
+
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except Exception:
+        return False
+
+
+def inet_aton(s: str) -> Optional[int]:
+    """MySQL INET_ATON: supports short forms a.b, a.b.c (last part fills
+    the remaining bytes)."""
+    parts = s.split(".")
+    if not 1 <= len(parts) <= 4:
+        return None
+    try:
+        vals = [int(p) for p in parts]
+    except ValueError:
+        return None
+    if any(v < 0 or v > 255 for v in vals[:-1]) or vals[-1] < 0:
+        return None
+    fill = 4 - len(parts)
+    if vals[-1] >= 1 << (8 * (fill + 1)):
+        return None
+    acc = 0
+    for v in vals[:-1]:
+        acc = (acc << 8) | v
+    return (acc << (8 * (fill + 1))) | vals[-1]
+
+
+def json_quote(s: str) -> str:
+    return json.dumps(s, ensure_ascii=False)
+
+
+def json_keys(doc: str, path: str = "$") -> Optional[str]:
+    v = _json_navigate(doc, parse_json_path(path))
+    if v is _MISSING or not isinstance(v, dict):
+        return None
+    return json_dumps_mysql(list(v.keys()))
+
+
+def _json_contains_value(target: Any, candidate: Any) -> bool:
+    """MySQL JSON_CONTAINS containment: arrays contain each candidate
+    element somewhere; objects contain all candidate key/values; scalars
+    are contained by equality (an array also contains a matching scalar)."""
+    if isinstance(target, list):
+        if isinstance(candidate, list):
+            return all(
+                any(_json_contains_value(t, c) for t in target)
+                for c in candidate
+            )
+        return any(_json_contains_value(t, candidate) for t in target)
+    if isinstance(target, dict) and isinstance(candidate, dict):
+        return all(
+            k in target and _json_contains_value(target[k], v)
+            for k, v in candidate.items()
+        )
+    if isinstance(target, bool) or isinstance(candidate, bool):
+        return target is candidate
+    if isinstance(target, (int, float)) and isinstance(candidate, (int, float)):
+        return float(target) == float(candidate)
+    return type(target) is type(candidate) and target == candidate
+
+
+def json_contains(doc: str, candidate: str, path: str = "$") -> Optional[bool]:
+    v = _json_navigate(doc, parse_json_path(path))
+    if v is _MISSING:
+        return None
+    try:
+        c = json.loads(candidate)
+    except Exception:
+        return None
+    return _json_contains_value(v, c)
+
+
+# MySQL date format specifier -> python strftime/strptime piece (the
+# subset meaningful for DATE values; reference Functions/MyTimeParser)
+_MYSQL_FMT = {
+    "Y": "%Y", "y": "%y", "m": "%m", "d": "%d", "b": "%b", "M": "%B",
+    "a": "%a", "W": "%A", "j": "%j", "H": "%H", "i": "%M", "s": "%S",
+    "S": "%S", "T": "%H:%M:%S", "e": "%d", "c": "%m", "%": "%%",
+}
+
+
+def mysql_format_to_strftime(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            out.append(_MYSQL_FMT.get(spec, spec))
+            i += 2
+        else:
+            out.append(ch.replace("%", "%%"))
+            i += 1
+    return "".join(out)
+
+
+def str_to_date(s: str, fmt: str):
+    """MySQL STR_TO_DATE -> datetime.date, or None on parse failure.
+    Date-part specifiers only (the engine's DATE representation)."""
+    import datetime as _dt
+
+    try:
+        return _dt.datetime.strptime(s, mysql_format_to_strftime(fmt)).date()
+    except Exception:
+        return None
+
+
+def format_mysql_date(d, fmt: str) -> str:
+    """DATE_FORMAT for a datetime.date, MySQL specifiers (incl. %D suffix
+    and zero time parts)."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            i += 2
+            if spec == "D":
+                n = d.day
+                sfx = "th" if 11 <= n % 100 <= 13 else \
+                    {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+                out.append(f"{n}{sfx}")
+            elif spec in ("H", "i", "s", "S"):
+                out.append("00")
+            elif spec == "f":
+                out.append("000000")
+            elif spec == "T":
+                out.append("00:00:00")
+            elif spec == "r":
+                out.append("12:00:00 AM")
+            elif spec == "p":
+                out.append("AM")
+            elif spec == "k" or spec == "l":
+                out.append("0" if spec == "k" else "12")
+            elif spec == "e":
+                out.append(str(d.day))
+            elif spec == "c":
+                out.append(str(d.month))
+            elif spec == "%":
+                out.append("%")
+            elif spec in _MYSQL_FMT:
+                out.append(d.strftime(_MYSQL_FMT[spec]))
+            else:
+                out.append(spec)
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def conv(s: str, from_base: int, to_base: int) -> Optional[str]:
     """MySQL CONV: parse the longest valid prefix in from_base; NULL only
     for unsupported bases."""

@@ -52,6 +52,13 @@ def block_to_pytable(block: Block) -> PyTable:
                 None if v is None else datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
                 for v in vals
             ]
+        elif col.dtype.kind is TypeKind.DATETIME:
+            vals = [
+                None if v is None
+                else datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=v)
+                for v in vals
+            ]
         elif col.dtype.kind is TypeKind.BOOL:
             vals = [None if v is None else bool(v) for v in vals]
         out[name] = vals
@@ -161,6 +168,40 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             re.S,
         )
         return rx.fullmatch(v) is not None
+
+    # functions with non-default NULL semantics (evaluated before the
+    # generic NULL-propagation gate below)
+    if f == "pi":
+        return math.pi
+    if f in ("is_not_true", "is_not_false"):
+        v = _as_bool(eval_expr_row(args[0], row))
+        return not (v is True) if f == "is_not_true" else not (v is False)
+    if f == "interval":
+        n = eval_expr_row(args[0], row)
+        if n is None:
+            return -1  # MySQL quirk: INTERVAL(NULL, ...) is -1, not NULL
+        rest = [eval_expr_row(a, row) for a in args[1:]]
+        return sum(1 for v in rest if v is not None and float(v) <= float(n))
+    if f == "concat_ws":
+        sep = args[0].value
+        pieces = [eval_expr_row(a, row) for a in args[1:]]
+        return str(sep).join(str(p) for p in pieces if p is not None)
+    if f == "timestampdiff":
+        unit = str(args[0].value).upper()
+        A = eval_expr_row(args[1], row)
+        B = eval_expr_row(args[2], row)
+        if A is None or B is None:
+            return None
+        return _oracle_timestampdiff(unit, A, B)
+    if f == "date_format":
+        d0 = eval_expr_row(args[0], row)
+        if d0 is None:
+            return None
+        return _oracle_date_format(d0, str(args[1].value))
+    # TiDB-name aliases the engine resolves in its compiler
+    f = {"adddate": "date_add_days", "subdate": "date_sub_days",
+         "add_months": "date_add_months", "bit_neg": "bit_not",
+         "json_array_length": "json_length"}.get(f, f)
 
     vals = [eval_expr_row(a, row) for a in args]
     if any(v is None for v in vals):
@@ -287,6 +328,89 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     if f == "last_day":
         nm = datetime.date(a.year + (a.month == 12), a.month % 12 + 1, 1)
         return nm - datetime.timedelta(days=1)
+    if f == "weekday":
+        return a.weekday()
+    if f == "week":
+        jan1 = datetime.date(a.year, 1, 1)
+        fs = 1 + (6 - jan1.weekday()) % 7  # doy of the first Sunday
+        doy = a.timetuple().tm_yday
+        return 0 if doy < fs else (doy - fs) // 7 + 1
+    if f == "yearweek":
+        d0 = a.date() if isinstance(a, datetime.datetime) else a
+        # the Sunday starting a's week; its year owns the week
+        s = d0 - datetime.timedelta(days=(d0.weekday() + 1) % 7)
+        jan1 = datetime.date(s.year, 1, 1)
+        fs = jan1 + datetime.timedelta(days=(6 - jan1.weekday()) % 7)
+        return s.year * 100 + (s - fs).days // 7 + 1
+    if f == "from_days":
+        return datetime.date.fromordinal(int(a) - 365)
+    if f == "makedate":
+        if int(b) < 1:
+            return None
+        return datetime.date(int(a), 1, 1) + datetime.timedelta(days=int(b) - 1)
+    if f == "time_to_sec":
+        if isinstance(a, datetime.datetime):
+            return a.hour * 3600 + a.minute * 60 + a.second
+        return 0
+    if f in ("period_add", "period_diff"):
+        def months_of(p):
+            y, m = divmod(int(p), 100)
+            if y < 70:
+                y += 2000
+            elif y < 100:
+                y += 1900
+            return y * 12 + m - 1
+        if f == "period_add":
+            t = months_of(a) + int(b)
+            return (t // 12) * 100 + t % 12 + 1
+        return months_of(a) - months_of(b)
+    if f in ("date_add_months", "date_sub_months",
+             "date_add_years", "date_sub_years"):
+        n = int(b) * (12 if "years" in f else 1) * (-1 if "sub" in f else 1)
+        return _oracle_add_months(a, n)
+    if f == "bit_count":
+        return bin(int(a) & ((1 << 64) - 1)).count("1")
+    if f == "xor":
+        return bool(a) != bool(b)
+    if f == "elt":
+        n, rest = int(a), vals[1:]
+        return rest[n - 1] if 1 <= n <= len(rest) else None
+    if f == "ord":
+        return int.from_bytes(a[0].encode(), "big") if a else 0
+    if f == "sha2":
+        import hashlib
+        algo = {0: hashlib.sha256, 224: hashlib.sha224, 256: hashlib.sha256,
+                384: hashlib.sha384, 512: hashlib.sha512}.get(int(b))
+        return algo(a.encode()).hexdigest() if algo else None
+    if f == "is_ipv4":
+        ps = a.split(".")
+        return len(ps) == 4 and all(
+            p.isdigit() and len(p) <= 3 and int(p) <= 255 for p in ps)
+    if f == "is_ipv6":
+        import ipaddress
+        try:
+            ipaddress.IPv6Address(a)
+            return True
+        except Exception:
+            return False
+    if f == "inet_aton":
+        ps = a.split(".")
+        if not 1 <= len(ps) <= 4 or not all(p.isdigit() for p in ps):
+            return None
+        ns = [int(p) for p in ps]
+        if any(v > 255 for v in ns[:-1]):
+            return None
+        fill = 4 - len(ns)
+        if ns[-1] >= 1 << (8 * (fill + 1)):
+            return None
+        acc = 0
+        for v in ns[:-1]:
+            acc = acc * 256 + v
+        return acc * (256 ** (fill + 1)) + ns[-1]
+    if f == "str_to_date":
+        return _oracle_str_to_date(a, str(b))
+    if f == "date_format":
+        return _oracle_date_format(a, str(b))
 
     # strings
     if f in ("upper", "lower", "reverse", "trim", "ltrim", "rtrim"):
@@ -465,6 +589,118 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     raise NotImplementedError(f"oracle function {f}")
 
 
+def _oracle_add_months(d, n: int):
+    import calendar
+
+    total = d.year * 12 + (d.month - 1) + n
+    y, m0 = divmod(total, 12)
+    m = m0 + 1
+    day = min(d.day, calendar.monthrange(y, m)[1])
+    if isinstance(d, datetime.datetime):
+        return d.replace(year=y, month=m, day=day)
+    return datetime.date(y, m, day)
+
+
+def _oracle_timestampdiff(unit: str, a, b):
+    """Complete units from a to b — month family counted by stepping
+    (independent of the engine's civil arithmetic)."""
+    def as_dt(x):
+        if isinstance(x, datetime.datetime):
+            return x
+        return datetime.datetime(x.year, x.month, x.day)
+
+    A, B = as_dt(a), as_dt(b)
+    if unit in ("MONTH", "QUARTER", "YEAR"):
+        sign = 1 if B >= A else -1
+        lo, hi = (A, B) if sign > 0 else (B, A)
+        k = 0
+        while as_dt(_oracle_add_months(lo, k + 1)) <= hi:
+            k += 1
+        per = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+        return sign * (k // per)
+    us = {"MICROSECOND": 1, "SECOND": 10**6, "MINUTE": 60 * 10**6,
+          "HOUR": 3600 * 10**6, "DAY": 86400 * 10**6,
+          "WEEK": 7 * 86400 * 10**6}[unit]
+    delta_us = round((B - A).total_seconds() * 10**6)
+    q = abs(delta_us) // us  # truncation toward zero
+    return q if delta_us >= 0 else -q
+
+
+def _oracle_str_to_date(s: str, fmt: str):
+    spec_map = {"Y": "%Y", "y": "%y", "m": "%m", "d": "%d", "b": "%b",
+                "M": "%B", "a": "%a", "W": "%A", "j": "%j", "e": "%d",
+                "c": "%m", "H": "%H", "i": "%M", "s": "%S", "%": "%%"}
+    py, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            py.append(spec_map.get(fmt[i + 1], fmt[i + 1]))
+            i += 2
+        else:
+            py.append(fmt[i].replace("%", "%%"))
+            i += 1
+    try:
+        return datetime.datetime.strptime(s, "".join(py)).date()
+    except Exception:
+        return None
+
+
+def _oracle_date_format(d, fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] != "%" or i + 1 >= len(fmt):
+            out.append(fmt[i])
+            i += 1
+            continue
+        spec = fmt[i + 1]
+        i += 2
+        if spec == "Y":
+            out.append("%04d" % d.year)
+        elif spec == "y":
+            out.append("%02d" % (d.year % 100))
+        elif spec == "m":
+            out.append("%02d" % d.month)
+        elif spec == "c":
+            out.append(str(d.month))
+        elif spec == "d":
+            out.append("%02d" % d.day)
+        elif spec == "e":
+            out.append(str(d.day))
+        elif spec == "j":
+            out.append("%03d" % d.timetuple().tm_yday)
+        elif spec == "b":
+            out.append(d.strftime("%b"))
+        elif spec == "M":
+            out.append(d.strftime("%B"))
+        elif spec == "a":
+            out.append(d.strftime("%a"))
+        elif spec == "W":
+            out.append(d.strftime("%A"))
+        elif spec == "D":
+            n = d.day
+            sfx = "th" if 11 <= n % 100 <= 13 else \
+                {1: "st", 2: "nd", 3: "rd"}.get(n % 10, "th")
+            out.append(f"{n}{sfx}")
+        elif spec in ("H", "i", "s", "S"):
+            out.append("00")
+        elif spec == "f":
+            out.append("000000")
+        elif spec == "T":
+            out.append("00:00:00")
+        elif spec == "r":
+            out.append("12:00:00 AM")
+        elif spec == "p":
+            out.append("AM")
+        elif spec == "k":
+            out.append("0")
+        elif spec == "l":
+            out.append("12")
+        elif spec == "%":
+            out.append("%")
+        else:
+            out.append(spec)
+    return "".join(out)
+
+
 def _oracle_regexp(f: str, s: str, rest: List[Any]):
     pat = str(rest[0])
 
@@ -569,6 +805,9 @@ def _oracle_json(f: str, doc: str, rest: List[Any]):
         if doc[:1] == '"' and doc[-1:] == '"' and ok and isinstance(value, str):
             return value
         return doc
+    if f == "json_quote":
+        # input is the plain string to quote, not a JSON document
+        return _json.dumps(doc, ensure_ascii=False)
     if not ok:
         return None
     if f == "json_extract":
@@ -600,6 +839,34 @@ def _oracle_json(f: str, doc: str, rest: List[Any]):
         mode = str(rest[0]).lower()
         hits = [walk(value, str(p))[0] for p in rest[1:]]
         return all(hits) if mode == "all" else any(hits)
+    if f == "json_keys":
+        found, node = walk(value, str(rest[0]) if rest else "$")
+        if not found or not isinstance(node, dict):
+            return None
+        return _json.dumps(list(node.keys()), separators=(", ", ": "),
+                           ensure_ascii=False)
+    if f == "json_contains":
+        found, node = walk(value, str(rest[1]) if len(rest) > 1 else "$")
+        if not found:
+            return None
+        cok, cand = load(str(rest[0]))
+        if not cok:
+            return None
+
+        def contains(t, c):
+            if isinstance(t, list):
+                if isinstance(c, list):
+                    return all(any(contains(x, y) for x in t) for y in c)
+                return any(contains(x, c) for x in t)
+            if isinstance(t, dict) and isinstance(c, dict):
+                return all(k in t and contains(t[k], v) for k, v in c.items())
+            if isinstance(t, bool) or isinstance(c, bool):
+                return t is c
+            if isinstance(t, (int, float)) and isinstance(c, (int, float)):
+                return float(t) == float(c)
+            return type(t) is type(c) and t == c
+
+        return contains(node, cand)
     raise NotImplementedError(f"oracle function {f}")
 
 
@@ -1100,6 +1367,11 @@ def random_pytable(
                 vals.append(
                     datetime.date(1992, 1, 1) + datetime.timedelta(days=int(rng.integers(0, 2500)))
                 )
+            elif dt.kind is TypeKind.DATETIME:
+                vals.append(
+                    datetime.datetime(1992, 1, 1)
+                    + datetime.timedelta(seconds=int(rng.integers(0, 2500 * 86400)))
+                )
             else:
                 vals.append(int(rng.integers(*int_range)))
         out[name] = vals
@@ -1123,6 +1395,10 @@ def pytable_to_block(table: PyTable, schema: Dict[str, DataType]) -> Block:
                     conv.append(0)
                 elif dt.is_decimal:
                     conv.append(int(D(v).scaleb(dt.scale).to_integral_value()))
+                elif dt.kind is TypeKind.DATETIME:
+                    conv.append(round(
+                        (v - datetime.datetime(1970, 1, 1)).total_seconds()
+                        * 1_000_000))
                 elif dt.kind is TypeKind.DATE:
                     conv.append((v - datetime.date(1970, 1, 1)).days)
                 elif dt.kind is TypeKind.BOOL:
