@@ -452,11 +452,12 @@ def test_clustering_metadata_propagation():
 # ---------------------------------------------------------------------------
 
 def run_group_concat(n=200, seed=21, null_prob=0.2, param=None, sep=",",
-                     sel_frac=None):
+                     sel_frac=None, distinct=False, use_filter=False):
     import jax.numpy as jnp
 
     schema = {"k": dt.INT32, "s": dt.STRING.with_nullable(True),
-              "v": dt.INT64.with_nullable(True)}
+              "v": dt.INT64.with_nullable(True),
+              "f": dt.BOOL}
     rng = np.random.default_rng(seed)
     table = O.random_pytable(rng, n, schema, null_prob=null_prob, int_range=(0, 8))
     block = O.pytable_to_block(table, schema)
@@ -464,15 +465,18 @@ def run_group_concat(n=200, seed=21, null_prob=0.2, param=None, sep=",",
         sel_np = rng.random(n) < sel_frac
         block = block.and_sel(jnp.asarray(sel_np))
         table = {c: [v for v, s_ in zip(table[c], sel_np) if s_] for c in table}
+    fcol = "f" if use_filter else None
     aggs = [
-        AggDesc("group_concat", "s", "gc", param=param, separator=sep),
+        AggDesc("group_concat", "s", "gc", filter_col=fcol, param=param,
+                separator=sep, distinct=distinct),
         AggDesc("sum", "v", "sv"),
     ]
     res = hash_aggregate(block, ["k"], aggs)
     got = O.block_to_pytable(res.block)
     want = O.o_aggregate(
         table, ["k"],
-        [("group_concat", "s", "gc", None, param, sep), ("sum", "v", "sv")],
+        [("group_concat", "s", "gc", fcol, param, sep, distinct),
+         ("sum", "v", "sv")],
     )
     O.assert_tables_equal(got, want)
 
@@ -487,6 +491,26 @@ def test_group_concat_truncation_and_separator():
 
 def test_group_concat_with_dead_rows():
     run_group_concat(sel_frac=0.6, seed=23)
+
+
+def test_group_concat_distinct():
+    run_group_concat(distinct=True, seed=25)
+
+
+def test_group_concat_distinct_truncation():
+    run_group_concat(distinct=True, param=2, seed=26)
+
+
+def test_group_concat_if_filter():
+    run_group_concat(use_filter=True, seed=27)
+
+
+def test_group_concat_distinct_if_filter_dead_rows():
+    run_group_concat(distinct=True, use_filter=True, sel_frac=0.7, seed=28)
+
+
+def test_group_concat_non_nullable_distinct():
+    run_group_concat(distinct=True, null_prob=0.0, seed=29)
 
 
 def test_group_concat_all_null_group_is_null():

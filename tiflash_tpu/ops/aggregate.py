@@ -68,6 +68,9 @@ class AggDesc:
     param: Optional[float] = None
     # group_concat separator
     separator: str = ","
+    # group_concat DISTINCT: deduplicated values, emitted in value order
+    # (binary-collation ascending — MySQL's DISTINCT-tree order)
+    distinct: bool = False
 
 
 def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
@@ -587,20 +590,44 @@ def _accumulate(
             # group_concat_max_len truncation ≈ max_items cap).
             if sorted_layout is None:
                 raise NotImplementedError("group_concat requires the sort method")
-            if a.filter_col is not None:
-                raise NotImplementedError("group_concat with -If filter")
             if col is None or col.dictionary is None:
                 raise NotImplementedError(
                     "group_concat argument must be a dictionary string column"
                 )
             max_items = int(a.param) if a.param else 64
-            valid_cnt = nn_count(col, base)
-            starts = jnp.maximum(prev_e + 1, 0).astype(jnp.int32)
             n_rows = col.data.shape[0]
             item = jnp.arange(max_items, dtype=jnp.int32)
-            idx = jnp.clip(starts[:, None] + item[None, :], 0, n_rows - 1)
-            codes = jnp.take(col.data, idx.reshape(-1)).reshape(idx.shape)
-            vmat = item[None, :] < jnp.minimum(valid_cnt, max_items)[:, None].astype(
+            if a.distinct:
+                # contributing rows sit value-sorted at each group's span
+                # start (the sort added the arg as an in-group key), so a
+                # distinct value's FIRST row marks it; compact those row
+                # positions into a dense table and gather per (slot, item).
+                from .merge import flagged_positions
+
+                vrow = base if col.validity is None else (base & col.validity)
+                newval = col.data != jnp.roll(col.data, 1)
+                dist_first = vrow & (first_flags | newval)
+                dcnt = segreduce("sum", dist_first.astype(jnp.int64))
+                compact = flagged_positions(dist_first, n_rows)
+                dstarts = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int64), jnp.cumsum(dcnt)[:-1]]
+                ).astype(jnp.int32)
+                idx = jnp.clip(dstarts[:, None] + item[None, :], 0, n_rows - 1)
+                cpos = jnp.take(compact, idx.reshape(-1)).reshape(idx.shape)
+                codes = jnp.take(
+                    col.data, jnp.maximum(cpos, 0).reshape(-1)
+                ).reshape(idx.shape)
+                shown = dcnt
+            else:
+                # contributing rows (live, passing -If, non-NULL arg) are
+                # contiguous at the span start in input-row order
+                codes_src = col.data
+                valid_cnt = nn_count(col, base)
+                starts = jnp.maximum(prev_e + 1, 0).astype(jnp.int32)
+                idx = jnp.clip(starts[:, None] + item[None, :], 0, n_rows - 1)
+                codes = jnp.take(codes_src, idx.reshape(-1)).reshape(idx.shape)
+                shown = valid_cnt
+            vmat = item[None, :] < jnp.minimum(shown, max_items)[:, None].astype(
                 jnp.int32
             )
             out.append((a.name, Column(codes, vmat, rdt, col.dictionary,
@@ -950,9 +977,28 @@ def aggregate_sort(
     key_cols = [block[k] for k in keys]
 
     gcs = [a for a in aggs if a.func == "group_concat"]
-    if sum(1 for a in gcs if block[a.arg].validity is not None) > 1:
+
+    def _gc_invalid(a: AggDesc) -> Optional[jnp.ndarray]:
+        """Rows NOT contributing to this group_concat (failing the -If
+        filter or NULL arg) — they must sort to the group tail so the
+        contributing rows form a contiguous span at the group start."""
+        inv = None
+        if a.filter_col is not None:
+            f = block[a.filter_col]
+            m = f.data.astype(jnp.bool_)
+            if f.validity is not None:
+                m = m & f.validity
+            inv = ~m
+        gcol = block[a.arg]
+        if gcol.validity is not None:
+            inv = ~gcol.validity if inv is None else (inv | ~gcol.validity)
+        return inv
+
+    gc_orders = [(a, _gc_invalid(a)) for a in gcs]
+    if sum(1 for a, inv in gc_orders if inv is not None or a.distinct) > 1:
         raise NotImplementedError(
-            "at most one group_concat with a nullable argument per aggregation"
+            "at most one group_concat with a nullable/filtered/DISTINCT "
+            "argument per aggregation (each needs its own in-group order)"
         )
     special = [a for a in aggs if a.func in ("count_distinct", "quantile")]
     in_sort_special = (
@@ -969,10 +1015,11 @@ def aggregate_sort(
         sc = block[special[0].arg]
         operands.append(~sc.valid_mask())  # valid arg values first in group
         operands.append(sc.data)
-    for a in gcs:
-        gcol = block[a.arg]
-        if gcol.validity is not None:
-            operands.append(~gcol.validity)  # NULL args sort to group tail
+    for a, inv in gc_orders:
+        if inv is not None:
+            operands.append(inv)  # non-contributing rows sort to group tail
+        if a.distinct:
+            operands.append(block[a.arg].data)  # duplicates adjacent, value order
     num_sort_keys = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))  # original row index
     # group_concat output order is input-row order: the row index becomes a

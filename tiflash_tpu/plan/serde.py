@@ -88,13 +88,13 @@ def _sk_from_json(d):
 def _agg_to_json(a: AggDesc):
     return {"func": a.func, "arg": a.arg, "name": a.name,
             "filter_col": a.filter_col, "param": a.param,
-            "separator": a.separator}
+            "separator": a.separator, "distinct": a.distinct}
 
 
 def _agg_from_json(d):
     return AggDesc(d["func"], d["arg"], d["name"],
                    d.get("filter_col"), d.get("param"),
-                   d.get("separator", ","))
+                   d.get("separator", ","), d.get("distinct", False))
 
 
 def _w_to_json(w: WindowDesc):

@@ -964,9 +964,11 @@ def _o_aggregate_inner(
                 continue
             nn = [v for v in vals if v is not None]
             if func == "group_concat":
-                # a = (func, arg, name, filter, max_items, separator)
+                # a = (func, arg, name, filter, max_items, separator, distinct)
                 max_items = int(a[4]) if len(a) > 4 and a[4] else 64
                 sep = a[5] if len(a) > 5 else ","
+                if len(a) > 6 and a[6]:
+                    nn = sorted(set(nn))  # DISTINCT: value order
                 out[on].append(sep.join(nn[:max_items]) if nn else None)
                 continue
             if not nn:
