@@ -214,3 +214,31 @@ def test_plan_chunk_rows_uses_real_row_width():
     pruned = plan_chunk_rows(P.TableScan("t", columns=["a"]),
                              {"t": wide}, budget)
     assert pruned == rows_narrow
+
+
+def test_query_memory_scope_and_summary_fields():
+    """Runtime memory accounting (MemoryTracker live-byte counters):
+    summary carries allocator peak/delta; CPU backends degrade to 0."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.memory import QueryMemoryScope, device_memory_stats
+    from tiflash_tpu.testing import oracle as O
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    with QueryMemoryScope() as mem:
+        pass
+    assert mem.peak_bytes >= 0 and isinstance(mem.delta_bytes, int)
+
+    schema = {"k": dt.INT32, "v": dt.INT64}
+    rng = np.random.default_rng(5)
+    table = O.random_pytable(rng, 64, schema, null_prob=0.0, int_range=(0, 4))
+    block = O.pytable_to_block(table, schema)
+    plan = P.Aggregation(["k"], [AggDesc("sum", "v", "sv")], P.TableScan("t"))
+    out, summary = QueryRunner(plan).run({"t": block})
+    assert summary.peak_device_bytes >= 0
+    assert hasattr(summary, "device_bytes_delta")

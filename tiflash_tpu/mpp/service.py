@@ -218,6 +218,8 @@ class QueryService:
     def status(self) -> Dict:
         import jax
 
+        from ..runtime.memory import device_memory_stats
+
         return {
             "tables": {
                 n: {"rows": t.row_count, "columns": list(t.schema)}
@@ -226,6 +228,7 @@ class QueryService:
             "backend": jax.default_backend(),
             "devices": len(jax.devices()),
             "distributed": self.mesh is not None,
+            "memory": device_memory_stats(),
         }
 
 

@@ -249,8 +249,24 @@ class QueryRunner:
             if self.settings.profile_dir
             else contextlib.nullcontext()
         )
-        with prof:
-            return self._run_with_retries(tables, summary, t_start)
+        from .memory import QueryMemoryScope
+
+        with prof, QueryMemoryScope() as mem:
+            result = self._run_with_retries(tables, summary, t_start)
+        summary.peak_device_bytes = mem.peak_bytes
+        summary.device_bytes_delta = mem.delta_bytes
+        lim = self.settings.max_bytes_per_device
+        if lim is not None and mem.peak_bytes > lim:
+            from .logging import get_logger
+
+            # a jitted program can't be interrupted mid-flight; the peak
+            # exceeding quota means the pre-flight estimate undershot —
+            # surface it so the estimator can be recalibrated
+            get_logger("tiflash_tpu.executor").warning(
+                "runtime peak %d bytes exceeded quota %d (pre-flight "
+                "estimate undershot)", mem.peak_bytes, lim,
+            )
+        return result
 
     def _run_with_retries(self, tables, summary, t_start):
         import jax

@@ -114,6 +114,64 @@ def plan_chunk_rows(plan: P.PlanNode, tables: Dict[str, Block],
     return max(4096, int(budget // (work_factor * widest)))
 
 
+# ---------------------------------------------------------------------------
+# runtime accounting (MemoryTracker's live-byte counters, TPU form)
+# ---------------------------------------------------------------------------
+
+
+def device_memory_stats() -> Dict[str, int]:
+    """Allocator counters from the device runtime (bytes_in_use /
+    peak_bytes_in_use) — the thread-local-delta accounting of
+    ``Common/MemoryTracker.h:39`` collapses to the XLA allocator's own
+    counters here, because one jitted program IS the query's allocation
+    scope.  Returns {} on backends that don't expose stats (CPU)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return {}
+    if not stats:
+        return {}
+    return {
+        "bytes_in_use": int(stats.get("bytes_in_use", 0)),
+        "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", 0)),
+        "bytes_limit": int(stats.get("bytes_limit", 0)),
+    }
+
+
+class QueryMemoryScope:
+    """Per-query runtime accounting: snapshot allocator counters around a
+    run and report (peak_during, delta_live).  The query→task→thread
+    tracker hierarchy of the reference is flattened: queries on one chip
+    serialize through the admission gate, so the device-wide peak during
+    the run IS the query's peak."""
+
+    def __init__(self):
+        self.before: Dict[str, int] = {}
+        self.peak_bytes: int = 0
+        self.delta_bytes: int = 0
+
+    def __enter__(self):
+        self.before = device_memory_stats()
+        return self
+
+    def __exit__(self, *exc):
+        after = device_memory_stats()
+        if after:
+            self.peak_bytes = after.get("peak_bytes_in_use", 0)
+            self.delta_bytes = after.get("bytes_in_use", 0) - self.before.get(
+                "bytes_in_use", 0
+            )
+            from .metrics import METRICS
+
+            METRICS.counter("device_bytes_in_use").set(
+                after.get("bytes_in_use", 0)
+            )
+            METRICS.counter("device_peak_bytes").set(self.peak_bytes)
+        return False
+
+
 def check_memory(plan: P.PlanNode, tables: Dict[str, Block], limit: int | None):
     if limit is None:
         return

@@ -24,6 +24,10 @@ class ExecutionSummary:
     result_rows: int = 0
     backend: str = ""
     num_devices: int = 1
+    # runtime memory accounting (MemoryTracker live-byte counters):
+    # allocator peak during the run and live-byte delta across it
+    peak_device_bytes: int = 0
+    device_bytes_delta: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
