@@ -174,3 +174,20 @@ def test_error_codes(server):
     assert E.classify(MemoryLimitError("x")) == E.MEMORY_LIMIT
     assert E.classify(NotImplementedError("x")) == E.UNSUPPORTED
     assert E.error_name(E.CANCELLED) == "CANCELLED"
+
+
+def test_http_log_search(server):
+    """LogSearch analog: /logs greps the in-memory ring of records."""
+    # run a query so the ring has at least one 'query done' INFO record
+    _post(server, "/query", {"plan": serde.plan_to_json(q1_plan())})
+    code, resp = _get(server, "/logs?q=query+done&limit=5")
+    assert code == 200
+    # URL-encoding: '+' stays literal in our parse; search again plain
+    code, resp = _get(server, "/logs?q=done&level=INFO&limit=5")
+    assert code == 200
+    assert any("done" in r["message"] for r in resp["logs"])
+    try:
+        code, _r = _get(server, "/logs?q=[bad")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400

@@ -252,6 +252,22 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 self._send(200, service.status())
             elif self.path == "/queries":
                 self._send(200, service.queries())
+            elif self.path.startswith("/logs"):
+                # LogSearch analog (Flash/LogSearch.cpp): grep the
+                # in-memory ring of recent records
+                from urllib.parse import parse_qs, urlparse
+
+                from ..runtime.logging import RING
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    self._send(200, {"logs": RING.search(
+                        pattern=q.get("q", [""])[0],
+                        level=q.get("level", [""])[0],
+                        limit=int(q.get("limit", ["200"])[0]),
+                    )})
+                except Exception as e:  # bad regex etc.
+                    self._send(400, {"error": str(e)})
             elif self.path.startswith("/result"):
                 from urllib.parse import parse_qs, urlparse
 

@@ -309,8 +309,8 @@ class QueryRunner:
         summary.wall_seconds = time.perf_counter() - t_start
         summary.compile_seconds = self._compile_s
         summary.node_rows = {k: int(np.asarray(v)) for k, v in node_rows.items()}
-        log.debug(
-            "query done: rows=? wall=%.3fs retries=%d",
+        log.info(
+            "query done: wall=%.3fs retries=%d",
             summary.wall_seconds, summary.retries,
         )
         METRICS.counter("query_seconds_total").inc(summary.wall_seconds)

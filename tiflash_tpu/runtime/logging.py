@@ -23,6 +23,48 @@ class _QueryIdFilter(logging.Filter):
         return True
 
 
+class RingLogHandler(logging.Handler):
+    """In-memory ring of recent records, searchable via the service's
+    /logs endpoint (the ``Flash/LogSearch.cpp`` analog: TiDB's dashboard
+    greps server logs; here the ring IS the searchable store)."""
+
+    def __init__(self, capacity: int = 4096):
+        super().__init__()
+        from collections import deque
+
+        self.records = deque(maxlen=capacity)
+
+    def emit(self, record):
+        try:
+            self.records.append({
+                "ts": record.created,
+                "level": record.levelname,
+                "logger": record.name,
+                "query": getattr(record, "query", "-"),
+                "message": record.getMessage(),
+            })
+        except Exception:  # never let logging break the engine
+            pass
+
+    def search(self, pattern: str = "", level: str = "",
+               limit: int = 200) -> list:
+        import re as _re
+
+        rx = _re.compile(pattern) if pattern else None
+        lv = level.upper()
+        out = []
+        for r in reversed(self.records):
+            if lv and r["level"] != lv:
+                continue
+            if rx and not rx.search(r["message"]):
+                continue
+            out.append(r)
+            if len(out) >= limit:
+                break
+        return out
+
+
+RING = RingLogHandler()
 _configured = False
 
 
@@ -36,9 +78,16 @@ def get_logger(name: str = "tiflash_tpu") -> logging.Logger:
             "%(asctime)s [%(levelname)s] [%(query)s] %(name)s: %(message)s"
         ))
         handler.addFilter(_QueryIdFilter())
-        root.addHandler(handler)
         level = os.environ.get("TIFLASH_TPU_LOG", "WARNING").upper()
-        root.setLevel(getattr(logging, level, logging.WARNING))
+        lv = getattr(logging, level, logging.WARNING)
+        handler.setLevel(lv)  # console obeys TIFLASH_TPU_LOG
+        root.addHandler(handler)
+        RING.addFilter(_QueryIdFilter())
+        RING.setLevel(logging.INFO)
+        root.addHandler(RING)
+        # the ring captures INFO+ regardless of console verbosity so
+        # /logs can answer after the fact (LogSearch greps server logs)
+        root.setLevel(min(lv, logging.INFO))
         root.propagate = False
         _configured = True
     return logger
@@ -53,4 +102,4 @@ def query_context(qid):
         _query_id.reset(token)
 
 
-__all__ = ["get_logger", "query_context"]
+__all__ = ["get_logger", "query_context", "RING", "RingLogHandler"]
