@@ -114,3 +114,54 @@ def test_out_of_core_chunked_aggregation():
     assert "chunked" in summary.plan_text
     got = O.block_to_pytable(out)
     O.assert_tables_equal(got, want)
+
+
+def test_settings_agg_defaults_applied():
+    """Session settings become per-aggregate knobs when the plan leaves
+    them unset (group_concat_max_len analog)."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    schema = {"k": dt.INT32, "s": dt.STRING, "v": dt.INT64}
+    rng = np.random.default_rng(3)
+    table = O.random_pytable(rng, 60, schema, null_prob=0.0, int_range=(0, 3))
+    block = O.pytable_to_block(table, schema)
+    plan = P.Aggregation(
+        ["k"],
+        [AggDesc("group_concat", "s", "gc"),
+         AggDesc("approx_count_distinct", "v", "acd")],
+        P.TableScan("t"),
+    )
+    s = Settings(group_concat_max_items=2, approx_distinct_sketch_k=256)
+    runner = QueryRunner(plan, settings=s)
+    aggs = {a.name: a for n in [runner.plan] for a in _walk_aggs(runner.plan)}
+    assert aggs["gc"].param == 2.0
+    assert aggs["acd"].param == 256.0
+    out, _ = runner.run({"t": block})
+    got = O.block_to_pytable(out)
+    # truncation to 2 items applied
+    assert all(g is None or g.count(",") <= 1 for g in got["gc"])
+
+
+def _walk_aggs(node):
+    out = []
+    if hasattr(node, "aggs"):
+        out.extend(node.aggs)
+    for c in getattr(node, "children", ()) or ():
+        out.extend(_walk_aggs(c))
+    return out
+
+
+def test_settings_skew_knobs_flow_to_plan():
+    from tiflash_tpu.plan.auto import AutoPlanConfig
+    from tiflash_tpu.runtime.settings import Settings
+
+    s = Settings(skew_hot_keys=7, skew_sample_per_device=99)
+    cfg = AutoPlanConfig.from_settings(s)
+    assert cfg.skew_hot_keys == 7 and cfg.skew_sample_per_device == 99

@@ -113,6 +113,7 @@ def skew_shuffle_join(
     output_capacity: Optional[int],
     hot_output_capacity: Optional[int] = None,
     hot_k: int = 128,
+    sample_per_device: int = 2048,
 ) -> Tuple[Block, Dict[str, jnp.ndarray]]:
     """The full hybrid join.  Returns (result, overflow dict)."""
     assert kind in ("inner", "left", "left_outer", "semi", "anti"), kind
@@ -121,7 +122,8 @@ def skew_shuffle_join(
     pkeys, pnull, bkeys, bnull = J.normalize_join_keys(pk_cols, bk_cols)
 
     hot = detect_hot_keys(
-        pkeys, probe_block.sel_mask() & ~pnull, axis_name, hot_k=hot_k
+        pkeys, probe_block.sel_mask() & ~pnull, axis_name,
+        sample_per_device=sample_per_device, hot_k=hot_k,
     )
 
     p_hot = _isin_sorted(pkeys, hot) & ~pnull

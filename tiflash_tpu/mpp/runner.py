@@ -269,6 +269,7 @@ def _exec_spmd_node(
             probe, build, list(node.probe_keys), list(node.build_keys),
             node.kind, axis, shuffle_cap, bshuffle_cap,
             node.output_capacity or probe.capacity, hot_k=node.hot_k,
+            sample_per_device=getattr(node, "sample_per_device", 2048),
         )
         overflows[f"Exchange_{xid}"] = ovs["skew_probe_shuffle"]
         overflows[f"Exchange_{bxid}"] = ovs["skew_build_shuffle"]

@@ -1397,11 +1397,14 @@ def kmv_partial(block: Block, aggs: Sequence[AggDesc]) -> AggregateResult:
     from .sketch import SKETCH_K, kmv_candidates
 
     cols = {}
+    # sketch size knob (approx_distinct_sketch_k setting via AggDesc.param);
+    # one k per aggregation — Block columns must be equal length
+    k = next((int(a.param) for a in aggs if a.param), SKETCH_K)
     for a in aggs:
         h, live = _sketch_hashes(block, a)
-        cols[a.name] = Column(kmv_candidates(h, live, SKETCH_K), None, INT64)
+        cols[a.name] = Column(kmv_candidates(h, live, k), None, INT64)
     out = Block.from_dict(cols)
-    return AggregateResult(out, jnp.int32(SKETCH_K), jnp.int64(0))
+    return AggregateResult(out, jnp.int32(k), jnp.int64(0))
 
 
 _SKETCH_FUNCS = ("approx_count_distinct", "approx_cd_final")
@@ -1424,7 +1427,8 @@ def aggregate_scalar(block: Block, aggs: Sequence[AggDesc]) -> Block:
                 cols[a.name] = base[a.name]
                 continue
             h, live = _sketch_hashes(block, a)
-            est = kmv_estimate(kmv_candidates(h, live, SKETCH_K))
+            k = int(a.param) if a.param else SKETCH_K
+            est = kmv_estimate(kmv_candidates(h, live, k))
             cols[a.name] = Column(est[None], None, INT64)
         return Block.from_dict(cols)
     live = block.sel_mask()

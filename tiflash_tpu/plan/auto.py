@@ -44,6 +44,8 @@ class AutoPlanConfig:
     auto_passthrough_agg: bool = False
     join_output_factor: float = 2.0
     selectivity_sample_rows: int = 4096      # 0 disables sampling
+    skew_hot_keys: int = 128
+    skew_sample_per_device: int = 2048
 
     @classmethod
     def from_settings(cls, s) -> "AutoPlanConfig":
@@ -56,6 +58,8 @@ class AutoPlanConfig:
             auto_passthrough_agg=s.auto_passthrough_agg,
             join_output_factor=s.join_output_factor,
             selectivity_sample_rows=s.selectivity_sample_rows,
+            skew_hot_keys=s.skew_hot_keys,
+            skew_sample_per_device=s.skew_sample_per_device,
         )
 
 
@@ -188,7 +192,8 @@ def distribute_plan(
                 return P.SkewShuffleJoin(
                     kind=node.kind, probe_keys=list(node.probe_keys),
                     build_keys=list(node.build_keys), probe=probe, build=build,
-                    output_capacity=cap,
+                    output_capacity=cap, hot_k=cfg.skew_hot_keys,
+                    sample_per_device=cfg.skew_sample_per_device,
                 )
             return shuffle_join(
                 node.kind, list(node.probe_keys), list(node.build_keys),

@@ -209,6 +209,7 @@ class SkewShuffleJoin(PlanNode):
     build: PlanNode = None  # type: ignore[assignment]
     output_capacity: Optional[int] = None
     hot_k: int = 128
+    sample_per_device: int = 2048
 
     def __post_init__(self):
         self.children = (self.probe, self.build)

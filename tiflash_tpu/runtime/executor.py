@@ -106,6 +106,7 @@ class QueryRunner:
             has_exchange = "Exchange" in plan.pretty()
             if not has_exchange:
                 plan = prune_columns(eager_aggregation(plan))
+        self._apply_agg_defaults(plan)
         self.plan = plan
         self.mesh = mesh
         self.cfg = ExchangeConfig(
@@ -114,6 +115,33 @@ class QueryRunner:
         )
         self._compiled = None
         self._compile_s = 0.0
+
+    def _apply_agg_defaults(self, plan: P.PlanNode) -> None:
+        """Session-setting defaults for per-aggregate knobs the plan left
+        unset (the reference applies group_concat_max_len the same way:
+        a session setting unless the plan overrides)."""
+        import dataclasses as _dc
+
+        nodes, _ = enumerate_plan(plan)
+        for node in nodes.values():
+            if not isinstance(node, P.Aggregation):
+                continue
+            aggs = list(node.aggs)
+            changed = False
+            for i, a in enumerate(aggs):
+                if a.param is None and a.func == "group_concat":
+                    aggs[i] = _dc.replace(
+                        a, param=float(self.settings.group_concat_max_items))
+                    changed = True
+                elif a.param is None and a.func in (
+                    "approx_count_distinct", "approx_cd_partial",
+                    "approx_cd_final",
+                ):
+                    aggs[i] = _dc.replace(
+                        a, param=float(self.settings.approx_distinct_sketch_k))
+                    changed = True
+            if changed:
+                node.aggs = aggs
 
     # -- plan rewriting on overflow ------------------------------------
 
@@ -211,7 +239,10 @@ class QueryRunner:
             from .memory import plan_chunk_rows
 
             budget = self.settings.max_bytes_per_device or (1 << 32)
-            chunk_rows = plan_chunk_rows(self.plan, tables, budget)
+            chunk_rows = plan_chunk_rows(
+                self.plan, tables, budget,
+                work_factor=self.settings.outofcore_work_factor,
+            )
             if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
             elif mode == "grace":

@@ -21,6 +21,16 @@ class Settings:
     join_output_factor: float = 2.0          # N:M join expansion multiplier
     max_capacity_retries: int = 4            # overflow re-run doublings
     rf_in_set_max_build: int = 1 << 20       # IN-set runtime-filter size gate
+    # group_concat item cap when the plan doesn't set one — the
+    # group_concat_max_len analog (truncation, not error)
+    group_concat_max_items: int = 64
+    # KMV sketch size for approx_count_distinct (std err ~ 1/sqrt(k-2))
+    approx_distinct_sketch_k: int = 4096
+    # skew-aware join: heavy-hitter detection sample + hot-set size
+    skew_sample_per_device: int = 2048
+    skew_hot_keys: int = 128
+    # out-of-core chunk sizing: transient-copy multiplier over raw bytes
+    outofcore_work_factor: int = 8
     # --- execution ---
     mesh_axis: str = "d"
     topn_fast_path: bool = True
