@@ -157,11 +157,76 @@ def bench_config(config: str, cat, args, vlog) -> dict:
     }
 
 
+def bench_topn_100m(args, vlog) -> dict:
+    """BASELINE config 3 at its REAL size: ORDER BY ... LIMIT 100 over a
+    100M-row synthetic int64 column (SF1 lineitem is only 6M rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiflash_tpu.core.block import Block, Column
+    from tiflash_tpu.core.dtypes import INT64
+    from tiflash_tpu.ops.sort import SortKey
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.compiler import execute_plan
+
+    N = 100_000_000
+    k = (jax.random.bits(jax.random.PRNGKey(1), (N,), dtype=jnp.uint64)
+         >> jnp.uint64(1)).astype(jnp.int64)
+    blk = Block.from_dict({
+        "k": Column(k, None, INT64),
+        "v": Column(jnp.arange(N, dtype=jnp.int64), None, INT64,
+                    stats=(0, N - 1)),
+    })
+    jax.block_until_ready(blk)
+    plan = P.TopN([SortKey("k", desc=True, nulls_first=False)], 100,
+                  P.TableScan("big", columns=["k", "v"]))
+
+    @jax.jit
+    def step(tables, carry):
+        import dataclasses as _dc
+
+        bit = (carry & jnp.int64(1))
+        c = tables["big"]["k"]
+        t2 = {"big": tables["big"].with_column(
+            "k", _dc.replace(c, data=c.data ^ bit))}
+        out = execute_plan(plan, t2)
+        acc = jnp.int64(0)
+        live = out.sel_mask()
+        for col in out.columns:
+            acc = acc + jnp.sum(jnp.where(live, col.data, 0))
+        return acc + carry * jnp.int64(0x9E3779B1)
+
+    def chain(K, seed):
+        carry = jnp.int64(seed)
+        t0 = time.time()
+        for _ in range(K):
+            carry = step({"big": blk}, carry)
+        _ = int(carry)
+        return time.time() - t0
+
+    t0 = time.time()
+    chain(1, 1)
+    vlog(f"[topn100m] compile+first {time.time()-t0:.1f}s")
+    chain(2, 2)
+    t1 = min(chain(4, 10 + i) for i in range(2))
+    t2 = min(chain(12, 20 + i) for i in range(2))
+    t = max((t2 - t1) / 8, 1e-9)
+    vlog(f"[topn100m] t(4)={t1*1e3:.1f}ms t(12)={t2*1e3:.1f}ms "
+         f"-> {t*1e3:.3f}ms/iter")
+    roofline = HBM_BW / 16  # two int64 columns scanned
+    return {
+        "metric": "topn_100m_rows_per_s",
+        "value": round(N / t / 1e6, 1),
+        "unit": "Mrows/s",
+        "vs_baseline": round((N / t) / roofline, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--config", default="all",
-                    choices=["all", "q1", "q3", "q6", "topn"])
+                    choices=["all", "q1", "q3", "q6", "topn", "topn100m"])
     ap.add_argument("--k1", type=int, default=8)
     ap.add_argument("--k2", type=int, default=32)
     ap.add_argument("--verbose", action="store_true")
@@ -176,24 +241,35 @@ def main() -> None:
         if args.verbose:
             print(msg, file=sys.stderr, flush=True)
 
-    configs = ["q1", "q3", "q6", "topn"] if args.config == "all" else [args.config]
-    tables = ["lineitem"]
-    if "q3" in configs:
-        tables = ["lineitem", "orders", "customer"]
-    t0 = time.time()
-    cat = generate_tpch(sf=args.sf, seed=7, tables=tables)
-    jax.block_until_ready(cat.blocks())
-    vlog(f"gen+stage {time.time()-t0:.1f}s rows={cat['lineitem'].row_count}")
-
+    all_configs = ["q1", "q3", "q6", "topn", "topn100m"]
+    configs = all_configs if args.config == "all" else [args.config]
+    tpch_configs = [c for c in configs if c != "topn100m"]
     results = {}
-    for cfg in configs:
+    if tpch_configs:
+        tables = ["lineitem"]
+        if "q3" in tpch_configs:
+            tables = ["lineitem", "orders", "customer"]
+        t0 = time.time()
+        cat = generate_tpch(sf=args.sf, seed=7, tables=tables)
+        jax.block_until_ready(cat.blocks())
+        vlog(f"gen+stage {time.time()-t0:.1f}s rows={cat['lineitem'].row_count}")
+        for cfg in tpch_configs:
+            try:
+                results[cfg] = bench_config(cfg, cat, args, vlog)
+            except Exception as e:  # one config must not sink the round record
+                vlog(f"[{cfg}] FAILED: {e!r}")
+                results[cfg] = {"metric": f"tpch_{cfg}_failed", "value": 0,
+                                "unit": "Mrows/s", "vs_baseline": 0,
+                                "error": str(e)[:200]}
+        del cat  # free host+device copies before the 100M synthetic
+    if "topn100m" in configs:
         try:
-            results[cfg] = bench_config(cfg, cat, args, vlog)
-        except Exception as e:  # one config must not sink the round record
-            vlog(f"[{cfg}] FAILED: {e!r}")
-            results[cfg] = {"metric": f"tpch_{cfg}_failed", "value": 0,
-                            "unit": "Mrows/s", "vs_baseline": 0,
-                            "error": str(e)[:200]}
+            results["topn100m"] = bench_topn_100m(args, vlog)
+        except Exception as e:
+            vlog(f"[topn100m] FAILED: {e!r}")
+            results["topn100m"] = {"metric": "topn_100m_failed", "value": 0,
+                                   "unit": "Mrows/s", "vs_baseline": 0,
+                                   "error": str(e)[:200]}
 
     head = results[configs[0]]
     if len(configs) > 1:
