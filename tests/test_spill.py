@@ -1,0 +1,124 @@
+"""Native disk spill tier (Core/Spiller.h analog): compressed chunk
+roundtrip, corruption detection, and spill-backed out-of-core execution
+vs the in-RAM path."""
+
+import numpy as np
+import pytest
+
+
+def test_spiller_roundtrip_all_dtypes(tmp_path):
+    from tiflash_tpu.runtime.spill import Spiller
+
+    rng = np.random.default_rng(0)
+    arrays = [
+        rng.integers(-2**60, 2**60, 10_000).astype(np.int64),
+        rng.integers(0, 2**30, 3_333).astype(np.int32),
+        rng.normal(size=5_000).astype(np.float64),
+        (rng.random(7_000) < 0.5),
+        rng.integers(0, 100, (500, 8)).astype(np.int32),  # 2-D (group_concat)
+        np.zeros(0, dtype=np.int64),                      # empty
+    ]
+    with Spiller(str(tmp_path / "s")) as sp:
+        ids = [sp.spill_array(a, partition=i % 3) for i, a in enumerate(arrays)]
+        sp.sync()
+        raw, comp = sp.stats()
+        assert raw == sum(a.nbytes for a in arrays)
+        assert 0 < comp  # compressed something
+        for a, cid in zip(arrays, ids):
+            got = sp.restore_array(cid)
+            assert got.dtype == a.dtype and got.shape == a.shape
+            np.testing.assert_array_equal(got, a)
+
+
+def test_spiller_detects_corruption(tmp_path):
+    import glob
+
+    from tiflash_tpu.runtime.spill import Spiller
+
+    sp = Spiller(str(tmp_path / "c"))
+    a = np.arange(50_000, dtype=np.int64)
+    cid = sp.spill_array(a)
+    sp.sync()
+    path = glob.glob(str(tmp_path / "c" / "*.spl"))[0]
+    blob = bytearray(open(path, "rb").read())
+    blob[40] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        sp.restore_array(cid)
+    sp.close()
+
+
+def test_spiller_removes_files_on_close(tmp_path):
+    import glob
+
+    from tiflash_tpu.runtime.spill import Spiller
+
+    d = str(tmp_path / "rm")
+    sp = Spiller(d)
+    sp.spill_array(np.arange(1000))
+    sp.sync()
+    assert glob.glob(d + "/*.spl")
+    sp.close(remove_files=True)
+    assert not glob.glob(d + "/*.spl")
+
+
+def _grace_setup():
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.expr.nodes import col
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.testing import oracle as O
+
+    rng = np.random.default_rng(17)
+    n, m = 6000, 900
+    lsch = {"fk": dt.INT64, "v": dt.INT64}
+    rsch = {"pk": dt.INT64, "w": dt.INT64.with_nullable(True)}
+    lt = O.random_pytable(rng, n, lsch, null_prob=0.0, int_range=(0, m - 1))
+    rt = {"pk": list(range(m)),
+          "w": [None if rng.random() < 0.1 else int(rng.integers(0, 50))
+                for _ in range(m)]}
+    plan = P.TopN(
+        [__import__("tiflash_tpu.ops.sort", fromlist=["SortKey"]).SortKey("s", desc=True),
+         __import__("tiflash_tpu.ops.sort", fromlist=["SortKey"]).SortKey("fk")],
+        7,
+        P.Aggregation(
+            ["fk"], [AggDesc("sum", "w", "s")],
+            P.Join(kind="inner", probe_keys=["fk"], build_keys=["pk"],
+                   probe=P.TableScan("L"), build=P.TableScan("R"),
+                   unique_build=True),
+        ),
+    )
+    tables = {"L": O.pytable_to_block(lt, lsch), "R": O.pytable_to_block(rt, rsch)}
+    return plan, tables, (lt, rt)
+
+
+def test_grace_join_with_disk_spill_matches_in_ram(tmp_path):
+    from tiflash_tpu.runtime.outofcore import run_grace_join
+    from tiflash_tpu.testing import oracle as O
+
+    plan, tables, _ = _grace_setup()
+    budget = 400_000  # force several partitions
+    in_ram = run_grace_join(plan, tables, budget)
+    on_disk = run_grace_join(plan, tables, budget,
+                             spill_dir=str(tmp_path / "spl"))
+    a = O.sort_pytable(O.block_to_pytable(in_ram.compact()))
+    b = O.sort_pytable(O.block_to_pytable(on_disk.compact()))
+    O.assert_tables_equal(a, b, ordered=True)
+
+
+def test_runner_spill_dir_setting(tmp_path):
+    """QueryRunner routes out-of-core staging through spill_dir."""
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    plan, tables, _ = _grace_setup()
+    s = Settings(max_bytes_per_device=400_000,
+                 spill_dir=str(tmp_path / "q"))
+    out, summary = QueryRunner(plan, settings=s).run(tables)
+    assert "out-of-core" in summary.plan_text
+    got = O.block_to_pytable(out.compact())
+    s2 = Settings()  # plenty of memory: normal path as reference
+    ref, _ = QueryRunner(plan, settings=s2).run(tables)
+    want = O.block_to_pytable(ref.compact())
+    O.assert_tables_equal(O.sort_pytable(got), O.sort_pytable(want), ordered=True)

@@ -246,9 +246,11 @@ class QueryRunner:
             if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
             elif mode == "grace":
-                out = run_grace_join(self.plan, tables, budget)
+                out = run_grace_join(self.plan, tables, budget,
+                                     spill_dir=self.settings.spill_dir)
             else:
-                out = run_sliced(self.plan, tables, chunk_rows)
+                out = run_sliced(self.plan, tables, chunk_rows,
+                                 spill_dir=self.settings.spill_dir)
             summary = ExecutionSummary(
                 plan_text=self.plan.pretty() + f"\n  [{mode} out-of-core]",
             )

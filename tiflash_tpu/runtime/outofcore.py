@@ -268,7 +268,10 @@ def _partition_block(block: Block, pid, P_: int, cap: int) -> List[Block]:
 
 
 def _to_host_rows(block: Block) -> Tuple[Tuple[str, ...], List, "object"]:
-    """Compacted host copy of a device block's live rows."""
+    """Compacted host copy of a device block's live rows.  Only host
+    arrays + lightweight metadata survive — holding the device Column
+    here would pin every partition's output in HBM for the whole
+    restore loop."""
     import numpy as np
 
     b = block.compact()
@@ -277,8 +280,42 @@ def _to_host_rows(block: Block) -> Tuple[Tuple[str, ...], List, "object"]:
     for c in b.columns:
         data = np.asarray(c.data)[:n]
         validity = None if c.validity is None else np.asarray(c.validity)[:n]
-        cols.append((data, validity, c))
+        cols.append((data, validity, (c.dtype, c.dictionary, c.stats)))
     return b.names, cols, n
+
+
+def _part_store(spill_dir: str, tag: str):
+    """PartStore staging (names, [(data, validity, meta)]) parts; with a
+    spill dir the arrays live in compressed chunk files (native
+    spiller), not host RAM — the Spiller restore-round analog."""
+    import os
+
+    from .spill import PartStore
+
+    d = ""
+    if spill_dir:
+        d = os.path.join(spill_dir, f"{tag}-{os.getpid()}")
+    return PartStore(d)
+
+
+def _store_add(store, part, partition: int) -> None:
+    names, cols, _n = part
+    flat: List = []
+    for data, validity, _meta in cols:
+        flat.append(data)
+        flat.append(validity)
+    store._metas = [m for _, _, m in cols]  # identical across parts
+    store.add(names, flat, partition)
+
+
+def _store_parts(store):
+    out = []
+    for names, flat in store.parts():
+        cols = []
+        for i, meta in enumerate(store._metas):
+            cols.append((flat[2 * i], flat[2 * i + 1], meta))
+        out.append((names, cols))
+    return out
 
 
 def _concat_host_parts(parts) -> Block:
@@ -289,7 +326,7 @@ def _concat_host_parts(parts) -> Block:
     cols = []
     for i in range(ncols):
         datas = [p[1][i][0] for p in parts]
-        ref = parts[0][1][i][2]
+        dtype, dictionary, stats = parts[0][1][i][2]
         data = np.concatenate(datas) if datas else np.zeros(0)
         if any(p[1][i][1] is not None for p in parts):
             validity = np.concatenate([
@@ -301,7 +338,7 @@ def _concat_host_parts(parts) -> Block:
             validity = None
         cols.append(Column(jnp.asarray(data),
                            None if validity is None else jnp.asarray(validity),
-                           ref.dtype, ref.dictionary, stats=ref.stats))
+                           dtype, dictionary, stats=stats))
     return Block(names=names, columns=tuple(cols), sel=None)
 
 
@@ -333,6 +370,7 @@ def run_grace_join(
     plan: P.PlanNode,
     tables: Dict[str, Block],
     budget_bytes: int,
+    spill_dir: str = "",
 ) -> Block:
     """Execute a join-rooted plan whose inputs exceed the device budget.
 
@@ -378,20 +416,23 @@ def run_grace_join(
         build_parts = _partition_block(build_b, pid_build, P_, cap_b)
 
     fn = compile_fragment(plan)
-    host_parts = []
+    store = _part_store(spill_dir, "grace")
     from .cancel import checkpoint
 
-    for p in range(P_):
-        checkpoint()
-        sub = dict(tables)
-        sub[spec["probe_table"]] = probe_parts[p]
-        sub[spec["build_table"]] = build_parts[p]
-        out, overflows = fn(sub)
-        for k, v in overflows.items():
-            if int(np.asarray(v).max()) > 0:
-                raise RuntimeError(f"grace partition overflow at {k}")
-        host_parts.append(_to_host_rows(out))
-    merged = _concat_host_parts(host_parts)
+    try:
+        for p in range(P_):
+            checkpoint()
+            sub = dict(tables)
+            sub[spec["probe_table"]] = probe_parts[p]
+            sub[spec["build_table"]] = build_parts[p]
+            out, overflows = fn(sub)
+            for k, v in overflows.items():
+                if int(np.asarray(v).max()) > 0:
+                    raise RuntimeError(f"grace partition overflow at {k}")
+            _store_add(store, _to_host_rows(out), p)
+        merged = _concat_host_parts(_store_parts(store))
+    finally:
+        store.close()
     return _reapply_reducers(spec["wrappers"], merged)
 
 
@@ -418,7 +459,7 @@ def sliced_spec(plan: P.PlanNode):
 
 
 def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
-               chunk_rows: int) -> Block:
+               chunk_rows: int, spill_dir: str = "") -> Block:
     """External sort/topN: per-chunk runs, host-concatenated, one merge
     pass (chunk-sorted runs re-sorted — the restore-merge analog)."""
     import numpy as np
@@ -430,26 +471,31 @@ def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
     fn = compile_fragment(plan)
     from .cancel import checkpoint
 
-    host_parts = []
+    store = _part_store(spill_dir, "sort")
     start = 0
-    while start < n:
-        checkpoint()
-        rows = min(chunk_rows, n - start)
-        chunk = _slice_block(base, start, rows)
-        if rows < chunk_rows:
-            pad = chunk_rows - rows
-            filler = _slice_block(base, 0, pad).and_sel(
-                jnp.zeros(pad, dtype=jnp.bool_))
-            chunk = concat_blocks(chunk, filler)
-        sub = dict(tables)
-        sub[spec["table"]] = chunk
-        out, overflows = fn(sub)
-        for k, v in overflows.items():
-            if int(np.asarray(v).max()) > 0:
-                raise RuntimeError(f"sliced run overflow at {k}")
-        host_parts.append(_to_host_rows(out))
-        start += rows
-    merged = _concat_host_parts(host_parts)
+    run_no = 0
+    try:
+        while start < n:
+            checkpoint()
+            rows = min(chunk_rows, n - start)
+            chunk = _slice_block(base, start, rows)
+            if rows < chunk_rows:
+                pad = chunk_rows - rows
+                filler = _slice_block(base, 0, pad).and_sel(
+                    jnp.zeros(pad, dtype=jnp.bool_))
+                chunk = concat_blocks(chunk, filler)
+            sub = dict(tables)
+            sub[spec["table"]] = chunk
+            out, overflows = fn(sub)
+            for k, v in overflows.items():
+                if int(np.asarray(v).max()) > 0:
+                    raise RuntimeError(f"sliced run overflow at {k}")
+            _store_add(store, _to_host_rows(out), run_no)
+            start += rows
+            run_no += 1
+        merged = _concat_host_parts(_store_parts(store))
+    finally:
+        store.close()
     return _reapply_reducers(spec["wrappers"], merged)
 
 

@@ -46,6 +46,9 @@ class Settings:
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     # --- memory (the MemoryTracker quota analog; enforced host-side) ---
     max_bytes_per_device: Optional[int] = None
+    # disk spill tier for out-of-core partition buffers (Core/Spiller.h
+    # analog; native zlib chunk files); empty = stage in host RAM
+    spill_dir: str = ""
     # --- observability ---
     collect_summaries: bool = True
     # when set, each run() is wrapped in jax.profiler.trace(dir) —
