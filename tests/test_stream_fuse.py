@@ -227,3 +227,29 @@ def test_tpch_q1_q6_fused_parity():
     tables = cat.blocks()
     for plan in (q1_plan(), q6_plan()):
         _run_parity(plan, tables)
+
+
+def test_fused_wide_recombination_past_int64():
+    """Sums whose bound exceeds int64 recombine the SAME kernel plane sums
+    into two-limb wide decimals (SF10+ scale: Q1's sum(charge) bound is
+    rows * ~1.3e11 > 2^62).  Values near 2^45 at 2^17 rows trip the same
+    guard at test size."""
+    rng = np.random.default_rng(4)
+    n = 1 << 18
+    big = rng.integers(1 << 47, 1 << 48, size=n)  # mantissa ~2e14
+    grp = rng.choice(["aa", "bb", "cc"], size=n).tolist()
+    cols = {
+        "grp": column_from_numpy(grp, STRING),
+        "big": column_from_numpy(big, Decimal(17, 2)),
+    }
+    tables = {"t": Block.from_dict(cols)}
+    plan = P.Aggregation(
+        keys=["grp"],
+        aggs=[AggDesc("sum", "big", "s"), AggDesc("avg", "big", "a"),
+              AggDesc("count", None, "n")],
+        child=P.TableScan("t"),
+    )
+    got = _run_parity(plan, tables, expect_fused=True)
+    # sanity: at least one group's sum really exceeds int64
+    assert any(abs(v) > (1 << 63) for v in
+               [int(x.scaleb(2)) for x in got["s"]])

@@ -128,6 +128,20 @@ def wide_mul_pow10(w: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return renorm_digits(digits)
 
 
+def wide_mul_pow2(w: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """value * 2**k exactly (k >= 0).  Returns (wide, overflow).  Steps of
+    2^20 keep every scaled base-10^9 digit below renorm's ~4.6e17 input
+    bound for ANY representable wide (|d3| <= 9.3e9)."""
+    ov = jnp.zeros(w.shape[:-1], dtype=jnp.bool_)
+    while k > 0:
+        m = min(k, 20)
+        digits = [d * jnp.int64(1 << m) for d in digits_of_wide(w)]
+        w, o = renorm_digits(digits)
+        ov = ov | o
+        k -= m
+    return w, ov
+
+
 def wide_cmp_lt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a < b lexicographically on (hi, lo) — valid because lo >= 0."""
     return (wide_hi(a) < wide_hi(b)) | (
@@ -351,7 +365,7 @@ __all__ = [
     "W9", "W18", "MAX_WIDE_PRECISION",
     "make_wide", "wide_hi", "wide_lo", "widen_i64", "narrow_i64",
     "digits_of_wide", "digits_of_i64", "renorm_digits",
-    "wide_add", "wide_neg", "wide_mul_pow10",
+    "wide_add", "wide_neg", "wide_mul_pow10", "wide_mul_pow2",
     "wide_cmp_lt", "wide_eq", "wide_div_round_half_up",
     "wide_sum_digits", "wide_to_host_ints",
 ]

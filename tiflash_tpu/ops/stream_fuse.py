@@ -706,10 +706,12 @@ def _fuse(node, tables, interpret):
 
     # int64-exactness guard: recombined per-slot totals (and the avg
     # numerator after its 10^shift scale-up) must PROVABLY fit int64 —
-    # otherwise the plane recombination could wrap.  Wide-decimal results
-    # beyond this bound fall back to the generic methods, whose
-    # _wide_rewrite digit path is exact.
+    # beyond that, wide-decimal results recombine the SAME plane sums
+    # into two-limb values (the kernel itself never changes; only the
+    # S×L-sized recombination goes wide).  Non-decimal results past the
+    # bound stay ineligible (int64 result type cannot hold them).
     sum_bounds: Dict[str, int] = {}
+    wide_out: set = set()
     for a in node.aggs:
         if a.arg is None or a.arg not in agg_terms:
             continue
@@ -720,8 +722,12 @@ def _fuse(node, tables, interpret):
             rdt = agg_result_dtype(a.func, dt)
             bound *= 10 ** (rdt.scale - (dt.scale if dt.is_decimal else 0))
         if bound >= 1 << 62:
-            raise Ineligible("sum bound exceeds int64")
-        sum_bounds[a.name] = bound
+            rdt = agg_result_dtype(a.func, t.dtype)
+            if not rdt.is_wide_decimal or bound >= int(9e36):
+                raise Ineligible("sum bound exceeds int64")
+            wide_out.add(a.name)
+        else:
+            sum_bounds[a.name] = bound
 
     # live-row counter part (also the occupancy signal)
     live_count_idx = len(part_list)
@@ -897,6 +903,30 @@ def _fuse(node, tables, interpret):
             acc = acc + part_total(pi)
         return acc
 
+    def part_total_wide(pi: int) -> jnp.ndarray:
+        """Two-limb recombination: plane sums are <= n_rows * 2^25 (int64
+        safe); the weighted shift runs in wide arithmetic."""
+        from ..core import wide as W
+
+        p = pl_[pi]
+        acc = None
+        for j, li in enumerate(lof[pi]):
+            w = W.widen_i64(sums[:, li])
+            w, _ = W.wide_mul_pow2(w, ACC_LIMB_BITS * j + p.shift)
+            acc = w if acc is None else W.wide_add(acc, w)
+        if p.sign < 0:
+            acc = W.wide_neg(acc)
+        return acc
+
+    def term_total_wide(arg: str) -> jnp.ndarray:
+        from ..core import wide as W
+
+        acc = None
+        for pi in term_part_idx[arg]:
+            w = part_total_wide(pi)
+            acc = w if acc is None else W.wide_add(acc, w)
+        return acc
+
     live_counts = part_total(live_count_idx)
     out_cols: List[Tuple[str, Column]] = []
     for a in node.aggs:
@@ -910,8 +940,22 @@ def _fuse(node, tables, interpret):
             cnt = live_counts if a.arg is None else part_total(nn_part_idx[a.arg])
             out_cols.append((a.name, Column(cnt, None, INT64)))
             continue
-        s = term_total(a.arg)
         cnt = part_total(nn_part_idx[a.arg])
+        if a.name in wide_out:
+            # two-limb recombination of the SAME kernel plane sums
+            # (mirrors _wide_rewrite's digit path semantics)
+            from ..core import wide as W
+
+            w = term_total_wide(a.arg)
+            if a.func == "avg":
+                src = col_dt.scale if col_dt.is_decimal else 0
+                shift = rdt.scale - src
+                if shift:
+                    w, _ = W.wide_mul_pow10(w, shift)
+                w = W.wide_div_round_half_up(w, jnp.maximum(cnt, 1))
+            out_cols.append((a.name, Column(w, cnt > 0, rdt)))
+            continue
+        s = term_total(a.arg)
         bnd = sum_bounds.get(a.name)
         st = None if bnd is None else (-bnd, bnd)
         if a.func == "sum":
