@@ -195,3 +195,18 @@ def test_range_frames_nullable_order_key():
     got = O.block_to_pytable(out)
     want = O.o_window(table, ["p"], [("o", False)], funcs)
     O.assert_tables_equal(got, want)
+
+
+def test_nth_value():
+    run([
+        WindowDesc("nth_value", "n1", arg="d", offset=1),
+        WindowDesc("nth_value", "n3", arg="d", offset=3),
+        WindowDesc("nth_value", "nv", arg="v", offset=2),
+    ])
+
+
+def test_nth_value_with_frame():
+    run([
+        WindowDesc("nth_value", "nf", arg="d", offset=2, frame=(1, 1)),
+        WindowDesc("nth_value", "nu", arg="d", offset=4, frame=(None, None)),
+    ])

@@ -294,6 +294,27 @@ def window_block(
             data = jnp.take(c.data, idx)
             validity = jnp.take(c.validity, idx) if c.validity is not None else None
             out_cols[f.name] = Column(data, validity, c.dtype, c.dictionary)
+        elif f.func == "nth_value":
+            # NTH_VALUE(arg, n): n-th row of the frame (default frame:
+            # unbounded preceding .. current row); NULL before the n-th
+            # row arrives.  ``offset`` carries n (1-based, MySQL).
+            c = sblock[f.arg]
+            nth = max(int(f.offset), 1)
+            if f.frame is not None:
+                lo, hi = frame_lo_hi(f)
+            else:
+                lo, hi = part_start_idx, pos
+            tgt = lo + (nth - 1)
+            ok = tgt <= hi
+            idx = jnp.clip(tgt, 0, n - 1).astype(jnp.int32)
+            data = jnp.take(c.data, idx)
+            validity = ok if c.validity is None else (
+                ok & jnp.take(c.validity, idx)
+            )
+            out_cols[f.name] = Column(
+                jnp.where(ok, data, jnp.zeros_like(data)), validity,
+                c.dtype.with_nullable(True), c.dictionary,
+            )
         elif f.func in ("min", "max") and f.frame is not None:
             # Bounded ROWS frame min/max: sparse table (doubling).  Level j
             # holds the reduction over [i, i+2^j); a frame [lo, hi] (already

@@ -1254,6 +1254,18 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                 col_out += [table[f.arg][part[0]]] * m
             elif f.func == "last_value":
                 col_out += [table[f.arg][ii] for ii in part]  # frame ..current
+            elif f.func == "nth_value":
+                nth = max(int(f.offset), 1)
+                fr = getattr(f, "frame", None)
+                for t_ in range(m):
+                    if fr is not None:
+                        prec, foll = fr
+                        w0 = 0 if prec is None else max(0, t_ - prec)
+                        w1 = m - 1 if foll is None else min(m - 1, t_ + foll)
+                    else:
+                        w0, w1 = 0, t_
+                    tgt = w0 + nth - 1
+                    col_out.append(table[f.arg][part[tgt]] if tgt <= w1 else None)
             elif f.func in ("sum", "count", "avg", "min", "max") and getattr(f, "frame", None) is not None:
                 prec, foll = f.frame
                 is_range = getattr(f, "frame_type", "rows") == "range"
