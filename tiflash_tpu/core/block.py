@@ -362,6 +362,8 @@ class Block:
 
         lanes = []      # int64 (n,) arrays to stack
         restore = []    # (col_idx, kind, dtype_str) per lane
+        flanes = []     # float64 (n,) arrays — 64-bit bitcasts are
+        frestore = []   # unimplemented in this TPU stack's X64 rewriting
         results = {}    # (col_idx, kind) -> gathered array
         for i, c in enumerate(self.columns):
             for kind, arr in (("data", c.data), ("validity", c.validity)):
@@ -371,32 +373,23 @@ class Block:
                     results[(i, kind)] = jnp.take(arr, safe, axis=0)
                     continue
                 dt = arr.dtype
-                if dt == jnp.float64:
-                    lane = jax.lax.bitcast_convert_type(arr, jnp.int64)
-                elif dt == jnp.float32:
-                    lane = jax.lax.bitcast_convert_type(
-                        arr, jnp.int32).astype(jnp.int64)
+                if jnp.issubdtype(dt, jnp.floating):
+                    frestore.append((i, kind, str(dt)))
+                    flanes.append(arr.astype(jnp.float64))
                 else:  # ints / bool / uint
-                    lane = arr.astype(jnp.int64)
-                restore.append((i, kind, str(dt)))
-                lanes.append(lane)
-        if lanes:
-            if len(lanes) == 1:
-                moved = jnp.take(lanes[0], safe)[:, None]
+                    restore.append((i, kind, str(dt)))
+                    lanes.append(arr.astype(jnp.int64))
+        for group, rest, wide_dt in ((lanes, restore, jnp.int64),
+                                     (flanes, frestore, jnp.float64)):
+            if not group:
+                continue
+            if len(group) == 1:
+                moved = jnp.take(group[0], safe)[:, None]
             else:
-                moved = jnp.take(jnp.stack(lanes, axis=1), safe, axis=0)
-            for j, (i, kind, dts) in enumerate(restore):
-                lane = moved[:, j]
-                if dts == "float64":
-                    out = jax.lax.bitcast_convert_type(lane, jnp.float64)
-                elif dts == "float32":
-                    out = jax.lax.bitcast_convert_type(
-                        lane.astype(jnp.int32), jnp.float32)
-                elif dts == "int64":
-                    out = lane
-                else:
-                    out = lane.astype(jnp.dtype(dts))
-                results[(i, kind)] = out
+                moved = jnp.take(jnp.stack(group, axis=1), safe, axis=0)
+            for j, (i, kind, dts) in enumerate(rest):
+                # astype to the lane's own dtype is a no-op
+                results[(i, kind)] = moved[:, j].astype(jnp.dtype(dts))
         cols = []
         for i, c in enumerate(self.columns):
             data = results[(i, "data")]

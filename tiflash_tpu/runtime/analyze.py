@@ -60,14 +60,19 @@ def _checksum(block: Block) -> jnp.ndarray:
         d = c.data
         if d.dtype == jnp.bool_:
             d = d.astype(jnp.int32)
-        if jnp.issubdtype(d.dtype, jnp.floating):
-            d = jax.lax.bitcast_convert_type(d.astype(jnp.float64), jnp.int64)
         mask = live
         if c.validity is not None:
             v = c.validity
             mask = (mask[:, None] & v) if v.ndim == 2 else (mask & v)
         if d.ndim == 2 and mask.ndim == 1:
             mask = mask[:, None]
+        if jnp.issubdtype(d.dtype, jnp.floating):
+            # 64-bit bitcasts are unimplemented in this TPU stack's X64
+            # rewrite pass; a scaled float fold keeps the value dependency
+            fs = jnp.sum(jnp.where(mask, d.astype(jnp.float64), 0.0)
+                         * (2.0 ** 20))
+            acc = acc + fs.astype(jnp.int64)
+            continue
         acc = acc + jnp.sum(jnp.where(mask, d.astype(jnp.int64), 0))
     return acc
 
