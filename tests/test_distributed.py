@@ -248,3 +248,26 @@ def test_runtime_filter_in_set_respects_size_gate(mesh):
                    rf_in_set_max_build=1)
     want = O.o_join(lt, rt, ["lk"], ["rk"], kind="inner")
     O.assert_tables_equal(got, want)
+
+
+def test_distributed_group_concat_distinct(mesh):
+    """DISTINCT/-If group_concat distributes via the co-located shuffle
+    (whole groups land on one device; the full aggregation runs locally)."""
+    rng = np.random.default_rng(9)
+    schema = {"k": dt.INT32, "s": dt.STRING.with_nullable(True),
+              "f": dt.BOOL}
+    t = O.random_pytable(rng, 480, schema, int_range=(0, 11))
+    blocks = shard_catalog_blocks({"t": O.pytable_to_block(t, schema)}, mesh)
+    aggs = [AggDesc("group_concat", "s", "gd", distinct=True),
+            AggDesc("group_concat", "s", "gf", filter_col="f")]
+    # two in-sort-ordered group_concats cannot share one aggregation:
+    # run them as separate plans
+    for a in aggs:
+        plan = split_aggregation(["k"], [a], P.TableScan("t"))
+        got = run_dist(plan, mesh, blocks)
+        want = O.o_aggregate(
+            t, ["k"],
+            [("group_concat", "s", a.name, a.filter_col, None, ",",
+              a.distinct)],
+        )
+        O.assert_tables_equal(got, want)
