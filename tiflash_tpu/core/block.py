@@ -413,14 +413,11 @@ class Block:
         n = self.capacity
         mask = self.sel
         count = jnp.sum(mask, dtype=jnp.int32)
-        # position of each live row in the packed output
-        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        # scatter row index i -> pos[i] for live rows; dead rows write to a
-        # trash slot (n) that gets dropped.
-        src = jnp.where(mask, pos, n)
-        gather_idx = jnp.zeros(n + 1, dtype=jnp.int32).at[src].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop"
-        )[:n]
+        # dense table of live-row indices via one packed 1-op sort — a
+        # TPU scatter (even unique/ordered) costs 2-3x a sort
+        from ..ops.merge import flagged_positions
+
+        gather_idx = jnp.maximum(flagged_positions(mask, n), 0)
         out = self.take(gather_idx)
         live = jnp.arange(n, dtype=jnp.int32) < count
         # compaction is order-preserving over live rows: clustering survives
