@@ -225,6 +225,62 @@ def window_block(
             pos + foll, part_end_idx)
         return lo, hi
 
+    # ---- batched frame-aggregate prefix reads -------------------------
+    # Frames are clamped into their partition, so for integer data a
+    # GLOBAL cumsum difference G[hi] - G[lo-1] never crosses a segment —
+    # no boundary-reset scan, no per-prefix start gathers.  All frame
+    # sum/count/avg prefixes stack into ONE (n, k) int64 matrix read by
+    # ONE row gather at hi and one at lo-1 (in-context TPU gathers
+    # measured 15-35ms each at 1M rows; packing k lanes is ~free).
+    frame_aggs = [f for f in funcs
+                  if f.func in ("sum", "count", "avg") and f.frame is not None]
+    frame_reads: dict = {}
+    if frame_aggs:
+        lanes: List[jnp.ndarray] = []
+        specs: dict = {}  # f.name -> (cnt_lane, sum_lane | None, float_sum?)
+        fl_specs: dict = {}
+        for f in frame_aggs:
+            c = sblock[f.arg] if f.arg else None
+            ones = jnp.ones(n, dtype=jnp.int64)
+            if c is not None and c.validity is not None:
+                ones = ones * c.validity.astype(jnp.int64)
+            cnt_lane = len(lanes)
+            lanes.append(jnp.cumsum(ones))
+            sum_lane = None
+            is_float = False
+            if f.func in ("sum", "avg"):
+                is_float = c.dtype.is_float
+                if is_float:
+                    # float sums keep the boundary-reset scan (global
+                    # differencing cancels catastrophically) and read it
+                    # per-row below — rare path
+                    vals = c.data.astype(jnp.float64)
+                    if c.validity is not None:
+                        vals = jnp.where(c.validity, vals, 0.0)
+                    fl_specs[f.name] = _segmented_prefix("sum", vals, part_start)
+                else:
+                    vals = c.data.astype(jnp.int64)
+                    if c.validity is not None:
+                        vals = jnp.where(c.validity, vals, 0)
+                    sum_lane = len(lanes)
+                    lanes.append(jnp.cumsum(vals))
+            specs[f.name] = (cnt_lane, sum_lane, is_float)
+        G = jnp.stack(lanes, axis=1) if len(lanes) > 1 else lanes[0][:, None]
+        by_frame: dict = {}
+        for f in frame_aggs:
+            key = (f.frame, f.frame_type)
+            if key not in by_frame:
+                lo, hi = frame_lo_hi(f)
+                at_hi = jnp.take(G, hi.astype(jnp.int32), axis=0)
+                lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
+                at_lo_raw = jnp.take(G, lom1, axis=0)
+                at_lo = jnp.where((lo > 0)[:, None], at_lo_raw, 0)
+                by_frame[key] = at_hi - at_lo
+            frame_reads[f.name] = by_frame[(f.frame, f.frame_type)]
+
+        def _frame_lane(f, lane):
+            return frame_reads[f.name][:, lane]
+
     for f in funcs:
         if f.func == "row_number":
             data = pos - part_start_idx + 1
@@ -380,27 +436,23 @@ def window_block(
             )
         elif f.func in ("sum", "count", "avg") and f.frame is not None:
             c = sblock[f.arg] if f.arg else None
-            lo, hi = frame_lo_hi(f)
-            ones = jnp.ones(n, dtype=jnp.int64)
-            if c is not None and c.validity is not None:
-                ones = ones * c.validity.astype(jnp.int64)
-            pc = _segmented_prefix("sum", ones, part_start)
-            def frame_diff(prefix):
-                at_hi = jnp.take(prefix, hi.astype(jnp.int32))
-                lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
-                at_lo = jnp.where(lo > part_start_idx, jnp.take(prefix, lom1), 0)
-                return at_hi - at_lo
-            cnt_f = frame_diff(pc)
+            cnt_lane, sum_lane, is_float = specs[f.name]
+            cnt_f = _frame_lane(f, cnt_lane)
             if f.func == "count":
                 out_cols[f.name] = Column(cnt_f, None, INT64)
             else:
-                acc_dt = DataType(TypeKind.FLOAT64) if c.dtype.is_float else INT64
-                vals = c.data.astype(acc_dt.jnp_dtype)
-                if c.validity is not None:
-                    vals = jnp.where(c.validity, vals, jnp.asarray(0, acc_dt.jnp_dtype))
-                ps = _segmented_prefix("sum", vals, part_start)
-                sum_f = frame_diff(ps)
+                if is_float:
+                    lo, hi = frame_lo_hi(f)
+                    ps = fl_specs[f.name]
+                    at_hi = jnp.take(ps, hi.astype(jnp.int32))
+                    lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
+                    at_lo = jnp.where(lo > part_start_idx,
+                                      jnp.take(ps, lom1), 0.0)
+                    sum_f = at_hi - at_lo
+                else:
+                    sum_f = _frame_lane(f, sum_lane)
                 if f.func == "sum":
+                    acc_dt = DataType(TypeKind.FLOAT64) if is_float else INT64
                     rdt = (
                         DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)
                         if c.dtype.is_decimal else acc_dt.with_nullable(True)
