@@ -113,3 +113,39 @@ def test_external_sort_and_topn(cat):
         O.block_to_pytable(oc_t), O.block_to_pytable(full_t.compact()),
         ordered=True,
     )
+
+
+def test_grace_join_adaptive_repartition():
+    """Skewed (but distinct) keys concentrate under a small P: the
+    partitioner widens P until the largest partition fits its share
+    (the restore-round analog, collapsed into host re-hashing)."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.outofcore import run_grace_join
+    from tiflash_tpu.testing import oracle as O
+
+    rng = np.random.default_rng(31)
+    n, m = 20_000, 50
+    # keys clustered mod small values: collide badly at tiny P
+    lt = {"fk": [int(x) * 256 for x in rng.integers(0, m, n)],
+          "v": [int(x) for x in rng.integers(0, 100, n)]}
+    rt = {"pk": [k * 256 for k in range(m)],
+          "w": [int(x) for x in rng.integers(0, 9, m)]}
+    lsch = {"fk": dt.INT64, "v": dt.INT64}
+    rsch = {"pk": dt.INT64, "w": dt.INT64}
+    plan = P.Aggregation(
+        ["fk"], [AggDesc("sum", "w", "s"), AggDesc("count", None, "c")],
+        P.Join(kind="inner", probe_keys=["fk"], build_keys=["pk"],
+               probe=P.TableScan("L"), build=P.TableScan("R"),
+               unique_build=True),
+    )
+    tables = {"L": O.pytable_to_block(lt, lsch), "R": O.pytable_to_block(rt, rsch)}
+    out = run_grace_join(plan, tables, budget_bytes=200_000)
+    got = O.sort_pytable(O.block_to_pytable(out.compact()))
+    want = O.sort_pytable(O.o_aggregate(
+        O.o_join(lt, rt, ["fk"], ["pk"], "inner"),
+        ["fk"], [("sum", "w", "s"), ("count", None, "c")]))
+    O.assert_tables_equal(got, want, ordered=True)

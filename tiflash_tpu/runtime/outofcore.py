@@ -395,6 +395,19 @@ def run_grace_join(
     import numpy as np
 
     hp = _host_key_hash(probe_b, spec["probe_cols"])
+    # adaptive re-split (the restore-round analog, but host hashing is
+    # free so recursion collapses into widening P_): when the LARGEST
+    # partition still exceeds its share — hash collisions or moderate
+    # key skew — double the partition count.  Identical-key skew is
+    # irreducible and surfaces as a capacity overflow downstream.
+    row_bytes = max(1, big // max(probe_b.capacity + build_b.capacity, 1))
+    while P_ < 4096:
+        counts = np.bincount((hp % np.uint64(P_)).astype(np.int64),
+                             minlength=P_)
+        if int(counts.max()) * row_bytes * 4 <= budget_bytes or \
+                int(counts.max()) <= 8192:
+            break
+        P_ *= 2
     pid_probe = (hp % np.uint64(P_)).astype(np.int64)
     counts = np.bincount(pid_probe, minlength=P_)
     cap_p = int(-(-(counts.max()) // 8192) * 8192) or 8192
