@@ -193,7 +193,17 @@ class JoinBuild:
         return int(self.sorted_keys.shape[0])
 
     def take_sorted(self, sidx: jnp.ndarray, fill_invalid: bool = False) -> Block:
-        """Payload rows at SORTED positions ``sidx`` (compose via perm)."""
+        """Payload rows at SORTED positions ``sidx``.
+
+        Two equivalent plans, chosen by STATIC capacities (gather cost is
+        per-row): lazy composes through ``perm`` (two probe-sized
+        gathers); eager materializes the key-sorted payload once (one
+        build-sized + one probe-sized gather) — strictly cheaper when
+        the build is no bigger than the probe, the dominant PK-FK shape.
+        XLA CSEs the eager sorted payload across multiple probes."""
+        if self.block.capacity <= int(sidx.shape[0]):
+            sorted_block = self.block.take(self.perm)
+            return sorted_block.take(sidx, fill_invalid=fill_invalid)
         comp = jnp.take(self.perm, jnp.maximum(sidx, 0))
         if fill_invalid:
             comp = jnp.where(sidx >= 0, comp, jnp.int32(-1))
