@@ -169,7 +169,37 @@ def test_registry_name_count():
 
     total = (set(F.REGISTRY) | set(F._ALIASES) | set(C._STRING_TRANSFORMS)
              | set(C._STRING_INT_TRANSFORMS) | set(C._STRING_BOOL_TRANSFORMS)
-             | set(C._STRING_DATE_TRANSFORMS)
+             | set(C._STRING_DATE_TRANSFORMS) | set(C._INT_STRING_FNS)
              | {"like", "in", "pi", "elt", "concat_ws", "timestampdiff",
                 "date_format"})
-    assert len(total) >= 190, len(total)
+    assert len(total) >= 199, len(total)
+
+
+INT_STRING_CASES = [
+    call("bin", col("p")),
+    call("oct", col("p")),
+    call("hex", col("p")),
+    call("bin", col("i")),       # negatives: unsigned 64-bit form
+    call("format", col("p"), lit(0)),
+    call("format", col("i"), lit(2)),
+    call("make_set", call("abs", col("p")) % 8, lit("a"), lit("b"), lit("c")),
+    call("export_set", call("abs", col("p")) % 8, lit("Y"), lit("N"),
+         lit("|"), lit(4)),
+]
+
+
+@pytest.mark.parametrize("expr", INT_STRING_CASES,
+                         ids=[str(i) for i in range(len(INT_STRING_CASES))])
+def test_int_to_string_luts(expr, data):
+    check(expr, data)
+
+
+def test_hex_still_works_on_strings(data):
+    check(call("hex", col("s")), data)
+
+
+def test_date_fn_and_aliases(data):
+    check(call("date", col("ts")), data)
+    check(call("date", col("t")), data)
+    check(call("sha", col("s")), data)
+    check(call("day", col("t")), data)

@@ -213,6 +213,10 @@ class ExprEvaluator:
             st = self._maybe_string_date_transform(call)
             if st is not None:
                 return st
+        if name in _INT_STRING_FNS:
+            st = self._maybe_int_string_lut(call)
+            if st is not None:
+                return st
         if name in _STRING_TRANSFORMS:
             st = self._maybe_string_transform(call)
             if st is not None:
@@ -520,6 +524,34 @@ class ExprEvaluator:
         return Column(data, target.validity,
                       STRING.with_nullable(target.dtype.nullable), new_dict)
 
+    def _maybe_int_string_lut(self, call: Call) -> Optional[Column]:
+        """int column -> string via a LUT over the PROVEN value range
+        (MinMaxIndex stats) — BIN/OCT/HEX/FORMAT for integer arguments.
+        Returns None for string arguments (hex falls through to the
+        dictionary transform) or unbounded ranges."""
+        rest = call.args[1:]
+        if not all(isinstance(a, Literal) for a in rest):
+            return None
+        target = self.evaluate(call.args[0])
+        if not target.dtype.is_integer or target.stats is None:
+            return None
+        lo, hi = int(target.stats[0]), int(target.stats[1])
+        if hi - lo > 65536:
+            raise ValueError(
+                f"{call.func} over an integer column needs a proven value "
+                "range <= 65536 (dictionary LUT)"
+            )
+        fn = _INT_STRING_FNS[call.func]
+        params = [a.value for a in rest]
+        mapped = [fn(v, *params) for v in range(lo, hi + 1)]
+        new_dict = tuple(sorted(set(mapped))) or ("",)
+        rank = {s: i for i, s in enumerate(new_dict)}
+        table = np.array([rank[m] for m in mapped] or [0], dtype=np.int32)
+        idx = jnp.clip(target.data.astype(jnp.int64) - lo, 0, len(table) - 1)
+        data = jnp.asarray(table)[idx.astype(jnp.int32)]
+        return Column(data, target.validity,
+                      STRING.with_nullable(target.dtype.nullable), new_dict)
+
     def _like(self, call: Call) -> Column:
         """LIKE pattern matching via host-side dictionary LUT."""
         target = self.evaluate(call.args[0])
@@ -629,6 +661,34 @@ _STRING_BOOL_TRANSFORMS = {
 _STRING_DATE_TRANSFORMS = {
     # name: fn(dict_entry, *literal_args) -> datetime.date | None
     "str_to_date": _rj.str_to_date,
+}
+
+
+def _mysql_format_number(v: int, d: int = 0) -> str:
+    return f"{v:,.{max(int(d), 0)}f}"
+
+
+def _mysql_make_set(bits: int, *strs) -> str:
+    u = bits if bits >= 0 else bits + (1 << 64)
+    return ",".join(str(s) for i, s in enumerate(strs) if u & (1 << i))
+
+
+def _mysql_export_set(bits: int, on, off, sep=",", n=64) -> str:
+    u = bits if bits >= 0 else bits + (1 << 64)
+    return str(sep).join(
+        str(on) if u & (1 << i) else str(off) for i in range(int(n))
+    )
+
+
+_INT_STRING_FNS = {
+    # MySQL integer->string functions; negatives print as unsigned
+    # 64-bit (two's complement), like the reference
+    "bin": lambda v: format(v if v >= 0 else v + (1 << 64), "b"),
+    "oct": lambda v: format(v if v >= 0 else v + (1 << 64), "o"),
+    "hex": lambda v: format(v if v >= 0 else v + (1 << 64), "X"),
+    "format": _mysql_format_number,
+    "make_set": _mysql_make_set,
+    "export_set": _mysql_export_set,
 }
 
 

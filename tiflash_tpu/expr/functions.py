@@ -129,6 +129,22 @@ def propagate_stats(name: str, args: Sequence[Column], out: DataType):
         sel = [a for i, a in enumerate(args) if i % 2 == 1]
         if len(args) % 2 == 1:
             sel.append(args[-1])
+    if name in ("abs", "negate", "modulo"):
+        if any(a.stats is None or a.data.ndim != 1 for a in args):
+            return None
+        la, ha = int(args[0].stats[0]), int(args[0].stats[1])
+        if name == "abs":
+            lo = 0 if la <= 0 <= ha else min(abs(la), abs(ha))
+            return (lo, max(abs(la), abs(ha)))
+        if name == "negate":
+            return (-ha, -la)
+        rl, rh = int(args[1].stats[0]), int(args[1].stats[1])
+        if rl <= 0:  # modulo by zero/negative: no claim
+            return None
+        m = rh - 1
+        lo = 0 if la >= 0 else -m
+        hi = min(m, max(abs(la), abs(ha)))
+        return (lo, max(hi, 0)) if la >= 0 else (max(-hi, lo), hi)
     if name not in ("plus", "minus", "multiply", "if", "coalesce",
                     "case_when"):
         return None
@@ -1139,6 +1155,20 @@ def _from_unixtime():
     return infer, evaluate
 
 
+@register("date")
+def _date_part_fn():
+    """MySQL DATE(expr): the date part of a date/datetime."""
+
+    def infer(ts):
+        return DataType(TypeKind.DATE, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        return Column(_date_days(a).astype(jnp.int32), a.validity, out)
+
+    return infer, evaluate
+
+
 @register("last_day")
 def _last_day_fn():
     def infer(ts):
@@ -1577,6 +1607,8 @@ _ALIASES = {
     "insert": "insert_str",
     "adddate": "date_add_days",
     "subdate": "date_sub_days",
+    "sha": "sha1",
+    "day": "day_of_month",
     "add_months": "date_add_months",
     "bit_neg": "bit_not",
     "json_array_length": "json_length",

@@ -201,7 +201,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     # TiDB-name aliases the engine resolves in its compiler
     f = {"adddate": "date_add_days", "subdate": "date_sub_days",
          "add_months": "date_add_months", "bit_neg": "bit_not",
-         "json_array_length": "json_length"}.get(f, f)
+         "json_array_length": "json_length", "sha": "sha1",
+         "day": "day_of_month"}.get(f, f)
 
     vals = [eval_expr_row(a, row) for a in args]
     if any(v is None for v in vals):
@@ -264,6 +265,17 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     if f in ("year", "month", "day_of_month"):
         d = a if isinstance(a, datetime.date) else a
         return {"year": d.year, "month": d.month, "day_of_month": d.day}[f]
+    if f == "date":
+        return a.date() if isinstance(a, datetime.datetime) else a
+    if f == "make_set":
+        u = int(a) if a >= 0 else int(a) + (1 << 64)
+        return ",".join(str(s) for i, s in enumerate(vals[1:]) if u & (1 << i))
+    if f == "export_set":
+        u = int(a) if a >= 0 else int(a) + (1 << 64)
+        on, off = str(vals[1]), str(vals[2])
+        sep = str(vals[3]) if len(vals) > 3 else ","
+        nb = int(vals[4]) if len(vals) > 4 else 64
+        return sep.join(on if u & (1 << i) else off for i in range(nb))
 
     # math
     if f in ("sqrt", "ln", "log", "log2", "log10"):
@@ -407,6 +419,11 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         for v in ns[:-1]:
             acc = acc * 256 + v
         return acc * (256 ** (fill + 1)) + ns[-1]
+    if f in ("bin", "oct") or (f == "hex" and isinstance(a, int)):
+        u = a if a >= 0 else a + (1 << 64)
+        return format(u, {"bin": "b", "oct": "o", "hex": "X"}[f])
+    if f == "format":
+        return f"{a:,.{max(int(b), 0)}f}"
     if f == "str_to_date":
         return _oracle_str_to_date(a, str(b))
     if f == "date_format":
