@@ -234,12 +234,18 @@ def window_block(
     # measured 15-35ms each at 1M rows; packing k lanes is ~free).
     frame_aggs = [f for f in funcs
                   if f.func in ("sum", "count", "avg") and f.frame is not None]
+    run_aggs = [f for f in funcs
+                if f.frame is None and (
+                    f.func == "count"
+                    or (f.func == "sum"
+                        and not sblock[f.arg].dtype.is_float))]
     frame_reads: dict = {}
-    if frame_aggs:
+    run_specs: dict = {}
+    if frame_aggs or run_aggs:
         lanes: List[jnp.ndarray] = []
         specs: dict = {}  # f.name -> (cnt_lane, sum_lane | None, float_sum?)
         fl_specs: dict = {}
-        for f in frame_aggs:
+        for f in frame_aggs + run_aggs:
             c = sblock[f.arg] if f.arg else None
             ones = jnp.ones(n, dtype=jnp.int64)
             if c is not None and c.validity is not None:
@@ -277,6 +283,20 @@ def window_block(
                 at_lo = jnp.where((lo > 0)[:, None], at_lo_raw, 0)
                 by_frame[key] = at_hi - at_lo
             frame_reads[f.name] = by_frame[(f.frame, f.frame_type)]
+        if run_aggs:
+            # running (unbounded preceding .. current): G[pos] minus the
+            # value just before the partition start — ONE packed gather
+            # shared by every running sum/count
+            psm1 = jnp.maximum(part_start_idx - 1, 0).astype(jnp.int32)
+            at_ps = jnp.where((part_start_idx > 0)[:, None],
+                              jnp.take(G, psm1, axis=0), 0)
+            for f in run_aggs:
+                cnt_lane, sum_lane, _ = specs[f.name]
+                run_specs[f.name] = (
+                    lanes[cnt_lane] - at_ps[:, cnt_lane],
+                    None if sum_lane is None
+                    else lanes[sum_lane] - at_ps[:, sum_lane],
+                )
 
         def _frame_lane(f, lane):
             return frame_reads[f.name][:, lane]
@@ -474,13 +494,20 @@ def window_block(
                     out_cols[f.name] = Column(d.astype(rdt.jnp_dtype), cnt_f > 0, rdt)
         elif f.func in ("sum", "min", "max", "count"):
             # frame: unbounded preceding .. current row (running aggregates)
-            if f.func == "count":
+            if f.name in run_specs:
                 c = sblock[f.arg] if f.arg else None
-                ones = jnp.ones(n, dtype=jnp.int64)
-                if c is not None and c.validity is not None:
-                    ones = ones * c.validity.astype(jnp.int64)
-                data = _segmented_prefix("sum", ones, part_start)
-                out_cols[f.name] = Column(data, None, INT64)
+                run_cnt, run_sum = run_specs[f.name]
+                if f.func == "count":
+                    out_cols[f.name] = Column(run_cnt, None, INT64)
+                else:  # running int/decimal sum
+                    rdt = (
+                        DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)
+                        if c.dtype.is_decimal else INT64.with_nullable(True)
+                    )
+                    seen = (run_cnt > 0) if c.validity is not None else None
+                    out_cols[f.name] = Column(
+                        run_sum.astype(rdt.jnp_dtype), seen, rdt, c.dictionary
+                    )
             else:
                 c = sblock[f.arg]
                 acc_dt = (
