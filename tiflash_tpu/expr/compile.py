@@ -197,6 +197,8 @@ class ExprEvaluator:
             call = Call(name, call.args)
         if name == "like":
             return self._like(call)
+        if name == "ilike":
+            return self._like(call, ci=True)
         if name == "pi":
             import math as _math
 
@@ -544,22 +546,38 @@ class ExprEvaluator:
         fn = _INT_STRING_FNS[call.func]
         params = [a.value for a in rest]
         mapped = [fn(v, *params) for v in range(lo, hi + 1)]
+        nulls = np.array([m is None for m in mapped] or [False])
+        mapped = ["" if m is None else m for m in mapped]
         new_dict = tuple(sorted(set(mapped))) or ("",)
         rank = {s: i for i, s in enumerate(new_dict)}
         table = np.array([rank[m] for m in mapped] or [0], dtype=np.int32)
         idx = jnp.clip(target.data.astype(jnp.int64) - lo, 0, len(table) - 1)
         data = jnp.asarray(table)[idx.astype(jnp.int32)]
-        return Column(data, target.validity,
-                      STRING.with_nullable(target.dtype.nullable), new_dict)
+        validity, nullable = target.validity, target.dtype.nullable
+        if nulls.any():  # fn returned None for some in-range values -> NULL
+            ok = jnp.asarray(~nulls)[idx.astype(jnp.int32)]
+            validity = ok if validity is None else (validity & ok)
+            nullable = True
+        return Column(data, validity,
+                      STRING.with_nullable(nullable), new_dict)
 
-    def _like(self, call: Call) -> Column:
-        """LIKE pattern matching via host-side dictionary LUT."""
+    def _like(self, call: Call, ci: bool = False) -> Column:
+        """LIKE/ILIKE pattern matching via host-side dictionary LUT.
+        Optional third arg = escape character (reference like3Args /
+        ilike3Args sigs, ``Functions/FunctionsStringSearch.h``)."""
         target = self.evaluate(call.args[0])
         pat_expr = call.args[1]
         assert isinstance(pat_expr, Literal), "LIKE pattern must be a literal"
         pattern = pat_expr.value
+        escape = "\\"
+        if len(call.args) > 2:
+            esc_expr = call.args[2]
+            assert isinstance(esc_expr, Literal), "LIKE escape must be a literal"
+            v = esc_expr.value
+            escape = chr(int(v)) if isinstance(v, int) else str(v)
         d = target.dictionary or ()
-        regex = re.compile(_like_to_regex(pattern), re.S)
+        flags = re.S | (re.I if ci else 0)
+        regex = re.compile(_like_to_regex(pattern, escape), flags)
         lut = np.array([regex.fullmatch(s) is not None for s in d], dtype=bool)
         if len(lut) == 0:
             lut = np.zeros(1, dtype=bool)
@@ -629,6 +647,10 @@ _STRING_TRANSFORMS.update({
     "sha2": _rj.sha2,
     "json_quote": _rj.json_quote,
     "json_keys": _rj.json_keys,
+    # inet6 family over the hex-string VARBINARY stand-in
+    # (reference tiDBIPv6StringToNum / tiDBIPv6NumToString sigs)
+    "inet6_aton": _rj.inet6_aton,
+    "inet6_ntoa": _rj.inet6_ntoa,
 })
 
 _STRING_INT_TRANSFORMS = {
@@ -689,15 +711,18 @@ _INT_STRING_FNS = {
     "format": _mysql_format_number,
     "make_set": _mysql_make_set,
     "export_set": _mysql_export_set,
+    "space": lambda v: " " * max(int(v), 0),
+    "char": _rj.mysql_char,
+    "inet_ntoa": _rj.inet_ntoa,
 }
 
 
-def _like_to_regex(pattern: str) -> str:
+def _like_to_regex(pattern: str, escape: str = "\\") -> str:
     out = []
     i = 0
     while i < len(pattern):
         c = pattern[i]
-        if c == "\\" and i + 1 < len(pattern):
+        if c == escape and i + 1 < len(pattern):
             out.append(re.escape(pattern[i + 1]))
             i += 2
             continue

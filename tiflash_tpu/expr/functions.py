@@ -521,6 +521,25 @@ for _op in ("equals", "not_equals", "less", "less_or_equals", "greater", "greate
     register(_op)(lambda _op=_op: (_cmp_infer, _cmp_eval(_op)))
 
 
+@register("null_eq")
+def _null_eq():
+    """MySQL ``<=>`` (NULL-safe equals; reference tidbNullEQ sig,
+    ``Flash/Coprocessor/DAGUtils.cpp``): NULL <=> NULL is TRUE, NULL <=> x
+    is FALSE, never NULL."""
+
+    def infer(ts):
+        return DataType(TypeKind.BOOL, False)
+
+    def evaluate(cols, out):
+        a, b = cols
+        eq = _cmp_eval("equals")(cols, BOOL).data
+        av, bv = a.valid_mask(), b.valid_mask()
+        data = jnp.where(av & bv, eq, ~av & ~bv)
+        return Column(data, None, out)
+
+    return infer, evaluate
+
+
 # ---------------------------------------------------------------------------
 # logic (three-valued)
 # ---------------------------------------------------------------------------

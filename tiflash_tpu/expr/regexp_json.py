@@ -502,3 +502,53 @@ def conv(s: str, from_base: int, to_base: int) -> Optional[str]:
         out.append(alphabet[val % tb])
         val //= tb
     return sign + "".join(reversed(out))
+
+
+def inet6_aton(s: str) -> Optional[str]:
+    """MySQL INET6_ATON: the engine's VARBINARY stand-in is a lowercase
+    hex string (16 bytes for IPv6, 4 for dotted-quad IPv4), matching the
+    reference's tiDBIPv6StringToNum byte output rendered as hex."""
+    import ipaddress
+
+    try:
+        return ipaddress.IPv6Address(s).packed.hex()
+    except Exception:
+        pass
+    if is_ipv4(s):
+        parts = [int(p) for p in s.split(".")]
+        return bytes(parts).hex()
+    return None
+
+
+def inet6_ntoa(hexs: str) -> Optional[str]:
+    """MySQL INET6_NTOA over the hex-string VARBINARY stand-in."""
+    import ipaddress
+
+    try:
+        raw = bytes.fromhex(hexs)
+    except ValueError:
+        return None
+    if len(raw) == 16:
+        return str(ipaddress.IPv6Address(raw))
+    if len(raw) == 4:
+        return ".".join(str(b) for b in raw)
+    return None
+
+
+def inet_ntoa(v: int) -> Optional[str]:
+    """MySQL INET_NTOA: int -> dotted quad (NULL outside u32 range)."""
+    if v < 0 or v > 0xFFFFFFFF:
+        return None
+    return ".".join(str((v >> s) & 255) for s in (24, 16, 8, 0))
+
+
+def mysql_char(*codes: int) -> str:
+    """MySQL CHAR(N, ...): each value contributes its big-endian bytes;
+    the result is interpreted as utf8 (invalid bytes dropped, matching
+    CHAR(... USING utf8mb4) NULL-on-invalid loosely as lossy decode)."""
+    out = b""
+    for v in codes:
+        u = int(v) & ((1 << 32) - 1)
+        nb = max(1, (u.bit_length() + 7) // 8)
+        out += u.to_bytes(nb, "big")
+    return out.decode("utf-8", errors="ignore")

@@ -156,18 +156,32 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         if v is None:
             return None
         return any(eval_expr_row(a, row) == v for a in args[1:])
-    if f == "like":
+    if f in ("like", "ilike"):
         v = eval_expr_row(args[0], row)
         if v is None:
             return None
         pat = args[1].value
-        rx = re.compile(
-            "".join(
-                ".*" if c == "%" else "." if c == "_" else re.escape(c) for c in pat
-            ),
-            re.S,
-        )
+        esc = "\\"
+        if len(args) > 2:
+            ev = args[2].value
+            esc = chr(ev) if isinstance(ev, int) else str(ev)
+        parts, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                parts.append(re.escape(pat[i + 1]))
+                i += 2
+                continue
+            parts.append(".*" if c == "%" else "." if c == "_" else re.escape(c))
+            i += 1
+        rx = re.compile("".join(parts), re.S | (re.I if f == "ilike" else 0))
         return rx.fullmatch(v) is not None
+    if f == "null_eq":
+        va = eval_expr_row(args[0], row)
+        vb = eval_expr_row(args[1], row)
+        if va is None or vb is None:
+            return va is None and vb is None
+        return bool(eval_expr_row(Call("equals", args), row))
 
     # functions with non-default NULL semantics (evaluated before the
     # generic NULL-propagation gate below)
@@ -419,6 +433,50 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         for v in ns[:-1]:
             acc = acc * 256 + v
         return acc * (256 ** (fill + 1)) + ns[-1]
+    if f == "inet_ntoa":
+        n = int(a)
+        if not 0 <= n <= 4294967295:
+            return None
+        q = []
+        for _ in range(4):
+            q.append(str(n % 256))
+            n //= 256
+        return ".".join(reversed(q))
+    if f == "inet6_aton":
+        ps = a.split(".")
+        if len(ps) == 4 and all(
+                p.isdigit() and len(p) <= 3 and int(p) <= 255 for p in ps):
+            return "".join("%02x" % int(p) for p in ps)
+        import ipaddress
+        try:
+            return ipaddress.IPv6Address(a).packed.hex()
+        except Exception:
+            return None
+    if f == "inet6_ntoa":
+        import ipaddress
+        try:
+            raw = bytes.fromhex(a)
+        except ValueError:
+            return None
+        if len(raw) == 16:
+            return str(ipaddress.IPv6Address(raw))
+        if len(raw) == 4:
+            return str(ipaddress.IPv4Address(raw))
+        return None
+    if f == "space":
+        return " " * int(a) if int(a) > 0 else ""
+    if f == "char":
+        bs = bytearray()
+        for v in vals:
+            u = int(v) % (1 << 32)
+            chunk = []
+            while True:
+                chunk.append(u % 256)
+                u //= 256
+                if u == 0:
+                    break
+            bs.extend(reversed(chunk))
+        return bytes(bs).decode("utf-8", errors="ignore")
     if f in ("bin", "oct") or (f == "hex" and isinstance(a, int)):
         u = a if a >= 0 else a + (1 << 64)
         return format(u, {"bin": "b", "oct": "o", "hex": "X"}[f])
