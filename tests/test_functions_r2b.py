@@ -110,3 +110,119 @@ def test_inet_ntoa_roundtrip(data):
 def test_inet6(data):
     check(call("inet6_aton", col("ip")), data)
     check(call("inet6_ntoa", call("inet6_aton", col("ip"))), data)
+
+
+# --- datetime unit breadth ---------------------------------------------------
+
+DT_SCHEMA = {
+    "t": dt.DATE,
+    "tn": dt.DATE.with_nullable(True),
+    "ts": dt.DataType(TypeKind.DATETIME),
+    "p": dt.INT32,
+}
+
+
+@pytest.fixture(scope="module")
+def dtdata():
+    rng = np.random.default_rng(57)
+    table = O.random_pytable(rng, 220, DT_SCHEMA, int_range=(-40, 40))
+    return table, O.pytable_to_block(table, DT_SCHEMA)
+
+
+DT_CASES = [
+    call("date_add_weeks", col("t"), col("p")),
+    call("date_sub_weeks", col("ts"), lit(3)),
+    call("date_add_quarters", col("tn"), lit(5)),
+    call("date_sub_quarters", col("t"), col("p")),
+    call("date_add_hours", col("ts"), col("p")),
+    call("date_add_minutes", col("t"), lit(61)),
+    call("date_sub_seconds", col("ts"), lit(3601)),
+    call("date_add_microseconds", col("ts"), lit(999_999)),
+    call("date_add_days", col("ts"), lit(2)),   # DATETIME preserved now
+    call("date_add", col("t"), col("p"), lit("WEEK")),
+    call("date_add", col("ts"), lit(2), lit("QUARTER")),
+    call("date_sub", col("ts"), lit(90), lit("MINUTE")),
+    call("date_sub", col("t"), lit(1), lit("YEAR")),
+]
+
+
+@pytest.mark.parametrize("expr", DT_CASES,
+                         ids=[str(i) for i in range(len(DT_CASES))])
+def test_date_units(expr, dtdata):
+    check(expr, dtdata)
+
+
+EXTRACT_UNITS = ["YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE",
+                 "SECOND", "MICROSECOND", "YEAR_MONTH", "DAY_HOUR",
+                 "DAY_MINUTE", "DAY_SECOND", "HOUR_MINUTE", "HOUR_SECOND",
+                 "MINUTE_SECOND", "SECOND_MICROSECOND", "MINUTE_MICROSECOND",
+                 "HOUR_MICROSECOND", "DAY_MICROSECOND"]
+
+
+@pytest.mark.parametrize("unit", EXTRACT_UNITS)
+def test_extract(unit, dtdata):
+    check(call("extract", lit(unit), col("ts")), dtdata)
+    if unit in ("YEAR", "MONTH", "WEEK", "DAY", "YEAR_MONTH", "QUARTER"):
+        check(call("extract", lit(unit), col("tn")), dtdata)
+
+
+# --- query clock family (engine-only: deterministic under query_clock) -------
+
+def test_now_family(dtdata):
+    import datetime as pydt
+    from tiflash_tpu.expr.compile import query_clock
+    _, block = dtdata
+    us = 1_700_000_123_456_789
+    with query_clock(us):
+        for fn in ("now", "current_timestamp", "sysdate", "utc_timestamp"):
+            c = evaluate_expr(call(fn), block)
+            vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+            assert vals[0] == pydt.datetime(1970, 1, 1) + pydt.timedelta(
+                microseconds=us)
+            assert len(set(vals)) == 1
+        c = evaluate_expr(call("curdate"), block)
+        vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+        assert vals[0] == (pydt.datetime(1970, 1, 1)
+                           + pydt.timedelta(microseconds=us)).date()
+        c = evaluate_expr(call("curtime"), block)
+        vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+        exp = (pydt.datetime(1970, 1, 1) + pydt.timedelta(microseconds=us))
+        assert vals[0] == exp.strftime("%H:%M:%S")
+        c = evaluate_expr(call("unix_timestamp"), block)
+        vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+        assert vals[0] == us // 1_000_000
+        # composable: NOW() comparisons against date columns
+        c = evaluate_expr(call("less", col("t"), call("curdate")), block)
+        assert c.dtype.kind is TypeKind.BOOL
+
+
+def test_get_format(dtdata):
+    _, block = dtdata
+    c = evaluate_expr(call("get_format", lit("DATE"), lit("USA")), block)
+    vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+    assert vals[0] == "%m.%d.%Y"
+    # usable as a date_format pattern
+    c = evaluate_expr(call("date_format", col("t"), lit("%m.%d.%Y")), block)
+    assert c.dtype.is_string
+
+
+def test_rand(dtdata):
+    _, block = dtdata
+    c1 = evaluate_expr(call("rand", lit(7)), block)
+    c2 = evaluate_expr(call("rand", lit(7)), block)
+    c3 = evaluate_expr(call("rand", lit(8)), block)
+    v1 = np.asarray(c1.data)
+    assert ((v1 >= 0) & (v1 < 1)).all()
+    assert np.array_equal(v1, np.asarray(c2.data))
+    assert not np.array_equal(v1, np.asarray(c3.data))
+    assert len(np.unique(v1)) > len(v1) // 2
+    from tiflash_tpu.expr.compile import query_clock
+    with query_clock(123_456_789):
+        c4 = evaluate_expr(call("rand"), block)
+        assert ((np.asarray(c4.data) >= 0) & (np.asarray(c4.data) < 1)).all()
+
+
+def test_adddate_interval_form(dtdata):
+    check(call("adddate", col("t"), lit(2), lit("MONTH")), dtdata)
+    check(call("subdate", col("ts"), lit(36), lit("HOUR")), dtdata)
+    check(call("adddate", col("t"), lit(9)), dtdata)  # 2-arg still days

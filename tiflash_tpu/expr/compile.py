@@ -41,6 +41,88 @@ from .nodes import Call, ColumnRef, Expr, Literal
 _ORDER_CMPS = {"less", "less_or_equals", "greater", "greater_or_equals"}
 _EQ_CMPS = {"equals", "not_equals"}
 
+# --- query-clock context ----------------------------------------------------
+# NOW()/CURDATE()/RAND() need one stable timestamp per query (the reference
+# pins it in the query Context at entry).  The executor sets this contextvar
+# around a run; unset, the wall clock is sampled once per evaluation.
+import contextvars as _cv
+import time as _time
+
+_QUERY_NOW_US: "_cv.ContextVar[Optional[int]]" = _cv.ContextVar(
+    "tiflash_query_now_us", default=None
+)
+
+
+def query_now_us() -> int:
+    v = _QUERY_NOW_US.get()
+    return int(_time.time() * 1_000_000) if v is None else int(v)
+
+
+class query_clock:
+    """``with query_clock(us):`` — pin NOW()/RAND() for the scope."""
+
+    def __init__(self, us: int):
+        self.us = int(us)
+
+    def __enter__(self):
+        self._tok = _QUERY_NOW_US.set(self.us)
+        return self
+
+    def __exit__(self, *exc):
+        _QUERY_NOW_US.reset(self._tok)
+        return False
+
+
+_DATE_ADD_UNITS = {
+    "DAY": "days", "WEEK": "weeks", "MONTH": "months", "QUARTER": "quarters",
+    "YEAR": "years", "HOUR": "hours", "MINUTE": "minutes",
+    "SECOND": "seconds", "MICROSECOND": "microseconds",
+}
+
+# EXTRACT composite units: list of (part-fn, decimal weight) summed up
+_EXTRACT_PARTS = {
+    "YEAR": [("year", 1)],
+    "QUARTER": [("quarter", 1)],
+    "MONTH": [("month", 1)],
+    "WEEK": [("week", 1)],
+    "DAY": [("day_of_month", 1)],
+    "HOUR": [("hour", 1)],
+    "MINUTE": [("minute", 1)],
+    "SECOND": [("second", 1)],
+    "MICROSECOND": [("microsecond", 1)],
+    "YEAR_MONTH": [("year", 100), ("month", 1)],
+    "DAY_HOUR": [("day_of_month", 100), ("hour", 1)],
+    "DAY_MINUTE": [("day_of_month", 10_000), ("hour", 100), ("minute", 1)],
+    "DAY_SECOND": [("day_of_month", 1_000_000), ("hour", 10_000),
+                   ("minute", 100), ("second", 1)],
+    "HOUR_MINUTE": [("hour", 100), ("minute", 1)],
+    "HOUR_SECOND": [("hour", 10_000), ("minute", 100), ("second", 1)],
+    "MINUTE_SECOND": [("minute", 100), ("second", 1)],
+    "SECOND_MICROSECOND": [("second", 1_000_000), ("microsecond", 1)],
+    "MINUTE_MICROSECOND": [("minute", 100_000_000),
+                           ("second", 1_000_000), ("microsecond", 1)],
+    "HOUR_MICROSECOND": [("hour", 10_000_000_000), ("minute", 100_000_000),
+                         ("second", 1_000_000), ("microsecond", 1)],
+    "DAY_MICROSECOND": [("day_of_month", 1_000_000_000_000),
+                        ("hour", 10_000_000_000), ("minute", 100_000_000),
+                        ("second", 1_000_000), ("microsecond", 1)],
+}
+
+# MySQL GET_FORMAT table
+_GET_FORMAT = {
+    ("DATE", "USA"): "%m.%d.%Y", ("DATE", "JIS"): "%Y-%m-%d",
+    ("DATE", "ISO"): "%Y-%m-%d", ("DATE", "EUR"): "%d.%m.%Y",
+    ("DATE", "INTERNAL"): "%Y%m%d",
+    ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+    ("TIME", "USA"): "%h:%i:%s %p", ("TIME", "JIS"): "%H:%i:%s",
+    ("TIME", "ISO"): "%H:%i:%s", ("TIME", "EUR"): "%H.%i.%s",
+    ("TIME", "INTERNAL"): "%H%i%s",
+}
+
 
 def infer_literal_dtype(value) -> DataType:
     if isinstance(value, bool):
@@ -192,6 +274,11 @@ class ExprEvaluator:
     def _call(self, call: Call) -> Column:
         from .functions import _ALIASES
 
+        # ADDDATE(d, INTERVAL n unit) 3-arg form == DATE_ADD (the 2-arg
+        # form aliases to date_add_days below)
+        if call.func in ("adddate", "subdate") and len(call.args) == 3:
+            call = Call("date_add" if call.func == "adddate" else "date_sub",
+                        call.args)
         name = _ALIASES.get(call.func, call.func)
         if name != call.func:
             call = Call(name, call.args)
@@ -211,6 +298,65 @@ class ExprEvaluator:
             return self._timestampdiff(call)
         if name == "date_format":
             return self._date_format(call)
+        if name in ("date_add", "date_sub"):
+            unit_expr = call.args[2]
+            assert isinstance(unit_expr, Literal), "DATE_ADD unit must be a literal"
+            unit = str(unit_expr.value).upper()
+            if unit in _DATE_ADD_UNITS:
+                return self._call(Call(f"{name}_{_DATE_ADD_UNITS[unit]}",
+                                       call.args[:2]))
+            raise ValueError(f"unsupported {name} unit {unit!r}")
+        if name == "extract":
+            unit_expr = call.args[0]
+            assert isinstance(unit_expr, Literal), "EXTRACT unit must be a literal"
+            parts = _EXTRACT_PARTS.get(str(unit_expr.value).upper())
+            if parts is None:
+                raise ValueError(f"unsupported EXTRACT unit {unit_expr.value!r}")
+            acc = None
+            for part_fn, weight in parts:
+                term = Call(part_fn, (call.args[1],))
+                if weight != 1:
+                    term = Call("multiply", (term, Literal(weight)))
+                acc = term if acc is None else Call("plus", (acc, term))
+            return self._call(acc)
+        if name in ("now", "current_timestamp", "sysdate", "utc_timestamp",
+                    "localtime", "localtimestamp"):
+            us = query_now_us()
+            return Column(jnp.full(self.n, us, dtype=jnp.int64), None,
+                          DataType(TypeKind.DATETIME))
+        if name in ("curdate", "current_date", "utc_date"):
+            days = query_now_us() // 86_400_000_000
+            return Column(jnp.full(self.n, days, dtype=jnp.int32), None,
+                          DataType(TypeKind.DATE))
+        if name in ("curtime", "current_time", "utc_time"):
+            us = query_now_us()
+            tod = us % 86_400_000_000
+            hh, rem = divmod(tod // 1_000_000, 3600)
+            return self._encode_string_literal(
+                "%02d:%02d:%02d" % (hh, rem // 60, rem % 60), None)
+        if name == "unix_timestamp" and not call.args:
+            return Column(
+                jnp.full(self.n, query_now_us() // 1_000_000, dtype=jnp.int64),
+                None, DataType(TypeKind.INT64))
+        if name == "get_format":
+            t = str(call.args[0].value).upper()
+            loc = str(call.args[1].value).upper()
+            fmt = _GET_FORMAT.get((t, loc))
+            if fmt is None:
+                raise ValueError(f"GET_FORMAT({t}, {loc}) unsupported")
+            return self._encode_string_literal(fmt, None)
+        if name == "rand":
+            import jax as _jax
+
+            if call.args:
+                seed_expr = call.args[0]
+                assert isinstance(seed_expr, Literal), "RAND seed must be a literal"
+                seed = int(seed_expr.value)
+            else:
+                seed = query_now_us() & 0x7FFFFFFF
+            key = _jax.random.PRNGKey(seed)
+            data = _jax.random.uniform(key, (self.n,), dtype=jnp.float64)
+            return Column(data, None, DataType(TypeKind.FLOAT64))
         if name in _STRING_DATE_TRANSFORMS:
             st = self._maybe_string_date_transform(call)
             if st is not None:

@@ -1020,29 +1020,30 @@ def _days_from_civil(y, m, d):
     return era * 146097 + doe - 719468
 
 
-@register("date_add_days")
-def _date_add_days():
-    def infer(ts):
-        return DataType(TypeKind.DATE, ts[0].nullable or ts[1].nullable)
+def _register_add_days(name: str, sign: int):
+    """ADDDATE/SUBDATE day shift; preserves DATETIME time-of-day (TiDB:
+    ADDDATE(datetime, n) stays DATETIME)."""
 
-    def evaluate(cols, out):
-        a, b = cols
-        days = _date_days(a) + b.data.astype(jnp.int64)
-        return Column(days.astype(jnp.int32), _and_validity(cols), out)
+    def factory():
+        def infer(ts):
+            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
 
-    return infer, evaluate
+        def evaluate(cols, out):
+            a, b = cols
+            shift = b.data.astype(jnp.int64) * sign
+            if a.dtype.kind is TypeKind.DATETIME:
+                us = a.data.astype(jnp.int64) + shift * 86_400_000_000
+                return Column(us, _and_validity(cols), out)
+            days = _date_days(a) + shift
+            return Column(days.astype(jnp.int32), _and_validity(cols), out)
+
+        return infer, evaluate
+
+    register(name)(factory)
 
 
-@register("date_sub_days")
-def _date_sub_days():
-    infer = REGISTRY["date_add_days"].infer
-
-    def evaluate(cols, out):
-        a, b = cols
-        days = _date_days(a) - b.data.astype(jnp.int64)
-        return Column(days.astype(jnp.int32), _and_validity(cols), out)
-
-    return infer, evaluate
+_register_add_days("date_add_days", 1)
+_register_add_days("date_sub_days", -1)
 
 
 @register("datediff")
@@ -1352,6 +1353,63 @@ _register_add_months("date_add_months", 1, 1)
 _register_add_months("date_sub_months", -1, 1)
 _register_add_months("date_add_years", 1, 12)
 _register_add_months("date_sub_years", -1, 12)
+_register_add_months("date_add_quarters", 1, 3)
+_register_add_months("date_sub_quarters", -1, 3)
+
+
+def _register_day_shift(name: str, sign: int, unit_days: int):
+    """Day-granular DATE_ADD/SUB units (DAY handled by date_add_days for
+    compatibility; WEEK here).  Preserves DATETIME time-of-day."""
+
+    def factory():
+        def infer(ts):
+            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
+
+        def evaluate(cols, out):
+            a, n = cols
+            shift = n.data.astype(jnp.int64) * (sign * unit_days)
+            if a.dtype.kind is TypeKind.DATETIME:
+                us = a.data.astype(jnp.int64) + shift * 86_400_000_000
+                return Column(us, _and_validity(cols), out)
+            days = _date_days(a) + shift
+            return Column(days.astype(jnp.int32), _and_validity(cols), out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_day_shift("date_add_weeks", 1, 7)
+_register_day_shift("date_sub_weeks", -1, 7)
+
+
+def _register_us_shift(name: str, sign: int, unit_us: int):
+    """Sub-day DATE_ADD/SUB units: result is always DATETIME (TiDB: a
+    DATE plus an hour-or-finer interval becomes DATETIME; reference
+    FunctionsDateTime addHours/... sig family)."""
+
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.DATETIME, ts[0].nullable or ts[1].nullable)
+
+        def evaluate(cols, out):
+            a, n = cols
+            if a.dtype.kind is TypeKind.DATETIME:
+                base = a.data.astype(jnp.int64)
+            else:
+                base = _date_days(a) * 86_400_000_000
+            us = base + n.data.astype(jnp.int64) * (sign * unit_us)
+            return Column(us, _and_validity(cols), out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+for _u, _n in (("hours", 3_600_000_000), ("minutes", 60_000_000),
+               ("seconds", 1_000_000), ("microseconds", 1)):
+    _register_us_shift(f"date_add_{_u}", 1, _n)
+    _register_us_shift(f"date_sub_{_u}", -1, _n)
 
 
 @register("bit_count")

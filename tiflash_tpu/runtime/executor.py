@@ -197,8 +197,12 @@ class QueryRunner:
 
     def run(self, tables: Dict[str, Block]) -> Tuple[Block, ExecutionSummary]:
         from .cancel import cancel_scope
+        from ..expr.compile import query_clock, query_now_us
 
-        with cancel_scope(self.cancel):
+        # pin the query clock once so NOW()/CURDATE()/RAND() agree across
+        # fragments and capacity retries (reference: timestamp fixed in the
+        # query Context at entry, ``Interpreters/Context.h``)
+        with cancel_scope(self.cancel), query_clock(query_now_us()):
             return self._run_cancellable(tables)
 
     def _run_cancellable(self, tables) -> Tuple[Block, ExecutionSummary]:

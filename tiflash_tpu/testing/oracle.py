@@ -200,6 +200,41 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         sep = args[0].value
         pieces = [eval_expr_row(a, row) for a in args[1:]]
         return str(sep).join(str(p) for p in pieces if p is not None)
+    if f == "extract":
+        unit = str(args[0].value).upper()
+        d0 = eval_expr_row(args[1], row)
+        if d0 is None:
+            return None
+        if unit == "WEEK":
+            return eval_expr_row(Call("week", (args[1],)), row)
+        dtv = d0 if isinstance(d0, datetime.datetime) else \
+            datetime.datetime(d0.year, d0.month, d0.day)
+        part = {
+            "YEAR": dtv.year, "QUARTER": (dtv.month + 2) // 3,
+            "MONTH": dtv.month, "DAY": dtv.day, "HOUR": dtv.hour,
+            "MINUTE": dtv.minute, "SECOND": dtv.second,
+            "MICROSECOND": dtv.microsecond,
+            "YEAR_MONTH": dtv.year * 100 + dtv.month,
+            "DAY_HOUR": dtv.day * 100 + dtv.hour,
+            "DAY_MINUTE": dtv.day * 10_000 + dtv.hour * 100 + dtv.minute,
+            "DAY_SECOND": dtv.day * 1_000_000 + dtv.hour * 10_000
+            + dtv.minute * 100 + dtv.second,
+            "HOUR_MINUTE": dtv.hour * 100 + dtv.minute,
+            "HOUR_SECOND": dtv.hour * 10_000 + dtv.minute * 100 + dtv.second,
+            "MINUTE_SECOND": dtv.minute * 100 + dtv.second,
+            "SECOND_MICROSECOND": dtv.second * 1_000_000 + dtv.microsecond,
+            "MINUTE_MICROSECOND": dtv.minute * 100_000_000
+            + dtv.second * 1_000_000 + dtv.microsecond,
+            "HOUR_MICROSECOND": dtv.hour * 10_000_000_000
+            + dtv.minute * 100_000_000 + dtv.second * 1_000_000
+            + dtv.microsecond,
+            "DAY_MICROSECOND": dtv.day * 1_000_000_000_000
+            + dtv.hour * 10_000_000_000 + dtv.minute * 100_000_000
+            + dtv.second * 1_000_000 + dtv.microsecond,
+        }.get(unit)
+        if part is None:
+            raise KeyError(f"oracle: EXTRACT unit {unit}")
+        return part
     if f == "timestampdiff":
         unit = str(args[0].value).upper()
         A = eval_expr_row(args[1], row)
@@ -213,6 +248,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return None
         return _oracle_date_format(d0, str(args[1].value))
     # TiDB-name aliases the engine resolves in its compiler
+    if f in ("adddate", "subdate") and len(args) == 3:
+        f = "date_add" if f == "adddate" else "date_sub"
     f = {"adddate": "date_add_days", "subdate": "date_sub_days",
          "add_months": "date_add_months", "bit_neg": "bit_not",
          "json_array_length": "json_length", "sha": "sha1",
@@ -391,9 +428,37 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return (t // 12) * 100 + t % 12 + 1
         return months_of(a) - months_of(b)
     if f in ("date_add_months", "date_sub_months",
-             "date_add_years", "date_sub_years"):
-        n = int(b) * (12 if "years" in f else 1) * (-1 if "sub" in f else 1)
+             "date_add_years", "date_sub_years",
+             "date_add_quarters", "date_sub_quarters"):
+        n = int(b) * (12 if "years" in f else 3 if "quarters" in f else 1) \
+            * (-1 if "sub" in f else 1)
         return _oracle_add_months(a, n)
+    if f in ("date_add_weeks", "date_sub_weeks"):
+        return a + datetime.timedelta(weeks=int(b) * (-1 if "sub" in f else 1))
+    if f.startswith(("date_add_", "date_sub_")) and f.split("_")[-1] in (
+            "hours", "minutes", "seconds", "microseconds"):
+        unit = f.split("_")[-1]
+        mult = {"hours": 3_600_000_000, "minutes": 60_000_000,
+                "seconds": 1_000_000, "microseconds": 1}[unit]
+        base = a if isinstance(a, datetime.datetime) else \
+            datetime.datetime(a.year, a.month, a.day)
+        n = int(b) * (-1 if "sub" in f else 1)
+        return base + datetime.timedelta(microseconds=n * mult)
+    if f in ("date_add", "date_sub"):
+        unit = str(vals[2]).upper()
+        n = int(b) * (-1 if f == "date_sub" else 1)
+        if unit == "DAY":
+            return a + datetime.timedelta(days=n)
+        if unit == "WEEK":
+            return a + datetime.timedelta(weeks=n)
+        if unit in ("MONTH", "QUARTER", "YEAR"):
+            return _oracle_add_months(
+                a, n * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit])
+        mult = {"HOUR": 3_600_000_000, "MINUTE": 60_000_000,
+                "SECOND": 1_000_000, "MICROSECOND": 1}[unit]
+        base = a if isinstance(a, datetime.datetime) else \
+            datetime.datetime(a.year, a.month, a.day)
+        return base + datetime.timedelta(microseconds=n * mult)
     if f == "bit_count":
         return bin(int(a) & ((1 << 64) - 1)).count("1")
     if f == "xor":
