@@ -226,3 +226,47 @@ def test_adddate_interval_form(dtdata):
     check(call("adddate", col("t"), lit(2), lit("MONTH")), dtdata)
     check(call("subdate", col("ts"), lit(36), lit("HOUR")), dtdata)
     check(call("adddate", col("t"), lit(9)), dtdata)  # 2-arg still days
+
+
+# --- grouping() family over Expand gids --------------------------------------
+
+def test_grouping_functions():
+    """GROUPING over an Expand gid column, checked against the plan oracle
+    (reference Functions/FunctionsGrouping.h three modes)."""
+    import tiflash_tpu.plan.nodes as P
+    from tiflash_tpu.plan.compiler import compile_fragment
+    from tiflash_tpu.testing.plan_oracle import execute_plan_oracle
+
+    rng = np.random.default_rng(3)
+    schema = {"a": dt.STRING, "b": dt.INT32, "v": dt.INT64}
+    t = O.random_pytable(rng, 80, schema, null_prob=0)
+    blocks = {"t": O.pytable_to_block(t, schema)}
+    # ROLLUP(a, b): sets {(a,b)=1, (a)=2, ()=3}; b aggregated for gid>=2,
+    # a aggregated for gid==3
+    plan = P.Projection(
+        {"a": col("a"), "b": col("b"), "v": col("v"),
+         "ga": call("grouping", col("groupingID"), lit(1), lit(2)),
+         "gb": call("grouping", col("groupingID"), lit(1)),
+         "cmp": call("grouping_cmp", col("groupingID"), lit(1), lit(2)),
+         "bits": call("grouping_bit_and", col("groupingID"), lit(1), lit(2))},
+        P.Expand([["a", "b"], ["a"], []], P.TableScan("t")),
+    )
+    out, ov = compile_fragment(plan)(blocks)
+    assert all(int(np.asarray(v)) == 0 for v in ov.values())
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, {"t": t})
+    O.assert_tables_equal(got, want)
+    # spot semantics: gid 1 (full set) -> nothing aggregated
+    for ga, gb in zip(got["ga"], got["gb"]):
+        assert ga in (0, 1) and gb in (0, 1)
+
+
+# --- JSON construction -------------------------------------------------------
+
+def test_json_build(data):
+    check(call("json_array", lit(1), col("s"), lit(None), lit(2.5)), data)
+    check(call("json_array", col("s")), data)
+    check(call("json_object", lit("k"), col("s"), lit("n"), lit(7)), data)
+    check(call("json_object", lit("a"), lit(1)), data)
+    # composable with json functions
+    check(call("json_length", call("json_array", lit(1), col("s"))), data)

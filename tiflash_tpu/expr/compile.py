@@ -298,6 +298,8 @@ class ExprEvaluator:
             return self._timestampdiff(call)
         if name == "date_format":
             return self._date_format(call)
+        if name in ("json_array", "json_object"):
+            return self._json_build(call)
         if name in ("date_add", "date_sub"):
             unit_expr = call.args[2]
             assert isinstance(unit_expr, Literal), "DATE_ADD unit must be a literal"
@@ -706,6 +708,49 @@ class ExprEvaluator:
             nullable = True
         return Column(data, validity,
                       STRING.with_nullable(nullable), new_dict)
+
+    def _json_build(self, call: Call) -> Column:
+        """JSON_ARRAY / JSON_OBJECT with literal args and at most one
+        string column (dictionary LUT; reference json_array/json_object
+        sigs).  A JSON scalar arg that is itself valid JSON text is kept
+        raw when it came from a json-producing expression is out of
+        scope — string values are quoted, ints/floats/bools inlined,
+        literal None becomes JSON null."""
+        from .regexp_json import json_dumps_mysql
+
+        args = call.args
+        col_idx = [i for i, a in enumerate(args) if not isinstance(a, Literal)]
+
+        def build(values):
+            if call.func == "json_array":
+                doc = list(values)
+            else:
+                if len(values) % 2:
+                    raise ValueError("JSON_OBJECT needs key/value pairs")
+                doc = {str(values[i]): values[i + 1]
+                       for i in range(0, len(values), 2)}
+            return json_dumps_mysql(doc)
+
+        if not col_idx:
+            return self._encode_string_literal(
+                build([a.value for a in args]), None)
+        if len(col_idx) != 1:
+            raise ValueError(
+                f"{call.func} supports at most one non-literal argument")
+        i = col_idx[0]
+        target = self.evaluate(args[i])
+        if not target.dtype.is_string:
+            raise ValueError(f"{call.func} column argument must be a string")
+        from .functions import _map_string_to_string
+
+        lits = [a.value if isinstance(a, Literal) else None for a in args]
+
+        def fn(s):
+            vals = list(lits)
+            vals[i] = s
+            return build(vals)
+
+        return _map_string_to_string(target, fn)
 
     def _like(self, call: Call, ci: bool = False) -> Column:
         """LIKE/ILIKE pattern matching via host-side dictionary LUT.

@@ -521,6 +521,53 @@ for _op in ("equals", "not_equals", "less", "less_or_equals", "greater", "greate
     register(_op)(lambda _op=_op: (_cmp_infer, _cmp_eval(_op)))
 
 
+def _register_grouping(name: str, per_mark):
+    """GROUPING() over the Expand gid column (reference
+    ``Functions/FunctionsGrouping.h``: ModeBitAnd / ModeNumericCmp).  Args
+    after the gid column are the per-column grouping marks; result packs
+    one bit per mark (1 = the column is aggregated / NULL-filled)."""
+
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.INT64, False)
+
+        def evaluate(cols, out):
+            gid = cols[0].data.astype(jnp.int64)
+            res = jnp.zeros_like(gid)
+            for c in cols[1:]:
+                m = c.data.astype(jnp.int64)
+                res = res * 2 + per_mark(gid, m).astype(jnp.int64)
+            return Column(res, None, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_grouping("grouping_bit_and", lambda gid, m: (gid & m) == 0)
+_register_grouping("grouping_cmp", lambda gid, m: gid <= m)
+
+
+@register("grouping")
+def _grouping():
+    """Single-mark ModeNumericSet form (``FunctionsGrouping.h``
+    ``groupingImplModeNumericSet``): 1 when the gid is NOT in the set of
+    grouping ids where the column is materialized — the natural pairing
+    with ``ops/expand.py``'s 1-based sequential ids."""
+
+    def infer(ts):
+        return DataType(TypeKind.INT64, False)
+
+    def evaluate(cols, out):
+        gid = cols[0].data.astype(jnp.int64)
+        member = jnp.zeros(gid.shape, dtype=jnp.bool_)
+        for c in cols[1:]:
+            member = member | (gid == c.data.astype(jnp.int64))
+        return Column((~member).astype(jnp.int64), None, out)
+
+    return infer, evaluate
+
+
 @register("null_eq")
 def _null_eq():
     """MySQL ``<=>`` (NULL-safe equals; reference tidbNullEQ sig,

@@ -200,6 +200,19 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         sep = args[0].value
         pieces = [eval_expr_row(a, row) for a in args[1:]]
         return str(sep).join(str(p) for p in pieces if p is not None)
+    if f in ("json_array", "json_object"):
+        vs = []
+        for a2 in args:
+            v = eval_expr_row(a2, row)
+            if v is None and not isinstance(a2, Literal):
+                return None  # NULL column row -> NULL (LUT-family rule)
+            vs.append(v)
+        if f == "json_array":
+            doc = vs
+        else:
+            doc = {str(vs[i]): vs[i + 1] for i in range(0, len(vs), 2)}
+        import json as _json
+        return _json.dumps(doc, separators=(", ", ": "), ensure_ascii=False)
     if f == "extract":
         unit = str(args[0].value).upper()
         d0 = eval_expr_row(args[1], row)
@@ -459,6 +472,15 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         base = a if isinstance(a, datetime.datetime) else \
             datetime.datetime(a.year, a.month, a.day)
         return base + datetime.timedelta(microseconds=n * mult)
+    if f == "grouping":
+        return int(all(int(a) != int(v) for v in vals[1:]))
+    if f in ("grouping_bit_and", "grouping_cmp"):
+        res = 0
+        for v in vals[1:]:
+            res = res * 2 + (
+                (int(a) & int(v)) == 0 if f == "grouping_bit_and"
+                else int(a) <= int(v))
+        return res
     if f == "bit_count":
         return bin(int(a) & ((1 << 64) - 1)).count("1")
     if f == "xor":
