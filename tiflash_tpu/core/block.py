@@ -140,6 +140,17 @@ class Column:
                 data = data[sel]
                 valid = None if valid is None else valid[sel]
             return wide_to_host_ints(data, valid)
+        if self.dtype.is_vector and data.ndim == 2:
+            valid = (
+                np.ones(data.shape[0], dtype=bool)
+                if self.validity is None
+                else np.asarray(self.validity)
+            )
+            if sel is not None:
+                data = data[sel]
+                valid = valid[sel]
+            return [tuple(row) if ok else None
+                    for row, ok in zip(data.tolist(), valid.tolist())]
         if data.ndim == 2:
             # group_concat column: join each row's valid dictionary items
             sep = self.concat_sep if self.concat_sep is not None else ","
@@ -198,6 +209,18 @@ def column_from_numpy(
 ) -> Column:
     """Build a device Column from host data.  For STRING dtype, ``values``
     are python strings and get dictionary-encoded here."""
+    if dtype.is_vector:
+        dims = dtype.precision
+        rows = [np.zeros(dims, dtype=np.float32) if v is None
+                else np.asarray(v, dtype=np.float32) for v in values]
+        data = jnp.asarray(np.stack(rows)) if rows else \
+            jnp.zeros((0, dims), dtype=jnp.float32)
+        v = None
+        if validity is not None:
+            v = jnp.asarray(np.asarray(validity, dtype=bool))
+        elif any(x is None for x in values):
+            v = jnp.asarray(np.array([x is not None for x in values]))
+        return Column(data=data, validity=v, dtype=dtype)
     if dtype.is_string:
         # Order-preserving dictionary: codes are ranks in the sorted set of
         # distinct strings, so integer comparisons on codes == binary-collation

@@ -45,6 +45,7 @@ class TypeKind(enum.Enum):
     DATE = "date"  # int32 days since 1970-01-01
     DATETIME = "datetime"  # int64 microseconds since epoch
     STRING = "string"  # int32 dictionary codes
+    VECTOR = "vector"  # (n, dims) float32 rows (TiDB VECTOR Float32)
 
 
 _PHYSICAL = {
@@ -62,6 +63,7 @@ _PHYSICAL = {
     TypeKind.DATE: np.int32,
     TypeKind.DATETIME: np.int64,
     TypeKind.STRING: np.int32,
+    TypeKind.VECTOR: np.float32,
 }
 
 _INTEGER_KINDS = {
@@ -125,6 +127,14 @@ class DataType:
         return self.kind is TypeKind.STRING
 
     @property
+    def is_vector(self) -> bool:
+        """TiDB VECTOR Float32 (reference ``cast_vector_float32_*`` sigs,
+        ``VectorSearch/``); ``precision`` holds the dimension count and
+        column data is (n, dims) float32 — a layout the MXU consumes
+        directly for distance matmuls."""
+        return self.kind is TypeKind.VECTOR
+
+    @property
     def is_temporal(self) -> bool:
         return self.kind in (TypeKind.DATE, TypeKind.DATETIME)
 
@@ -134,6 +144,8 @@ class DataType:
     def __repr__(self) -> str:  # compact, e.g. Decimal(15,2)? / i64
         if self.kind is TypeKind.DECIMAL:
             base = f"Decimal({self.precision},{self.scale})"
+        elif self.kind is TypeKind.VECTOR:
+            base = f"Vector({self.precision})"
         else:
             base = self.kind.value
         return base + ("?" if self.nullable else "")
@@ -154,6 +166,15 @@ BOOL = DataType(TypeKind.BOOL)
 DATE = DataType(TypeKind.DATE)
 DATETIME = DataType(TypeKind.DATETIME)
 STRING = DataType(TypeKind.STRING)
+
+
+def Vector(dims: int, nullable: bool = False) -> DataType:
+    """VECTOR Float32 with a fixed dimension count (TiDB vector columns
+    are per-column fixed-dims in practice; fixed dims is what makes the
+    TPU layout shape-static)."""
+    if dims <= 0:
+        raise ValueError("vector dims must be positive")
+    return DataType(TypeKind.VECTOR, nullable=nullable, precision=dims)
 
 
 def Decimal(precision: int, scale: int, nullable: bool = False) -> DataType:
@@ -189,6 +210,7 @@ __all__ = [
     "TypeKind",
     "DataType",
     "Decimal",
+    "Vector",
     "INT8",
     "INT16",
     "INT32",

@@ -135,6 +135,10 @@ def infer_literal_dtype(value) -> DataType:
         return STRING
     if isinstance(value, (datetime.date, datetime.datetime)):
         return DATE
+    if isinstance(value, (list, tuple)):
+        from ..core.dtypes import Vector
+
+        return Vector(len(value))
     raise TypeError(f"cannot infer literal type for {value!r}")
 
 
@@ -194,6 +198,13 @@ class ExprEvaluator:
                 jnp.zeros(self.n, dtype=jnp.bool_),
                 dt,
             )
+        if isinstance(value, (list, tuple)):
+            # literal query vector: constant row broadcast (XLA folds it)
+            from ..core.dtypes import Vector
+
+            vec = jnp.asarray(np.asarray(value, dtype=np.float32))
+            data = jnp.broadcast_to(vec[None, :], (self.n, vec.shape[0]))
+            return Column(data, None, Vector(len(value)))
         dt = lit.dtype or infer_literal_dtype(value)
         # contextual re-typing against the other operand
         if context is not None:

@@ -521,6 +521,91 @@ for _op in ("equals", "not_equals", "less", "less_or_equals", "greater", "greate
     register(_op)(lambda _op=_op: (_cmp_infer, _cmp_eval(_op)))
 
 
+# ---------------------------------------------------------------------------
+# vector distance family (reference vecL2Distance/... sigs in
+# Flash/Coprocessor/DAGUtils.cpp and TiFlash VectorSearch/; columns are
+# (n, dims) float32 rows so per-row distances are VPU reductions and the
+# batch ANN form (ops/vector.py) is one MXU matmul)
+# ---------------------------------------------------------------------------
+
+def _register_vec_distance(name: str, fn, guard=None):
+    def factory():
+        def infer(ts):
+            if not (ts[0].is_vector and ts[1].is_vector):
+                raise TypeError(f"{name} needs two vector arguments")
+            if ts[0].precision != ts[1].precision:
+                raise ValueError(
+                    f"{name}: dimension mismatch "
+                    f"{ts[0].precision} vs {ts[1].precision}")
+            nullable = ts[0].nullable or ts[1].nullable or guard is not None
+            return DataType(TypeKind.FLOAT64, nullable)
+
+        def evaluate(cols, out):
+            a, b = cols
+            x = a.data.astype(jnp.float32)
+            y = b.data.astype(jnp.float32)
+            data = fn(x, y).astype(jnp.float64)
+            validity = _and_validity(cols)
+            if guard is not None:
+                ok = guard(x, y)
+                validity = ok if validity is None else (validity & ok)
+            return Column(data, validity, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_vec_distance(
+    "vec_l2_distance",
+    lambda x, y: jnp.sqrt(jnp.sum((x - y) ** 2, axis=1)))
+_register_vec_distance(
+    "vec_l1_distance",
+    lambda x, y: jnp.sum(jnp.abs(x - y), axis=1))
+_register_vec_distance(
+    "vec_negative_inner_product",
+    lambda x, y: -jnp.sum(x * y, axis=1))
+_register_vec_distance(
+    "vec_cosine_distance",
+    lambda x, y: 1.0 - jnp.sum(x * y, axis=1) / jnp.maximum(
+        jnp.sqrt(jnp.sum(x * x, axis=1)) * jnp.sqrt(jnp.sum(y * y, axis=1)),
+        jnp.float32(1e-30)),
+    # zero-norm operand -> NULL (TiDB: cosine distance undefined)
+    guard=lambda x, y: (jnp.sum(x * x, axis=1) > 0)
+    & (jnp.sum(y * y, axis=1) > 0))
+
+
+@register("vec_l2_norm")
+def _vec_l2_norm():
+    def infer(ts):
+        if not ts[0].is_vector:
+            raise TypeError("vec_l2_norm needs a vector argument")
+        return DataType(TypeKind.FLOAT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        x = a.data.astype(jnp.float32)
+        return Column(jnp.sqrt(jnp.sum(x * x, axis=1)).astype(jnp.float64),
+                      a.validity, out)
+
+    return infer, evaluate
+
+
+@register("vec_dims")
+def _vec_dims():
+    def infer(ts):
+        if not ts[0].is_vector:
+            raise TypeError("vec_dims needs a vector argument")
+        return DataType(TypeKind.INT64, ts[0].nullable)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        dims = jnp.full(a.data.shape[0], a.data.shape[1], dtype=jnp.int64)
+        return Column(dims, a.validity, out)
+
+    return infer, evaluate
+
+
 def _register_grouping(name: str, per_mark):
     """GROUPING() over the Expand gid column (reference
     ``Functions/FunctionsGrouping.h``: ModeBitAnd / ModeNumericCmp).  Args

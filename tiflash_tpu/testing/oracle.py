@@ -472,6 +472,28 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         base = a if isinstance(a, datetime.datetime) else \
             datetime.datetime(a.year, a.month, a.day)
         return base + datetime.timedelta(microseconds=n * mult)
+    if f.startswith("vec_"):
+        va = [float(x) for x in a]
+        if f == "vec_dims":
+            return len(va)
+        if f == "vec_l2_norm":
+            return math.sqrt(sum(x * x for x in va))
+        vb = [float(x) for x in b]
+        if len(va) != len(vb):
+            raise ValueError("oracle: vector dims mismatch")
+        if f == "vec_l2_distance":
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(va, vb)))
+        if f == "vec_l1_distance":
+            return sum(abs(x - y) for x, y in zip(va, vb))
+        if f == "vec_negative_inner_product":
+            return -sum(x * y for x, y in zip(va, vb))
+        if f == "vec_cosine_distance":
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(y * y for y in vb))
+            if na == 0 or nb == 0:
+                return None
+            return 1.0 - sum(x * y for x, y in zip(va, vb)) / (na * nb)
+        raise KeyError(f"oracle: vector function {f}")
     if f == "grouping":
         return int(all(int(a) != int(v) for v in vals[1:]))
     if f in ("grouping_bit_and", "grouping_cmp"):
@@ -1532,6 +1554,10 @@ def random_pytable(
                 continue
             if dt.is_string:
                 vals.append(str(rng.choice(list(str_pool))))
+            elif dt.is_vector:
+                vals.append(tuple(
+                    float(np.round(x, 3))
+                    for x in rng.normal(size=dt.precision)))
             elif dt.is_decimal:
                 q = D(1).scaleb(-dt.scale)
                 vals.append(D(int(rng.integers(*int_range))) * q)
@@ -1562,8 +1588,8 @@ def pytable_to_block(table: PyTable, schema: Dict[str, DataType]) -> Block:
     for name, dt in schema.items():
         vals = table[name]
         validity = [v is not None for v in vals] if dt.nullable else None
-        if dt.is_string:
-            cols[name] = column_from_numpy(vals, dt)
+        if dt.is_string or dt.is_vector:
+            cols[name] = column_from_numpy(vals, dt, validity)
         else:
             conv = []
             for v in vals:
