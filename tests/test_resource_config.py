@@ -165,3 +165,115 @@ def test_settings_skew_knobs_flow_to_plan():
     s = Settings(skew_hot_keys=7, skew_sample_per_device=99)
     cfg = AutoPlanConfig.from_settings(s)
     assert cfg.skew_hot_keys == 7 and cfg.skew_sample_per_device == 99
+
+
+def test_max_execution_time_setting():
+    """max_execution_time analog: deadline fires at a cancellation
+    checkpoint (here: inside a paused failpoint)."""
+    from tiflash_tpu.runtime.cancel import QueryTimeout
+    from tiflash_tpu.runtime.failpoint import FailPoint
+
+    t = {"k": list(range(100))}
+    blocks = {"t": O.pytable_to_block(t, {"k": dt.INT64})}
+    FailPoint.enable("exception_before_fragment_run", pause=True)
+    try:
+        t0 = time.time()
+        with pytest.raises(QueryTimeout):
+            run_query(P.TableScan("t"), blocks,
+                      settings=Settings(max_execution_time_ms=200))
+        assert time.time() - t0 < 10
+    finally:
+        FailPoint.disable_all()
+    # without the limit the same plan runs fine
+    out, _ = run_query(P.TableScan("t"), blocks, settings=Settings())
+    assert out.capacity == 100
+
+
+def test_query_timestamp_setting():
+    """query_timestamp_us pins the query clock for reproducible NOW()."""
+    import datetime as pydt
+
+    from tiflash_tpu.expr.nodes import call, col
+
+    t = {"k": [1, 2, 3]}
+    blocks = {"t": O.pytable_to_block(t, {"k": dt.INT64})}
+    us = 1_600_000_000_000_000
+    plan = P.Projection({"k": col("k"), "now": call("now")}, P.TableScan("t"))
+    out, _ = run_query(plan, blocks,
+                       settings=Settings(query_timestamp_us=us))
+    vals = O.block_to_pytable(out)["now"]
+    assert vals[0] == pydt.datetime(1970, 1, 1) + pydt.timedelta(
+        microseconds=us)
+
+
+def test_enable_spill_off_raises():
+    """enable_spill=False turns the out-of-core fallback into a hard
+    memory error (the reference's enable_spill switch)."""
+    from tiflash_tpu.expr.nodes import col
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.runtime.memory import MemoryLimitError
+
+    rng = np.random.default_rng(11)
+    t = {"g": [int(x) for x in rng.integers(0, 8, 30_000)],
+         "v": [int(x) for x in rng.integers(0, 100, 30_000)]}
+    blocks = {"t": O.pytable_to_block(t, {"g": dt.INT64, "v": dt.INT64})}
+    plan = P.Aggregation(keys=["g"], aggs=[AggDesc("sum", "v", "s")],
+                         child=P.TableScan("t"))
+    small = 200_000
+    with pytest.raises(MemoryLimitError):
+        run_query(plan, blocks, settings=Settings(
+            max_bytes_per_device=small, enable_spill=False))
+    out, _ = run_query(plan, blocks, settings=Settings(
+        max_bytes_per_device=small))  # spill on: succeeds
+    got = O.block_to_pytable(out)
+    assert sorted(got["g"]) == list(range(8))
+
+
+def test_service_queue_timeout():
+    """service_queue_timeout_s: a QUEUED query gives up its wait."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from tiflash_tpu.bench.tpch_queries import q6_plan
+    from tiflash_tpu.mpp.service import QueryService, serve_background
+    from tiflash_tpu.plan import serde
+    from tiflash_tpu.runtime.failpoint import FailPoint
+    from tiflash_tpu.storage.tpch import generate_tpch
+
+    cat = generate_tpch(sf=0.001, seed=5)
+    svc = QueryService(cat, mesh=None, max_concurrency=1,
+                       settings=Settings(service_queue_timeout_s=0.4))
+    httpd, port = serve_background(svc)
+    url = f"http://127.0.0.1:{port}"
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            url + path, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    plan_json = serde.plan_to_json(q6_plan())
+    try:
+        post("/failpoint", {"name": "exception_before_fragment_run",
+                            "action": "pause"})
+        _, sub1 = post("/query", {"plan": plan_json, "async": True})
+        t0 = time.time()
+        while time.time() - t0 < 20:
+            with urllib.request.urlopen(
+                    url + f"/result?id={sub1['query_id']}") as r:
+                if _json.loads(r.read())["state"] == "RUNNING":
+                    break
+            time.sleep(0.05)
+        # second query queues behind the paused one and times out
+        code, res = post("/query", {"plan": plan_json})
+        assert "max_execution_time" in str(res) or "timeout" in str(res).lower() \
+            or "queue" in str(res).lower(), (code, res)
+        post("/cancel", {"query_id": sub1["query_id"]})
+    finally:
+        FailPoint.disable_all()
+        httpd.shutdown()

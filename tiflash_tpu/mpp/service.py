@@ -102,12 +102,20 @@ class QueryService:
                 else entry["state"]}
 
     def _acquire_admission(self, flag) -> None:
-        """Take an admission slot, polling the cancel flag while QUEUED."""
-        from ..runtime.cancel import QueryCancelled
+        """Take an admission slot, polling the cancel flag while QUEUED;
+        gives up after ``service_queue_timeout_s`` (0 = wait forever),
+        the reference's task-queue wait timeout."""
+        import time as _t
 
+        from ..runtime.cancel import QueryCancelled, QueryTimeout
+
+        timeout = getattr(self.settings, "service_queue_timeout_s", 0.0)
+        t0 = _t.monotonic()
         while not self._admission.acquire(timeout=0.05):
             if flag.is_set():
                 raise QueryCancelled("cancelled while queued for admission")
+            if timeout and _t.monotonic() - t0 > timeout:
+                raise QueryTimeout("queued past service_queue_timeout_s")
 
     def execute(self, plan_json: Dict, distributed: Optional[bool] = None,
                 qid: Optional[int] = None) -> Dict:

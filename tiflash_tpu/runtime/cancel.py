@@ -23,6 +23,11 @@ class QueryCancelled(RuntimeError):
     """Raised inside the executing thread at the next cancel checkpoint."""
 
 
+class QueryTimeout(QueryCancelled):
+    """Deadline exceeded (``max_execution_time_ms``; reference
+    ``Interpreters/Settings.h`` max_execution_time)."""
+
+
 class CancelFlag:
     """One per query: set() from any thread, check() from the executor."""
 
@@ -52,25 +57,37 @@ def current_cancel_flag() -> Optional[CancelFlag]:
 
 
 @contextlib.contextmanager
-def cancel_scope(flag: Optional[CancelFlag]):
-    """Install ``flag`` as the thread's active cancel flag."""
+def cancel_scope(flag: Optional[CancelFlag], deadline: Optional[float] = None):
+    """Install ``flag`` (and an optional ``time.monotonic`` deadline) as the
+    thread's active cancellation state."""
     prev = getattr(_current, "flag", None)
+    prev_deadline = getattr(_current, "deadline", None)
     _current.flag = flag
+    _current.deadline = deadline
     try:
         yield
     finally:
         _current.flag = prev
+        _current.deadline = prev_deadline
 
 
 def checkpoint() -> None:
-    """Raise QueryCancelled if the thread's active flag is set."""
+    """Raise QueryCancelled/QueryTimeout if the thread's active flag is set
+    or its deadline has passed."""
     flag = current_cancel_flag()
     if flag is not None:
         flag.check()
+    deadline = getattr(_current, "deadline", None)
+    if deadline is not None:
+        import time
+
+        if time.monotonic() > deadline:
+            raise QueryTimeout("max_execution_time exceeded")
 
 
 __all__ = [
     "QueryCancelled",
+    "QueryTimeout",
     "CancelFlag",
     "cancel_scope",
     "current_cancel_flag",

@@ -196,13 +196,22 @@ class QueryRunner:
         return self._compiled
 
     def run(self, tables: Dict[str, Block]) -> Tuple[Block, ExecutionSummary]:
+        import time
+
         from .cancel import cancel_scope
         from ..expr.compile import query_clock, query_now_us
 
         # pin the query clock once so NOW()/CURDATE()/RAND() agree across
         # fragments and capacity retries (reference: timestamp fixed in the
-        # query Context at entry, ``Interpreters/Context.h``)
-        with cancel_scope(self.cancel), query_clock(query_now_us()):
+        # query Context at entry, ``Interpreters/Context.h``); a
+        # query_timestamp_us setting overrides for reproducible runs
+        now_us = self.settings.query_timestamp_us or query_now_us()
+        # max_execution_time analog: deadline enforced at every
+        # cancellation checkpoint (admission, retries, out-of-core chunks)
+        deadline = None
+        if self.settings.max_execution_time_ms > 0:
+            deadline = time.monotonic() + self.settings.max_execution_time_ms / 1e3
+        with cancel_scope(self.cancel, deadline), query_clock(now_us):
             return self._run_cancellable(tables)
 
     def _run_cancellable(self, tables) -> Tuple[Block, ExecutionSummary]:
@@ -225,7 +234,7 @@ class QueryRunner:
             )
 
             mode = None
-            if self.mesh is None:
+            if self.mesh is None and self.settings.enable_spill:
                 if chunkable(self.plan):
                     mode = "chunked"
                 elif grace_spec(self.plan) is not None:

@@ -64,7 +64,10 @@ class RingLogHandler(logging.Handler):
         return out
 
 
-RING = RingLogHandler()
+RING = RingLogHandler(
+    capacity=int(__import__("os").environ.get("TIFLASH_TPU_LOG_RING_CAPACITY",
+                                              4096))
+)
 _configured = False
 
 

@@ -42,8 +42,14 @@ class Settings:
     runtime_filters: bool = True
     auto_passthrough_agg: bool = False
     selectivity_sample_rows: int = 4096   # 0 disables sampling
+    # --- query limits (reference max_execution_time / timestamp pinning) ---
+    max_execution_time_ms: int = 0        # 0 = unlimited; checked at every
+                                          # cancellation checkpoint
+    query_timestamp_us: Optional[int] = None  # pin NOW()/CURDATE()/RAND()
+    enable_spill: bool = True             # gate out-of-core fallbacks
     # --- service ---
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
+    service_queue_timeout_s: float = 0.0  # 0 = wait forever when QUEUED
     # --- memory (the MemoryTracker quota analog; enforced host-side) ---
     max_bytes_per_device: Optional[int] = None
     # disk spill tier for out-of-core partition buffers (Core/Spiller.h
