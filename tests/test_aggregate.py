@@ -558,3 +558,89 @@ def test_group_concat_through_topn():
     order = sorted(range(len(want["sv"])), key=lambda i: -want["sv"][i])[:5]
     assert got["sv"] == [want["sv"][i] for i in order]
     assert got["gc"] == [want["gc"][i] for i in order]
+
+
+BIT_AGGS = [
+    AggDesc("bit_and", "v", "ba"),
+    AggDesc("bit_or", "v", "bo"),
+    AggDesc("bit_xor", "v", "bx"),
+]
+
+
+def test_bit_aggs_sort_path():
+    """BIT_AND/OR/XOR via the sorted segmented scan (reference
+    AggregateFunctionBitwise.h)."""
+    run_agg({"k": dt.INT64, "v": dt.INT64.with_nullable(True)}, ["k"],
+            BIT_AGGS, force="sort", seed=21)
+
+
+def test_bit_aggs_masked_tiny_domain():
+    run_agg({"k": dt.INT8, "v": dt.INT64.with_nullable(True)}, ["k"],
+            BIT_AGGS + [AggDesc("sum", "v", "s")], seed=22, n=300)
+
+
+def test_bit_aggs_dispatch_large_direct_domain():
+    # packable key domain > MASKED_DOMAIN_LIMIT must re-route to sort
+    run_agg({"k": dt.INT32, "v": dt.INT64}, ["k"], BIT_AGGS, seed=23,
+            null_prob=0, n=800)
+
+
+def test_bit_aggs_scalar():
+    from tiflash_tpu.ops.aggregate import aggregate_scalar
+
+    rng = np.random.default_rng(31)
+    schema = {"v": dt.INT64.with_nullable(True)}
+    table = O.random_pytable(rng, 400, schema)
+    block = O.pytable_to_block(table, schema)
+    out = O.block_to_pytable(aggregate_scalar(block, BIT_AGGS))
+    want = O.o_aggregate(table, [], [(a.func, a.arg, a.name) for a in BIT_AGGS])
+    O.assert_tables_equal(out, want)
+
+
+def test_bit_aggs_negative_values_u64():
+    """Negative ints reduce as their two's-complement u64 bit patterns."""
+    table = {"k": [1, 1, 2], "v": [-1, 5, -2]}
+    block = O.pytable_to_block(table, {"k": dt.INT64, "v": dt.INT64})
+    res = hash_aggregate(block, ["k"], BIT_AGGS)
+    got = O.block_to_pytable(res.block)
+    want = O.o_aggregate(table, ["k"],
+                         [(a.func, a.arg, a.name) for a in BIT_AGGS])
+    O.assert_tables_equal(got, want)
+    i = got["k"].index(1)
+    assert got["ba"][i] == 5  # -1 & 5
+    assert got["bo"][i] == (1 << 64) - 1  # -1 | 5 == -1 as u64 (all ones)
+    j = got["k"].index(2)
+    assert got["ba"][j] == (1 << 64) - 2
+
+
+def test_bit_aggs_all_null_group_identity():
+    table = {"k": [1, 1, 2], "v": [None, None, 3]}
+    block = O.pytable_to_block(table,
+                               {"k": dt.INT64,
+                                "v": dt.INT64.with_nullable(True)})
+    res = hash_aggregate(block, ["k"], BIT_AGGS)
+    got = O.block_to_pytable(res.block)
+    i = got["k"].index(1)
+    assert got["ba"][i] == (1 << 64) - 1  # identity, not NULL
+    assert got["bo"][i] == 0 and got["bx"][i] == 0
+
+
+def test_bit_aggs_distributed():
+    import jax
+    from jax.sharding import Mesh
+
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.plan.distribute import split_aggregation
+    from tiflash_tpu.runtime.executor import run_query
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    rng = np.random.default_rng(41)
+    schema = {"k": dt.INT64, "v": dt.INT64.with_nullable(True)}
+    table = O.random_pytable(rng, 640, schema, int_range=(0, 6))
+    blocks = {"t": O.pytable_to_block(table, schema)}
+    plan = split_aggregation(["k"], BIT_AGGS, P.TableScan("t"))
+    out, _ = run_query(plan, blocks, mesh=mesh)
+    got = O.block_to_pytable(out)
+    want = O.o_aggregate(table, ["k"],
+                         [(a.func, a.arg, a.name) for a in BIT_AGGS])
+    O.assert_tables_equal(got, want)

@@ -40,7 +40,17 @@ from ..core.dtypes import (
     FLOAT64,
     INT64,
     TypeKind,
+    UINT64,
 )
+
+# MySQL bit-reduction aggregates (reference AggregateFunctionBitwise.h);
+# u64 accumulation, result is never NULL (empty group -> identity)
+_BIT_FUNCS = ("bit_and", "bit_or", "bit_xor")
+_BIT_OPS = {"bit_and": "band", "bit_or": "bor", "bit_xor": "bxor"}
+
+
+def _bit_identity(func: str) -> jnp.ndarray:
+    return jnp.asarray((1 << 64) - 1 if func == "bit_and" else 0, jnp.uint64)
 
 # ---------------------------------------------------------------------------
 # aggregate-function descriptors
@@ -104,6 +114,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
         return arg.with_nullable(True)
     if func == "group_concat":
         return arg.with_nullable(True)
+    if func in _BIT_FUNCS:
+        return UINT64  # MySQL: BIGINT UNSIGNED, never NULL
     raise NotImplementedError(f"aggregate {func}")
 
 
@@ -709,6 +721,13 @@ def _accumulate(
             idx = jnp.minimum(pmin, n_rows - 1).astype(jnp.int32)
             out.append((a.name, Column(
                 jnp.take(col.data, idx), cnt > 0, rdt, col.dictionary)))
+        elif a.func in _BIT_FUNCS:
+            # u64 bit reduction; NULL rows contribute the identity, so the
+            # result is never NULL (MySQL AggregateFunctionBitwise.h)
+            ident = _bit_identity(a.func)
+            vals = jnp.where(valid_row, col.data.astype(jnp.uint64), ident)
+            red = segreduce(_BIT_OPS[a.func], vals)
+            out.append((a.name, Column(red, None, rdt)))
         else:
             raise NotImplementedError(a.func)
     return out
@@ -830,13 +849,26 @@ def _accumulate_masked(
             idx = jnp.minimum(pmins, n_rows - 1).astype(jnp.int32)
             out.append((a.name, Column(
                 jnp.take(col.data, idx), cnts > 0, rdt, col.dictionary)))
+        elif a.func in _BIT_FUNCS:
+            ident = _bit_identity(a.func)
+            bfn = {"bit_and": jax.lax.bitwise_and, "bit_or": jax.lax.bitwise_or,
+                   "bit_xor": jax.lax.bitwise_xor}[a.func]
+            u = col.data.astype(jnp.uint64)
+            reds = per_slot(
+                lambda s: jax.lax.reduce(
+                    jnp.where(slot_masks[s] & valid, u, ident), ident, bfn, (0,))
+            )
+            out.append((a.name, Column(reds, None, rdt)))
         else:
             raise NotImplementedError(f"masked method: {a.func}")
     return out, occupied
 
 
 def _masked_eligible(block: Block, aggs: Sequence[AggDesc]) -> bool:
-    return all(a.func in ("sum", "count", "avg", "min", "max", "first") for a in aggs)
+    return all(
+        a.func in ("sum", "count", "avg", "min", "max", "first") + _BIT_FUNCS
+        for a in aggs
+    )
 
 
 def _use_kernel() -> bool:
@@ -1481,6 +1513,12 @@ def passthrough_as_partial(block: Block, keys: Sequence[str], aggs: Sequence[Agg
             cols[a.name] = Column(
                 col.data.astype(rdt.jnp_dtype), col.validity, rdt, col.dictionary
             )
+        elif a.func in _BIT_FUNCS:
+            ident = _bit_identity(a.func)
+            u = col.data.astype(jnp.uint64)
+            if col.validity is not None:
+                u = jnp.where(col.validity, u, ident)
+            cols[a.name] = Column(u, None, rdt)
         else:
             raise NotImplementedError(f"passthrough for {a.func} (decompose avg first)")
     return Block.from_dict(cols, sel=block.sel)
@@ -1620,6 +1658,12 @@ def _dispatch_aggregate(
         return aggregate_sort(block, keys, aggs, num_slots or block.capacity)
     packed = pack_keys_direct(key_cols)
     if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
+        if (any(a.func in _BIT_FUNCS for a in aggs)
+                and packed[1] > MASKED_DOMAIN_LIMIT):
+            # bit reductions have no segment/kernel form: masked method for
+            # tiny domains, sorted segmented scan otherwise
+            return aggregate_sort(block, keys, aggs,
+                                  num_slots or block.capacity)
         return aggregate_direct(block, keys, aggs, packed)
     if num_slots is None:
         num_slots = block.capacity

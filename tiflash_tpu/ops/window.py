@@ -84,6 +84,12 @@ def _segmented_prefix(op: str, vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp
             merged = jnp.minimum(a_val, b_val)
         elif op == "max":
             merged = jnp.maximum(a_val, b_val)
+        elif op == "band":
+            merged = a_val & b_val
+        elif op == "bor":
+            merged = a_val | b_val
+        elif op == "bxor":
+            merged = a_val ^ b_val
         else:
             raise NotImplementedError(op)
         return a_flag | b_flag, jnp.where(b_flag, b_val, merged)

@@ -76,7 +76,8 @@ def split_aggregation(
             partial.append(AggDesc("count", a.arg, a.name, a.filter_col))
             final.append(AggDesc("sum", a.name, a.name))
             post[a.name] = col(a.name)
-        elif a.func in ("min", "max", "first"):
+        elif a.func in ("min", "max", "first", "bit_and", "bit_or", "bit_xor"):
+            # self-merging states: merge(partials) is the same function
             partial.append(AggDesc(a.func, a.arg, a.name, a.filter_col))
             final.append(AggDesc(a.func, a.name, a.name))
             post[a.name] = col(a.name)

@@ -1147,6 +1147,16 @@ def _o_aggregate_inner(
                 out[on].append(math.sqrt(var) if func.startswith("stddev") else var)
                 continue
             nn = [v for v in vals if v is not None]
+            if func in ("bit_and", "bit_or", "bit_xor"):
+                # MySQL: u64 bit reduction; empty/all-NULL group yields the
+                # identity, never NULL
+                acc = (1 << 64) - 1 if func == "bit_and" else 0
+                for v in nn:
+                    u = int(v) % (1 << 64)
+                    acc = (acc & u if func == "bit_and"
+                           else acc | u if func == "bit_or" else acc ^ u)
+                out[on].append(acc)
+                continue
             if func == "group_concat":
                 # a = (func, arg, name, filter, max_items, separator, distinct)
                 max_items = int(a[4]) if len(a) > 4 and a[4] else 64
