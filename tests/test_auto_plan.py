@@ -86,3 +86,15 @@ def test_sampled_selectivity_flips_broadcast():
     # with sampling: broadcast (build side all-gathered, probe stays put)
     assert shuffled.count("ExchangeSender") >= 2
     assert sampled.count("ExchangeSender") < shuffled.count("ExchangeSender")
+
+
+def test_run_query_auto_distributes_logical_plan(env):
+    """README usage: a LOGICAL plan + mesh must produce the single-chip
+    result (run_query auto-applies distribute_plan instead of silently
+    returning unmerged per-shard aggregates)."""
+    mesh, blocks, stats, pytables = env
+    out1, _ = run_query(q1_plan(), blocks)
+    out2, _ = run_query(q1_plan(), blocks, mesh=mesh)
+    r1, r2 = O.block_to_pytable(out1), O.block_to_pytable(out2)
+    ks = sorted(r1.keys())
+    assert sorted(zip(*[r1[c] for c in ks])) == sorted(zip(*[r2[c] for c in ks]))

@@ -152,3 +152,22 @@ def test_vector_block_take_roundtrip(data):
     for got, j in zip(vals, [2, 0, 3]):
         np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                    np.asarray(table["v"][j], dtype=np.float32))
+
+
+def test_vector_search_tiled_path_large_n():
+    """n past the tile threshold exercises _batched_min_k's two-stage
+    selection; exact parity with numpy."""
+    rng = np.random.default_rng(123)
+    n, d, k = 10_000, 8, 37
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    colv = column_from_numpy([tuple(r) for r in x], Vector(d))
+    dist, idx = vector_search(colv, jnp.asarray(q), k, metric="l2")
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    for qi in range(3):
+        ref = np.sqrt(((x - q[qi]) ** 2).sum(axis=1))
+        order = np.argpartition(ref, k)[:k]
+        assert set(idx[qi].tolist()) == set(order.tolist())
+        np.testing.assert_allclose(np.sort(dist[qi]), np.sort(ref[order]),
+                                   rtol=2e-4, atol=2e-4)
+        assert np.all(np.diff(dist[qi]) >= -1e-5)

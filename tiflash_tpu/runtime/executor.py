@@ -374,8 +374,20 @@ def run_query(
     settings: Optional[Settings] = None,
 ) -> Tuple[Block, ExecutionSummary]:
     """One-shot convenience: shard tables if a mesh is given, run with
-    retries, return (host-collected block, summary)."""
+    retries, return (host-collected block, summary).
+
+    A LOGICAL plan (no Exchange nodes) handed a mesh is auto-distributed
+    first — running it as-is would silently return unmerged per-shard
+    results (each device aggregating only its shard)."""
     if mesh is not None:
+        if "Exchange" not in plan.pretty():
+            import numpy as _np
+
+            from ..plan.auto import distribute_plan
+
+            stats = {name: blk.capacity for name, blk in tables.items()}
+            n_dev = int(_np.prod(list(mesh.shape.values())))
+            plan = distribute_plan(plan, stats, n_dev)
         tables = shard_catalog_blocks(tables, mesh)
     return QueryRunner(plan, mesh=mesh, settings=settings).run(tables)
 

@@ -32,10 +32,10 @@ def main():
     jax.block_until_ready((x, q0))
 
     @jax.jit
-    def step(carry):
+    def step(xcol, qbase, carry):
         # perturb queries from the carry -> real dispatch every iteration
-        q = q0 + (carry.astype(jnp.float32) % 7.0) * 1e-6
-        dist, idx = vector_search(col, q, K, metric=metric)
+        q = qbase + (carry.astype(jnp.float32) % 7.0) * 1e-6
+        dist, idx = vector_search(xcol, q, K, metric=metric)
         return (jnp.sum(dist).astype(jnp.int64)
                 + jnp.sum(idx.astype(jnp.int64))
                 + carry * jnp.int64(0x9E3779B1))
@@ -44,7 +44,7 @@ def main():
         carry = jnp.int64(seed)
         t0 = time.time()
         for _ in range(K_):
-            carry = step(carry)
+            carry = step(col, q0, carry)
         _ = int(carry)
         return time.time() - t0
 
