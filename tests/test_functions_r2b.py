@@ -270,3 +270,105 @@ def test_json_build(data):
     check(call("json_object", lit("a"), lit(1)), data)
     # composable with json functions
     check(call("json_length", call("json_array", lit(1), col("s"))), data)
+
+
+# --- CAST(string AS ...) dictionary-LUT parse --------------------------------
+
+def test_cast_string_to_numbers_and_dates():
+    """MySQL coercion: numeric prefix parses, junk is 0, bad dates NULL —
+    and dictionary CODES never leak as values (regression: the old
+    numeric-cast path would astype the int32 codes)."""
+    import datetime as pydt
+
+    from tiflash_tpu.core.block import column_from_numpy
+    from tiflash_tpu.expr.nodes import cast
+
+    vals = ["12", "3.6", "-4.5", " 7.25e2 ", "12abc", "junk", "", "0.4"]
+    block = Block.from_dict({"s": column_from_numpy(vals, dt.STRING)})
+    out = O.block_to_pytable(Block(names=("r",), columns=(
+        evaluate_expr(cast(col("s"), dt.INT64), block),)))["r"]
+    assert out == [12, 4, -5, 725, 12, 0, 0, 0]
+    out = O.block_to_pytable(Block(names=("r",), columns=(
+        evaluate_expr(cast(col("s"), dt.FLOAT64), block),)))["r"]
+    assert out == [12.0, 3.6, -4.5, 725.0, 12.0, 0.0, 0.0, 0.4]
+    out = O.block_to_pytable(Block(names=("r",), columns=(
+        evaluate_expr(cast(col("s"), dt.Decimal(10, 2)), block),)))["r"]
+    assert [float(x) for x in out] == [12.0, 3.6, -4.5, 725.0, 12.0, 0.0, 0.0, 0.4]
+
+    ds = ["2020-01-02", "2020/01/03", "20200104", "2020-01-05 06:07:08",
+          "nope", "2020-13-40"]
+    block = Block.from_dict({"s": column_from_numpy(ds, dt.STRING)})
+    out = O.block_to_pytable(Block(names=("r",), columns=(
+        evaluate_expr(cast(col("s"), dt.DATE), block),)))["r"]
+    assert out[:4] == [pydt.date(2020, 1, 2), pydt.date(2020, 1, 3),
+                       pydt.date(2020, 1, 4), pydt.date(2020, 1, 5)]
+    assert out[4] is None and out[5] is None
+    out = O.block_to_pytable(Block(names=("r",), columns=(
+        evaluate_expr(cast(col("s"), dt.DataType(TypeKind.DATETIME)), block),)))["r"]
+    assert out[3] == pydt.datetime(2020, 1, 5, 6, 7, 8)
+
+
+def test_cast_date_datetime_roundtrip():
+    import datetime as pydt
+
+    from tiflash_tpu.core.block import column_from_numpy
+    from tiflash_tpu.expr.nodes import cast
+
+    days = [(pydt.date(2021, 3, 1) - pydt.date(1970, 1, 1)).days]
+    block = Block.from_dict({
+        "d": column_from_numpy(days, dt.DATE),
+    })
+    c = evaluate_expr(cast(col("d"), dt.DataType(TypeKind.DATETIME)), block)
+    assert O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"][0] == \
+        pydt.datetime(2021, 3, 1)
+    back = evaluate_expr(cast(cast(col("d"), dt.DataType(TypeKind.DATETIME)),
+                              dt.DATE), block)
+    assert O.block_to_pytable(Block(names=("r",), columns=(back,)))["r"][0] == \
+        pydt.date(2021, 3, 1)
+
+
+# --- ROUND/TRUNCATE with fraction digits -------------------------------------
+
+def test_round_frac_float_decimal_int():
+    """tidbRoundWithFrac / tidbTruncateWithFrac (regression: the frac arg
+    used to be silently ignored)."""
+    from tiflash_tpu.core.block import column_from_numpy
+
+    table = {"f": [1.2345, -2.718, 9.995], "i": [125, -125, 4],
+             "d": [None]}
+    import decimal as pydec
+    dvals = [pydec.Decimal("123.456"), pydec.Decimal("-9.995"),
+             pydec.Decimal("0.004")]
+    tab = {"f": table["f"], "i": table["i"], "d": dvals}
+    schema = {"f": dt.FLOAT64, "i": dt.INT64, "d": dt.Decimal(10, 3)}
+    block = O.pytable_to_block(tab, schema)
+    for expr in [
+        call("round", col("f"), lit(2)),
+        call("truncate", col("f"), lit(1)),
+        call("ceil", col("f"), lit(1)),
+        call("floor", col("f"), lit(2)),
+        call("round", col("i"), lit(-1)),
+        call("truncate", col("i"), lit(-2)),
+        call("round", col("i"), lit(3)),
+        call("round", col("d"), lit(1)),
+        call("round", col("d"), lit(-1)),
+        call("truncate", col("d"), lit(2)),
+        call("round", col("d"), lit(7)),
+    ]:
+        got_col = evaluate_expr(expr, block)
+        got = O.block_to_pytable(Block(names=("r",), columns=(got_col,)))["r"]
+        want = O.eval_expr_table(expr, tab)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert abs(float(g) - float(w)) < 1e-9, (i, g, w, expr)
+    # spot values
+    c = evaluate_expr(call("round", col("f"), lit(2)), block)
+    # 9.995 as a binary double is 9.99499…, so (like MySQL on DOUBLE) 9.99
+    assert O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"] == \
+        [1.23, -2.72, 9.99]
+    c = evaluate_expr(call("round", col("i"), lit(-1)), block)
+    assert O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"] == \
+        [130, -130, 0]
+    c = evaluate_expr(call("round", col("d"), lit(1)), block)
+    assert [str(x) for x in
+            O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]] == \
+        ["123.5", "-10.0", "0.0"]

@@ -311,6 +311,17 @@ class ExprEvaluator:
             return self._date_format(call)
         if name in ("json_array", "json_object"):
             return self._json_build(call)
+        if (name in ("round", "truncate", "ceil", "floor")
+                and len(call.args) == 2):
+            target = self.evaluate(call.args[0])
+            if target.dtype.is_decimal:
+                d_expr = call.args[1]
+                assert isinstance(d_expr, Literal), \
+                    f"{name.upper()}(decimal, d) needs a literal digit count"
+                from .functions import round_decimal_frac
+
+                return round_decimal_frac(target, int(d_expr.value), name)
+            # non-decimal: generic path (d may even be a column)
         if name in ("date_add", "date_sub"):
             unit_expr = call.args[2]
             assert isinstance(unit_expr, Literal), "DATE_ADD unit must be a literal"

@@ -60,6 +60,18 @@ def cast_column(col: Column, target: DataType) -> Column:
     if src.kind == target.kind and src.scale == getattr(target, "scale", 0):
         return Column(col.data, col.validity, target, col.dictionary)
     data = col.data
+    if src.is_string and not target.is_string:
+        # dictionary LUT parse (MySQL coercion: numeric prefix, invalid
+        # number -> 0, invalid date -> NULL); codes must NEVER leak as
+        # values
+        return _cast_string_lut(col, target)
+    if src.kind is TypeKind.DATE and target.kind is TypeKind.DATETIME:
+        return Column(data.astype(jnp.int64) * 86_400_000_000, col.validity,
+                      target)
+    if src.kind is TypeKind.DATETIME and target.kind is TypeKind.DATE:
+        return Column(
+            jnp.floor_divide(data, 86_400_000_000).astype(jnp.int32),
+            col.validity, target)
     if target.is_decimal:
         if src.is_decimal:
             ds = target.scale - src.scale
@@ -90,6 +102,67 @@ def cast_column(col: Column, target: DataType) -> Column:
     else:
         raise NotImplementedError(f"cast {src} -> {target}")
     return Column(data.astype(target.jnp_dtype), col.validity, target, None)
+
+
+def _cast_string_lut(col: Column, target: DataType) -> Column:
+    """CAST(string AS numeric/temporal) over the dictionary (host parse +
+    one gather).  MySQL coercion rules: the longest numeric prefix parses
+    (``'12abc'`` -> 12), a non-numeric string is 0; invalid dates are
+    NULL; fractional -> integer rounds half away from zero."""
+    import datetime as _dt
+    import re as _re
+
+    import numpy as _np
+
+    num_rx = _re.compile(r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
+    d = col.dictionary or ()
+
+    def parse_num(s: str) -> float:
+        m = num_rx.match(s)
+        return float(m.group(0)) if m else 0.0
+
+    def parse_dt(s: str):
+        s = s.strip().replace("/", "-")
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                    "%Y-%m-%d %H:%M", "%Y-%m-%d", "%Y%m%d"):
+            try:
+                return _dt.datetime.strptime(s, fmt)
+            except ValueError:
+                continue
+        return None
+
+    nulls = _np.zeros(max(len(d), 1), dtype=bool)
+    if target.kind in (TypeKind.DATE, TypeKind.DATETIME):
+        vals = _np.zeros(max(len(d), 1), dtype=_np.int64)
+        epoch = _dt.datetime(1970, 1, 1)
+        for i, s in enumerate(d):
+            t = parse_dt(s)
+            if t is None:
+                nulls[i] = True
+            elif target.kind is TypeKind.DATE:
+                vals[i] = (t.date() - epoch.date()).days
+            else:
+                vals[i] = round((t - epoch).total_seconds() * 1_000_000)
+    else:
+        fvals = _np.array([parse_num(s) for s in d] or [0.0], dtype=_np.float64)
+        if target.is_decimal:
+            vals = _np.round(fvals * 10 ** target.scale).astype(_np.int64)
+        elif target.is_float:
+            vals = fvals
+        elif target.kind is TypeKind.BOOL:
+            vals = fvals != 0
+        else:  # integer: round half away from zero (MySQL CAST('3.6') = 4)
+            vals = (_np.sign(fvals) * _np.floor(_np.abs(fvals) + 0.5)).astype(
+                _np.int64)
+    table = jnp.asarray(_np.asarray(vals, dtype=target.physical))
+    data = table[jnp.clip(col.data, 0, len(table) - 1)]
+    validity = col.validity
+    nullable = target.nullable or col.dtype.nullable
+    if nulls.any():
+        ok = jnp.asarray(~nulls)[jnp.clip(col.data, 0, len(nulls) - 1)]
+        validity = ok if validity is None else (validity & ok)
+        nullable = True
+    return Column(data, validity, target.with_nullable(nullable))
 
 
 def _div_round_half_up(num: jnp.ndarray, den) -> jnp.ndarray:
@@ -970,13 +1043,49 @@ def _pow():
     return infer, evaluate
 
 
+_ROUND_FLOAT_FNS = {
+    "round": lambda x: jnp.where(
+        x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)
+    ),  # MySQL rounds half away from zero, not banker's
+    "floor": jnp.floor,
+    "ceil": jnp.ceil,
+    "truncate": jnp.trunc,
+}
+
+
+def round_decimal_frac(col: Column, d: int, mode: str, out=None) -> Column:
+    """ROUND/TRUNCATE(decimal, d) with a STATIC digit count — the result
+    scale is part of the type, so d must be a literal (reference
+    tidbRoundWithFrac / tidbTruncateWithFrac; TiDB keeps DECIMAL out)."""
+    s = col.dtype.scale
+    new_scale = max(min(int(d), s), 0)
+    out = out or Decimal(col.dtype.precision, new_scale, col.dtype.nullable)
+    m = col.data.astype(jnp.int64)
+    shift = s - new_scale if int(d) >= 0 else s - new_scale - int(d)
+    if shift <= 0:
+        return Column(m, col.validity, out)
+    q = _pow10(shift)
+    if mode == "round":
+        data = _div_round_half_up(m, q)
+    elif mode == "floor":
+        data = jnp.floor_divide(m, q)
+    elif mode == "ceil":
+        data = -jnp.floor_divide(-m, q)
+    else:
+        data = jnp.sign(m) * (jnp.abs(m) // q)
+    if int(d) < 0:  # rounded past the point: scale the integer back up
+        data = data * _pow10(-int(d))
+    return Column(data, col.validity, out)
+
+
 def _register_round_family(name: str):
     def factory():
         def infer(ts):
             t = ts[0]
-            scale = ts[1].scale if len(ts) > 1 else 0
             if t.is_decimal:
-                # TiDB: ROUND(decimal, d) keeps decimal, scale = d (>=0)
+                # 1-arg form: scale-0 decimal; the frac form's result
+                # scale depends on the literal d and is typed in the
+                # compile dispatcher (round_decimal_frac)
                 return Decimal(t.precision, 0, t.nullable)
             if t.is_float:
                 return DataType(TypeKind.FLOAT64, t.nullable)
@@ -984,8 +1093,13 @@ def _register_round_family(name: str):
 
         def evaluate(cols, out):
             a = cols[0]
-            validity = a.validity
+            d_col = cols[1] if len(cols) > 1 else None
+            validity = _and_validity(cols)
             if a.dtype.is_decimal:
+                if d_col is not None:
+                    raise NotImplementedError(
+                        "ROUND(decimal, d) requires a literal d "
+                        "(handled by the compile dispatcher)")
                 q = _pow10(a.dtype.scale)
                 m = a.data.astype(jnp.int64)
                 if name == "round":
@@ -997,17 +1111,29 @@ def _register_round_family(name: str):
                 else:  # truncate toward zero
                     data = jnp.sign(m) * (jnp.abs(m) // q)
                 return Column(data, validity, out)
+            fn = _ROUND_FLOAT_FNS[name]
             if a.dtype.is_float:
-                fn = {
-                    "round": lambda x: jnp.where(
-                        x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)
-                    ),  # MySQL rounds half away from zero, not banker's
-                    "floor": jnp.floor,
-                    "ceil": jnp.ceil,
-                    "truncate": jnp.trunc,
-                }[name]
-                return Column(fn(a.data.astype(jnp.float64)), validity, out)
-            return Column(a.data.astype(jnp.int64), validity, out)
+                x = a.data.astype(jnp.float64)
+                if d_col is None:
+                    return Column(fn(x), validity, out)
+                # ROUND(x, d): d may be a column (MySQL allows it)
+                f = jnp.power(10.0, d_col.data.astype(jnp.float64))
+                return Column(fn(x * f) / f, validity, out)
+            # integer argument: only negative d changes the value
+            m = a.data.astype(jnp.int64)
+            if d_col is None:
+                return Column(m, validity, out)
+            nd = jnp.maximum(-d_col.data.astype(jnp.int64), 0)
+            q = jnp.power(jnp.int64(10), nd)
+            if name == "round":
+                data = _div_round_half_up(m, q) * q
+            elif name == "floor":
+                data = jnp.floor_divide(m, q) * q
+            elif name == "ceil":
+                data = -jnp.floor_divide(-m, q) * q
+            else:
+                data = jnp.sign(m) * (jnp.abs(m) // q) * q
+            return Column(data, validity, out)
 
         return infer, evaluate
 

@@ -362,6 +362,33 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         return float(a) ** float(b)
     if f == "sign":
         return (a > 0) - (a < 0)
+    if f in ("round", "floor", "ceil", "truncate") and b is not None:
+        d = int(b)
+
+        def red(x, mode):
+            half = D("0.5") if isinstance(x, D) else 0.5
+            if mode == "round":
+                return math.floor(x + half) if x >= 0 else math.ceil(x - half)
+            if mode == "floor":
+                return math.floor(x)
+            if mode == "ceil":
+                return math.ceil(x)
+            return math.trunc(x)
+
+        if isinstance(a, D):
+            s = -a.as_tuple().exponent if a.as_tuple().exponent < 0 else 0
+            ns = max(min(d, s), 0)
+            scaled = red(a.scaleb(min(d, s)), f)
+            v = D(scaled).scaleb(-min(d, s))
+            return v.quantize(D(1).scaleb(-ns))
+        if isinstance(a, float):
+            fct = 10.0 ** d
+            return red(a * fct, f) / fct
+        u = int(a)
+        if d >= 0:
+            return u
+        q = 10 ** (-d)
+        return red(u / q, f) * q
     if f in ("round", "floor", "ceil", "truncate"):
         if isinstance(a, D):
             if f == "round":
