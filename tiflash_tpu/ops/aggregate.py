@@ -408,7 +408,12 @@ def _distinct_first_flags(
         c = block[name]
         if c.validity is not None:
             operands.append(~c.validity)
-        operands.append(c.data)
+            # NULL slots carry arbitrary data (join payloads): canonicalize
+            # so all NULLs compare equal at boundary detection
+            operands.append(jnp.where(c.validity, c.data,
+                                      jnp.zeros_like(c.data)))
+        else:
+            operands.append(c.data)
     nk = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=nk)
@@ -1048,7 +1053,13 @@ def aggregate_sort(
     for c in key_cols:
         if c.validity is not None:
             operands.append(~c.validity)  # NULLs group together, sort first
-        operands.append(c.data)
+            # canonicalize NULL slots: producers like left-outer joins
+            # leave arbitrary payload data under validity=False, which
+            # would split the NULL group at boundary detection
+            operands.append(jnp.where(c.validity, c.data,
+                                      jnp.zeros_like(c.data)))
+        else:
+            operands.append(c.data)
     num_group_keys = len(operands)
     if in_sort_special:
         sc = block[special[0].arg]
@@ -1659,9 +1670,11 @@ def _dispatch_aggregate(
     packed = pack_keys_direct(key_cols)
     if packed is not None and packed[1] <= DIRECT_DOMAIN_LIMIT:
         if (any(a.func in _BIT_FUNCS for a in aggs)
-                and packed[1] > MASKED_DOMAIN_LIMIT):
-            # bit reductions have no segment/kernel form: masked method for
-            # tiny domains, sorted segmented scan otherwise
+                and (packed[1] > MASKED_DOMAIN_LIMIT
+                     or not _masked_eligible(block, aggs))):
+            # bit reductions have no segment/kernel form: masked method
+            # for tiny eligible domains, sorted segmented scan otherwise
+            # (e.g. mixed with count_distinct, which masked can't do)
             return aggregate_sort(block, keys, aggs,
                                   num_slots or block.capacity)
         return aggregate_direct(block, keys, aggs, packed)

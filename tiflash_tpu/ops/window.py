@@ -173,7 +173,12 @@ def window_block(
         c = block[name]
         if c.validity is not None:
             operands.append(~c.validity)
-        operands.append(c.data)
+            # canonicalize NULL slots (join payloads carry garbage data
+            # under validity=False) so one NULL partition, not many
+            operands.append(jnp.where(c.validity, c.data,
+                                      jnp.zeros_like(c.data)))
+        else:
+            operands.append(c.data)
     n_part_ops = len(operands)
     for sk in order_by:
         operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
