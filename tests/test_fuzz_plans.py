@@ -54,14 +54,20 @@ def _rand_pred(rng):
 
 
 def _rand_proj(rng):
+    from tiflash_tpu.expr.nodes import cast
+
     exprs = {n: col(n) for n in SCHEMA}
-    pick = rng.choice(["arith", "cond", "strfn"])
+    pick = rng.choice(["arith", "cond", "strfn", "cast_fi", "cast_if"])
     if pick == "arith":
         exprs["x"] = call("plus", call("multiply", col("a"), lit(3)),
                           col("v"))
     elif pick == "cond":
         exprs["x"] = call("if", call("less", col("a"), lit(0)),
                           col("v"), call("negate", col("v")))
+    elif pick == "cast_fi":
+        exprs["x"] = cast(col("f"), dt.INT64.with_nullable(True))
+    elif pick == "cast_if":
+        exprs["x"] = cast(col("a"), dt.FLOAT64)
     else:
         exprs["x"] = call("length", col("s"))
     return exprs
@@ -121,7 +127,7 @@ def _tables(rng):
     return {"t": t, "r": r}
 
 
-def _norm(table, float_cols=("af", "f")):
+def _norm(table, float_cols=("af", "f", "x", "sx")):
     cols = sorted(table.keys())
     rows = []
     for i in range(len(table[cols[0]]) if cols else 0):

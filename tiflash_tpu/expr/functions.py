@@ -82,7 +82,10 @@ def cast_column(col: Column, target: DataType) -> Column:
         elif src.is_integer or src.kind in (TypeKind.DATE, TypeKind.DATETIME, TypeKind.BOOL):
             data = data.astype(jnp.int64) * _pow10(target.scale)
         elif src.is_float:
-            data = jnp.round(data.astype(jnp.float64) * _pow10(target.scale)).astype(jnp.int64)
+            x = data.astype(jnp.float64) * _pow10(target.scale)
+            # MySQL rounds half away from zero (not banker's)
+            data = jnp.where(x >= 0, jnp.floor(x + 0.5),
+                             jnp.ceil(x - 0.5)).astype(jnp.int64)
         else:
             raise NotImplementedError(f"cast {src} -> {target}")
     elif target.is_float:
@@ -94,7 +97,9 @@ def cast_column(col: Column, target: DataType) -> Column:
         if src.is_decimal:
             data = _div_round_half_up(data, _pow10(src.scale))
         elif src.is_float:
-            data = jnp.round(data).astype(target.jnp_dtype)
+            x = data.astype(jnp.float64)
+            data = jnp.where(x >= 0, jnp.floor(x + 0.5),
+                             jnp.ceil(x - 0.5)).astype(target.jnp_dtype)
         else:
             data = data.astype(target.jnp_dtype)
     elif target.kind is TypeKind.BOOL:

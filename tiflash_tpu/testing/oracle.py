@@ -88,6 +88,40 @@ def assert_tables_equal(actual: PyTable, expected: PyTable, *, ordered=False, ap
                 assert _py_eq(x, y), f"{name}[{i}]: {x!r} != {y!r}"
 
 
+def _oracle_cast(v, target) -> Any:
+    """Independent CAST semantics mirror (MySQL coercion subset)."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        if target.kind in (TypeKind.DATE, TypeKind.DATETIME):
+            s = v.strip().replace("/", "-")
+            for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                        "%Y-%m-%d %H:%M", "%Y-%m-%d", "%Y%m%d"):
+                try:
+                    t = datetime.datetime.strptime(s, fmt)
+                    return t.date() if target.kind is TypeKind.DATE else t
+                except ValueError:
+                    continue
+            return None
+        m = re.match(r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", v)
+        v = float(m.group(0)) if m else 0.0
+    if isinstance(v, datetime.datetime) and target.kind is TypeKind.DATE:
+        return v.date()
+    if isinstance(v, datetime.date) and target.kind is TypeKind.DATETIME:
+        return datetime.datetime(v.year, v.month, v.day)
+    if target.kind is TypeKind.BOOL:
+        return float(v) != 0
+    if target.is_decimal:
+        q = D(1).scaleb(-target.scale)
+        return D(repr(float(v))).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    if target.is_float:
+        return float(v)
+    if target.is_integer:
+        f = float(v)
+        return int(math.copysign(math.floor(abs(f) + 0.5), f))
+    raise KeyError(f"oracle cast -> {target}")
+
+
 def _py_eq(x, y) -> bool:
     if x is None or y is None:
         return x is None and y is None
@@ -104,6 +138,8 @@ def _py_eq(x, y) -> bool:
 
 
 def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
+    from ..expr.nodes import Cast as _Cast
+
     if isinstance(expr, ColumnRef):
         return row[expr.name]
     if isinstance(expr, Literal):
@@ -111,6 +147,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         if isinstance(v, float):
             return v
         return v
+    if isinstance(expr, _Cast):
+        return _oracle_cast(eval_expr_row(expr.arg, row), expr.target)
     assert isinstance(expr, Call)
     f = expr.func
     args = expr.args
