@@ -203,3 +203,67 @@ def test_null_group_not_split_after_join():
     rows = sorted(zip(got["w"], got["c"], got["sv"]),
                   key=lambda x: (x[0] is None, x[0]))
     assert rows == [(7, 1, 10), (None, 3, 90)], rows
+
+
+# --- window / grouping-sets fuzz shapes --------------------------------------
+
+def _rand_window(rng, node):
+    from tiflash_tpu.ops.window import WindowDesc
+
+    pool = [WindowDesc("row_number", "rn"),
+            WindowDesc("rank", "rk"),
+            WindowDesc("dense_rank", "dr"),
+            WindowDesc("sum", "ws", arg=VAL_COL),
+            WindowDesc("min", "wm", arg=VAL_COL,
+                       frame=(int(rng.integers(0, 4)), int(rng.integers(0, 4)))),
+            WindowDesc("lag", "lg", arg=VAL_COL, offset=1),
+            WindowDesc("lead", "ld", arg=VAL_COL, offset=2, default=0)]
+    n = int(rng.integers(2, 5))
+    idx = rng.choice(len(pool), size=n, replace=False)
+    part = [str(rng.choice(["s", "b"]))]
+    order = [SortKey(VAL_COL, desc=bool(rng.integers(0, 2))),
+             SortKey("a", desc=False)]
+    return P.Window(part, order, [pool[i] for i in idx], node)
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_window_matches_oracle(seed):
+    rng = np.random.default_rng(5000 + seed)
+    tables = _tables(rng)
+    node = P.TableScan("t")
+    if rng.random() < 0.5:
+        node = P.Selection(_rand_pred(rng), node)
+    plan = _rand_window(rng, node)
+    blocks = {n: O.pytable_to_block(t, SCHEMA if n == "t" else R_SCHEMA)
+              for n, t in tables.items()}
+    out, ov = compile_fragment(plan)(blocks)
+    for k, v in ov.items():
+        assert int(np.asarray(v)) == 0, (k, plan.pretty())
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, tables)
+    assert _norm(got) == _norm(want), plan.pretty()
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_grouping_sets_matches_oracle(seed):
+    rng = np.random.default_rng(7000 + seed)
+    tables = _tables(rng)
+    node = P.TableScan("t")
+    if rng.random() < 0.6:
+        node = P.Selection(_rand_pred(rng), node)
+    sets = [["s", "b"], ["s"], []]
+    if rng.random() < 0.5:
+        sets = [["b"], []]
+    node = P.Expand(sets, node)
+    keys = sorted({k for s in sets for k in s}) + ["groupingID"]
+    plan = P.Aggregation(keys=keys, aggs=[
+        AggDesc("sum", VAL_COL, "sv"), AggDesc("count", None, "c")],
+        child=node)
+    blocks = {n: O.pytable_to_block(t, SCHEMA if n == "t" else R_SCHEMA)
+              for n, t in tables.items()}
+    out, ov = compile_fragment(plan)(blocks)
+    for k, v in ov.items():
+        assert int(np.asarray(v)) == 0, (k, plan.pretty())
+    got = O.block_to_pytable(out)
+    want = execute_plan_oracle(plan, tables)
+    assert _norm(got) == _norm(want), plan.pretty()
