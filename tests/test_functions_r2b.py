@@ -372,3 +372,17 @@ def test_round_frac_float_decimal_int():
     assert [str(x) for x in
             O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]] == \
         ["123.5", "-10.0", "0.0"]
+
+
+def test_info_functions(dtdata):
+    _, block = dtdata
+    for fn, want in [("version", "8.0.11-TiDB-tiflash-tpu-0.2"),
+                     ("database", "default"), ("user", "root@%")]:
+        c = evaluate_expr(call(fn), block)
+        vals = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+        assert vals[0] == want and len(set(vals)) == 1
+    c = evaluate_expr(call("connection_id"), block)
+    assert O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"][0] == 0
+    # composable: LIKE over version()
+    c = evaluate_expr(call("like", call("version"), lit("%TiDB%")), block)
+    assert all(O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"])

@@ -362,6 +362,20 @@ class ExprEvaluator:
             return Column(
                 jnp.full(self.n, query_now_us() // 1_000_000, dtype=jnp.int64),
                 None, DataType(TypeKind.INT64))
+        if name in ("version", "database", "schema", "user", "current_user",
+                    "connection_id"):
+            # MySQL info functions (constant per session); the reference
+            # evaluates these in TiDB, but pushed-down plans may still
+            # carry them as constants
+            if name == "connection_id":
+                return Column(jnp.zeros(self.n, dtype=jnp.int64), None,
+                              DataType(TypeKind.INT64))
+            text = {
+                "version": "8.0.11-TiDB-tiflash-tpu-0.2",
+                "database": "default", "schema": "default",
+                "user": "root@%", "current_user": "root@%",
+            }[name]
+            return self._encode_string_literal(text, None)
         if name == "get_format":
             t = str(call.args[0].value).upper()
             loc = str(call.args[1].value).upper()
