@@ -386,3 +386,28 @@ def test_info_functions(dtdata):
     # composable: LIKE over version()
     c = evaluate_expr(call("like", call("version"), lit("%TiDB%")), block)
     assert all(O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"])
+
+
+def test_str_to_date_datetime_form(data):
+    """A format with time specifiers yields DATETIME (reference
+    strToDateDatetime vs strToDateDate sigs)."""
+    import datetime as pydt
+
+    from tiflash_tpu.core.block import column_from_numpy
+
+    vals = ["2023-01-31 13:45:06", "1999-12-01 00:00:59", "nope",
+            "2023-06-05 23:59:59"]
+    block = Block.from_dict({"s": column_from_numpy(vals, dt.STRING)})
+    tab = {"s": vals}
+    expr = call("str_to_date", col("s"), lit("%Y-%m-%d %H:%i:%s"))
+    c = evaluate_expr(expr, block)
+    assert c.dtype.kind is TypeKind.DATETIME
+    got = O.block_to_pytable(Block(names=("r",), columns=(c,)))["r"]
+    want = O.eval_expr_table(expr, tab)
+    assert got == want
+    assert got[0] == pydt.datetime(2023, 1, 31, 13, 45, 6)
+    assert got[2] is None
+    # date-only format still yields DATE
+    expr2 = call("str_to_date", col("s"), lit("%Y-%m-%d"))
+    c2 = evaluate_expr(expr2, block)
+    assert c2.dtype.kind is TypeKind.DATE

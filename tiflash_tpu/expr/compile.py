@@ -569,7 +569,8 @@ class ExprEvaluator:
 
     def _maybe_string_date_transform(self, call: Call) -> Optional[Column]:
         """str-column + literal params -> DATE via dictionary LUT
-        (str_to_date)."""
+        (str_to_date); a format with time specifiers selects the DATETIME
+        result instead (reference strToDateDate vs strToDateDatetime)."""
         fn = _STRING_DATE_TRANSFORMS[call.func]
         rest = call.args[1:]
         if not all(isinstance(a, Literal) for a in rest):
@@ -577,9 +578,15 @@ class ExprEvaluator:
         target = self.evaluate(call.args[0])
         if not target.dtype.is_string:
             return None
+        params = [a.value for a in rest]
+        if (call.func == "str_to_date" and params
+                and _rj.format_has_time(str(params[0]))):
+            from .functions import _map_string_to_datetime
+
+            return _map_string_to_datetime(
+                target, lambda s: _rj.str_to_datetime(s, *params))
         from .functions import _map_string_to_date
 
-        params = [a.value for a in rest]
         return _map_string_to_date(target, lambda s: fn(s, *params))
 
     def _elt(self, call: Call) -> Column:

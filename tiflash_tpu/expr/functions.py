@@ -1860,6 +1860,26 @@ def _map_string_to_date(col: Column, fn) -> Column:
     return Column(data, validity, DataType(TypeKind.DATE, nullable))
 
 
+def _map_string_to_datetime(col: Column, fn) -> Column:
+    """Host LUT dictionary -> epoch-microsecond DATETIME column; fn
+    returns a ``datetime.datetime`` or None (reference strToDateDatetime
+    sig)."""
+    import datetime as _dt
+
+    d = col.dictionary or ()
+    epoch = _dt.datetime(1970, 1, 1)
+    mapped = [fn(s) for s in d]
+    nulls = _np.array([m is None for m in mapped] or [False])
+    table = _np.array(
+        [0 if m is None else round((m - epoch).total_seconds() * 1_000_000)
+         for m in mapped] or [0],
+        dtype=_np.int64,
+    )
+    data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
+    validity, nullable = _lut_validity(col, nulls)
+    return Column(data, validity, DataType(TypeKind.DATETIME, nullable))
+
+
 def _register_part_name(name: str, part_fn_name: str, names_list):
     """month_name/dayname: temporal part -> constant string dictionary."""
     sorted_dict = tuple(sorted(names_list))

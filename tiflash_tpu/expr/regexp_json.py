@@ -552,3 +552,31 @@ def mysql_char(*codes: int) -> str:
         nb = max(1, (u.bit_length() + 7) // 8)
         out += u.to_bytes(nb, "big")
     return out.decode("utf-8", errors="ignore")
+
+
+_TIME_SPECS = set("HhIiSsfTrp")
+
+
+def format_has_time(fmt: str) -> bool:
+    """True when a MySQL format string contains time-part specifiers —
+    selects the strToDateDatetime sig over strToDateDate."""
+    i = 0
+    while i < len(fmt) - 1:
+        if fmt[i] == "%":
+            if fmt[i + 1] in _TIME_SPECS:
+                return True
+            i += 2
+            continue
+        i += 1
+    return False
+
+
+def str_to_datetime(s: str, fmt: str):
+    """MySQL STR_TO_DATE with time parts -> datetime.datetime, or None
+    (reference strToDateDatetime sig)."""
+    import datetime as _dt
+
+    try:
+        return _dt.datetime.strptime(s, mysql_format_to_strftime(fmt))
+    except Exception:
+        return None

@@ -888,9 +888,14 @@ def _oracle_str_to_date(s: str, fmt: str):
             py.append(fmt[i].replace("%", "%%"))
             i += 1
     try:
-        return datetime.datetime.strptime(s, "".join(py)).date()
+        t = datetime.datetime.strptime(s, "".join(py))
     except Exception:
         return None
+    # time specifiers in the format -> DATETIME result (independent check)
+    has_time = any(fmt[i] == "%" and i + 1 < len(fmt)
+                   and fmt[i + 1] in "HhIiSsfTrp"
+                   for i in range(len(fmt) - 1))
+    return t if has_time else t.date()
 
 
 def _oracle_date_format(d, fmt: str) -> str:
