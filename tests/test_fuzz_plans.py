@@ -32,6 +32,7 @@ SCHEMA = {
     "s": dt.STRING.with_nullable(True),
     "v": dt.INT64,
     "f": dt.FLOAT64.with_nullable(True),
+    "d": dt.Decimal(10, 2, nullable=True),
 }
 R_SCHEMA = {
     "k": dt.INT64,
@@ -80,7 +81,10 @@ def _rand_aggs(rng, has_x):
             AggDesc("max", VAL_COL, "mx"),
             AggDesc("avg", "f", "af"),
             AggDesc("count_distinct", "b", "cd"),
-            AggDesc("bit_or", VAL_COL, "bo")]
+            AggDesc("bit_or", VAL_COL, "bo"),
+            AggDesc("sum", "d", "sd"),
+            AggDesc("min", "d", "md"),
+            AggDesc("avg", "d", "ad")]
     if has_x:
         pool.append(AggDesc("sum", "x", "sx"))
     n = int(rng.integers(2, 5))
@@ -127,7 +131,7 @@ def _tables(rng):
     return {"t": t, "r": r}
 
 
-def _norm(table, float_cols=("af", "f", "x", "sx")):
+def _norm(table, float_cols=("af", "f", "x", "sx", "ad")):
     cols = sorted(table.keys())
     rows = []
     for i in range(len(table[cols[0]]) if cols else 0):
