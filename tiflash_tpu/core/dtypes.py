@@ -44,6 +44,7 @@ class TypeKind(enum.Enum):
     DECIMAL = "decimal"  # int64 mantissa, fixed scale
     DATE = "date"  # int32 days since 1970-01-01
     DATETIME = "datetime"  # int64 microseconds since epoch
+    DURATION = "duration"  # int64 signed microseconds (MySQL TIME)
     STRING = "string"  # int32 dictionary codes
     VECTOR = "vector"  # (n, dims) float32 rows (TiDB VECTOR Float32)
 
@@ -62,6 +63,7 @@ _PHYSICAL = {
     TypeKind.DECIMAL: np.int64,
     TypeKind.DATE: np.int32,
     TypeKind.DATETIME: np.int64,
+    TypeKind.DURATION: np.int64,
     TypeKind.STRING: np.int32,
     TypeKind.VECTOR: np.float32,
 }
@@ -165,7 +167,12 @@ FLOAT64 = DataType(TypeKind.FLOAT64)
 BOOL = DataType(TypeKind.BOOL)
 DATE = DataType(TypeKind.DATE)
 DATETIME = DataType(TypeKind.DATETIME)
+DURATION = DataType(TypeKind.DURATION)
 STRING = DataType(TypeKind.STRING)
+
+# MySQL TIME range: ±838:59:59.000000 (reference DataTypeMyDuration;
+# ``Functions/FunctionsDuration.h`` clamps to this on overflow).
+DURATION_MAX_US = 3_020_399_000_000
 
 
 def Vector(dims: int, nullable: bool = False) -> DataType:
@@ -223,6 +230,8 @@ __all__ = [
     "BOOL",
     "DATE",
     "DATETIME",
+    "DURATION",
+    "DURATION_MAX_US",
     "STRING",
     "common_numeric_type",
     "comparison_result_type",

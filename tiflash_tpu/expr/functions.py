@@ -72,6 +72,8 @@ def cast_column(col: Column, target: DataType) -> Column:
         return Column(
             jnp.floor_divide(data, 86_400_000_000).astype(jnp.int32),
             col.validity, target)
+    if src.kind is TypeKind.DURATION or target.kind is TypeKind.DURATION:
+        return _cast_duration(col, target)
     if target.is_decimal:
         if src.is_decimal:
             ds = target.scale - src.scale
@@ -107,6 +109,118 @@ def cast_column(col: Column, target: DataType) -> Column:
     else:
         raise NotImplementedError(f"cast {src} -> {target}")
     return Column(data.astype(target.jnp_dtype), col.validity, target, None)
+
+
+def _cast_duration(col: Column, target: DataType) -> Column:
+    """Duration casts (reference CastDurationAs* / Cast*AsDuration sigs).
+
+    Numeric form of a TIME is the MySQL HHMMSS packing (CAST('-01:02:03'
+    AS TIME) as SIGNED = -10203); DATETIME <-> DURATION goes through the
+    query-clock date / time-of-day respectively."""
+    from ..core.dtypes import DURATION_MAX_US
+
+    src = col.dtype
+    data = col.data
+    if src.kind is TypeKind.DURATION:
+        us = data.astype(jnp.int64)
+        neg = us < 0
+        mag = jnp.abs(us)
+        h = mag // 3_600_000_000
+        m = (mag // 60_000_000) % 60
+        s = (mag // 1_000_000) % 60
+        frac = mag % 1_000_000
+        packed = h * 10_000 + m * 100 + s
+        if target.is_integer:
+            out = jnp.where(neg, -packed, packed)
+            return Column(out.astype(target.jnp_dtype), col.validity, target)
+        if target.is_float:
+            f = packed.astype(jnp.float64) + frac.astype(jnp.float64) / 1e6
+            out = jnp.where(neg, -f, f)
+            return Column(out.astype(target.jnp_dtype), col.validity, target)
+        if target.is_decimal:
+            sc = target.scale
+            if sc <= 6:
+                mant = packed * _pow10(sc) + frac // _pow10(6 - sc)
+            else:
+                mant = packed * _pow10(sc) + frac * _pow10(sc - 6)
+            return Column(jnp.where(neg, -mant, mant), col.validity, target)
+        if target.kind is TypeKind.DATETIME:
+            # CAST(time AS DATETIME): anchored on the query-clock date
+            from .compile import query_now_us
+
+            day0 = (query_now_us() // 86_400_000_000) * 86_400_000_000
+            return Column(day0 + us, col.validity, target)
+        if target.kind is TypeKind.BOOL:
+            return Column(us != 0, col.validity, target)
+        raise NotImplementedError(f"cast {src} -> {target}")
+    # -> DURATION
+    if src.kind is TypeKind.DATETIME:
+        us = data.astype(jnp.int64)
+        tod = us - jnp.floor_divide(us, 86_400_000_000) * 86_400_000_000
+        return Column(tod, col.validity, target)
+    if src.kind is TypeKind.DATE:
+        return Column(jnp.zeros_like(data, dtype=jnp.int64), col.validity, target)
+    if src.is_integer or src.is_decimal or src.is_float:
+        # numeric HHMMSS[.frac] -> duration
+        if src.is_decimal:
+            sc = src.scale
+            whole = jnp.sign(data) * (jnp.abs(data) // _pow10(sc))
+            fr = jnp.abs(data) % _pow10(sc)
+            frac_us = fr * _pow10(6 - sc) if sc <= 6 else fr // _pow10(sc - 6)
+            num = data.astype(jnp.float64) / _pow10(sc)
+        elif src.is_float:
+            num = data.astype(jnp.float64)
+            whole = jnp.trunc(num).astype(jnp.int64)
+            frac_us = (jnp.abs(num) % 1.0 * 1e6 + 0.5).astype(jnp.int64)
+        else:
+            whole = data.astype(jnp.int64)
+            frac_us = jnp.zeros_like(whole)
+            num = whole.astype(jnp.float64)
+        neg = num < 0
+        mag = jnp.abs(whole)
+        h = mag // 10_000
+        m = (mag // 100) % 100
+        s = mag % 100
+        ok = (m < 60) & (s < 60)
+        us = h * 3_600_000_000 + m * 60_000_000 + s * 1_000_000 + frac_us
+        us = jnp.clip(jnp.where(neg, -us, us), -DURATION_MAX_US, DURATION_MAX_US)
+        v = col.validity
+        v = ok if v is None else (v & ok)
+        return Column(us, v, target.with_nullable(True))
+    raise NotImplementedError(f"cast {src} -> {target}")
+
+
+def parse_mysql_time(s: str):
+    """'[-][D ]HH:MM:SS[.f]' / 'HH:MM' / 'SS' / numeric 'HHMMSS' ->
+    signed microseconds, or None when unparseable (MySQL TIME literal
+    grammar subset; clamped to the TIME range)."""
+    import re as _re
+
+    from ..core.dtypes import DURATION_MAX_US
+
+    s = s.strip()
+    m = _re.match(
+        r"^([+-]?)(?:(\d+)\s+)?(\d+)(?::(\d{1,2})(?::(\d{1,2}))?)?"
+        r"(?:\.(\d{1,6}))?$", s)
+    if not m:
+        return None
+    sign = -1 if m.group(1) == "-" else 1
+    days = int(m.group(2) or 0)
+    if m.group(4) is None:
+        # bare number: MySQL reads it as [HH]MMSS packing
+        n = int(m.group(3))
+        h, mm, ss = n // 10_000, (n // 100) % 100, n % 100
+        if days:
+            h += days * 24
+    else:
+        h = days * 24 + int(m.group(3))
+        mm = int(m.group(4))
+        ss = int(m.group(5) or 0)
+    if mm >= 60 or ss >= 60:
+        return None
+    frac = int((m.group(6) or "0").ljust(6, "0"))
+    us = sign * (((h * 60 + mm) * 60 + ss) * 1_000_000 + frac)
+    return max(-DURATION_MAX_US, min(DURATION_MAX_US, us))
 
 
 def _cast_string_lut(col: Column, target: DataType) -> Column:
@@ -148,6 +262,14 @@ def _cast_string_lut(col: Column, target: DataType) -> Column:
                 vals[i] = (t.date() - epoch.date()).days
             else:
                 vals[i] = round((t - epoch).total_seconds() * 1_000_000)
+    elif target.kind is TypeKind.DURATION:
+        vals = _np.zeros(max(len(d), 1), dtype=_np.int64)
+        for i, s in enumerate(d):
+            us = parse_mysql_time(s)
+            if us is None:
+                nulls[i] = True
+            else:
+                vals[i] = us
     else:
         fvals = _np.array([parse_num(s) for s in d] or [0.0], dtype=_np.float64)
         if target.is_decimal:
@@ -1386,7 +1508,9 @@ _register_date_fn("week_of_year", _weekofyear)
 
 
 def _register_time_part(name: str, divisor: int, modulus: int):
-    """DATETIME (microseconds) sub-day parts."""
+    """DATETIME (microseconds) sub-day parts; DURATION components are
+    magnitudes (MySQL HOUR('-10:10:10') = 10, and the hour of a TIME is
+    NOT reduced mod 24 — HOUR('272:59:59') = 272)."""
 
     def factory():
         def infer(ts):
@@ -1395,6 +1519,12 @@ def _register_time_part(name: str, divisor: int, modulus: int):
         def evaluate(cols, out):
             (a,) = cols
             us = a.data.astype(jnp.int64)
+            if a.dtype.kind is TypeKind.DURATION:
+                mag = jnp.abs(us)
+                data = mag // divisor
+                if name != "hour":
+                    data = data % modulus
+                return Column(data, a.validity, out)
             us = jnp.where(us < 0, us + ((-us // 86_400_000_000 + 1) * 86_400_000_000), us)
             data = (us // divisor) % modulus
             return Column(data, a.validity, out)
@@ -1533,6 +1663,11 @@ def _time_to_sec():
         (a,) = cols
         if a.dtype.kind is TypeKind.DATE:
             data = jnp.zeros_like(a.data, dtype=jnp.int64)
+        elif a.dtype.kind is TypeKind.DURATION:
+            # signed, truncated toward zero (MySQL TIME_TO_SEC('-01:00')
+            # = -3600)
+            us = a.data.astype(jnp.int64)
+            data = jnp.sign(us) * (jnp.abs(us) // 1_000_000)
         else:
             us = a.data.astype(jnp.int64)
             us = us - jnp.floor_divide(us, 86_400_000_000) * 86_400_000_000
@@ -1977,5 +2112,7 @@ for _alias, _target in _ALIASES.items():
     if _alias not in REGISTRY and _target in REGISTRY:
         REGISTRY[_alias] = REGISTRY[_target]
 
+
+from . import duration as _duration  # noqa: E402,F401  (registers TIME fns)
 
 __all__ = ["REGISTRY", "get_function", "cast_column", "Function", "DIV_PRECISION_INCREMENT"]
