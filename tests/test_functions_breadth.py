@@ -203,3 +203,10 @@ def test_date_fn_and_aliases(data):
     check(call("date", col("t")), data)
     check(call("sha", col("s")), data)
     check(call("day", col("t")), data)
+
+
+def test_div_intdiv_exp2(data):
+    # MySQL DIV operator aliases and exp2 (DAGUtils.cpp:92 "intDiv", "exp2")
+    check(call("div", col("i"), lit(7)), data)
+    check(call("intdiv", col("p"), call("nullif", col("i"), lit(0))), data)
+    check(call("exp2", call("modulo", col("p"), lit(16))), data, approx=True)

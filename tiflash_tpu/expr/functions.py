@@ -1127,6 +1127,7 @@ _register_float_unary("exp", jnp.exp)
 _register_float_unary("ln", jnp.log)
 _register_float_unary("log", jnp.log)
 _register_float_unary("log2", jnp.log2)
+_register_float_unary("exp2", jnp.exp2)
 _register_float_unary("log10", jnp.log10)
 _register_float_unary("sin", jnp.sin)
 _register_float_unary("cos", jnp.cos)
@@ -2093,6 +2094,8 @@ _ALIASES = {
     "ge": "greater_or_equals",
     "plus_int": "plus",
     "isnull": "is_null",
+    "div": "int_div",
+    "intdiv": "int_div",
     # resolved by the expression compiler's transform dispatch (these
     # targets live in expr/compile.py transform tables, not REGISTRY)
     "regexp": "regexp_like",

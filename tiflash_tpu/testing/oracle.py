@@ -304,7 +304,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     f = {"adddate": "date_add_days", "subdate": "date_sub_days",
          "add_months": "date_add_months", "bit_neg": "bit_not",
          "json_array_length": "json_length", "sha": "sha1",
-         "day": "day_of_month"}.get(f, f)
+         "day": "day_of_month", "div": "int_div",
+         "intdiv": "int_div"}.get(f, f)
 
     vals = [eval_expr_row(a, row) for a in args]
     if any(v is None for v in vals):
@@ -390,6 +391,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
                 "log10": math.log10}[f](x)
     if f == "exp":
         return math.exp(float(a))
+    if f == "exp2":
+        return float(2.0 ** float(a))
     if f in ("sin", "cos", "tan"):
         return getattr(math, f)(float(a))
     if f == "radians":
