@@ -122,3 +122,48 @@ def test_runner_spill_dir_setting(tmp_path):
     ref, _ = QueryRunner(plan, settings=s2).run(tables)
     want = O.block_to_pytable(ref.compact())
     O.assert_tables_equal(O.sort_pytable(got), O.sort_pytable(want), ordered=True)
+
+
+def test_per_operator_external_join_threshold():
+    """max_bytes_before_external_join (Settings.h:321) forces the grace
+    path even when the global device quota is satisfied."""
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    plan, tables, _ = _grace_setup()
+    s = Settings(max_bytes_before_external_join=400_000)  # no global quota
+    out, summary = QueryRunner(plan, settings=s).run(tables)
+    assert "grace out-of-core" in summary.plan_text
+    ref, _ = QueryRunner(plan, settings=Settings()).run(tables)
+    O.assert_tables_equal(
+        O.sort_pytable(O.block_to_pytable(out.compact())),
+        O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)
+
+
+def test_per_operator_external_group_by_threshold():
+    import numpy as np
+
+    from tiflash_tpu.core import dtypes as dt
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    from tiflash_tpu.testing import oracle as O2
+    sch = {"g": dt.INT64, "v": dt.INT64}
+    pt = O2.random_pytable(rng, n, sch, null_prob=0.0, int_range=(-100, 100))
+    pt["g"] = [abs(x) % 8 for x in pt["g"]]
+    tables = {"t": O2.pytable_to_block(pt, sch)}
+    plan = P.Aggregation(["g"], [P.AggDesc("sum", "v", "s"),
+                                 P.AggDesc("count", None, "c")],
+                         P.TableScan("t"))
+    s = Settings(max_bytes_before_external_group_by=200_000)
+    out, summary = QueryRunner(plan, settings=s).run(tables)
+    assert "chunked out-of-core" in summary.plan_text
+    ref, _ = QueryRunner(plan, settings=Settings()).run(tables)
+    O.assert_tables_equal(
+        O.sort_pytable(O.block_to_pytable(out.compact())),
+        O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)

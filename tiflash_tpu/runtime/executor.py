@@ -225,6 +225,27 @@ class QueryRunner:
 
         try:
             check_memory(self.plan, tables, self.settings.max_bytes_per_device)
+            # per-operator external-memory thresholds
+            # (Settings.h:138/140/321): force the out-of-core path for the
+            # matching operator shape even under the global quota
+            s = self.settings
+            if self.mesh is None and s.enable_spill and (
+                    s.max_bytes_before_external_group_by
+                    or s.max_bytes_before_external_join
+                    or s.max_bytes_before_external_sort):
+                from .memory import estimate_plan_bytes
+                from .outofcore import chunkable, grace_spec, sliced_spec
+
+                est = estimate_plan_bytes(self.plan, tables)
+                gb, jb, sb = (s.max_bytes_before_external_group_by,
+                              s.max_bytes_before_external_join,
+                              s.max_bytes_before_external_sort)
+                if (gb and est > gb and chunkable(self.plan)) or \
+                   (jb and est > jb and grace_spec(self.plan) is not None) or \
+                   (sb and est > sb and sliced_spec(self.plan) is not None):
+                    raise MemoryLimitError(
+                        f"operator working set ~{est} B exceeds its "
+                        "external-memory threshold")
         except MemoryLimitError:
             # out-of-core fallbacks (the spill analogs): chunked partial
             # aggregation, grace hash join, or external sort/topN
@@ -252,6 +273,11 @@ class QueryRunner:
             from .memory import plan_chunk_rows
 
             budget = self.settings.max_bytes_per_device or (1 << 32)
+            per_op = {"chunked": self.settings.max_bytes_before_external_group_by,
+                      "grace": self.settings.max_bytes_before_external_join,
+                      "sliced": self.settings.max_bytes_before_external_sort}[mode]
+            if per_op:
+                budget = min(budget, per_op)
             chunk_rows = plan_chunk_rows(
                 self.plan, tables, budget,
                 work_factor=self.settings.outofcore_work_factor,

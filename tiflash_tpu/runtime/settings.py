@@ -47,6 +47,13 @@ class Settings:
                                           # cancellation checkpoint
     query_timestamp_us: Optional[int] = None  # pin NOW()/CURDATE()/RAND()
     enable_spill: bool = True             # gate out-of-core fallbacks
+    # per-operator external-memory thresholds (Settings.h:138/140/321 —
+    # max_bytes_before_external_group_by/-sort/-join): 0 = only the global
+    # quota triggers out-of-core; >0 forces the matching operator shape to
+    # the out-of-core path once its estimated working set exceeds it
+    max_bytes_before_external_group_by: int = 0
+    max_bytes_before_external_sort: int = 0
+    max_bytes_before_external_join: int = 0
     # --- service ---
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     service_queue_timeout_s: float = 0.0  # 0 = wait forever when QUEUED
