@@ -102,12 +102,13 @@ def _build_plan(rng):
         has_x = True
     joined = False
     if rng.random() < 0.5:
-        kind = str(rng.choice(["inner", "left_outer", "semi", "anti"]))
+        kind = str(rng.choice(["inner", "left_outer", "semi", "anti",
+                               "right_outer", "full_outer"]))
         node = P.Join(kind=kind, probe_keys=["a"], build_keys=["k"],
                       probe=node, build=P.TableScan("r"),
                       output_capacity=4000)
         # semi/anti joins emit no build-side columns
-        joined = kind in ("inner", "left_outer")
+        joined = kind in ("inner", "left_outer", "right_outer", "full_outer")
     shape = rng.choice(["agg", "topn", "limit", "plain"])
     if shape == "agg":
         keys = [str(rng.choice(["s", "b"] if not joined else ["s", "b", "w"]))]

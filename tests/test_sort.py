@@ -131,3 +131,29 @@ def test_top_n_tiled_more_limit_than_live():
     got = O.block_to_pytable(got_b)
     want = O.o_sort(ftable, [("a", False)], limit=500)
     O.assert_tables_equal(got, want, ordered=True)
+
+
+def test_desc_sort_places_nulls_last_by_default():
+    """MySQL/TiDB ORDER BY x DESC: NULL is smallest -> sorts LAST.
+    Found by the plan fuzzer via a full-outer-join non-matched tail
+    (engine used nulls-first regardless of direction)."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.ops.sort import SortKey, sort_block, top_n
+    from tiflash_tpu.testing import oracle as O
+
+    pt = {"x": [3, None, 1, None, 2], "id": [0, 1, 2, 3, 4]}
+    sch = {"x": dt.INT64.with_nullable(True), "id": dt.INT64}
+    blk = O.pytable_to_block(pt, sch)
+    got = O.block_to_pytable(sort_block(blk, [SortKey("x", desc=True)]).compact())
+    assert got["x"] == [3, 2, 1, None, None]
+    got_asc = O.block_to_pytable(sort_block(blk, [SortKey("x")]).compact())
+    assert got_asc["x"] == [None, None, 1, 2, 3]
+    # top_n general path honors it too
+    top = O.block_to_pytable(top_n(blk, [SortKey("x", desc=True)], 3).compact())
+    assert top["x"] == [3, 2, 1]
+    # explicit override still wins
+    got_o = O.block_to_pytable(
+        sort_block(blk, [SortKey("x", desc=True, nulls_first=True)]).compact())
+    assert got_o["x"] == [None, None, 3, 2, 1]

@@ -32,7 +32,13 @@ class SortKey:
 
     name: str
     desc: bool = False
-    nulls_first: bool = True  # TiDB default: NULLs sort first ascending
+    # MySQL/TiDB: NULL is smallest — first ascending, LAST descending.
+    # None = follow that default; explicit True/False overrides.
+    nulls_first: Optional[bool] = None
+
+    @property
+    def nulls_first_resolved(self) -> bool:
+        return (not self.desc) if self.nulls_first is None else self.nulls_first
 
 
 def _sort_operand(col: Column, desc: bool, nulls_first: bool) -> List[jnp.ndarray]:
@@ -85,7 +91,7 @@ def sort_block(block: Block, sort_keys: Sequence[SortKey]) -> Block:
     live = block.sel_mask()
     operands: List[jnp.ndarray] = [~live]  # live rows first
     for sk in sort_keys:
-        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first_resolved))
     nk = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))
     out = jax.lax.sort(tuple(operands), num_keys=nk, is_stable=True)
@@ -119,7 +125,7 @@ def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
         operands: List[jnp.ndarray] = [~live]
         for sk in sort_keys:
             operands.extend(
-                _sort_operand(block[sk.name], sk.desc, sk.nulls_first)
+                _sort_operand(block[sk.name], sk.desc, sk.nulls_first_resolved)
             )
         nk = len(operands)
         operands.append(jnp.arange(n, dtype=jnp.int32))
@@ -174,7 +180,7 @@ def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
     live = block.sel_mask()
     operands: List[jnp.ndarray] = [~live]
     for sk in sort_keys:
-        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first_resolved))
     nk = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))
     out_ops = jax.lax.sort(tuple(operands), num_keys=nk, is_stable=True)

@@ -181,7 +181,7 @@ def window_block(
             operands.append(c.data)
     n_part_ops = len(operands)
     for sk in order_by:
-        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first))
+        operands.extend(_sort_operand(block[sk.name], sk.desc, sk.nulls_first_resolved))
     n_sort_ops = len(operands)
     operands.append(jnp.arange(n, dtype=jnp.int32))
     out = jax.lax.sort(tuple(operands), num_keys=n_sort_ops, is_stable=True)
