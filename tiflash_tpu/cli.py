@@ -19,9 +19,11 @@ import sys
 
 def _build_catalog(args):
     if args.tbl_dir:
+        from .runtime.settings import Settings
         from .storage.native_loader import load_tpch_dir
 
-        return load_tpch_dir(args.tbl_dir, args.tables.split(","))
+        return load_tpch_dir(args.tbl_dir, args.tables.split(","),
+                             nthreads=Settings.from_env().max_threads)
     from .storage.tpch import generate_tpch
 
     return generate_tpch(

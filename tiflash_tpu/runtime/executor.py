@@ -286,10 +286,12 @@ class QueryRunner:
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
             elif mode == "grace":
                 out = run_grace_join(self.plan, tables, budget,
-                                     spill_dir=self.settings.spill_dir)
+                                     spill_dir=self.settings.spill_dir,
+                                     nthreads=self.settings.max_threads)
             else:
                 out = run_sliced(self.plan, tables, chunk_rows,
-                                 spill_dir=self.settings.spill_dir)
+                                 spill_dir=self.settings.spill_dir,
+                                 nthreads=self.settings.max_threads)
             summary = ExecutionSummary(
                 plan_text=self.plan.pretty() + f"\n  [{mode} out-of-core]",
             )

@@ -284,7 +284,7 @@ def _to_host_rows(block: Block) -> Tuple[Tuple[str, ...], List, "object"]:
     return b.names, cols, n
 
 
-def _part_store(spill_dir: str, tag: str):
+def _part_store(spill_dir: str, tag: str, nthreads: int = 0):
     """PartStore staging (names, [(data, validity, meta)]) parts; with a
     spill dir the arrays live in compressed chunk files (native
     spiller), not host RAM — the Spiller restore-round analog."""
@@ -295,7 +295,7 @@ def _part_store(spill_dir: str, tag: str):
     d = ""
     if spill_dir:
         d = os.path.join(spill_dir, f"{tag}-{os.getpid()}")
-    return PartStore(d)
+    return PartStore(d, nthreads=nthreads or 2)
 
 
 def _store_add(store, part, partition: int) -> None:
@@ -371,6 +371,7 @@ def run_grace_join(
     tables: Dict[str, Block],
     budget_bytes: int,
     spill_dir: str = "",
+    nthreads: int = 0,
 ) -> Block:
     """Execute a join-rooted plan whose inputs exceed the device budget.
 
@@ -429,7 +430,7 @@ def run_grace_join(
         build_parts = _partition_block(build_b, pid_build, P_, cap_b)
 
     fn = compile_fragment(plan)
-    store = _part_store(spill_dir, "grace")
+    store = _part_store(spill_dir, "grace", nthreads)
     from .cancel import checkpoint
 
     try:
@@ -472,7 +473,8 @@ def sliced_spec(plan: P.PlanNode):
 
 
 def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
-               chunk_rows: int, spill_dir: str = "") -> Block:
+               chunk_rows: int, spill_dir: str = "",
+               nthreads: int = 0) -> Block:
     """External sort/topN: per-chunk runs, host-concatenated, one merge
     pass (chunk-sorted runs re-sorted — the restore-merge analog)."""
     import numpy as np
@@ -484,7 +486,7 @@ def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
     fn = compile_fragment(plan)
     from .cancel import checkpoint
 
-    store = _part_store(spill_dir, "sort")
+    store = _part_store(spill_dir, "sort", nthreads)
     start = 0
     run_no = 0
     try:

@@ -54,6 +54,9 @@ class Settings:
     max_bytes_before_external_group_by: int = 0
     max_bytes_before_external_sort: int = 0
     max_bytes_before_external_join: int = 0
+    # host-side parser/spiller thread count (Settings.h:64 max_threads);
+    # 0 = hardware concurrency
+    max_threads: int = 0
     # --- service ---
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     service_queue_timeout_s: float = 0.0  # 0 = wait forever when QUEUED

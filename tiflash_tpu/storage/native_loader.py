@@ -236,13 +236,18 @@ TPCH_SCHEMAS: Dict[str, List[Tuple[str, Optional[dt.DataType]]]] = {
 }
 
 
-def load_tpch_dir(dirpath: str, tables: Sequence[str], use_cache: bool = True) -> Catalog:
-    """Load dbgen .tbl files from a directory into a Catalog."""
+def load_tpch_dir(dirpath: str, tables: Sequence[str], use_cache: bool = True,
+                  nthreads: int = 0) -> Catalog:
+    """Load dbgen .tbl files from a directory into a Catalog.
+
+    ``nthreads``: parser thread count (0 = hardware concurrency) — the
+    ``max_threads`` setting (Settings.h:64) routes here."""
     cat = Catalog()
     for t in tables:
         path = os.path.join(dirpath, t + ".tbl")
         cache = path + ".tfc" if use_cache else None
-        cols = load_table(path, TPCH_SCHEMAS[t], cache=cache)
+        cols = load_table(path, TPCH_SCHEMAS[t], cache=cache,
+                          nthreads=nthreads)
         cat.register(t, cols)
     return cat
 
