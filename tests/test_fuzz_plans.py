@@ -115,8 +115,12 @@ def _build_plan(rng):
         node = P.Aggregation(keys=keys, aggs=_rand_aggs(rng, has_x),
                              child=node)
     elif shape == "topn":
-        keys = [SortKey(VAL_COL, desc=bool(rng.integers(0, 2))),
-                SortKey("a", desc=False)]
+        # random direction + NULL placement: None (MySQL default),
+        # explicit first, explicit last
+        nf = [None, True, False][int(rng.integers(0, 3))]
+        keys = [SortKey(VAL_COL, desc=bool(rng.integers(0, 2)),
+                        nulls_first=nf),
+                SortKey("a", desc=bool(rng.integers(0, 2)))]
         node = P.TopN(keys, int(rng.integers(1, 40)), node)
     elif shape == "limit":
         node = P.Limit(int(rng.integers(1, 60)), node)

@@ -1352,20 +1352,24 @@ def o_join(
     return out
 
 
-def o_sort(table: PyTable, keys: Sequence[Tuple[str, bool]], limit: Optional[int] = None) -> PyTable:
-    """keys: (name, desc).  NULLs first ascending, last descending (MySQL)."""
+def o_sort(table: PyTable, keys: Sequence[Tuple], limit: Optional[int] = None) -> PyTable:
+    """keys: (name, desc) or (name, desc, nulls_first).  Default NULL
+    placement is MySQL's: first ascending, last descending; an explicit
+    nulls_first (non-None) overrides."""
     names = list(table.keys())
     n = len(table[names[0]]) if names else 0
     idx = list(range(n))
 
     def rowkey(i):
         parts = []
-        for name, desc in keys:
+        for key in keys:
+            name, desc = key[0], key[1]
+            nf = key[2] if len(key) > 2 and key[2] is not None else not desc
             v = table[name][i]
             if v is None:
-                parts.append((0 if not desc else 1, 0))
+                parts.append((0 if nf else 1, 0))
             else:
-                parts.append((1 if not desc else 0, _Rev(v) if desc else v))
+                parts.append((1 if nf else 0, _Rev(v) if desc else v))
         return tuple(parts)
 
     idx.sort(key=rowkey)

@@ -54,11 +54,13 @@ def execute_plan_oracle(plan: P.PlanNode, tables: Dict[str, O.PyTable]) -> O.PyT
     if isinstance(plan, P.TopN):
         child = execute_plan_oracle(plan.child, tables)
         return O.o_sort(
-            child, [(k.name, k.desc) for k in plan.sort_keys], limit=plan.limit
+            child, [(k.name, k.desc, k.nulls_first) for k in plan.sort_keys],
+            limit=plan.limit,
         )
     if isinstance(plan, P.Sort):
         child = execute_plan_oracle(plan.child, tables)
-        return O.o_sort(child, [(k.name, k.desc) for k in plan.sort_keys])
+        return O.o_sort(
+            child, [(k.name, k.desc, k.nulls_first) for k in plan.sort_keys])
     if isinstance(plan, P.Limit):
         child = execute_plan_oracle(plan.child, tables)
         return {k: v[: plan.limit] for k, v in child.items()}
