@@ -230,7 +230,10 @@ def _rand_window(rng, node):
     n = int(rng.integers(2, 5))
     idx = rng.choice(len(pool), size=n, replace=False)
     part = [str(rng.choice(["s", "b"]))]
-    order = [SortKey(VAL_COL, desc=bool(rng.integers(0, 2))),
+    # first order key randomly nullable ("b") to exercise NULL ordering
+    # (and NULL peer groups for rank) inside window partitions
+    order = [SortKey(str(rng.choice([VAL_COL, "b"])),
+                     desc=bool(rng.integers(0, 2))),
              SortKey("a", desc=False)]
     return P.Window(part, order, [pool[i] for i in idx], node)
 
