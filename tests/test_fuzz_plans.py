@@ -232,6 +232,17 @@ def _rand_window(rng, node):
     part = [str(rng.choice(["s", "b"]))]
     # first order key randomly nullable ("b") to exercise NULL ordering
     # (and NULL peer groups for rank) inside window partitions
+    if rng.random() < 0.35:
+        # RANGE frames (single order key required): value-distance frame
+        # bounds + NULL-peer-set semantics vs the oracle
+        order1 = [SortKey(str(rng.choice([VAL_COL, "b"])),
+                          desc=bool(rng.integers(0, 2)))]
+        funcs = [WindowDesc("sum", "rs", arg=VAL_COL,
+                            frame=(int(rng.integers(0, 6)),
+                                   int(rng.integers(0, 6))),
+                            frame_type="range"),
+                 WindowDesc("rank", "rk")]
+        return P.Window(part, order1, funcs, node)
     order = [SortKey(str(rng.choice([VAL_COL, "b"])),
                      desc=bool(rng.integers(0, 2))),
              SortKey("a", desc=False)]
