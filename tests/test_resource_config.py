@@ -277,3 +277,24 @@ def test_service_queue_timeout():
     finally:
         FailPoint.disable_all()
         httpd.shutdown()
+
+
+def test_config_template_loads_and_covers_every_setting():
+    """etc/config-template.toml: every uncommented key is a real Settings
+    field, and loading it reproduces the defaults."""
+    import dataclasses
+    import os
+
+    from tiflash_tpu.runtime.settings import Settings
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "etc", "config-template.toml")
+    s = Settings.from_toml(path)
+    assert s == Settings()
+    import tomllib
+    with open(path, "rb") as f:
+        keys = set(tomllib.load(f)["engine"].keys())
+    fields = {f.name for f in dataclasses.fields(Settings)}
+    assert keys <= fields
+    # all but the two None-default fields appear
+    assert len(keys) >= len(fields) - 2
