@@ -267,3 +267,66 @@ def test_corrupt_cache_rejected(tmp_path):
     native_loader.save_table(str(good), cols)
     back = native_loader.load_cached_table(str(good), [("a", dt.INT64)])
     assert np.asarray(back["a"].data).tolist() == [1, 2, 3]
+
+
+def test_operator_threshold_is_operator_local():
+    """ADVICE r2: a tiny sort above a large scan must not trip
+    max_bytes_before_external_sort — the threshold compares against the
+    sort's OWN working set (its input after selections + transients),
+    not the whole plan's."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.core.block import Block, column_from_numpy
+    from tiflash_tpu.expr.nodes import col, lit
+    from tiflash_tpu.ops.sort import SortKey
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.memory import (estimate_operator_bytes,
+                                            estimate_plan_bytes)
+
+    n = 100_000
+    blk = Block.from_dict({
+        "a": column_from_numpy(np.arange(n) % 97, dt.INT64),
+        "b": column_from_numpy(np.arange(n), dt.INT64),
+    })
+    tables = {"T": blk}
+    # selection keeps ~1% of rows; the sort sees a tiny input
+    plan = P.TopN([SortKey("b")], 5,
+                  P.Selection(col("a") < lit(1), P.TableScan("T")))
+    whole = estimate_plan_bytes(plan, tables)
+    sort_ws = estimate_operator_bytes(plan, tables, (P.TopN, P.Sort))
+    # the whole plan is big (inputs dominate); the sort's working set is
+    # bounded by its input (the selection output model keeps full width,
+    # so it is <= the scan) — assert strict separation
+    assert sort_ws < whole
+    assert sort_ws > 0
+
+
+def test_mesh_threshold_notice_logged():
+    """ADVICE r2: thresholds under a mesh log a one-time notice instead
+    of being silently ignored."""
+    import numpy as np
+
+    import jax
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.core.block import Block, column_from_numpy
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.logging import RING
+    from tiflash_tpu.runtime.settings import Settings
+
+    devs = jax.devices()
+    mesh = jax.sharding.Mesh(np.array(devs), ("d",))
+    n = 1024
+    blk = Block.from_dict({
+        "g": column_from_numpy(np.arange(n) % 4, dt.INT64),
+        "v": column_from_numpy(np.arange(n), dt.INT64),
+    })
+    plan = P.Aggregation(["g"], [AggDesc("sum", "v", "s")], P.TableScan("T"))
+    s = Settings(max_bytes_before_external_group_by=1)
+    from tiflash_tpu.runtime.executor import run_query
+
+    out, _ = run_query(plan, {"T": blk}, mesh=mesh, settings=s)
+    assert int(np.asarray(out.sel_mask()).sum()) == 4
+    hits = RING.search("single-chip runs only")
+    assert hits, "expected a one-time notice about mesh-ignored thresholds"

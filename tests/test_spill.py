@@ -132,7 +132,9 @@ def test_per_operator_external_join_threshold():
     from tiflash_tpu.testing import oracle as O
 
     plan, tables, _ = _grace_setup()
-    s = Settings(max_bytes_before_external_join=400_000)  # no global quota
+    # no global quota; the threshold compares against the JOIN's own
+    # working set (~253KB here), not the whole plan (ADVICE r2 fix)
+    s = Settings(max_bytes_before_external_join=200_000)
     out, summary = QueryRunner(plan, settings=s).run(tables)
     assert "grace out-of-core" in summary.plan_text
     ref, _ = QueryRunner(plan, settings=Settings()).run(tables)

@@ -60,7 +60,10 @@ struct Spiller {
     bool stop = false;
 
     explicit Spiller(const std::string& d, int nthreads) : dir(d) {
-        if (nthreads < 1) nthreads = 2;
+        // nthreads <= 0 means "hardware concurrency", matching the
+        // loader (loader.cpp) and the max_threads=0 settings contract.
+        if (nthreads < 1)
+            nthreads = std::max(2u, std::thread::hardware_concurrency());
         for (int i = 0; i < nthreads; i++)
             workers.emplace_back([this] { run(); });
     }

@@ -229,23 +229,43 @@ class QueryRunner:
             # (Settings.h:138/140/321): force the out-of-core path for the
             # matching operator shape even under the global quota
             s = self.settings
-            if self.mesh is None and s.enable_spill and (
-                    s.max_bytes_before_external_group_by
-                    or s.max_bytes_before_external_join
-                    or s.max_bytes_before_external_sort):
-                from .memory import estimate_plan_bytes
+            any_threshold = (s.max_bytes_before_external_group_by
+                             or s.max_bytes_before_external_join
+                             or s.max_bytes_before_external_sort)
+            if self.mesh is not None and s.enable_spill and any_threshold:
+                # out-of-core composition is single-chip only for now; say
+                # so once instead of silently ignoring the knobs (ADVICE r2)
+                if not getattr(self, "_warned_mesh_thresholds", False):
+                    self._warned_mesh_thresholds = True
+                    from .logging import get_logger
+
+                    get_logger("tiflash_tpu.executor").info(
+                        "max_bytes_before_external_* thresholds apply to "
+                        "single-chip runs only; ignored under a mesh")
+            if self.mesh is None and s.enable_spill and any_threshold:
+                from ..plan import nodes as P
+                from .memory import estimate_operator_bytes
                 from .outofcore import chunkable, grace_spec, sliced_spec
 
-                est = estimate_plan_bytes(self.plan, tables)
                 gb, jb, sb = (s.max_bytes_before_external_group_by,
                               s.max_bytes_before_external_join,
                               s.max_bytes_before_external_sort)
-                if (gb and est > gb and chunkable(self.plan)) or \
-                   (jb and est > jb and grace_spec(self.plan) is not None) or \
-                   (sb and est > sb and sliced_spec(self.plan) is not None):
+                # each threshold compares against ITS operator's working
+                # set (inputs + transients), not the whole plan's
+                est_gb = estimate_operator_bytes(
+                    self.plan, tables, (P.Aggregation,)) if gb else 0
+                est_jb = estimate_operator_bytes(
+                    self.plan, tables,
+                    (P.Join, P.SkewShuffleJoin, P.CrossJoin)) if jb else 0
+                est_sb = estimate_operator_bytes(
+                    self.plan, tables, (P.Sort, P.TopN)) if sb else 0
+                if (gb and est_gb > gb and chunkable(self.plan)) or \
+                   (jb and est_jb > jb and grace_spec(self.plan) is not None) or \
+                   (sb and est_sb > sb and sliced_spec(self.plan) is not None):
                     raise MemoryLimitError(
-                        f"operator working set ~{est} B exceeds its "
-                        "external-memory threshold")
+                        f"operator working set (agg~{est_gb} join~{est_jb} "
+                        f"sort~{est_sb} B) exceeds its external-memory "
+                        "threshold")
         except MemoryLimitError:
             # out-of-core fallbacks (the spill analogs): chunked partial
             # aggregation, grace hash join, or external sort/topN

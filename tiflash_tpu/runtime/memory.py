@@ -37,26 +37,46 @@ def _row_bytes(block: Block) -> int:
     return max(1, block_bytes(block) // max(block.capacity, 1))
 
 
-def estimate_plan_bytes(plan: P.PlanNode, tables: Dict[str, Block]) -> int:
-    """Rough peak-bytes estimate: inputs once + every node's output +
-    2x transient for sort-like nodes (key copies + permutation)."""
-    total = sum(block_bytes(b) for b in tables.values())
+def _selection_fraction(node: P.PlanNode, tables: Dict[str, Block]):
+    """Sampled live fraction of a Selection over a base scan (None when
+    not measurable) — lets the per-operator working-set model see the
+    input AFTER selections, as the reference's operator-level memory
+    tracking does (ADVICE r2)."""
+    scan = node.children[0]
+    while isinstance(scan, (P.Selection, P.Projection)):
+        scan = scan.children[0]
+    if not isinstance(scan, P.TableScan):
+        return None
+    from ..plan.auto import _sampled_selectivity
+
+    return _sampled_selectivity(node.cond, scan, tables)
+
+
+def _plan_node_sizes(plan: P.PlanNode, tables: Dict[str, Block]):
+    """Per-node size model: returns ``[(node, out_bytes, work_bytes)]``
+    in post-order, where ``out_bytes`` is the node's estimated output and
+    ``work_bytes`` its own transient+output footprint (sort operand
+    copies, permuted copies, exchange buffers)."""
+    rows = []
 
     def walk(node: P.PlanNode) -> int:
-        """Returns the node's estimated output bytes; accumulates peaks."""
-        nonlocal total
         if isinstance(node, P.TableScan):
             b = tables.get(node.table)
-            return block_bytes(b) if b is not None else 0
+            out = block_bytes(b) if b is not None else 0
+            rows.append((node, out, 0))
+            return out
         child_sizes = [walk(c) for c in node.children]
         if isinstance(node, (P.Selection,)):
-            out = child_sizes[0]
+            out, work = child_sizes[0], 0
+            frac = _selection_fraction(node, tables)
+            if frac is not None:
+                out = max(1, int(out * frac))
         elif isinstance(node, P.Projection):
             out = child_sizes[0]  # approx: similar width
-            total += out
+            work = out
         elif isinstance(node, P.Aggregation):
             out = child_sizes[0]
-            total += 3 * out  # sort operands + permuted copy + output
+            work = 3 * out  # sort operands + permuted copy + output
         elif isinstance(node, (P.Join, P.SkewShuffleJoin)):
             probe, build = child_sizes
             cap = getattr(node, "output_capacity", None)
@@ -65,22 +85,49 @@ def estimate_plan_bytes(plan: P.PlanNode, tables: Dict[str, Block]) -> int:
                 out = cap * _row_bytes(any_b) * 2
             else:
                 out = probe + build
-            total += out + 2 * build  # sorted build copy
+            work = out + 2 * build  # sorted build copy
         elif isinstance(node, P.CrossJoin):
             out = child_sizes[0] + child_sizes[1]
-            total += out
+            work = out
         elif isinstance(node, (P.Sort, P.TopN, P.Window)):
             out = child_sizes[0]
-            total += 2 * out  # sort operands + permuted output
+            work = 2 * out  # sort operands + permuted output
         elif isinstance(node, P.ExchangeReceiver):
             out = child_sizes[0] * 2  # send buffers + receive buffers
-            total += out
+            work = out
         else:
             out = child_sizes[0] if child_sizes else 0
+            work = 0
+        rows.append((node, out, work))
         return out
 
     walk(plan)
-    return total
+    return rows
+
+
+def estimate_plan_bytes(plan: P.PlanNode, tables: Dict[str, Block]) -> int:
+    """Rough peak-bytes estimate: inputs once + every node's output +
+    2x transient for sort-like nodes (key copies + permutation)."""
+    total = sum(block_bytes(b) for b in tables.values())
+    return total + sum(work for _, _, work in _plan_node_sizes(plan, tables))
+
+
+def estimate_operator_bytes(plan: P.PlanNode, tables: Dict[str, Block],
+                            kinds: tuple) -> int:
+    """Working set of the LARGEST node of the given kinds: its inputs
+    plus its own transients — the comparator for the per-operator
+    ``max_bytes_before_external_*`` thresholds.  The reference tracks the
+    matching operator's own memory (``Interpreters/Settings.h:138``), so
+    a tiny sort above a large filtered scan must not trip the sort
+    threshold just because the whole plan is big (ADVICE r2)."""
+    sizes = _plan_node_sizes(plan, tables)
+    out_of = {id(n): o for n, o, _ in sizes}
+    best = 0
+    for node, _out, work in sizes:
+        if isinstance(node, kinds):
+            inputs = sum(out_of[id(c)] for c in node.children)
+            best = max(best, inputs + work)
+    return best
 
 
 def plan_chunk_rows(plan: P.PlanNode, tables: Dict[str, Block],

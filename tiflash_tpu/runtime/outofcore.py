@@ -295,7 +295,9 @@ def _part_store(spill_dir: str, tag: str, nthreads: int = 0):
     d = ""
     if spill_dir:
         d = os.path.join(spill_dir, f"{tag}-{os.getpid()}")
-    return PartStore(d, nthreads=nthreads or 2)
+    # 0 passes through: the native spiller resolves it to hardware
+    # concurrency (same contract as the native loader / max_threads=0)
+    return PartStore(d, nthreads=nthreads)
 
 
 def _store_add(store, part, partition: int) -> None:

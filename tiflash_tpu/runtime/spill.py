@@ -65,7 +65,7 @@ class Spiller:
     """One spill scope (a query's restore round).  Arrays spill as
     compressed chunks; metadata (dtype/shape) stays host-side here."""
 
-    def __init__(self, directory: str, nthreads: int = 2):
+    def __init__(self, directory: str, nthreads: int = 0):
         os.makedirs(directory, exist_ok=True)
         self._dir = directory
         self._lib = get_lib()
@@ -127,7 +127,7 @@ class PartStore:
     through the native spiller (background-compressed) and restore at
     merge time; without one they stay in host RAM (the r1 behavior)."""
 
-    def __init__(self, spill_dir: str = "", nthreads: int = 2):
+    def __init__(self, spill_dir: str = "", nthreads: int = 0):
         self._spiller: Optional[Spiller] = (
             Spiller(spill_dir, nthreads) if spill_dir else None
         )

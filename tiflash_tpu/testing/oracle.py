@@ -676,9 +676,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     if f == "concat":
         return "".join(str(v) for v in vals)
     if f == "substring":
-        from ..expr.compile import _mysql_substring
-
-        return _mysql_substring(a, int(vals[1]), int(vals[2]) if len(vals) > 2 else None)
+        return _oracle_substring(a, int(vals[1]),
+                                 int(vals[2]) if len(vals) > 2 else None)
     if f == "left":
         return a[: max(int(b), 0)]
     if f == "right":
@@ -876,6 +875,29 @@ def _oracle_timestampdiff(unit: str, a, b):
     delta_us = round((B - A).total_seconds() * 10**6)
     q = abs(delta_us) // us  # truncation toward zero
     return q if delta_us >= 0 else -q
+
+
+def _oracle_substring(s: str, pos: int, length=None) -> str:
+    """MySQL SUBSTRING, written independently from the MySQL manual
+    (not shared with expr/compile): position 1 is the first character,
+    a negative position counts back from the last character, position 0
+    (or a negative position before the start) yields ''; a non-positive
+    length yields ''.
+    """
+    n = len(s)
+    if pos > 0:
+        begin = pos - 1
+    elif pos < 0:
+        begin = n + pos
+        if begin < 0:
+            return ""
+    else:
+        return ""
+    if length is None:
+        return s[begin:]
+    if length <= 0:
+        return ""
+    return s[begin:begin + length]
 
 
 def _oracle_str_to_date(s: str, fmt: str):
