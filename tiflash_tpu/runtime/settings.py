@@ -90,6 +90,36 @@ class Settings:
             setattr(s, k, v)
         return s
 
+    def with_overrides(self, overrides: dict) -> "Settings":
+        """Per-request settings copy (the reference applies tipb flags
+        over the session settings per query,
+        ``Flash/Coprocessor/DAGContext.h:163``).  Unknown names and
+        un-coercible values raise ``ValueError`` so callers can 400."""
+        valid = {f.name: f for f in dataclasses.fields(self)}
+        patch = {}
+        for k, v in (overrides or {}).items():
+            if k not in valid:
+                raise ValueError(f"unknown setting '{k}'")
+            cur = getattr(self, k)
+            try:
+                if isinstance(cur, bool):
+                    if isinstance(v, str):
+                        v = v.lower() in ("1", "true", "yes")
+                    else:
+                        v = bool(v)
+                elif isinstance(cur, int):
+                    v = int(v)
+                elif isinstance(cur, float):
+                    v = float(v)
+                elif cur is None:  # Optional[int] fields
+                    v = None if v is None else int(v)
+                else:
+                    v = type(cur)(v)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"bad value for setting '{k}': {e}")
+            patch[k] = v
+        return dataclasses.replace(self, **patch)
+
     @staticmethod
     def from_env(**overrides) -> "Settings":
         s = Settings(**overrides)
