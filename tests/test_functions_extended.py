@@ -171,11 +171,13 @@ def test_bit_ops(expr, data):
             if any(v is None for v in vals):
                 return None
             f = e.func
-            if f == "bit_and": return vals[0] & vals[1]
-            if f == "bit_or": return vals[0] | vals[1]
-            if f == "bit_xor": return vals[0] ^ vals[1]
-            if f == "bit_not": return ~vals[0]
-            if f == "shift_left": return vals[0] << vals[1]
+            M = (1 << 64) - 1  # MySQL bit ops return BIGINT UNSIGNED
+            if f == "bit_and": return (vals[0] & vals[1]) & M
+            if f == "bit_or": return (vals[0] | vals[1]) & M
+            if f == "bit_xor": return (vals[0] ^ vals[1]) & M
+            if f == "bit_not": return ~vals[0] & M
+            if f == "shift_left":
+                return 0 if not (0 <= vals[1] < 64) else (vals[0] << vals[1]) & M
             if f == "abs": return abs(vals[0])
             if f == "modulo":
                 import math as m

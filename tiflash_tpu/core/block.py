@@ -232,6 +232,14 @@ def column_from_numpy(
         codes = np.fromiter((rank[s] for s in arr.tolist()), dtype=np.int32, count=len(arr))
         data = jnp.asarray(codes)
         dictionary = tuple(uniq_sorted)
+    elif dtype.is_wide_decimal:
+        # python bigint mantissas -> two int64 limbs (core/wide.py layout)
+        W18 = 10 ** 18
+        vals = [0 if v is None else int(v) for v in values]
+        hi = np.array([v // W18 for v in vals], dtype=np.int64)
+        lo = np.array([v - (v // W18) * W18 for v in vals], dtype=np.int64)
+        data = jnp.asarray(np.stack([hi, lo], axis=-1))
+        dictionary = None
     else:
         data = jnp.asarray(np.asarray(values, dtype=dtype.physical))
         dictionary = None
@@ -244,6 +252,8 @@ def column_from_numpy(
     narrow = None
     if dtype.is_string:
         narrow = make_narrow32(codes, (0, max(0, len(dictionary) - 1)))
+    elif dtype.is_wide_decimal:
+        pass  # two-limb columns carry no int64 range stats
     else:
         host_all = np.asarray(values, dtype=dtype.physical)
         host = host_all
@@ -252,6 +262,12 @@ def column_from_numpy(
         if host.size and np.issubdtype(host.dtype, np.integer):
             stats = (int(host.min()), int(host.max()))
             narrow = make_narrow32(host_all, stats)
+        elif host.size and np.issubdtype(host.dtype, np.floating) \
+                and np.isfinite(host).all():
+            # integer envelope of a float column: enables the rounded
+            # int-LUT string producers (HEX/BIN/FORMAT over doubles)
+            stats = (int(np.floor(host.min() + 0.5)) - 1,
+                     int(np.floor(host.max() + 0.5)) + 1)
     return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary,
                   stats=stats, narrow32=narrow)
 

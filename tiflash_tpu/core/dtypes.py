@@ -205,7 +205,11 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
         return Decimal(prec, scale, nullable)
     if a.is_float or b.is_float:
         return DataType(TypeKind.FLOAT64, nullable)
-    # integer widening: always to int64 (TiDB evaluates in 64-bit)
+    # integer widening: to int64, or uint64 when both sides are unsigned
+    # (MySQL LEAST/GREATEST/arith over BIGINT UNSIGNED stay unsigned)
+    unsigned = {TypeKind.UINT8, TypeKind.UINT32, TypeKind.UINT64}
+    if a.kind in unsigned and b.kind in unsigned:
+        return DataType(TypeKind.UINT64, nullable)
     return DataType(TypeKind.INT64, nullable)
 
 

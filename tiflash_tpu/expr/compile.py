@@ -133,8 +133,14 @@ def infer_literal_dtype(value) -> DataType:
         return FLOAT64
     if isinstance(value, str):
         return STRING
-    if isinstance(value, (datetime.date, datetime.datetime)):
+    if isinstance(value, datetime.datetime):
+        return DataType(TypeKind.DATETIME)
+    if isinstance(value, datetime.date):
         return DATE
+    from decimal import Decimal as _D
+
+    if isinstance(value, _D):
+        return Decimal(18, max(0, -value.as_tuple().exponent))
     if isinstance(value, (list, tuple)):
         from ..core.dtypes import Vector
 
@@ -191,7 +197,8 @@ class ExprEvaluator:
     def _literal_column(self, lit: Literal, context: Optional[Column]) -> Column:
         value = lit.value
         if value is None:
-            ref = context.dtype if context is not None else INT64
+            ref = lit.dtype or (context.dtype if context is not None
+                                else INT64)
             dt = ref.with_nullable(True)
             return Column(
                 jnp.zeros(self.n, dtype=dt.jnp_dtype),
@@ -232,6 +239,22 @@ class ExprEvaluator:
             raise ValueError(
                 f"string literal {value!r} used outside a string-column context"
             )
+        from decimal import Decimal as _D
+
+        if isinstance(value, _D):
+            s = max(0, -value.as_tuple().exponent)
+            m = int(value.scaleb(s))
+            return Column(jnp.full(self.n, m, dtype=jnp.int64), None,
+                          Decimal(18, s), stats=(m, m))
+        if isinstance(value, datetime.datetime):
+            us = round((value - datetime.datetime(1970, 1, 1))
+                       .total_seconds() * 1e6)
+            return Column(jnp.full(self.n, us, dtype=jnp.int64), None,
+                          DataType(TypeKind.DATETIME), stats=(us, us))
+        if isinstance(value, datetime.date):
+            days = (value - datetime.date(1970, 1, 1)).days
+            return Column(jnp.full(self.n, days, dtype=jnp.int32), None,
+                          DATE, stats=(days, days))
         st = (int(value), int(value)) if isinstance(value, (int, bool)) else None
         return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt,
                       stats=st)
@@ -377,6 +400,8 @@ class ExprEvaluator:
             }[name]
             return self._encode_string_literal(text, None)
         if name == "get_format":
+            if not all(isinstance(a, Literal) for a in call.args[:2]):
+                raise NotImplementedError("GET_FORMAT needs literal args")
             t = str(call.args[0].value).upper()
             loc = str(call.args[1].value).upper()
             fmt = _GET_FORMAT.get((t, loc))
@@ -523,6 +548,21 @@ class ExprEvaluator:
         rest = call.args[1:]
         if not all(isinstance(a, Literal) for a in rest):
             return None
+        if isinstance(call.args[0], Literal):
+            # constant fold: every argument is a literal
+            fn = _STRING_TRANSFORMS[call.func]
+            params = [a.value for a in rest]
+            v0 = call.args[0].value
+            if v0 is None or any(p is None for p in params):
+                return Column(jnp.zeros(self.n, dtype=jnp.int32),
+                              jnp.zeros(self.n, dtype=jnp.bool_),
+                              STRING.with_nullable(True), ("",))
+            res = fn(str(v0), *params)
+            if res is None:
+                return Column(jnp.zeros(self.n, dtype=jnp.int32),
+                              jnp.zeros(self.n, dtype=jnp.bool_),
+                              STRING.with_nullable(True), ("",))
+            return self._encode_string_literal(str(res), None)
         target = self.evaluate(call.args[0])
         if not target.dtype.is_string:
             return None
@@ -530,6 +570,10 @@ class ExprEvaluator:
 
         fn = _STRING_TRANSFORMS[call.func]
         params = [a.value for a in rest]
+        if any(p is None for p in params):  # MySQL: NULL param -> NULL
+            return Column(jnp.zeros(self.n, dtype=jnp.int32),
+                          jnp.zeros(self.n, dtype=jnp.bool_),
+                          STRING.with_nullable(True), ("",))
         return _map_string_to_string(target, lambda s: fn(s, *params))
 
     def _maybe_string_int_transform(self, call: Call) -> Optional[Column]:
@@ -547,7 +591,19 @@ class ExprEvaluator:
         from .functions import _map_string_to_int
 
         params = [a.value for a in lits]
-        return _map_string_to_int(target, lambda s: fn(s, *params))
+        if any(p is None for p in params):  # MySQL: NULL param -> NULL
+            from ..core.dtypes import INT64 as _I64
+
+            return Column(jnp.zeros(self.n, dtype=jnp.int64),
+                          jnp.zeros(self.n, dtype=jnp.bool_),
+                          _I64.with_nullable(True))
+        out = _map_string_to_int(target, lambda s: fn(s, *params))
+        if call.func in _NEVER_NULL_FNS and out.validity is not None:
+            # is_ipv4/is_ipv6 return 0 for NULL input (MySQL)
+            out = Column(jnp.where(out.validity, out.data,
+                                   jnp.zeros_like(out.data)),
+                         None, out.dtype.with_nullable(False))
+        return out
 
     def _maybe_string_bool_transform(self, call: Call) -> Optional[Column]:
         """str-column + literal params -> bool via dictionary LUT
@@ -564,8 +620,13 @@ class ExprEvaluator:
         from .functions import _map_string_to_int
 
         params = [a.value for a in lits]
-        return _map_string_to_int(target, lambda s: fn(s, *params),
-                                  kind=TypeKind.BOOL)
+        out = _map_string_to_int(target, lambda s: fn(s, *params),
+                                 kind=TypeKind.BOOL)
+        if call.func in _NEVER_NULL_FNS and out.validity is not None:
+            out = Column(jnp.where(out.validity, out.data,
+                                   jnp.zeros_like(out.data)),
+                         None, out.dtype.with_nullable(False))
+        return out
 
     def _maybe_string_date_transform(self, call: Call) -> Optional[Column]:
         """str-column + literal params -> DATE via dictionary LUT
@@ -592,10 +653,11 @@ class ExprEvaluator:
     def _elt(self, call: Call) -> Column:
         """MySQL ELT(n, s1, s2, ...): int index column + string literals;
         out-of-range n -> NULL.  Device side is one clipped gather."""
+        if not all(isinstance(a, Literal) and isinstance(a.value, str)
+                   for a in call.args[1:]):
+            raise NotImplementedError("ELT needs string literals")
         n_col = self.evaluate(call.args[0])
         items = [a.value for a in call.args[1:]]
-        assert all(isinstance(a, Literal) and isinstance(a.value, str)
-                   for a in call.args[1:]), "ELT needs string literals"
         d = tuple(sorted(set(items)))
         rank = {s: i for i, s in enumerate(d)}
         lut = jnp.asarray(np.array([rank[s] for s in items], dtype=np.int32))
@@ -610,8 +672,9 @@ class ExprEvaluator:
         column among the pieces (dictionary LUT); NULL pieces are skipped
         (MySQL), so a NULL column value yields the literals-only join."""
         sep_a = call.args[0]
-        assert isinstance(sep_a, Literal) and isinstance(sep_a.value, str), \
-            "CONCAT_WS separator must be a string literal"
+        if not (isinstance(sep_a, Literal) and isinstance(sep_a.value, str)):
+            raise NotImplementedError(
+                "CONCAT_WS separator must be a string literal")
         sep = sep_a.value
         col_idx = [i for i, a in enumerate(call.args[1:], start=1)
                    if not isinstance(a, Literal)]
@@ -726,8 +789,31 @@ class ExprEvaluator:
         if not all(isinstance(a, Literal) for a in rest):
             return None
         target = self.evaluate(call.args[0])
-        if not target.dtype.is_integer or target.stats is None:
+        if (not (target.dtype.is_integer or target.dtype.is_float
+                 or (target.dtype.is_decimal and target.data.ndim == 1))
+                or target.stats is None):
             return None
+        if target.dtype.is_decimal:
+            from .functions import _div_round_half_up, _pow10
+            from ..core.dtypes import INT64 as _I64
+
+            q = 10 ** target.dtype.scale
+            data = _div_round_half_up(target.data.astype(jnp.int64),
+                                      _pow10(target.dtype.scale))
+            st = (int(target.stats[0]) // q - 1, int(target.stats[1]) // q + 1)
+            target = Column(data, target.validity,
+                            _I64.with_nullable(target.dtype.nullable),
+                            stats=st)
+        if target.dtype.is_float:
+            # MySQL rounds the numeric argument (HEX(255.5) = '100')
+            x = target.data.astype(jnp.float64)
+            data = jnp.where(x >= 0, jnp.floor(x + 0.5),
+                             jnp.ceil(x - 0.5)).astype(jnp.int64)
+            from ..core.dtypes import INT64 as _I64
+
+            target = Column(data, target.validity,
+                            _I64.with_nullable(target.dtype.nullable),
+                            stats=target.stats)
         lo, hi = int(target.stats[0]), int(target.stats[1])
         if hi - lo > 65536:
             raise ValueError(
@@ -887,6 +973,10 @@ _STRING_TRANSFORMS.update({
     "inet6_ntoa": _rj.inet6_ntoa,
 })
 
+# functions that return 0/false (never NULL) for NULL input — MySQL
+# IS_IPV4/IS_IPV6 family semantics
+_NEVER_NULL_FNS = {"is_ipv4", "is_ipv6", "is_ipv4_compat", "is_ipv4_mapped"}
+
 _STRING_INT_TRANSFORMS = {
     # name: (column-arg index, fn(dict_entry, *literal_args) -> int);
     # MySQL 1-based positions, 0 = not found
@@ -910,7 +1000,7 @@ _STRING_BOOL_TRANSFORMS = {
     "json_valid": (0, _rj.json_valid),
     "json_contains_path": (0, _rj.json_contains_path),
     "json_contains": (0, _rj.json_contains),
-    "is_ipv4": (0, _rj.is_ipv4),
+    "is_ipv4": (0, _rj.is_ipv4),  # NULL input -> 0, see _NEVER_NULL_FNS
     "is_ipv6": (0, _rj.is_ipv6),
 }
 

@@ -57,7 +57,9 @@ def cast_column(col: Column, target: DataType) -> Column:
     """Numeric/temporal cast (subset of ``tidb_cast``,
     ``Functions/FunctionsConversion.h``)."""
     src = col.dtype
-    if src.kind == target.kind and src.scale == getattr(target, "scale", 0):
+    if (src.kind == target.kind and src.scale == getattr(target, "scale", 0)
+            and (not src.is_decimal
+                 or src.is_wide_decimal == target.is_wide_decimal)):
         return Column(col.data, col.validity, target, col.dictionary)
     data = col.data
     if src.is_string and not target.is_string:
@@ -65,9 +67,41 @@ def cast_column(col: Column, target: DataType) -> Column:
         # number -> 0, invalid date -> NULL); codes must NEVER leak as
         # values
         return _cast_string_lut(col, target)
+    if (target.is_decimal and (target.is_wide_decimal or data.ndim == 2
+                               or src.kind is TypeKind.UINT64)) \
+            or (src.is_decimal and data.ndim == 2):
+        return _cast_wide(col, target)
     if src.kind is TypeKind.DATE and target.kind is TypeKind.DATETIME:
         return Column(data.astype(jnp.int64) * 86_400_000_000, col.validity,
                       target)
+    if src.is_float and target.kind in (TypeKind.DATE, TypeKind.DATETIME):
+        x = data.astype(jnp.float64)
+        whole = jnp.where(x >= 0, jnp.floor(x + 0.5),
+                          jnp.ceil(x - 0.5)).astype(jnp.int64)
+        us, ok = _numeric_to_datetime_us(whole)
+        v = ok if col.validity is None else (col.validity & ok)
+        if target.kind is TypeKind.DATE:
+            days = jnp.floor_divide(us, 86_400_000_000).astype(jnp.int32)
+            return Column(jnp.where(v, days, 0), v, target)
+        return Column(jnp.where(v, us, 0), v, target)
+    if (src.is_integer or src.kind is TypeKind.BOOL) and \
+            target.kind in (TypeKind.DATE, TypeKind.DATETIME):
+        # MySQL numeric temporal form: [YY]YYMMDD[HHMMSS]; invalid -> NULL
+        us, ok = _numeric_to_datetime_us(data.astype(jnp.int64))
+        v = ok if col.validity is None else (col.validity & ok)
+        if target.kind is TypeKind.DATE:
+            days = jnp.floor_divide(us, 86_400_000_000).astype(jnp.int32)
+            return Column(jnp.where(v, days, 0), v, target)
+        return Column(jnp.where(v, us, 0), v, target)
+    if src.is_decimal and target.kind in (TypeKind.DATE, TypeKind.DATETIME) \
+            and data.ndim == 1:
+        whole = _div_round_half_up(data, _pow10(src.scale))
+        us, ok = _numeric_to_datetime_us(whole)
+        v = ok if col.validity is None else (col.validity & ok)
+        if target.kind is TypeKind.DATE:
+            days = jnp.floor_divide(us, 86_400_000_000).astype(jnp.int32)
+            return Column(jnp.where(v, days, 0), v, target)
+        return Column(jnp.where(v, us, 0), v, target)
     if src.kind is TypeKind.DATETIME and target.kind is TypeKind.DATE:
         return Column(
             jnp.floor_divide(data, 86_400_000_000).astype(jnp.int32),
@@ -81,7 +115,16 @@ def cast_column(col: Column, target: DataType) -> Column:
                 data = data * _pow10(ds)
             elif ds < 0:
                 data = _div_round_half_up(data, _pow10(-ds))
-        elif src.is_integer or src.kind in (TypeKind.DATE, TypeKind.DATETIME, TypeKind.BOOL):
+        elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
+            # MySQL numeric form: YYYYMMDD[HHMMSS][.frac]
+            whole, frac = _temporal_numeric_parts(col)
+            sc = target.scale
+            if sc <= 6:
+                data = whole * _pow10(sc) + _div_round_half_up(
+                    frac, _pow10(6 - sc))
+            else:
+                data = whole * _pow10(sc) + frac * _pow10(sc - 6)
+        elif src.is_integer or src.kind is TypeKind.BOOL:
             data = data.astype(jnp.int64) * _pow10(target.scale)
         elif src.is_float:
             x = data.astype(jnp.float64) * _pow10(target.scale)
@@ -90,9 +133,18 @@ def cast_column(col: Column, target: DataType) -> Column:
                              jnp.ceil(x - 0.5)).astype(jnp.int64)
         else:
             raise NotImplementedError(f"cast {src} -> {target}")
+        # MySQL saturates at the target's max/min (cast_decimal_overflow:
+        # CAST(100.000 AS DECIMAL(5,3)) = 99.999); reference
+        # FunctionsConversion overflow handling
+        if target.precision and target.precision <= 18 and data.ndim == 1:
+            lim = 10 ** target.precision - 1
+            data = jnp.clip(data, -lim, lim)
     elif target.is_float:
         if src.is_decimal:
             data = data.astype(jnp.float64) / _pow10(src.scale)
+        elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
+            whole, frac = _temporal_numeric_parts(col)
+            data = whole.astype(jnp.float64) + frac.astype(jnp.float64) / 1e6
         else:
             data = data.astype(target.jnp_dtype)
     elif target.is_integer:
@@ -102,6 +154,9 @@ def cast_column(col: Column, target: DataType) -> Column:
             x = data.astype(jnp.float64)
             data = jnp.where(x >= 0, jnp.floor(x + 0.5),
                              jnp.ceil(x - 0.5)).astype(target.jnp_dtype)
+        elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
+            whole, frac = _temporal_numeric_parts(col)
+            data = whole + (frac >= 500_000).astype(jnp.int64)
         else:
             data = data.astype(target.jnp_dtype)
     elif target.kind is TypeKind.BOOL:
@@ -109,6 +164,129 @@ def cast_column(col: Column, target: DataType) -> Column:
     else:
         raise NotImplementedError(f"cast {src} -> {target}")
     return Column(data.astype(target.jnp_dtype), col.validity, target, None)
+
+
+def _cast_wide(col: Column, target: DataType) -> Column:
+    """Casts involving two-limb (precision>18) decimals — the Decimal128
+    tier of the reference's Decimal256 ladder (DataTypeDecimal.h)."""
+    from ..core import wide as W
+
+    src = col.dtype
+    data = col.data
+    if target.is_decimal:
+        if src.is_decimal:
+            w = data if data.ndim == 2 else W.widen_i64(
+                data.astype(jnp.int64))
+            ds = target.scale - src.scale
+            if ds > 0:
+                w, _ = W.wide_scale_up(w, ds)
+            elif ds < 0:
+                if -ds > 9:
+                    raise NotImplementedError(
+                        f"wide rescale by 10^{-ds}")
+                w = W.wide_div_round_half_up(
+                    w, jnp.full(w.shape[:-1], 10 ** (-ds), dtype=jnp.int64))
+        elif src.is_integer or src.kind is TypeKind.BOOL:
+            if src.kind is TypeKind.UINT64:
+                u = data.astype(jnp.uint64)
+                w = W.make_wide((u // jnp.uint64(10 ** 18)).astype(jnp.int64),
+                                (u % jnp.uint64(10 ** 18)).astype(jnp.int64))
+            else:
+                w = W.widen_i64(data.astype(jnp.int64))
+            w, _ = W.wide_scale_up(w, target.scale)
+        elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
+            whole, frac = _temporal_numeric_parts(col)
+            w, _ = W.wide_scale_up(W.widen_i64(whole), target.scale)
+            sc = target.scale
+            fr = (_div_round_half_up(frac, _pow10(6 - sc)) if sc <= 6
+                  else frac * _pow10(min(sc - 6, 12)))
+            w = W.wide_add(w, W.widen_i64(fr))
+        else:
+            raise NotImplementedError(f"cast {src} -> {target}")
+        # saturate at +-(10^p - 1), the MySQL overflow behavior
+        p = target.precision or 38
+        if p < 38:
+            lim_int = 10 ** p - 1
+            lim = W.make_wide(
+                jnp.full(w.shape[:-1], lim_int // 10 ** 18, dtype=jnp.int64),
+                jnp.full(w.shape[:-1], lim_int % 10 ** 18, dtype=jnp.int64))
+            neg_lim = W.wide_neg(lim)
+            w = jnp.where(W.wide_cmp_lt(lim, w)[..., None], lim, w)
+            w = jnp.where(W.wide_cmp_lt(w, neg_lim)[..., None], neg_lim, w)
+        if target.is_wide_decimal:
+            return Column(w, col.validity, target)
+        val, _fits = W.narrow_i64(w)  # saturation above guarantees fit
+        return Column(val, col.validity, target)
+    # wide decimal source -> non-decimal target
+    if target.is_float:
+        f = W.wide_to_f64(data) / float(10 ** src.scale)
+        return Column(f.astype(target.jnp_dtype), col.validity, target)
+    if target.is_integer:
+        if src.scale > 9:
+            raise NotImplementedError("wide->int with scale > 9")
+        w = data if src.scale == 0 else W.wide_div_round_half_up(
+            data, jnp.full(data.shape[:-1], 10 ** src.scale,
+                           dtype=jnp.int64))
+        val, _ = W.narrow_i64(w)
+        return Column(val.astype(target.jnp_dtype), col.validity, target)
+    raise NotImplementedError(f"cast {src} -> {target}")
+
+
+def _numeric_to_datetime_us(v: jnp.ndarray):
+    """MySQL numeric temporal literal: [YY]YYMMDD[HHMMSS] -> (epoch us,
+    valid mask).  Two-digit years <70 are 20xx, else 19xx; month/day/time
+    fields are range-checked and day-of-month validated by a civil-date
+    round trip (reference ``Functions/FunctionsConversion`` numberToDateTime)."""
+    has_time = v > 99_999_999
+    date_part = jnp.where(has_time, v // 1_000_000, v)
+    time_part = jnp.where(has_time, v % 1_000_000, 0)
+    yy = date_part // 10_000
+    two_digit = date_part <= 991_231
+    y4 = jnp.where(yy < 70, yy + 2000, yy + 1900)
+    date_full = jnp.where(two_digit, y4 * 10_000 + date_part % 10_000,
+                          date_part)
+    y = date_full // 10_000
+    mo = (date_full // 100) % 100
+    d = date_full % 100
+    hh = time_part // 10_000
+    mi = (time_part // 100) % 100
+    ss = time_part % 100
+    mo_c = jnp.clip(mo, 1, 12)
+    d_c = jnp.clip(d, 1, 31)
+    days = _days_from_civil(y, mo_c, d_c)
+    ry, rm, rd = _civil_from_days(days)
+    ok = ((v > 0) & (mo >= 1) & (mo <= 12) & (d >= 1)
+          & (ry == y) & (rm == mo) & (rd == d)
+          & (hh < 24) & (mi < 60) & (ss < 60)
+          & (y >= 1000) & (y <= 9999))
+    us = (days * 86_400_000_000 + hh * 3_600_000_000
+          + mi * 60_000_000 + ss * 1_000_000)
+    return us, ok
+
+
+def _temporal_numeric_parts(col: Column):
+    """MySQL numeric form of a DATE/DATETIME: (whole YYYYMMDD[HHMMSS]
+    int64, fractional microseconds int64).  Reference:
+    ``Functions/FunctionsConversion`` casts temporals through their
+    packed decimal representation, never the internal epoch value."""
+    if col.dtype.kind is TypeKind.DATE:
+        days = col.data.astype(jnp.int64)
+        y, m, d = _civil_from_days(days)
+        whole = (y.astype(jnp.int64) * 10_000 + m.astype(jnp.int64) * 100
+                 + d.astype(jnp.int64))
+        return whole, jnp.zeros_like(whole)
+    us = col.data.astype(jnp.int64)
+    days = jnp.floor_divide(us, 86_400_000_000)
+    tod = us - days * 86_400_000_000
+    y, m, d = _civil_from_days(days)
+    hh = tod // 3_600_000_000
+    mi = (tod // 60_000_000) % 60
+    ss = (tod // 1_000_000) % 60
+    frac = tod % 1_000_000
+    whole = ((y.astype(jnp.int64) * 10_000 + m.astype(jnp.int64) * 100
+              + d.astype(jnp.int64)) * 1_000_000
+             + hh * 10_000 + mi * 100 + ss)
+    return whole, frac
 
 
 def _cast_duration(col: Column, target: DataType) -> Column:
@@ -241,14 +419,44 @@ def _cast_string_lut(col: Column, target: DataType) -> Column:
         return float(m.group(0)) if m else 0.0
 
     def parse_dt(s: str):
-        s = s.strip().replace("/", "-")
-        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
-                    "%Y-%m-%d %H:%M", "%Y-%m-%d", "%Y%m%d"):
-            try:
-                return _dt.datetime.strptime(s, fmt)
-            except ValueError:
-                continue
-        return None
+        """MySQL-lenient datetime text: ANY punctuation separates fields
+        ('2012@12*12', '2012-12-12 12-12'), compact digit forms
+        (YYYYMMDD[HHMMSS], 2-digit years <70 -> 20xx), optional
+        fraction after a full 6-field time."""
+        s = s.strip()
+        if _re.search(r"[A-Za-z]", s.replace("T", " ", 1)):
+            return None
+        parts = _re.findall(r"\d+", s)
+        if not parts:
+            return None
+        frac = 0
+        if len(parts) == 1:
+            digits = parts[0]
+            # compact forms need full 8/14 digits (TiDB str-to-datetime
+            # in DATE_ADD rejects YYMMDD — fullstack date_add.test)
+            if len(digits) in (8, 14):
+                f = [digits[0:4], digits[4:6], digits[6:8]]
+                if len(digits) == 14:
+                    f += [digits[8:10], digits[10:12], digits[12:14]]
+            else:
+                return None
+        else:
+            f = parts[:6]
+            if len(parts) == 7 and "." in s:
+                frac = int(parts[6][:6].ljust(6, "0"))
+            elif len(parts) > 6:
+                return None
+        if len(f) < 3:
+            return None
+        if len(f[0]) != 4:
+            return None  # delimited forms require a 4-digit year
+        y = int(f[0])
+        tail = [int(x) for x in f[3:6]] + [0] * (6 - len(f))
+        try:
+            return _dt.datetime(y, int(f[1]), int(f[2]),
+                                tail[0], tail[1], tail[2], frac)
+        except ValueError:
+            return None
 
     nulls = _np.zeros(max(len(d), 1), dtype=bool)
     if target.kind in (TypeKind.DATE, TypeKind.DATETIME):
@@ -692,11 +900,25 @@ def _cmp_eval(op: str):
                 "greater_or_equals": ~lt,
             }[op]
             return Column(data, validity, out)
+        elif {a.dtype.kind, b.dtype.kind} == {TypeKind.DATE,
+                                              TypeKind.DATETIME}:
+            # mixed temporal compare: DATE promotes to midnight DATETIME
+            # (MySQL compares in the datetime domain)
+            def as_us(c):
+                if c.dtype.kind is TypeKind.DATE:
+                    return c.data.astype(jnp.int64) * 86_400_000_000
+                return c.data.astype(jnp.int64)
+
+            da, db = as_us(a), as_us(b)
         elif a.dtype.is_decimal or b.dtype.is_decimal:
             da, db, _ = _align_decimal_pair(a, b)
         elif a.dtype.is_float or b.dtype.is_float:
             da = a.data.astype(jnp.float64)
             db = b.data.astype(jnp.float64)
+        elif (a.dtype.kind is TypeKind.UINT64
+              and b.dtype.kind is TypeKind.UINT64):
+            da = a.data.astype(jnp.uint64)
+            db = b.data.astype(jnp.uint64)
         else:
             da = a.data.astype(jnp.int64)
             db = b.data.astype(jnp.int64)
@@ -1337,32 +1559,70 @@ def _nullif():
 # bit operations (FunctionsArithmetic bit ops)
 # ---------------------------------------------------------------------------
 
-def _register_bitop(name: str, fn, unary: bool = False):
+def _register_bitop(name: str, fn, unary: bool = False,
+                    shift: bool = False):
+    """MySQL bit operators return BIGINT UNSIGNED (reference
+    ``Functions/FunctionsArithmetic``): operands are viewed as uint64
+    bit patterns, shift counts are unsigned (negative or >= 64 -> 0),
+    and '>>' is a logical shift."""
+
     def factory():
         def infer(ts):
-            return DataType(TypeKind.INT64, any(t.nullable for t in ts))
+            return DataType(TypeKind.UINT64, any(t.nullable for t in ts))
 
         def evaluate(cols, out):
             if unary:
                 (a,) = cols
-                return Column(fn(a.data.astype(jnp.int64)), a.validity, out)
+                return Column(fn(a.data.astype(jnp.uint64)), a.validity, out)
             a, b = cols
-            return Column(
-                fn(a.data.astype(jnp.int64), b.data.astype(jnp.int64)),
-                _and_validity(cols), out,
-            )
+            au = a.data.astype(jnp.uint64)
+            if shift:
+                bs = b.data.astype(jnp.int64)
+                res = fn(au, jnp.clip(bs, 0, 63).astype(jnp.uint64))
+                res = jnp.where((bs < 0) | (bs >= 64), jnp.uint64(0), res)
+            else:
+                res = fn(au, b.data.astype(jnp.uint64))
+            return Column(res, _and_validity(cols), out)
 
         return infer, evaluate
 
     register(name)(factory)
 
 
+@register("cast_fsp_round")
+def _cast_fsp_round():
+    """Round a DATETIME/DURATION to a fractional-second precision —
+    the fsp part of CAST(x AS TIME(n)/DATETIME(n)) (reference:
+    ``Functions/FunctionsConversion`` fsp handling, MyDuration fsp).
+    Second arg must be a literal 0..6."""
+
+    def infer(ts):
+        return ts[0]
+
+    def evaluate(cols, out):
+        a, f = cols
+        if f.stats is None or f.stats[0] != f.stats[1]:
+            raise ValueError("cast_fsp_round fsp must be a literal")
+        fsp = int(f.stats[0])
+        if not (0 <= fsp <= 6):
+            raise ValueError(f"fsp {fsp} out of range")
+        q = 10 ** (6 - fsp)
+        if q == 1:
+            return Column(a.data, a.validity, out)
+        us = a.data.astype(jnp.int64)
+        mag = (jnp.abs(us) + q // 2) // q * q
+        return Column(jnp.where(us < 0, -mag, mag), a.validity, out)
+
+    return infer, evaluate
+
+
+
 _register_bitop("bit_and", jnp.bitwise_and)
 _register_bitop("bit_or", jnp.bitwise_or)
 _register_bitop("bit_xor", jnp.bitwise_xor)
 _register_bitop("bit_not", jnp.bitwise_not, unary=True)
-_register_bitop("shift_left", jnp.left_shift)
-_register_bitop("shift_right", jnp.right_shift)
+_register_bitop("shift_left", jnp.left_shift, shift=True)
+_register_bitop("shift_right", jnp.right_shift, shift=True)
 
 
 @register("is_true")
@@ -1406,22 +1666,44 @@ def _days_from_civil(y, m, d):
     return era * 146097 + doe - 719468
 
 
+# MySQL temporal range: '1000-01-01' .. '9999-12-31 23:59:59.999999';
+# DATE_ADD/SUB results outside it are NULL (reference FunctionsDateTime
+# range checks).  Days measured from 1970-01-01.
+_DATE_DAYS_MIN = -719162          # 0001-01-01 (TiFlash accepts year < 1000;
+                                  # fullstack date_add.test has 0007-11-26)
+_DATE_DAYS_MAX = 2932896          # 9999-12-31
+_DT_US_MIN = _DATE_DAYS_MIN * 86_400_000_000
+_DT_US_MAX = (_DATE_DAYS_MAX + 1) * 86_400_000_000 - 1
+
+
+def _temporal_range_valid(data, validity, kind):
+    if kind is TypeKind.DATETIME:
+        ok = (data >= _DT_US_MIN) & (data <= _DT_US_MAX)
+    else:
+        ok = (data >= _DATE_DAYS_MIN) & (data <= _DATE_DAYS_MAX)
+    return ok if validity is None else (validity & ok)
+
+
 def _register_add_days(name: str, sign: int):
     """ADDDATE/SUBDATE day shift; preserves DATETIME time-of-day (TiDB:
     ADDDATE(datetime, n) stays DATETIME)."""
 
     def factory():
         def infer(ts):
-            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
+            return DataType(ts[0].kind, True)
 
         def evaluate(cols, out):
             a, b = cols
             shift = b.data.astype(jnp.int64) * sign
             if a.dtype.kind is TypeKind.DATETIME:
                 us = a.data.astype(jnp.int64) + shift * 86_400_000_000
-                return Column(us, _and_validity(cols), out)
+                v = _temporal_range_valid(us, _and_validity(cols),
+                                          TypeKind.DATETIME)
+                return Column(jnp.where(v, us, 0), v, out)
             days = _date_days(a) + shift
-            return Column(days.astype(jnp.int32), _and_validity(cols), out)
+            v = _temporal_range_valid(days, _and_validity(cols),
+                                      TypeKind.DATE)
+            return Column(jnp.where(v, days, 0).astype(jnp.int32), v, out)
 
         return infer, evaluate
 
@@ -1627,12 +1909,13 @@ _register_date_fn("yearweek", _yearweek_mode0)
 @register("from_days")
 def _from_days():
     def infer(ts):
-        return DataType(TypeKind.DATE, ts[0].nullable)
+        return DataType(TypeKind.DATE, True)
 
     def evaluate(cols, out):
         (a,) = cols
         days = a.data.astype(jnp.int64) - 719528  # inverse of TO_DAYS
-        return Column(days.astype(jnp.int32), a.validity, out)
+        v = _temporal_range_valid(days, a.validity, TypeKind.DATE)
+        return Column(jnp.where(v, days, 0).astype(jnp.int32), v, out)
 
     return infer, evaluate
 
@@ -1730,18 +2013,26 @@ def _add_months_days(days, n):
 def _register_add_months(name: str, sign: int, unit_months: int):
     def factory():
         def infer(ts):
-            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
+            return DataType(ts[0].kind, True)
 
         def evaluate(cols, out):
             a, n = cols
             months = n.data.astype(jnp.int64) * (sign * unit_months)
             days = _date_days(a)
-            new_days = _add_months_days(days, months)
+            # clamp months so the civil math stays in-domain; the range
+            # check below NULLs anything that actually left the window
+            new_days = _add_months_days(days, jnp.clip(months,
+                                                       -240_000, 240_000))
             if a.dtype.kind is TypeKind.DATETIME:
                 tod = a.data.astype(jnp.int64) - days * 86_400_000_000
-                return Column(new_days * 86_400_000_000 + tod,
-                              _and_validity(cols), out)
-            return Column(new_days.astype(jnp.int32), _and_validity(cols), out)
+                us = new_days * 86_400_000_000 + tod
+                v = _temporal_range_valid(us, _and_validity(cols),
+                                          TypeKind.DATETIME)
+                return Column(jnp.where(v, us, 0), v, out)
+            v = _temporal_range_valid(new_days, _and_validity(cols),
+                                      TypeKind.DATE)
+            return Column(jnp.where(v, new_days, 0).astype(jnp.int32),
+                          v, out)
 
         return infer, evaluate
 
@@ -1762,16 +2053,20 @@ def _register_day_shift(name: str, sign: int, unit_days: int):
 
     def factory():
         def infer(ts):
-            return DataType(ts[0].kind, ts[0].nullable or ts[1].nullable)
+            return DataType(ts[0].kind, True)
 
         def evaluate(cols, out):
             a, n = cols
             shift = n.data.astype(jnp.int64) * (sign * unit_days)
             if a.dtype.kind is TypeKind.DATETIME:
                 us = a.data.astype(jnp.int64) + shift * 86_400_000_000
-                return Column(us, _and_validity(cols), out)
+                v = _temporal_range_valid(us, _and_validity(cols),
+                                          TypeKind.DATETIME)
+                return Column(jnp.where(v, us, 0), v, out)
             days = _date_days(a) + shift
-            return Column(days.astype(jnp.int32), _and_validity(cols), out)
+            v = _temporal_range_valid(days, _and_validity(cols),
+                                      TypeKind.DATE)
+            return Column(jnp.where(v, days, 0).astype(jnp.int32), v, out)
 
         return infer, evaluate
 
@@ -1789,7 +2084,7 @@ def _register_us_shift(name: str, sign: int, unit_us: int):
 
     def factory():
         def infer(ts):
-            return DataType(TypeKind.DATETIME, ts[0].nullable or ts[1].nullable)
+            return DataType(TypeKind.DATETIME, True)
 
         def evaluate(cols, out):
             a, n = cols
@@ -1798,7 +2093,9 @@ def _register_us_shift(name: str, sign: int, unit_us: int):
             else:
                 base = _date_days(a) * 86_400_000_000
             us = base + n.data.astype(jnp.int64) * (sign * unit_us)
-            return Column(us, _and_validity(cols), out)
+            v = _temporal_range_valid(us, _and_validity(cols),
+                                      TypeKind.DATETIME)
+            return Column(jnp.where(v, us, 0), v, out)
 
         return infer, evaluate
 
@@ -2075,6 +2372,9 @@ def _in():
 
 _ALIASES = {
     "ifnull": "coalesce",
+    "nulleq": "null_eq",
+    "istrue": "is_true",
+    "isfalse": "is_false",
     "mod": "modulo",
     "power": "pow",
     "lcase": "lower",

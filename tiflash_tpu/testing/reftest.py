@@ -1,0 +1,1558 @@
+"""Runner for the reference's ``.test`` corpus (fullstack-test format).
+
+Role analog: ``/root/reference/tests/run-test.py`` — parses files of
+
+    mysql> <statement>
+    +-----+-----+
+    | col | col |
+    +-----+-----+
+    | val | val |
+    +-----+-----+
+
+blocks and checks the engine's answer against the expected table.  Here
+the MySQL side is replaced by a small SQL front-end: DDL builds host
+tables, INSERT accumulates rows, and SELECT parses into the engine's
+expression AST + plan nodes (SURVEY M7: execute the reference's
+query/expected-output pairs against this engine).
+
+Comparison is value-parsed, not textual: each expected cell is decoded
+using the engine's output dtype (decimals exactly, floats with relative
+tolerance, dates/datetimes/durations parsed), so formatting differences
+don't mask or manufacture mismatches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from decimal import Decimal as D
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..core import dtypes as dt
+from ..expr.nodes import Call, Cast, ColumnRef, Expr, Literal
+from ..ops.aggregate import AggDesc
+from ..ops.sort import SortKey
+from ..plan import nodes as P
+
+
+class Unsupported(Exception):
+    """Statement/type/function outside this engine's surface — the file
+    is reported as documented-unsupported, not failed."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d*(e[+-]?\d+)?|\.\d+(e[+-]?\d+)?|\d+(e[+-]?\d+)?)
+  | (?P<hex>0x[0-9a-fA-F]+|x'[0-9a-fA-F]*')
+  | (?P<str>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
+  | (?P<qident>`[^`]*`)
+  | (?P<name>[A-Za-z_@][A-Za-z0-9_@$]*)
+  | (?P<op><=>|<<|>>|<=|>=|<>|!=|:=|\|\||&&|[-+*/%=<>(),.;|&^~!])
+""", re.VERBOSE)
+
+
+def tokenize(sql: str) -> List[Tuple[str, str]]:
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)  # optimizer hints
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise Unsupported(f"lex error at {sql[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+def _unquote_str(tok: str) -> str:
+    q = tok[0]
+    body = tok[1:-1]
+    body = body.replace(q * 2, q)
+    # MySQL backslash escapes
+    body = re.sub(r"\\(.)", lambda m: {
+        "n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
+        "Z": "\x1a", "\\": "\\", "'": "'", '"': '"', "%": "\\%",
+        "_": "\\_",
+    }.get(m.group(1), m.group(1)), body)
+    return body
+
+
+# --------------------------------------------------------------- parser
+
+# MySQL operator names -> engine function names
+_CMP = {"=": "equals", "<=>": "null_eq", "<>": "not_equals",
+        "!=": "not_equals", "<": "less", "<=": "less_or_equals",
+        ">": "greater", ">=": "greater_or_equals"}
+
+_AGG_FUNCS = {"sum", "count", "avg", "min", "max", "group_concat",
+              "approx_count_distinct", "bit_and", "bit_or", "bit_xor",
+              "var_pop", "var_samp", "std", "stddev", "stddev_pop",
+              "stddev_samp", "variance", "first_row", "any_value"}
+
+_INTERVAL_UNITS = {"microsecond", "second", "minute", "hour", "day",
+                   "week", "month", "quarter", "year"}
+
+
+class SqlParser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws) -> bool:
+        k, v = self.peek()
+        return k == "name" and v.lower() in kws
+
+    def eat_kw(self, *kws) -> Optional[str]:
+        if self.at_kw(*kws):
+            return self.next()[1].lower()
+        return None
+
+    def expect_kw(self, kw):
+        if not self.eat_kw(kw):
+            raise Unsupported(f"expected {kw!r}, got {self.peek()[1]!r}")
+
+    def at_op(self, *ops) -> bool:
+        k, v = self.peek()
+        return k == "op" and v in ops
+
+    def eat_op(self, *ops) -> Optional[str]:
+        if self.at_op(*ops):
+            return self.next()[1]
+        return None
+
+    def expect_op(self, op):
+        if not self.eat_op(op):
+            raise Unsupported(f"expected {op!r}, got {self.peek()[1]!r}")
+
+    # -- expression grammar (MySQL precedence, lowest first)
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        e = self.parse_xor()
+        while self.eat_kw("or") or self.eat_op("||"):
+            e = Call("or", (e, self.parse_xor()))
+        return e
+
+    def parse_xor(self) -> Expr:
+        e = self.parse_and()
+        while self.eat_kw("xor"):
+            e = Call("xor", (e, self.parse_and()))
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_not()
+        while self.eat_kw("and") or self.eat_op("&&"):
+            e = Call("and", (e, self.parse_not()))
+        return e
+
+    def parse_not(self) -> Expr:
+        if self.eat_kw("not"):
+            return Call("not", (self.parse_not(),))
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Expr:
+        e = self.parse_bitor()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in _CMP:
+                self.next()
+                e = Call(_CMP[v], (e, self.parse_bitor()))
+            elif self.at_kw("is"):
+                self.next()
+                neg = bool(self.eat_kw("not"))
+                if self.eat_kw("null"):
+                    e = Call("is_not_null" if neg else "is_null", (e,))
+                elif self.eat_kw("true"):
+                    e = Call("is_not_true" if neg else "is_true", (e,))
+                elif self.eat_kw("false"):
+                    e = Call("is_not_false" if neg else "is_false", (e,))
+                else:
+                    raise Unsupported("IS <what?>")
+            elif self.at_kw("like", "in", "between", "regexp", "rlike",
+                            "not"):
+                neg = bool(self.eat_kw("not"))
+                if self.eat_kw("like"):
+                    pat = self.parse_bitor()
+                    args = [e, pat]
+                    if self.eat_kw("escape"):
+                        args.append(self.parse_bitor())
+                    e = Call("like", tuple(args))
+                elif self.eat_kw("regexp") or self.eat_kw("rlike"):
+                    e = Call("regexp_like", (e, self.parse_bitor()))
+                elif self.eat_kw("in"):
+                    self.expect_op("(")
+                    vals = [self.parse_expr()]
+                    while self.eat_op(","):
+                        vals.append(self.parse_expr())
+                    self.expect_op(")")
+                    e = Call("in", (e, *vals))
+                elif self.eat_kw("between"):
+                    lo = self.parse_bitor()
+                    self.expect_kw("and")
+                    hi = self.parse_bitor()
+                    e = Call("and", (Call("greater_or_equals", (e, lo)),
+                                     Call("less_or_equals", (e, hi))))
+                else:
+                    raise Unsupported("NOT <what?>")
+                if neg:
+                    e = Call("not", (e,))
+            else:
+                return e
+
+    def parse_bitor(self) -> Expr:
+        e = self.parse_bitand()
+        while self.at_op("|") and not self.at_op("||"):
+            self.next()
+            e = Call("bit_or2", (e, self.parse_bitand()))
+        return e
+
+    def parse_bitand(self) -> Expr:
+        e = self.parse_shift()
+        while self.at_op("&") and not self.at_op("&&"):
+            self.next()
+            e = Call("bit_and2", (e, self.parse_shift()))
+        return e
+
+    def parse_shift(self) -> Expr:
+        e = self.parse_add()
+        while True:
+            if self.eat_op("<<"):
+                e = Call("shift_left", (e, self.parse_add()))
+            elif self.eat_op(">>"):
+                e = Call("shift_right", (e, self.parse_add()))
+            else:
+                return e
+
+    def parse_add(self) -> Expr:
+        e = self.parse_mul()
+        while True:
+            if self.eat_op("+"):
+                e = Call("plus", (e, self.parse_mul()))
+            elif self.eat_op("-"):
+                e = Call("minus", (e, self.parse_mul()))
+            else:
+                return e
+
+    def parse_mul(self) -> Expr:
+        e = self.parse_bitxor()
+        while True:
+            if self.eat_op("*"):
+                e = Call("multiply", (e, self.parse_bitxor()))
+            elif self.eat_op("/"):
+                e = Call("divide", (e, self.parse_bitxor()))
+            elif self.eat_op("%") or self.eat_kw("mod"):
+                e = Call("modulo", (e, self.parse_bitxor()))
+            elif self.eat_kw("div"):
+                e = Call("intdiv", (e, self.parse_bitxor()))
+            else:
+                return e
+
+    def parse_bitxor(self) -> Expr:
+        e = self.parse_unary()
+        while self.eat_op("^"):
+            e = Call("bit_xor2", (e, self.parse_unary()))
+        return e
+
+    def parse_unary(self) -> Expr:
+        if self.eat_op("-"):
+            a = self.parse_unary()
+            if isinstance(a, Literal) and isinstance(a.value, (int, float, D)):
+                return Literal(-a.value)
+            return Call("negate", (a,))
+        if self.eat_op("+"):
+            return self.parse_unary()
+        if self.eat_op("~"):
+            return Call("bit_not", (self.parse_unary(),))
+        if self.eat_op("!"):
+            return Call("not", (self.parse_unary(),))
+        if self.eat_kw("binary"):  # BINARY expr: collation no-op here
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Expr:
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            if re.search(r"[.e]", v, re.I):
+                # decimal literal unless exponent notation
+                return Literal(float(v) if "e" in v.lower() else D(v))
+            return Literal(int(v))
+        if k == "hex":
+            self.next()
+            body = v[2:] if v.lower().startswith("0x") else v[2:-1]
+            return Literal(int(body or "0", 16))
+        if k == "str":
+            self.next()
+            return Literal(_unquote_str(v))
+        if k == "qident":
+            self.next()
+            return ColumnRef(v[1:-1])
+        if self.eat_op("("):
+            e = self.parse_expr()
+            if self.eat_op(","):  # row constructor — unsupported
+                raise Unsupported("row constructor")
+            self.expect_op(")")
+            return e
+        if k != "name":
+            raise Unsupported(f"unexpected token {v!r}")
+
+        name = v.lower()
+        # special forms
+        if name == "null":
+            self.next()
+            return Literal(None)
+        if name in ("true", "false"):
+            self.next()
+            return Literal(1 if name == "true" else 0)
+        if name == "cast":
+            self.next()
+            self.expect_op("(")
+            arg = self.parse_expr()
+            self.expect_kw("as")
+            target = self.parse_cast_type()
+            self.expect_op(")")
+            return self._mk_cast(arg, target)
+        if name == "convert":
+            self.next()
+            self.expect_op("(")
+            arg = self.parse_expr()
+            self.expect_op(",")
+            target = self.parse_cast_type()
+            self.expect_op(")")
+            return self._mk_cast(arg, target)
+        if name == "case":
+            return self.parse_case()
+        if name in ("date", "time", "timestamp") and self.peek(1)[0] == "str":
+            # typed literal: DATE 'yyyy-mm-dd' etc.
+            self.next()
+            s = _unquote_str(self.next()[1])
+            return Literal(_parse_temporal_literal(name, s))
+        if name == "interval":
+            raise Unsupported("INTERVAL outside date_add/date_sub")
+
+        # function call or bare column
+        if self.peek(1) == ("op", "("):
+            self.next()
+            return self.parse_call(name)
+        # dotted identifiers: db.t.c / t.c — keep the last component
+        self.next()
+        parts = [v]
+        while self.at_op(".") :
+            self.next()
+            nk, nv = self.next()
+            if nk not in ("name", "qident"):
+                raise Unsupported("bad dotted name")
+            parts.append(nv[1:-1] if nk == "qident" else nv)
+        return ColumnRef(parts[-1])
+
+    def parse_call(self, name: str) -> Expr:
+        self.expect_op("(")
+        if name == "extract":
+            unit = self.next()[1].lower()
+            self.expect_kw("from")
+            arg = self.parse_expr()
+            self.expect_op(")")
+            return Call("extract", (Literal(unit), arg))
+        if name in ("trim", "ltrim", "rtrim") and self.at_kw(
+                "leading", "trailing", "both"):
+            raise Unsupported("TRIM(LEADING/TRAILING/BOTH ...)")
+        if name == "count" and self.eat_op("*"):
+            self.expect_op(")")
+            return Call("count", (Literal("*"),))
+        distinct = bool(self.eat_kw("distinct"))
+        args: List[Expr] = []
+        if not self.at_op(")"):
+            args.append(self.parse_call_arg(name))
+            while self.eat_op(","):
+                args.append(self.parse_call_arg(name))
+        self.expect_op(")")
+        if distinct:
+            name = name + "__distinct"
+        return Call(name, tuple(args))
+
+    def parse_call_arg(self, fname: str) -> Expr:
+        if self.at_kw("interval"):
+            self.next()
+            amount = self.parse_expr()
+            unit = self.next()[1].lower()
+            if unit not in _INTERVAL_UNITS:
+                raise Unsupported(f"interval unit {unit}")
+            return Call("__interval__", (amount, Literal(unit)))
+        return self.parse_expr()
+
+    def parse_case(self) -> Expr:
+        self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
+        branches: List[Expr] = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            if operand is not None:
+                cond = Call("equals", (operand, cond))
+            self.expect_kw("then")
+            branches += [cond, self.parse_expr()]
+        if self.eat_kw("else"):
+            branches.append(self.parse_expr())
+        self.expect_kw("end")
+        return Call("case_when", tuple(branches))
+
+    def _mk_cast(self, arg: Expr, target: dt.DataType) -> Expr:
+        """CAST with MySQL fsp semantics: TIME(n)/DATETIME(n) round the
+        fractional seconds (default fsp 0)."""
+        e: Expr = Cast(arg, target)
+        fsp = getattr(self, "cast_fsp", None)
+        self.cast_fsp = None
+        if fsp is not None and target.kind in (dt.TypeKind.DATETIME,
+                                               dt.TypeKind.DURATION):
+            e = Call("cast_fsp_round", (e, Literal(int(fsp))))
+        return e
+
+    def parse_cast_type(self) -> dt.DataType:
+        self.cast_fsp = None
+        name = self.next()[1].lower()
+        params: List[int] = []
+        if self.eat_op("("):
+            while not self.at_op(")"):
+                params.append(int(self.next()[1]))
+                self.eat_op(",")
+            self.expect_op(")")
+        if name == "signed":
+            self.eat_kw("integer", "int")
+            return dt.INT64
+        if name == "unsigned":
+            self.eat_kw("integer", "int")
+            return dt.UINT64
+        if name == "decimal":
+            p = params[0] if params else 10
+            s = params[1] if len(params) > 1 else 0
+            try:
+                return dt.Decimal(p, s)
+            except NotImplementedError as e:
+                raise Unsupported(str(e))
+        if name in ("double", "real"):
+            return dt.FLOAT64
+        if name == "float":
+            return dt.FLOAT32
+        if name in ("char", "nchar", "varchar"):
+            return dt.STRING
+        if name == "date":
+            return dt.DATE
+        if name == "datetime":
+            self.cast_fsp = params[0] if params else 0
+            return dt.DATETIME
+        if name == "time":
+            self.cast_fsp = params[0] if params else 0
+            return dt.DURATION
+        raise Unsupported(f"cast target {name}")
+
+
+def _parse_temporal_literal(kind: str, s: str):
+    if kind == "date":
+        return datetime.date.fromisoformat(s)
+    if kind == "timestamp":
+        kind = "datetime"
+    return _parse_datetime_str(s)
+
+
+def _parse_datetime_str(s: str) -> datetime.datetime:
+    """Lenient MySQL datetime text: '-', '/', or '.' date separators,
+    optional time part, optional fractional seconds."""
+    s = s.strip()
+    m = re.match(r"^(\d{4})[-/.](\d{1,2})[-/.](\d{1,2})"
+                 r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?$", s)
+    if not m:
+        raise Unsupported(f"datetime literal {s!r}")
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    hh = int(m.group(4) or 0)
+    mi = int(m.group(5) or 0)
+    ss = int(m.group(6) or 0)
+    us = int(float(m.group(7) or 0) * 1e6 + 0.5)
+    return datetime.datetime(y, mo, d, hh, mi, ss, us)
+
+
+# ---------------------------------------------------- DDL / schema layer
+
+_DDL_TYPE = re.compile(r"^\s*(\w+)\s*(\(([^)]*)\))?", re.I)
+
+_INT_KINDS = {"tinyint": dt.INT8, "smallint": dt.INT16,
+              "mediumint": dt.INT32, "int": dt.INT32, "integer": dt.INT32,
+              "bigint": dt.INT64, "year": dt.INT16}
+_UINT_KINDS = {"tinyint": dt.UINT8, "smallint": dt.UINT32,
+               "mediumint": dt.UINT32, "int": dt.UINT32,
+               "integer": dt.UINT32, "bigint": dt.UINT64}
+
+
+def parse_col_type(spec: str) -> Tuple[dt.DataType, Optional[int]]:
+    """One column's type text (after the name) -> (engine dtype, fsp).
+    fsp is the declared fractional-second precision for datetime/time
+    columns (MySQL rounds inserted values to it), else None."""
+    s = spec.strip().rstrip(",")
+    m = _DDL_TYPE.match(s)
+    if not m:
+        raise Unsupported(f"ddl type {spec!r}")
+    base = m.group(1).lower()
+    params = [p.strip() for p in (m.group(3) or "").split(",") if p.strip()]
+    fsp = None
+    rest = s[m.end():].lower()
+    unsigned = "unsigned" in rest
+    nullable = "not null" not in rest
+    if base in _INT_KINDS:
+        t = (_UINT_KINDS if unsigned else _INT_KINDS)[base]
+    elif base in ("float",):
+        t = dt.FLOAT32
+    elif base in ("double", "real"):
+        t = dt.FLOAT64
+    elif base in ("decimal", "numeric"):
+        p = int(params[0]) if params else 10
+        sc = int(params[1]) if len(params) > 1 else 0
+        try:
+            t = dt.Decimal(p, sc)
+        except NotImplementedError as e:
+            raise Unsupported(str(e))
+    elif base in ("bool", "boolean"):
+        t = dt.INT8
+    elif base in ("varchar", "char", "text", "tinytext", "mediumtext",
+                  "longtext", "enum", "set", "binary", "varbinary",
+                  "blob", "tinyblob", "mediumblob", "longblob"):
+        t = dt.STRING
+    elif base == "date":
+        t = dt.DATE
+    elif base in ("datetime", "timestamp"):
+        t = dt.DATETIME
+        fsp = int(params[0]) if params else 0
+    elif base == "time":
+        t = dt.DURATION
+        fsp = int(params[0]) if params else 0
+    elif base == "bit":
+        t = dt.UINT64
+    elif base == "json":
+        raise Unsupported("JSON column type")
+    else:
+        raise Unsupported(f"column type {base}")
+    return (t.with_nullable(nullable) if nullable else t), fsp
+
+
+def parse_create_table(sql: str):
+    m = re.match(
+        r"create\s+table\s+(if\s+not\s+exists\s+)?([`\w.]+)\s*\((.*)\)\s*"
+        r"([^)]*)$", sql.strip().rstrip(";"), re.I | re.S)
+    if not m:
+        raise Unsupported(f"cannot parse DDL: {sql[:60]}")
+    table = m.group(2).split(".")[-1].strip("`")
+    body = m.group(3)
+    # split on commas not inside parens
+    parts, depth, cur = [], 0, ""
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    schema: Dict[str, dt.DataType] = {}
+    fsps: Dict[str, int] = {}
+    for part in parts:
+        p = part.strip()
+        if not p:
+            continue
+        head = p.split()[0].lower().strip("`")
+        if head in ("primary", "unique", "key", "index", "constraint",
+                    "fulltext", "foreign"):
+            continue
+        name = p.split()[0].strip("`")
+        rest = p[len(p.split()[0]):]
+        if re.search(r"\bas\s*\(", rest, re.I):
+            raise Unsupported("generated column")
+        schema[name], fsp = parse_col_type(rest)
+        if fsp is not None:
+            fsps[name] = fsp
+    return table, schema, fsps
+
+
+def _split_tuples(s: str) -> List[str]:
+    """Split 'values (..),(..)' bodies at top level."""
+    out, depth, cur, quote, esc = [], 0, "", None, False
+    for ch in s:
+        if quote:
+            cur += ch
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur += ch
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        if ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(cur)
+                cur = ""
+                continue
+        if depth >= 1:
+            cur += ch
+    return out
+
+
+def _split_args(s: str) -> List[str]:
+    out, depth, cur, quote, esc = [], 0, "", None, False
+    for ch in s:
+        if quote:
+            cur += ch
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur += ch
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+# --------------------------------------------------------- the session
+
+class RefTestSession:
+    """Executes one .test file's statements against the engine."""
+
+    def __init__(self):
+        self.tables: Dict[str, Tuple[Dict[str, dt.DataType],
+                                     Dict[str, list]]] = {}
+        self.fsps: Dict[str, Dict[str, int]] = {}
+        self.checked = 0       # queries with expected output compared
+        self.unsupported: List[str] = []
+
+    # ---- statement dispatch
+    def run_statement(self, sql: str, expected: Optional[List[str]]):
+        # strip leading SET statements (session vars are TiDB routing
+        # hints — tiflash replica / mpp mode — meaningless here)
+        parts = [p.strip() for p in _split_semicolons(sql) if p.strip()]
+        for stmt in parts:
+            low = stmt.lower()
+            if low.startswith("set "):
+                continue
+            if low.startswith(("use ", "split ")):
+                continue  # database selection / region-split hints
+            if low.startswith("alter table") and " add " in low:
+                raise Unsupported("ALTER TABLE ADD COLUMN")
+            if low.startswith(("drop table", "drop database",
+                               "create database", "analyze table",
+                               "alter table", "truncate")):
+                if low.startswith(("drop table", "truncate")):
+                    m = re.search(r"(?:table|truncate)\s+(?:if exists\s+)?"
+                                  r"([`\w.]+)", stmt, re.I)
+                    if m:
+                        self.tables.pop(
+                            m.group(1).split(".")[-1].strip("`"), None)
+                continue
+            if low.startswith("create table"):
+                name, schema, fsps = parse_create_table(stmt)
+                self.tables[name] = (schema, {c: [] for c in schema})
+                self.fsps[name] = fsps
+                continue
+            if low.startswith("insert into"):
+                self._insert(stmt)
+                continue
+            if low.startswith("delete from"):
+                m = re.match(r"delete\s+from\s+([`\w.]+)\s*$", stmt, re.I)
+                if not m:
+                    raise Unsupported(f"conditional delete: {stmt[:50]}")
+                t = m.group(1).split(".")[-1].strip("`")
+                if t in self.tables:
+                    schema, _ = self.tables[t]
+                    self.tables[t] = (schema, {c: [] for c in schema})
+                continue
+            if low.startswith("select"):
+                if expected is not None and any(
+                        "{#REGEXP}" in ln or "ERROR" in ln
+                        for ln in expected):
+                    self.unsupported.append(
+                        f"expects error/regexp output: {stmt[:60]}")
+                    continue
+                try:
+                    self._select(stmt, expected)
+                except Unsupported as e:
+                    # a select outside the surface doesn't corrupt the
+                    # session — record it and keep checking the rest
+                    self.unsupported.append(f"{e} in: {stmt[:80]}")
+                except KeyError as e:
+                    if "not registered" not in str(e):
+                        raise
+                    self.unsupported.append(
+                        f"engine: unregistered function: {str(e)[:70]} "
+                        f"in: {stmt[:80]}")
+                except RecursionError:
+                    self.unsupported.append(
+                        f"expression tree too deep: {stmt[:60]}")
+                except (NotImplementedError, ValueError) as e:
+                    # engine-declared limitation (LUT-domain string
+                    # producers, unimplemented cast pairs, ...): tracked
+                    # as a documented-unsupported entry, not a pass
+                    self.unsupported.append(
+                        f"engine: {type(e).__name__}: {str(e)[:90]} "
+                        f"in: {stmt[:80]}")
+                continue
+            if low.startswith(("desc ", "show ", "begin", "commit",
+                               "update ")):
+                raise Unsupported(f"statement: {stmt.split()[0]}")
+            raise Unsupported(f"statement: {stmt[:50]}")
+
+    # ---- INSERT
+    def _insert(self, stmt: str):
+        ms = re.match(r"insert\s+into\s+([`\w.]+)\s*(select\s+.*)$",
+                      stmt, re.I | re.S)
+        if ms:
+            t = ms.group(1).split(".")[-1].strip("`")
+            if t not in self.tables:
+                raise Unsupported(f"insert into unknown table {t}")
+            schema, rows = self.tables[t]
+            out = SelectBuilder(self, ms.group(2)).run()
+            got = _block_rows(out)
+            names = list(schema)
+            for r in got:
+                if len(r) != len(names):
+                    raise Unsupported("insert-select arity")
+                for c, v in zip(names, r):
+                    rows[c].append(v)
+            return
+        m = re.match(r"insert\s+into\s+([`\w.]+)\s*(\(([^)]*)\))?\s*values\s*(.*)$",
+                     stmt, re.I | re.S)
+        if not m:
+            raise Unsupported(f"insert form: {stmt[:60]}")
+        t = m.group(1).split(".")[-1].strip("`")
+        if t not in self.tables:
+            raise Unsupported(f"insert into unknown table {t}")
+        schema, rows = self.tables[t]
+        cols = ([c.strip().strip("`") for c in m.group(3).split(",")]
+                if m.group(3) else list(schema))
+        for tup in _split_tuples(m.group(4)):
+            vals = _split_args(tup)
+            if len(vals) != len(cols):
+                raise Unsupported(f"insert arity at {tup[:40]}")
+            rowvals = dict(zip(cols, vals))
+            fsps = self.fsps.get(t, {})
+            for c in schema:
+                raw = rowvals.get(c)
+                rows[c].append(
+                    None if raw is None
+                    else self._value(raw, schema[c], fsps.get(c)))
+
+    def _value(self, raw: str, t: dt.DataType, fsp: Optional[int] = None):
+        """One INSERT literal -> host value for pytable_to_block.
+        MySQL rounds datetime/time values to the column's declared fsp."""
+        s = raw.strip()
+        if s.lower() == "null":
+            return None
+        expr = SqlParser(s).parse_expr()
+        v = _eval_const(expr)
+        v = _coerce_host_value(v, t)
+        if v is not None and fsp is not None:
+            q = 10 ** (6 - fsp)
+            if t.kind is dt.TypeKind.DATETIME:
+                us = round((v - datetime.datetime(1970, 1, 1))
+                           .total_seconds() * 1e6)
+                us = (abs(us) + q // 2) // q * q * (1 if us >= 0 else -1)
+                v = (datetime.datetime(1970, 1, 1)
+                     + datetime.timedelta(microseconds=us))
+            elif t.kind is dt.TypeKind.DURATION:
+                v = ((abs(v) + q // 2) // q * q) * (1 if v >= 0 else -1)
+        return v
+
+    # ---- SELECT
+    def _select(self, stmt: str, expected: Optional[List[str]]):
+        sel = SelectBuilder(self, stmt)
+        out_block = sel.run()
+        if expected is None:
+            return
+        got = _block_rows(out_block)
+        want = _parse_expected(expected)
+        _compare(got, want, out_block, sel.order_sensitive, stmt)
+        self.checked += 1
+
+
+def _split_semicolons(sql: str) -> List[str]:
+    out, cur, quote, esc = [], "", None, False
+    for ch in sql:
+        if quote:
+            cur += ch
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur += ch
+            continue
+        if ch == ";":
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        out.append(cur)
+    return out
+
+
+def _eval_const(e: Expr):
+    """Constant-fold an INSERT literal expression (numbers, strings,
+    unary minus, simple arithmetic on literals)."""
+    if isinstance(e, Literal):
+        return e.value
+    if isinstance(e, Call):
+        args = [_eval_const(a) for a in e.args]
+        if e.func == "negate":
+            return -args[0]
+        if e.func == "plus":
+            return args[0] + args[1]
+        if e.func == "minus":
+            return args[0] - args[1]
+        if e.func == "multiply":
+            return args[0] * args[1]
+        if e.func == "divide":
+            return args[0] / args[1]
+    raise Unsupported(f"non-constant insert value {e!r}")
+
+
+def _coerce_host_value(v, t: dt.DataType):
+    if v is None:
+        return None
+    if t.is_decimal:
+        return D(str(v))
+    if t.kind is dt.TypeKind.DATE:
+        if isinstance(v, str):
+            return _parse_datetime_str(v).date()
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        return v
+    if t.kind is dt.TypeKind.DATETIME:
+        if isinstance(v, str):
+            return _parse_datetime_str(v)
+        if isinstance(v, datetime.date) and not isinstance(
+                v, datetime.datetime):
+            return datetime.datetime(v.year, v.month, v.day)
+        return v
+    if t.kind is dt.TypeKind.DURATION:
+        if isinstance(v, str):
+            return _parse_duration_us(v)
+        return v
+    if t.is_string:
+        return str(v)
+    if t.kind in (dt.TypeKind.FLOAT32, dt.TypeKind.FLOAT64):
+        return float(v)
+    if isinstance(v, str):
+        iv = int(D(v))  # MySQL coerces '123' etc.
+    elif isinstance(v, (float, D)):
+        iv = int(D(str(v)).to_integral_value(rounding="ROUND_HALF_UP"))
+    else:
+        iv = int(v)
+    hi = (1 << 64) - 1 if t.kind is dt.TypeKind.UINT64 else (1 << 63) - 1
+    if not (-(1 << 63) <= iv <= hi):
+        raise Unsupported(f"integer literal outside 64-bit range: {iv}")
+    return iv
+
+
+def _parse_duration_us(s: str) -> int:
+    neg = s.strip().startswith("-")
+    body = s.strip().lstrip("-")
+    m = re.match(r"^(\d+):(\d+):(\d+)(\.(\d+))?$", body)
+    if not m:
+        # bare seconds / hhmmss form
+        raise Unsupported(f"duration literal {s!r}")
+    h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    frac = (m.group(5) or "").ljust(6, "0")[:6]
+    us = ((h * 3600 + mi * 60 + sec) * 1_000_000 + int(frac))
+    return -us if neg else us
+
+
+# ----------------------------------------------------- SELECT -> plan
+
+_FUNC_RENAME = {
+    "bit_and2": "bit_and", "bit_or2": "bit_or", "bit_xor2": "bit_xor",
+}
+
+
+class SelectBuilder:
+    def __init__(self, session: RefTestSession, sql: str):
+        self.sess = session
+        self.p = SqlParser(sql)
+        self.order_sensitive = False
+        self.schema: Dict[str, dt.DataType] = {}
+
+    def _rw(self, e: Expr) -> Expr:
+        return _coerce_temporal(_rewrite(e), self.schema)
+
+    def run(self):
+        p = self.p
+        p.expect_kw("select")
+        # select list ('*' = all table columns, in schema order)
+        items: List[Tuple[Optional[str], Expr]] = []
+        star = False
+        while True:
+            if p.at_op("*"):
+                p.next()
+                star = True
+                if not p.eat_op(","):
+                    break
+                continue
+            expr = p.parse_expr()
+            alias = None
+            if p.eat_kw("as"):
+                tk, tv = p.next()
+                alias = tv[1:-1] if tk in ("qident", "str") else tv
+            elif p.peek()[0] in ("name", "qident") and not p.at_kw(
+                    "from", "where", "group", "order", "limit", "union"):
+                tk, tv = p.next()
+                alias = tv[1:-1] if tk == "qident" else tv
+            if alias is None and isinstance(expr, ColumnRef):
+                alias = expr.name
+            items.append((alias, expr))
+            if not p.eat_op(","):
+                break
+
+        table = None
+        if p.eat_kw("from"):
+            tk, tv = p.next()
+            table = tv.strip("`")
+            while p.at_op("."):
+                p.next()
+                table = p.next()[1].strip("`")
+            # alias
+            if p.at_kw("as"):
+                p.next()
+                p.next()
+            elif p.peek()[0] == "name" and not p.at_kw(
+                    "where", "group", "order", "limit"):
+                p.next()
+        where = None
+        if p.eat_kw("where"):
+            where = p.parse_expr()
+        group_by: List[Expr] = []
+        if p.eat_kw("group"):
+            p.expect_kw("by")
+            group_by.append(p.parse_expr())
+            while p.eat_op(","):
+                group_by.append(p.parse_expr())
+            # positional form: GROUP BY 1 = first select item
+            group_by = [items[g.value - 1][1]
+                        if isinstance(g, Literal) and isinstance(g.value, int)
+                        and 1 <= g.value <= len(items) else g
+                        for g in group_by]
+        having = None
+        if p.eat_kw("having"):
+            having = p.parse_expr()
+        order_by: List[Tuple[Expr, bool]] = []
+        if p.eat_kw("order"):
+            p.expect_kw("by")
+            while True:
+                e = p.parse_expr()
+                desc = bool(p.eat_kw("desc"))
+                if not desc:
+                    p.eat_kw("asc")
+                order_by.append((e, desc))
+                if not p.eat_op(","):
+                    break
+            self.order_sensitive = True
+        limit = None
+        if p.eat_kw("limit"):
+            limit = int(p.next()[1])
+        if p.peek()[0] != "eof":
+            raise Unsupported(f"trailing sql at {p.peek()[1]!r}")
+
+        if star:
+            if table is None or table not in self.sess.tables:
+                raise Unsupported("SELECT * without a known table")
+            schema, _ = self.sess.tables[table]
+            items = [(c, ColumnRef(c)) for c in schema] + items
+        return self.build_and_run(items, table, where, group_by, having,
+                                  order_by, limit)
+
+    # -- plan construction
+    def build_and_run(self, items, table, where, group_by, having,
+                      order_by, limit):
+        from ..plan.compiler import compile_fragment
+        from . import oracle as O
+
+        if table is None:
+            # SELECT <constants>: evaluate on a one-row dummy table
+            schema = {"__one__": dt.INT64}
+            blocks = {"dual": O.pytable_to_block({"__one__": [1]}, schema)}
+            plan: P.PlanNode = P.TableScan("dual")
+            table_schema = schema
+        else:
+            if table not in self.sess.tables:
+                raise Unsupported(f"unknown table {table}")
+            schema, rows = self.sess.tables[table]
+            if not rows or not next(iter(rows.values()), None):
+                # empty input: engine blocks need >=1 row; run with a
+                # dummy row and then drop everything via a false filter
+                pad = {c: [_dummy_value(schema[c])] for c in schema}
+                blk = O.pytable_to_block(pad, schema)
+                blocks = {table: blk}
+                plan = P.Selection(
+                    Call("equals", (Literal(0), Literal(1))),
+                    P.TableScan(table))
+            else:
+                blocks = {table: O.pytable_to_block(rows, schema)}
+                plan = P.TableScan(table)
+            table_schema = schema
+            self.schema = schema
+            if where is not None:
+                plan = P.Selection(_as_bool(self._rw(where)), plan)
+
+        agg_items = [(a, e) for a, e in items if _has_agg(e)]
+        if agg_items or group_by:
+            plan, names = self._build_agg(plan, items, group_by, having,
+                                          table_schema)
+        else:
+            if having is not None:
+                raise Unsupported("HAVING without aggregation")
+            exprs: Dict[str, Expr] = {}
+            names = []
+            for i, (alias, e) in enumerate(items):
+                name = alias or f"c{i}"
+                exprs[name] = self._rw(e)
+                names.append(name)
+            plan = P.Projection(exprs, plan)
+
+        if order_by:
+            keys = []
+            hidden: Dict[str, Expr] = {}
+            for si, (e, desc) in enumerate(order_by):
+                if isinstance(e, ColumnRef) and e.name in names:
+                    keys.append(SortKey(e.name, desc=desc))
+                elif isinstance(e, Literal) and isinstance(e.value, int):
+                    keys.append(SortKey(names[e.value - 1], desc=desc))
+                else:
+                    # ORDER BY an arbitrary expression: project a hidden
+                    # sort column over the current output + base columns
+                    sn = f"__s{si}"
+                    hidden[sn] = self._rw(e)
+                    keys.append(SortKey(sn, desc=desc))
+            if hidden:
+                passthru = {n: ColumnRef(n) for n in names}
+                plan = P.Projection({**passthru, **hidden}, plan)
+            plan = (P.TopN(keys, limit, plan) if limit is not None
+                    else P.Sort(keys, plan))
+        elif limit is not None:
+            plan = P.Limit(limit, plan)
+
+        from ..plan.compiler import compile_fragment
+
+        out, overflows = compile_fragment(plan)(blocks)
+        for k, v in overflows.items():
+            import numpy as np
+
+            assert not bool(np.asarray(v).max()), f"overflow at {k}"
+        # keep only the selected output columns, in order
+        return _project_names(out, names)
+
+    def _build_agg(self, plan, items, group_by, having, schema):
+        # pre-project: group keys + aggregate arguments become columns
+        pre: Dict[str, Expr] = {}
+        key_names: List[str] = []
+        key_fp: Dict[str, str] = {}
+        for i, g in enumerate(group_by):
+            if isinstance(g, ColumnRef):
+                key_names.append(g.name)
+                pre[g.name] = g
+            else:
+                kn = f"__k{i}"
+                pre[kn] = self._rw(g)
+                key_names.append(kn)
+                key_fp[_fingerprint(g)] = kn
+
+        def sub_keys(e: Expr) -> Expr:
+            """Rewrite select-list subtrees equal to a GROUP BY expression
+            into refs to the key column (MySQL name resolution)."""
+            if key_fp:
+                kn = key_fp.get(_fingerprint(e))
+                if kn is not None:
+                    return ColumnRef(kn)
+            if isinstance(e, Call):
+                return Call(e.func, tuple(sub_keys(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(sub_keys(e.arg), e.target)
+            return e
+
+        items = [(alias, sub_keys(e)) for alias, e in items]
+        aggs: List[AggDesc] = []
+        post: Dict[str, Expr] = {}
+        names: List[str] = []
+
+        def lower_agg(e: Expr) -> Expr:
+            """Replace aggregate calls inside e with refs to agg outputs."""
+            if isinstance(e, Call) and _base_agg_name(e.func) in _AGG_FUNCS:
+                fname = _base_agg_name(e.func)
+                distinct = e.func.endswith("__distinct")
+                if fname == "count" and (not e.args or (
+                        isinstance(e.args[0], Literal)
+                        and e.args[0].value == "*")):
+                    an = f"__a{len(aggs)}"
+                    aggs.append(AggDesc("count", None, an))
+                    return ColumnRef(an)
+                arg = e.args[0]
+                if len(e.args) > 1:
+                    raise Unsupported(f"multi-arg aggregate {fname}")
+                if isinstance(arg, ColumnRef):
+                    argn = arg.name
+                else:
+                    argn = f"__p{len(pre)}"
+                    pre[argn] = self._rw(arg)
+                func = {"stddev": "std", "stddev_pop": "std",
+                        "variance": "var_pop", "stddev_samp": "std_samp",
+                        "first_row": "any_value"}.get(fname, fname)
+                if distinct:
+                    if func == "count":
+                        func = "count_distinct"
+                    elif func == "group_concat":
+                        func = "group_concat_distinct"
+                    elif func in ("sum", "avg"):
+                        func = func + "_distinct"
+                    else:
+                        raise Unsupported(f"{fname} DISTINCT")
+                an = f"__a{len(aggs)}"
+                aggs.append(AggDesc(func, argn, an))
+                return ColumnRef(an)
+            if isinstance(e, Call):
+                return Call(e.func,
+                            tuple(lower_agg(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(lower_agg(e.arg), e.target)
+            return e
+
+        any_cache: Dict[str, str] = {}
+
+        def fix_bare(e: Expr) -> Expr:
+            """Bare base-column refs alongside aggregates: MySQL (with
+            ONLY_FULL_GROUP_BY off) returns any value from the group."""
+            if isinstance(e, ColumnRef):
+                if e.name in key_names or re.match(r"__a\d+$", e.name):
+                    return e
+                an = any_cache.get(e.name)
+                if an is None:
+                    if e.name not in pre:
+                        pre[e.name] = ColumnRef(e.name)
+                    an = f"__a{len(aggs)}"
+                    aggs.append(AggDesc("any_value", e.name, an))
+                    any_cache[e.name] = an
+                return ColumnRef(an)
+            if isinstance(e, Call):
+                return Call(e.func, tuple(fix_bare(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(fix_bare(e.arg), e.target)
+            return e
+
+        for i, (alias, e) in enumerate(items):
+            name = alias or f"c{i}"
+            names.append(name)
+            post[name] = self._rw(fix_bare(lower_agg(e)))
+
+        for c in list(pre):
+            if isinstance(pre[c], ColumnRef) and pre[c].name == c:
+                pre[c] = ColumnRef(c)
+        # pass every base column the pre-projection mentions through
+        needed = set()
+
+        def cols_of(e: Expr):
+            if isinstance(e, ColumnRef):
+                needed.add(e.name)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    cols_of(a)
+            elif isinstance(e, Cast):
+                cols_of(e.arg)
+
+        for e in pre.values():
+            cols_of(e)
+        for an in [a.arg for a in aggs if a.arg]:
+            needed.add(an)
+        for c in needed - set(pre):
+            if c in schema:
+                pre[c] = ColumnRef(c)
+        plan = P.Projection(pre, plan) if pre else plan
+        plan = P.Aggregation(key_names, aggs, plan)
+        if having is not None:
+            raise Unsupported("HAVING")
+        plan = P.Projection(post, plan)
+        return plan, names
+
+
+def _fingerprint(e: Expr) -> str:
+    if isinstance(e, ColumnRef):
+        return f"col:{e.name}"
+    if isinstance(e, Literal):
+        return f"lit:{type(e.value).__name__}:{e.value!r}"
+    if isinstance(e, Cast):
+        return f"cast:{e.target!r}:{_fingerprint(e.arg)}"
+    if isinstance(e, Call):
+        return f"{e.func}({','.join(_fingerprint(a) for a in e.args)})"
+    return repr(e)
+
+
+def _dummy_value(t: dt.DataType):
+    if t.is_decimal:
+        return D(0)
+    if t.kind is dt.TypeKind.DATE:
+        return datetime.date(2000, 1, 1)
+    if t.kind is dt.TypeKind.DATETIME:
+        return datetime.datetime(2000, 1, 1)
+    if t.is_string:
+        return ""
+    if t.kind in (dt.TypeKind.FLOAT32, dt.TypeKind.FLOAT64):
+        return 0.0
+    return 0
+
+
+def _base_agg_name(f: str) -> str:
+    return f[:-len("__distinct")] if f.endswith("__distinct") else f
+
+
+def _has_agg(e: Expr) -> bool:
+    if isinstance(e, Call):
+        if _base_agg_name(e.func) in _AGG_FUNCS:
+            return True
+        return any(_has_agg(a) for a in e.args)
+    if isinstance(e, Cast):
+        return _has_agg(e.arg)
+    return False
+
+
+# functions whose date/datetime arguments MySQL implicitly parses from
+# strings; (name match, which args are temporal)
+_TEMPORAL_PREFIXES = ("date_add_", "date_sub_")
+_TEMPORAL_ARG0 = {"date", "last_day", "to_days", "to_seconds", "day",
+                  "day_of_month", "dayofmonth", "day_of_week", "dayofweek",
+                  "day_of_year", "dayofyear", "month", "monthname",
+                  "month_name", "dayname", "day_name", "year", "quarter",
+                  "week", "weekofyear", "week_of_year", "weekday",
+                  "yearweek", "unix_timestamp", "hour", "minute", "second",
+                  "microsecond", "date_format"}
+_TEMPORAL_ALL_ARGS = {"datediff"}
+
+
+def _is_temporal_fn(f: str) -> bool:
+    return f in _TEMPORAL_ARG0 or f in _TEMPORAL_ALL_ARGS or \
+        f.startswith(_TEMPORAL_PREFIXES)
+
+
+def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
+    """Insert the implicit string->temporal casts MySQL performs when a
+    date function receives string input, and round REAL interval
+    amounts to integers (MySQL ADDDATE(d, 1.6) adds 2 days)."""
+
+    def col_type(x: Expr):
+        if isinstance(x, ColumnRef):
+            return schema.get(x.name)
+        if isinstance(x, Cast):
+            return x.target
+        return None
+
+    def fix_arg(x: Expr) -> Expr:
+        if isinstance(x, Literal) and x.value is None:
+            return Literal(None, dt.DATETIME.with_nullable(True))
+        if isinstance(x, Literal) and isinstance(x.value, str):
+            try:
+                v = _parse_datetime_str(x.value)
+            except (Unsupported, ValueError):
+                # MySQL: an unparseable datetime string argument -> NULL
+                return Literal(None, dt.DATETIME.with_nullable(True))
+            if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0) \
+                    and len(x.value.strip()) <= 10:
+                return Literal(v.date())
+            return Literal(v)
+        t = col_type(x)
+        if t is not None and (t.is_string or t.is_integer or t.is_decimal
+                              or t.is_float):
+            return Cast(x, dt.DATETIME.with_nullable(True))
+        if isinstance(x, Literal) and isinstance(x.value, int):
+            return Cast(x, dt.DATETIME.with_nullable(True))
+        return x
+
+    def walk(x: Expr) -> Expr:
+        if isinstance(x, Cast):
+            return Cast(walk(x.arg), x.target)
+        if not isinstance(x, Call):
+            return x
+        args = [walk(a) for a in x.args]
+        f = x.func
+        if _is_temporal_fn(f):
+            args[0] = fix_arg(args[0])
+            if f in _TEMPORAL_ALL_ARGS and len(args) > 1:
+                args[1] = fix_arg(args[1])
+            if f.startswith(_TEMPORAL_PREFIXES) and len(args) > 1:
+                at = col_type(args[1])
+                if (at is not None and (at.is_float or at.is_decimal)) or (
+                        isinstance(args[1], Literal)
+                        and isinstance(args[1].value, (float, D))):
+                    args[1] = Call("round", (args[1],))
+        return Call(f, tuple(args))
+
+    return walk(e)
+
+
+_BOOL_FUNCS = {"equals", "not_equals", "less", "less_or_equals", "greater",
+               "greater_or_equals", "null_eq", "and", "or", "not", "xor",
+               "like", "ilike", "regexp_like", "in", "is_null",
+               "is_not_null", "is_true", "is_not_true", "is_false",
+               "is_not_false", "isnull"}
+
+
+def _as_bool(e: Expr) -> Expr:
+    """MySQL WHERE truthiness: a non-boolean expression is true iff
+    non-zero (and non-NULL)."""
+    if isinstance(e, Call) and e.func in _BOOL_FUNCS:
+        if e.func in ("and", "or"):
+            return Call(e.func, tuple(_as_bool(a) for a in e.args))
+        return e
+    return Call("not_equals", (e, Literal(0)))
+
+
+def _rewrite(e: Expr) -> Expr:
+    """Post-parse fixups: operator aliases, interval lowering."""
+    if isinstance(e, Cast):
+        return Cast(_rewrite(e.arg), e.target)
+    if not isinstance(e, Call):
+        return e
+    args = tuple(_rewrite(a) for a in e.args)
+    f = _FUNC_RENAME.get(e.func, e.func)
+    # date_add(x, interval n unit) -> date_add_<unit>s(x, n)
+    if f in ("date_add", "date_sub", "adddate", "subdate") and len(args) == 2:
+        iv = args[1]
+        if isinstance(iv, Call) and iv.func == "__interval__":
+            unit = iv.args[1].value
+            op = "date_add" if f in ("date_add", "adddate") else "date_sub"
+            return Call(f"{op}_{unit}s", (args[0], iv.args[0]))
+        if f in ("adddate", "subdate"):
+            # adddate(d, n) = add n days
+            op = "date_add" if f == "adddate" else "date_sub"
+            return Call(f"{op}_days", args)
+    if f == "timestampdiff" and len(args) == 3:
+        raise Unsupported("timestampdiff")
+    return Call(f, args)
+
+
+# ------------------------------------------------- output comparison
+
+def _project_names(block, names: List[str]):
+    from ..core.block import Block
+
+    cols = dict(zip(block.names, block.columns))
+    missing = [n for n in names if n not in cols]
+    if missing:
+        raise AssertionError(f"output missing columns {missing}; "
+                             f"has {block.names}")
+    return Block(names=tuple(names),
+                 columns=tuple(cols[n] for n in names),
+                 sel=block.sel, clustered_by=())
+
+
+def _block_rows(block) -> List[list]:
+    from . import oracle as O
+
+    t = O.block_to_pytable(block.compact())
+    cols = [t[n] for n in block.names]
+    return [list(r) for r in zip(*cols)] if cols else []
+
+
+def _parse_expected(lines: List[str]) -> List[List[str]]:
+    """Expected output -> rows of cell strings (header dropped).
+
+    Two client formats (same as run-test.py's MySQLCompare): bordered
+    ``+--|--+`` tables, and borderless tab-separated output."""
+    bordered = any(ln.lstrip().startswith("+") for ln in lines)
+    rows = []
+    if bordered:
+        for ln in lines:
+            ln = ln.rstrip()
+            if not ln or ln.lstrip().startswith("+"):
+                continue
+            if not ln.lstrip().startswith("|"):
+                continue
+            cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+            rows.append(cells)
+    else:
+        for ln in lines:
+            if not ln.strip():
+                continue
+            rows.append([c.strip() for c in ln.split("\t")])
+    return rows[1:] if rows else []  # first row is the header
+
+
+def _cell_matches(got, cell: str, dtype: dt.DataType) -> bool:
+    if cell == "NULL":
+        return got is None
+    if got is None:
+        return False
+    if dtype.is_decimal:
+        try:
+            return D(cell) == got
+        except Exception:
+            return False
+    k = dtype.kind
+    if k in (dt.TypeKind.FLOAT32, dt.TypeKind.FLOAT64):
+        try:
+            want = float(cell)
+        except ValueError:
+            return False
+        g = float(got)
+        if want == 0:
+            return abs(g) < 1e-9
+        tol = 1e-5 if k is dt.TypeKind.FLOAT32 else 1e-9
+        return abs(g - want) <= tol * max(abs(want), abs(g))
+    if k is dt.TypeKind.DATE:
+        return str(got) == cell
+    if k is dt.TypeKind.DATETIME:
+        # normalize fractional seconds (strip trailing zeros of the
+        # fraction ONLY — naive rstrip eats the seconds' zeros)
+        def norm(s: str) -> str:
+            if "." not in s:
+                return s
+            head, frac = s.rsplit(".", 1)
+            frac = frac.rstrip("0")
+            return head + ("." + frac if frac else "")
+        if got.microsecond:
+            gs = (got.strftime("%Y-%m-%d %H:%M:%S.")
+                  + f"{got.microsecond:06d}")
+        else:
+            gs = got.strftime("%Y-%m-%d %H:%M:%S")
+            if got.time() == datetime.time(0) and " " not in cell:
+                # MySQL string-in/string-out date functions print the
+                # date-only form; a midnight datetime matches it
+                return got.strftime("%Y-%m-%d") == cell
+        return norm(gs) == norm(cell)
+    if k is dt.TypeKind.DURATION:
+        try:
+            return _parse_duration_us(cell) == int(got)
+        except Unsupported:
+            return False
+    if dtype.is_string:
+        if str(got) == cell:
+            return True
+        # the reference's expected files hold client-escaped text
+        return str(got) == cell.replace("\\\\", "\\")
+    if k is dt.TypeKind.BOOL:
+        return str(int(got)) == cell
+    try:
+        return int(cell) == int(got)
+    except ValueError:
+        return False
+
+
+def _compare(got_rows: List[list], want_rows: List[List[str]],
+             block, ordered: bool, stmt: str):
+    dtypes = [c.dtype for c in block.columns]
+    if len(got_rows) != len(want_rows):
+        raise AssertionError(
+            f"row count: got {len(got_rows)} want {len(want_rows)}\n"
+            f"query: {stmt}\ngot: {got_rows[:8]}\nwant: {want_rows[:8]}")
+
+    def row_ok(g, w):
+        return len(g) == len(w) and all(
+            _cell_matches(gv, wc, t) for gv, wc, t in zip(g, w, dtypes))
+
+    if ordered:
+        for g, w in zip(got_rows, want_rows):
+            if not row_ok(g, w):
+                raise AssertionError(
+                    f"row mismatch\nquery: {stmt}\ngot:  {g}\nwant: {w}")
+    else:
+        remaining = list(want_rows)
+        for g in got_rows:
+            for i, w in enumerate(remaining):
+                if row_ok(g, w):
+                    remaining.pop(i)
+                    break
+            else:
+                raise AssertionError(
+                    f"unmatched row\nquery: {stmt}\ngot: {g}\n"
+                    f"want one of: {remaining[:8]}")
+
+
+# ------------------------------------------------------- file driver
+
+def parse_test_file(path: str) -> List[Tuple[str, Optional[List[str]]]]:
+    """-> [(statement, expected_lines|None)] in file order."""
+    out = []
+    cur: Optional[str] = None
+    cur_expected: List[str] = []
+    with open(path) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            s = line.strip()
+            if s.startswith("#") or not s:
+                continue
+            if s.startswith("mysql>"):
+                if cur is not None:
+                    out.append((cur, cur_expected or None))
+                cur = s[len("mysql>"):].strip()
+                cur_expected = []
+            elif s.startswith(("func>", ">> ", "=> ", "SLEEP", "curl>",
+                               "mysql_bin_as_hex>")):
+                if cur is not None:
+                    out.append((cur, cur_expected or None))
+                    cur, cur_expected = None, []
+                if s.startswith("mysql_bin_as_hex>"):
+                    raise Unsupported("binary-as-hex client mode")
+            else:
+                if cur is not None:
+                    # bordered table rows OR tab-separated client output
+                    cur_expected.append(line)
+    if cur is not None:
+        out.append((cur, cur_expected or None))
+    return out
+
+
+def run_test_file(path: str) -> int:
+    """Run one .test file; returns the number of checked queries.
+    Raises Unsupported for out-of-surface files, AssertionError for real
+    mismatches."""
+    sess = RefTestSession()
+    for stmt, expected in parse_test_file(path):
+        sess.run_statement(stmt, expected)
+    return sess.checked
