@@ -1,0 +1,174 @@
+"""Decimal precision 39..65 (the Decimal256 analog — four base-10^18
+limbs, core/wide.py) — parity vs python ``decimal`` at context prec 65.
+
+Reference: ``DataTypes/DataTypeDecimal.h:193-197`` (Decimal256 reaches
+precision 65); VERDICT r2 item 5.
+"""
+
+import decimal
+from decimal import Decimal as D
+
+import numpy as np
+import pytest
+
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.core.block import Block, column_from_numpy
+from tiflash_tpu.expr.nodes import Cast, col
+from tiflash_tpu.ops.aggregate import AggDesc
+from tiflash_tpu.plan import nodes as P
+from tiflash_tpu.plan.compiler import compile_fragment
+from tiflash_tpu.testing import oracle as O
+
+CTX = decimal.Context(prec=65)
+
+
+def _div_half_up(num: int, den: int) -> int:
+    """Exact integer half-up (away from zero) division oracle."""
+    sign = -1 if (num < 0) ^ (den < 0) else 1
+    fl, rem = divmod(abs(num), abs(den))
+    return sign * (fl + (1 if rem * 2 >= abs(den) else 0))
+
+
+def _rand_mantissas(rng, n, digits):
+    out = []
+    for _ in range(n):
+        nd = int(rng.integers(1, digits + 1))
+        m = int("".join(str(rng.integers(0, 10)) for _ in range(nd)) or "0")
+        out.append(m if rng.random() < 0.5 else -m)
+    return out
+
+
+def test_quad_host_round_trip():
+    rng = np.random.default_rng(3)
+    mant = _rand_mantissas(rng, 64, 60) + [0, 10 ** 60 - 1, -(10 ** 60 - 1)]
+    t = dt.Decimal(62, 5)
+    c = column_from_numpy(mant, t)
+    assert c.data.shape[-1] == 4
+    back = c.to_pylist()
+    assert back == mant
+
+
+def test_quad_sum_avg_vs_decimal_oracle():
+    rng = np.random.default_rng(7)
+    n = 500
+    # precision-50 inputs: sum result types to Decimal(65+, ..) -> capped 65
+    mant = _rand_mantissas(rng, n, 50)
+    keys = [int(rng.integers(0, 7)) for _ in range(n)]
+    t = dt.Decimal(50, 10)
+    blk = Block.from_dict({
+        "k": column_from_numpy(keys, dt.INT32),
+        "v": column_from_numpy(mant, t),
+    })
+    plan = P.Aggregation(
+        ["k"], [AggDesc("sum", "v", "s"), AggDesc("avg", "v", "a"),
+                AggDesc("min", "v", "mn"), AggDesc("max", "v", "mx")],
+        P.TableScan("t"))
+    out, ov = compile_fragment(plan)(dict(t=blk))
+    for k, v in ov.items():
+        assert int(np.asarray(v).max()) == 0, k
+    r = out.compact().to_pylists()
+    for i, g in enumerate(r["k"]):
+        vals = [m for m, kk in zip(mant, keys) if kk == g]
+        want_sum = sum(vals)
+        assert int(r["s"][i]) == want_sum, ("sum", g)
+        # avg: scale 10+4, ROUND_HALF_UP (exact integer oracle)
+        want_avg = _div_half_up(want_sum * 10 ** 4, len(vals))
+        assert int(r["a"][i]) == want_avg, ("avg", g)
+        assert int(r["mn"][i]) == min(vals), ("min", g)
+        assert int(r["mx"][i]) == max(vals), ("max", g)
+
+
+def test_quad_casts_vs_decimal_oracle():
+    rng = np.random.default_rng(9)
+    mant18 = [int(x) for x in rng.integers(-10 ** 15, 10 ** 15, 40)]
+    mant30 = _rand_mantissas(rng, 40, 30)
+    mant55 = _rand_mantissas(rng, 40, 55)
+    blk = Block.from_dict({
+        "n18": column_from_numpy(mant18, dt.Decimal(17, 3)),
+        "w30": column_from_numpy(mant30, dt.Decimal(30, 6)),
+        "w55": column_from_numpy(mant55, dt.Decimal(55, 8)),
+    })
+    cases = [
+        # (source col, source scale, target)
+        ("n18", 3, dt.Decimal(50, 7)),       # narrow -> quad, scale up
+        ("w30", 6, dt.Decimal(60, 10)),      # 2-limb -> quad, scale up
+        ("w55", 8, dt.Decimal(65, 10)),      # quad -> quad, scale up
+        ("w55", 8, dt.Decimal(60, 4)),       # quad -> quad, scale DOWN
+        ("w30", 6, dt.Decimal(42, 2)),       # 2-limb -> quad, scale down
+    ]
+    exprs = {f"c{i}": Cast(col(s), t) for i, (s, _, t) in enumerate(cases)}
+    plan = P.Projection(exprs, P.TableScan("t"))
+    out, _ = compile_fragment(plan)(dict(t=blk))
+    r = out.compact().to_pylists()
+    src_mant = {"n18": mant18, "w30": mant30, "w55": mant55}
+    for i, (s, ss, t) in enumerate(cases):
+        for j, m in enumerate(src_mant[s]):
+            ds = t.scale - ss
+            want = m * 10 ** ds if ds >= 0 else _div_half_up(m, 10 ** -ds)
+            lim = 10 ** t.precision - 1
+            want = max(-lim, min(lim, want))  # MySQL saturation
+            assert int(r[f"c{i}"][j]) == want, (i, j, s, t)
+
+
+def test_quad_to_float_and_int():
+    mant = [123456789012345678901234567890123456789, -10 ** 44, 5 * 10 ** 40]
+    blk = Block.from_dict({"w": column_from_numpy(mant, dt.Decimal(45, 6))})
+    plan = P.Projection(
+        {"f": Cast(col("w"), dt.FLOAT64)}, P.TableScan("t"))
+    out, _ = compile_fragment(plan)(dict(t=blk))
+    got = out.compact().to_pylists()["f"]
+    for g, m in zip(got, mant):
+        want = float(D(m).scaleb(-6))
+        assert abs(g - want) <= abs(want) * 1e-12
+
+
+def test_quad_sort_and_compare():
+    rng = np.random.default_rng(13)
+    mant = _rand_mantissas(rng, 300, 55)
+    blk = Block.from_dict({
+        "w": column_from_numpy(mant, dt.Decimal(58, 2)),
+        "id": column_from_numpy(list(range(300)), dt.INT64),
+    })
+    from tiflash_tpu.ops.sort import SortKey, sort_block
+
+    out = sort_block(blk, [SortKey("w")]).compact().to_pylists()
+    assert out["w"] == sorted(mant)
+    # comparisons against a narrow decimal column
+    from tiflash_tpu.expr.compile import evaluate_expr
+    from tiflash_tpu.expr.nodes import lit
+
+    small = column_from_numpy([10 ** 20] * 300, dt.Decimal(25, 2))
+    blk2 = blk.with_column("s", small)
+    got = evaluate_expr(col("w") > col("s"), blk2)
+    want = [m > 10 ** 20 for m in mant]
+    assert [bool(x) for x in np.asarray(got.data)] == want
+
+
+@pytest.mark.parametrize("dist", [False, True])
+def test_quad_sum_distributed_matches_single(dist):
+    import jax
+    from jax.sharding import Mesh
+
+    from tiflash_tpu.runtime.executor import run_query
+
+    rng = np.random.default_rng(21)
+    n = 512
+    mant = _rand_mantissas(rng, n, 45)
+    keys = [int(rng.integers(0, 5)) for _ in range(n)]
+    blk = Block.from_dict({
+        "k": column_from_numpy(keys, dt.INT32),
+        "v": column_from_numpy(mant, dt.Decimal(46, 4)),
+    })
+    plan = P.Aggregation(
+        ["k"], [AggDesc("sum", "v", "s"), AggDesc("avg", "v", "a")],
+        P.TableScan("t"))
+    mesh = Mesh(np.array(jax.devices()), ("d",)) if dist else None
+    out, _ = run_query(plan, {"t": blk}, mesh=mesh)
+    r = O.sort_pytable(O.block_to_pytable(out.compact()))
+    for i, g in enumerate(r["k"]):
+        vals = [m for m, kk in zip(mant, keys) if kk == g]
+        assert int(r["s"][i].scaleb(4, context=CTX)) == sum(vals), \
+            ("sum", g, dist)
+        want_avg = _div_half_up(sum(vals) * 10 ** 4, len(vals))
+        assert int(r["a"][i].scaleb(8, context=CTX)) == want_avg, \
+            ("avg", g, dist)

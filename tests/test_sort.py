@@ -157,3 +157,51 @@ def test_desc_sort_places_nulls_last_by_default():
     got_o = O.block_to_pytable(
         sort_block(blk, [SortKey("x", desc=True, nulls_first=True)]).compact())
     assert got_o["x"] == [None, None, 3, 2, 1]
+
+
+def test_topk_tiled_fast_path_matches_full_sort():
+    """The per-tile lax.top_k cascade (single-key rank pack) must match
+    the stable full-sort order exactly — ties, NULL placement, dead
+    rows, and >2-level cascades included."""
+    import numpy as np
+
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.core.block import Block, column_from_numpy
+    from tiflash_tpu.ops.sort import SortKey, sort_block, top_n
+
+    rng = np.random.default_rng(11)
+    n = 40_000  # > 4 * TILE -> tiled path; cascade reduces 40000 -> ~1900
+
+    # case A: int64 key, no validity, no sel (pure-rank path)
+    vals = rng.integers(-50, 50, n)  # heavy ties
+    blk = Block.from_dict({
+        "k": column_from_numpy(vals, dt.INT64),
+        "v": column_from_numpy(np.arange(n), dt.INT64),
+    })
+    for desc in (False, True):
+        keys = [SortKey("k", desc=desc)]
+        got = top_n(blk, keys, 97).compact().to_pylists()
+        ref = sort_block(blk, keys).compact().to_pylists()
+        assert got["k"] == ref["k"][:97]
+        assert got["v"] == ref["v"][:97]
+
+    # case B: int32 key with NULLs and a selection mask (packed rank)
+    vals32 = rng.integers(-5, 5, n)
+    nulls = rng.random(n) < 0.2
+    sel = rng.random(n) < 0.7
+    import jax.numpy as jnp
+
+    blk2 = Block.from_dict({
+        "k": column_from_numpy(
+            [0 if m else int(v) for v, m in zip(vals32, nulls)],
+            dt.INT32.with_nullable(True),
+            validity=[not m for m in nulls]),
+        "v": column_from_numpy(np.arange(n), dt.INT64),
+    }).with_sel(jnp.asarray(sel))
+    for desc in (False, True):
+        for nf in (None, True, False):
+            keys = [SortKey("k", desc=desc, nulls_first=nf)]
+            got = top_n(blk2, keys, 61).compact().to_pylists()
+            ref = sort_block(blk2, keys).compact().to_pylists()
+            assert got["k"] == ref["k"][:61], (desc, nf)
+            assert got["v"] == ref["v"][:61], (desc, nf)

@@ -233,12 +233,18 @@ def column_from_numpy(
         data = jnp.asarray(codes)
         dictionary = tuple(uniq_sorted)
     elif dtype.is_wide_decimal:
-        # python bigint mantissas -> two int64 limbs (core/wide.py layout)
+        # python bigint mantissas -> L int64 limbs (core/wide.py layout:
+        # top limb signed, lower limbs in [0, 10^18))
         W18 = 10 ** 18
+        L = dtype.decimal_limbs
         vals = [0 if v is None else int(v) for v in values]
-        hi = np.array([v // W18 for v in vals], dtype=np.int64)
-        lo = np.array([v - (v // W18) * W18 for v in vals], dtype=np.int64)
-        data = jnp.asarray(np.stack([hi, lo], axis=-1))
+        arr = np.zeros((len(vals), L), dtype=np.int64)
+        for i, v in enumerate(vals):
+            for j in range(L - 1, 0, -1):  # python %/// floor: limbs >= 0
+                arr[i, j] = v % W18
+                v //= W18
+            arr[i, 0] = v  # signed top limb
+        data = jnp.asarray(arr)
         dictionary = None
     else:
         data = jnp.asarray(np.asarray(values, dtype=dtype.physical))

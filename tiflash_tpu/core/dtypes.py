@@ -115,10 +115,19 @@ class DataType:
 
     @property
     def is_wide_decimal(self) -> bool:
-        """Precision 19..38: two-limb base-10^18 mantissa, column data is
-        (n, 2) int64 (core/wide.py).  Reference: Decimal128/256
+        """Precision > 18: multi-limb base-10^18 mantissa, column data is
+        (n, L) int64 (core/wide.py).  Reference: Decimal128/256
         (``DataTypes/DataTypeDecimal.h:194``)."""
         return self.kind is TypeKind.DECIMAL and self.precision > 18
+
+    @property
+    def decimal_limbs(self) -> int:
+        """Physical limb count for a decimal: 1 (int64 mantissa, p<=18),
+        2 (p<=38, exact below ~9.2e36), 4 (p<=65 — the Decimal256
+        analog)."""
+        if self.precision <= 18:
+            return 1
+        return 2 if self.precision <= 38 else 4
 
     @property
     def is_numeric(self) -> bool:
@@ -185,9 +194,9 @@ def Vector(dims: int, nullable: bool = False) -> DataType:
 
 
 def Decimal(precision: int, scale: int, nullable: bool = False) -> DataType:
-    if precision > 38:
+    if precision > 65:
         raise NotImplementedError(
-            "Decimal precision > 38 (Int256 mantissa) not supported"
+            "Decimal precision > 65 (beyond MySQL's maximum)"
         )
     return DataType(TypeKind.DECIMAL, nullable=nullable, precision=precision, scale=scale)
 

@@ -244,8 +244,22 @@ class ExprEvaluator:
         if isinstance(value, _D):
             s = max(0, -value.as_tuple().exponent)
             m = int(value.scaleb(s))
-            return Column(jnp.full(self.n, m, dtype=jnp.int64), None,
-                          Decimal(18, s), stats=(m, m))
+            if abs(m) < 2 ** 63:
+                return Column(jnp.full(self.n, m, dtype=jnp.int64), None,
+                              Decimal(18, s), stats=(m, m))
+            # wide constant: L limbs by magnitude (Decimal256 literals)
+            p = len(str(abs(m)))
+            t = Decimal(min(p, 65), s)
+            limbs = []
+            mm = m
+            for _ in range(t.decimal_limbs - 1):
+                limbs.append(mm % 10 ** 18)
+                mm //= 10 ** 18
+            limbs.append(mm)
+            data = jnp.stack(
+                [jnp.full(self.n, x, dtype=jnp.int64)
+                 for x in reversed(limbs)], axis=-1)
+            return Column(data, None, t)
         if isinstance(value, datetime.datetime):
             us = round((value - datetime.datetime(1970, 1, 1))
                        .total_seconds() * 1e6)
@@ -887,7 +901,8 @@ class ExprEvaluator:
         ilike3Args sigs, ``Functions/FunctionsStringSearch.h``)."""
         target = self.evaluate(call.args[0])
         pat_expr = call.args[1]
-        assert isinstance(pat_expr, Literal), "LIKE pattern must be a literal"
+        if not isinstance(pat_expr, Literal):
+            raise NotImplementedError("LIKE pattern must be a literal")
         pattern = pat_expr.value
         escape = "\\"
         if len(call.args) > 2:

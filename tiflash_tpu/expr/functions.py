@@ -167,16 +167,21 @@ def cast_column(col: Column, target: DataType) -> Column:
 
 
 def _cast_wide(col: Column, target: DataType) -> Column:
-    """Casts involving two-limb (precision>18) decimals — the Decimal128
-    tier of the reference's Decimal256 ladder (DataTypeDecimal.h)."""
+    """Casts involving multi-limb (precision > 18) decimals — the
+    Decimal128/Decimal256 tiers of the reference's ladder
+    (DataTypes/DataTypeDecimal.h).  Target limb count follows the typed
+    precision (2 for p <= 38, 4 for p <= 65)."""
     from ..core import wide as W
 
     src = col.dtype
     data = col.data
     if target.is_decimal:
+        tl = max(2, target.decimal_limbs)
         if src.is_decimal:
-            w = data if data.ndim == 2 else W.widen_i64(
-                data.astype(jnp.int64))
+            if data.ndim == 2:
+                w, _ = W.resize_wide(data, tl)
+            else:
+                w = W.widen_i64_to(data.astype(jnp.int64), tl)
             ds = target.scale - src.scale
             if ds > 0:
                 w, _ = W.wide_scale_up(w, ds)
@@ -189,33 +194,42 @@ def _cast_wide(col: Column, target: DataType) -> Column:
         elif src.is_integer or src.kind is TypeKind.BOOL:
             if src.kind is TypeKind.UINT64:
                 u = data.astype(jnp.uint64)
-                w = W.make_wide((u // jnp.uint64(10 ** 18)).astype(jnp.int64),
-                                (u % jnp.uint64(10 ** 18)).astype(jnp.int64))
+                w2 = W.make_wide((u // jnp.uint64(10 ** 18)).astype(jnp.int64),
+                                 (u % jnp.uint64(10 ** 18)).astype(jnp.int64))
+                w, _ = W.resize_wide(w2, tl)
             else:
-                w = W.widen_i64(data.astype(jnp.int64))
+                w = W.widen_i64_to(data.astype(jnp.int64), tl)
             w, _ = W.wide_scale_up(w, target.scale)
         elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
             whole, frac = _temporal_numeric_parts(col)
-            w, _ = W.wide_scale_up(W.widen_i64(whole), target.scale)
+            w, _ = W.wide_scale_up(W.widen_i64_to(whole, tl), target.scale)
             sc = target.scale
             fr = (_div_round_half_up(frac, _pow10(6 - sc)) if sc <= 6
                   else frac * _pow10(min(sc - 6, 12)))
-            w = W.wide_add(w, W.widen_i64(fr))
+            w = W.wide_add(w, W.widen_i64_to(fr, tl))
         else:
             raise NotImplementedError(f"cast {src} -> {target}")
         # saturate at +-(10^p - 1), the MySQL overflow behavior
-        p = target.precision or 38
-        if p < 38:
+        p = target.precision or 18 * tl * 2
+        if p < 18 * tl * 2:
             lim_int = 10 ** p - 1
-            lim = W.make_wide(
-                jnp.full(w.shape[:-1], lim_int // 10 ** 18, dtype=jnp.int64),
-                jnp.full(w.shape[:-1], lim_int % 10 ** 18, dtype=jnp.int64))
+            lim_limbs = []
+            v = lim_int
+            for _ in range(tl - 1):
+                lim_limbs.append(v % 10 ** 18)
+                v //= 10 ** 18
+            lim_limbs.append(v)
+            lim = jnp.stack(
+                [jnp.full(w.shape[:-1], x, dtype=jnp.int64)
+                 for x in reversed(lim_limbs)], axis=-1)
             neg_lim = W.wide_neg(lim)
             w = jnp.where(W.wide_cmp_lt(lim, w)[..., None], lim, w)
             w = jnp.where(W.wide_cmp_lt(w, neg_lim)[..., None], neg_lim, w)
-        if target.is_wide_decimal:
+        if target.decimal_limbs >= 2:
+            if w.shape[-1] != target.decimal_limbs:
+                w, _ = W.resize_wide(w, target.decimal_limbs)
             return Column(w, col.validity, target)
-        val, _fits = W.narrow_i64(w)  # saturation above guarantees fit
+        val, _fits = W.narrow_i64(_resize2(w))  # saturation guarantees fit
         return Column(val, col.validity, target)
     # wide decimal source -> non-decimal target
     if target.is_float:
@@ -227,9 +241,18 @@ def _cast_wide(col: Column, target: DataType) -> Column:
         w = data if src.scale == 0 else W.wide_div_round_half_up(
             data, jnp.full(data.shape[:-1], 10 ** src.scale,
                            dtype=jnp.int64))
-        val, _ = W.narrow_i64(w)
+        val, _ = W.narrow_i64(_resize2(w))
         return Column(val.astype(target.jnp_dtype), col.validity, target)
     raise NotImplementedError(f"cast {src} -> {target}")
+
+
+def _resize2(w):
+    from ..core import wide as W
+
+    if w.shape[-1] == 2:
+        return w
+    out, _ = W.resize_wide(w, 2)
+    return out
 
 
 def _numeric_to_datetime_us(v: jnp.ndarray):
@@ -681,24 +704,33 @@ def _align_decimal_pair(a: Column, b: Column) -> Tuple[jnp.ndarray, jnp.ndarray,
     return da, db, s
 
 
-def _as_wide(c: Column):
-    """Column -> two-limb array (widening narrow-stored / plain mantissas)."""
+def _as_wide(c: Column, limbs: int = 2):
+    """Column -> L-limb array (widening narrow-stored / plain mantissas
+    and re-limbing smaller wides)."""
     from ..core import wide as W
 
     if c.data.ndim == 2:
-        return c.data
-    return W.widen_i64(c.data.astype(jnp.int64))
+        if c.data.shape[-1] == limbs:
+            return c.data
+        w, _ = W.resize_wide(c.data, limbs)
+        return w
+    return W.widen_i64_to(c.data.astype(jnp.int64), limbs)
 
 
 def _wide_align(a: Column, b: Column):
-    """Both operands as two-limb mantissas at the common (max) scale."""
+    """Both operands as same-limb-count mantissas at the common (max)
+    scale (limb count = the wider operand's)."""
     from ..core import wide as W
 
     sa = a.dtype.scale if a.dtype.is_decimal else 0
     sb = b.dtype.scale if b.dtype.is_decimal else 0
     s = max(sa, sb)
-    wa, _ = W.wide_scale_up(_as_wide(a), s - sa)
-    wb, _ = W.wide_scale_up(_as_wide(b), s - sb)
+    limbs = max(2, a.dtype.decimal_limbs if a.dtype.is_decimal else 0,
+                b.dtype.decimal_limbs if b.dtype.is_decimal else 0,
+                a.data.shape[-1] if a.data.ndim == 2 else 0,
+                b.data.shape[-1] if b.data.ndim == 2 else 0)
+    wa, _ = W.wide_scale_up(_as_wide(a, limbs), s - sa)
+    wb, _ = W.wide_scale_up(_as_wide(b, limbs), s - sb)
     return wa, wb, s
 
 

@@ -87,8 +87,8 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
     """TiDB result-type rules (``AggregateFunctions/AggregateFunctionSum.h:293``
     via ``SumDecimalInferer``/``AvgDecimalInferer``, ``Common/Decimal.h:156``:
     sum widens precision by decimal_longlong_digits=22, avg adds
-    DIV_PRECISION_INCREMENT=4 to precision and scale; both cap at our
-    MAX_WIDE_PRECISION=38 instead of the reference's 65)."""
+    DIV_PRECISION_INCREMENT=4 to precision and scale; both cap at 65,
+    the reference's Decimal256 maximum — four limbs here)."""
     if func in ("count", "count_distinct", "approx_count_distinct",
                 "approx_cd_partial", "approx_cd_final"):
         return INT64
@@ -97,7 +97,7 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
         return arg.with_nullable(True)
     if func == "sum":
         if arg.is_decimal:
-            return Decimal(min(arg.precision + 22, 38), arg.scale, nullable=True)
+            return Decimal(min(arg.precision + 22, 65), arg.scale, nullable=True)
         if arg.is_float:
             return FLOAT64.with_nullable(True)
         return INT64.with_nullable(True)
@@ -105,7 +105,7 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
         if arg.is_float:
             return FLOAT64.with_nullable(True)
         if arg.is_decimal:
-            return Decimal(min(arg.precision + 4, 38), min(arg.scale + 4, 30),
+            return Decimal(min(arg.precision + 4, 65), min(arg.scale + 4, 30),
                            nullable=True)
         return Decimal(18, 4, nullable=True)
     if func in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
@@ -205,11 +205,13 @@ def _wide_rewrite(block: Block, aggs: Sequence[AggDesc]):
             # (hi, lo) sort), then gather the real value back by rank in
             # post — the positional trick that keeps the methods int64
             n = col.data.shape[0]
+            L = col.data.shape[-1]
             iota = jnp.arange(n, dtype=jnp.int64)
-            s_hi, s_lo, s_row = jax.lax.sort(
-                (col.data[:, 0], col.data[:, 1], iota), num_keys=2,
-                is_stable=True,
+            limbs = tuple(col.data[:, j] for j in range(L))
+            sorted_ops = jax.lax.sort(
+                limbs + (iota,), num_keys=L, is_stable=True,
             )
+            s_row = sorted_ops[-1]
             # inverse permutation via sort (a random scatter costs
             # ~137ms/M rows on TPU; a 2-op sort ~3ms)
             from .segments import route_by_positions
@@ -220,7 +222,7 @@ def _wide_rewrite(block: Block, aggs: Sequence[AggDesc]):
             res_nm = f"__wmr__{a.name}"
             aggs2.append(AggDesc(a.func, nm, res_nm, a.filter_col))
             assemble[res_nm] = (
-                "rank_gather", a, jnp.stack([s_hi, s_lo], axis=-1),
+                "rank_gather", a, jnp.stack(sorted_ops[:-1], axis=-1),
                 agg_result_dtype(a.func, col.dtype),
             )
             continue
@@ -286,9 +288,11 @@ def _wide_rewrite(block: Block, aggs: Sequence[AggDesc]):
                 continue
             _, a, sum_names, cnt_name, shift, rdt = spec
             validity = d[sum_names[0]].validity
-            # |sum| >= ~9.2e36 exceeds precision 38 anyway; the reference
-            # errors there — renorm saturates (flag currently dropped)
-            w, _ovf = renorm_digits([d[s].data for s in sum_names])
+            # result limbs follow the TYPED precision (2 for p<=38, 4 for
+    # the Decimal256 analog); renorm saturates past the physical
+            # ceiling (flag currently dropped — the reference errors there)
+            w, _ovf = renorm_digits([d[s].data for s in sum_names],
+                                    limbs=rdt.decimal_limbs)
             if a.func == "avg":
                 if shift:
                     w, _ = wide_mul_pow10(w, shift)

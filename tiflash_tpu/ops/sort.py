@@ -49,15 +49,15 @@ def _sort_operand(col: Column, desc: bool, nulls_first: bool) -> List[jnp.ndarra
     value' is transformed so ascending lax.sort yields the wanted order."""
     data = col.data
     if col.dtype.is_wide_decimal and data.ndim == 2:
-        # two-limb mantissa (core/wide.py): value order == lexicographic
-        # (hi, lo) order because lo is non-negative — recurse per limb
+        # multi-limb mantissa (core/wide.py): value order == lexicographic
+        # limb order because lower limbs are non-negative — recurse per limb
         ops: List[jnp.ndarray] = []
         if col.validity is not None:
             rank = jnp.where(col.validity, 1 if nulls_first else 0,
                              0 if nulls_first else 1)
             ops.append(rank.astype(jnp.int8))
-        for limb in (data[:, 0], data[:, 1]):
-            ops.extend(_sort_operand(Column(limb, None, INT64), desc,
+        for i in range(data.shape[-1]):
+            ops.extend(_sort_operand(Column(data[:, i], None, INT64), desc,
                                      nulls_first))
         return ops
     if data.dtype == jnp.bool_:
@@ -102,6 +102,86 @@ def sort_block(block: Block, sort_keys: Sequence[SortKey]) -> Block:
     return sorted_block.with_sel(sel)
 
 
+def _single_key_rank(block: Block, sort_keys: Sequence[SortKey]):
+    """int64 rank where bigger = earlier in ORDER BY order, or None when
+    the order doesn't rank-pack.  Two safe cases:
+
+    - 64-bit integer-kind key with NO validity and NO selection mask:
+      rank = x (desc) / ~x (asc) — a bijection, no sentinels needed.
+    - <=32-bit integer-kind key: value shifted left 2 bits, with dead
+      rows at int64 min and NULL rows at a sentinel per NULL placement —
+      the shift guarantees sentinel slots can't collide with values.
+    """
+    if len(sort_keys) != 1:
+        return None
+    sk = sort_keys[0]
+    col = block[sk.name]
+    t = col.dtype
+    int_kind = t.is_integer or t.kind.value in ("date", "datetime",
+                                                "duration", "bool") \
+        or (t.is_decimal and col.data.ndim == 1)
+    if not int_kind or t.kind.value in ("u64",):
+        return None
+    x = col.data
+    if col.validity is None and block.sel is None:
+        r = x.astype(jnp.int64)
+        return r if sk.desc else jnp.bitwise_not(r)
+    if x.dtype.itemsize > 4:
+        return None
+    val = x.astype(jnp.int64)
+    val = val if sk.desc else -val
+    rank = (val << 2) | 2
+    imin = jnp.iinfo(jnp.int64).min
+    if col.validity is not None:
+        null_rank = (jnp.iinfo(jnp.int64).max
+                     if sk.nulls_first_resolved else imin + 1)
+        rank = jnp.where(col.validity, rank, null_rank)
+    if block.sel is not None:
+        rank = jnp.where(block.sel, rank, imin)
+    return rank
+
+
+def _topk_tiled(block: Block, rank: jnp.ndarray, limit: int,
+                tile: int) -> Block:
+    """Cascaded per-tile ``lax.top_k`` selection over an int64 rank
+    (bigger = earlier), finishing with one tiny stable sort.  Ties
+    resolve by original position at every level (top_k prefers lower
+    indices; the final sort uses position as the second key), so the
+    result order matches the stable full-sort path exactly."""
+    imin = jnp.iinfo(jnp.int64).min
+    n = rank.shape[0]
+    pos = None  # level-0 positions are implicit (tile offset + index)
+    while rank.shape[0] > 4 * tile:
+        m = rank.shape[0]
+        T = -(-m // tile)
+        pad = T * tile - m
+        r2 = jnp.concatenate([rank, jnp.full((pad,), imin, jnp.int64)]) \
+            if pad else rank
+        v, i = jax.lax.top_k(r2.reshape(T, tile), limit)
+        idx = (i + (jnp.arange(T, dtype=jnp.int32) * tile)[:, None]
+               ).reshape(-1)
+        if pos is None:
+            # level-0 positions: padded slots land at >= n, losing every
+            # position tie (they also carry rank == imin)
+            pos = idx
+        else:
+            pos_pad = jnp.concatenate(
+                [pos, jnp.full((pad,), jnp.iinfo(jnp.int32).max,
+                               jnp.int32)]) if pad else pos
+            pos = jnp.take(pos_pad, idx)
+        rank = v.reshape(-1)
+    if pos is None:
+        pos = jnp.arange(n, dtype=jnp.int32)
+    _, p_sorted = jax.lax.sort(
+        (jnp.bitwise_not(rank), pos), num_keys=2)
+    perm = p_sorted[:limit]
+    out = block.take(perm)
+    live = block.sel_mask()
+    count = jnp.sum(live, dtype=jnp.int32)
+    kept = jnp.arange(limit, dtype=jnp.int32) < count
+    return out.with_sel(kept)
+
+
 def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
     """ORDER BY ... LIMIT k.
 
@@ -120,6 +200,16 @@ def top_n(block: Block, sort_keys: Sequence[SortKey], limit: int) -> Block:
     # in tile order and both sorts are stable, so ties keep original
     # row order exactly like the flat path.
     TILE = 2048
+    if n >= 4 * TILE and limit <= 128:
+        # per-tile lax.top_k fast path: measured (v5e, 100M rows) a
+        # (T, 2048) top_k(100) costs the same as a 1-operand tile sort
+        # (51.7ms) and returns indices free, where the sort path pays
+        # per extra operand (2-op 61ms; the old flag+key+iota 3-op
+        # variant measured 104ms end-to-end).  Single-key orders that
+        # rank-pack into int64 qualify.
+        rank = _single_key_rank(block, sort_keys)
+        if rank is not None:
+            return _topk_tiled(block, rank, limit, TILE)
     if n >= 4 * TILE and limit <= TILE:
         live = block.sel_mask()
         operands: List[jnp.ndarray] = [~live]

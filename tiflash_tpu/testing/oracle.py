@@ -28,7 +28,7 @@ from ..expr.nodes import Call, ColumnRef, Expr, Literal
 
 PyTable = Dict[str, List[Any]]
 
-_CTX = decimal.Context(prec=38, rounding=decimal.ROUND_HALF_UP)
+_CTX = decimal.Context(prec=65, rounding=decimal.ROUND_HALF_UP)
 
 
 # ---------------------------------------------------------------------------
@@ -53,12 +53,15 @@ def block_to_pytable(block: Block) -> PyTable:
                 for v in vals
             ]
         elif col.dtype.kind is TypeKind.DATETIME:
-            vals = [
-                None if v is None
-                else datetime.datetime(1970, 1, 1)
-                + datetime.timedelta(microseconds=v)
-                for v in vals
-            ]
+            def _dt(v):
+                if v is None:
+                    return None
+                try:
+                    return (datetime.datetime(1970, 1, 1)
+                            + datetime.timedelta(microseconds=v))
+                except OverflowError:
+                    return None  # outside python's year 1..9999
+            vals = [_dt(v) for v in vals]
         elif col.dtype.kind is TypeKind.BOOL:
             vals = [None if v is None else bool(v) for v in vals]
         out[name] = vals
