@@ -107,9 +107,12 @@ def bench_config(config: str, cat, args, vlog) -> dict:
     )
     from tiflash_tpu.plan.compiler import execute_plan
 
-    plan = {"q1": q1_plan, "q3": lambda: q3_plan(agg_slots=2**21),
+    plan = {"q1": q1_plan, "q3": q3_plan,
             "q6": q6_plan, "topn": lambda: sort_topn_plan(100)}[config]()
     blocks = cat.blocks()
+    from tiflash_tpu.plan.auto import autosize_plan
+
+    autosize_plan(plan, blocks)  # stats-derived capacities (no hand knobs)
     n_rows = cat["lineitem"].row_count
     bytes_per_row = sum(
         cat["lineitem"].block[c].data.dtype.itemsize for c in COLS_READ[config]

@@ -220,6 +220,16 @@ class QueryRunner:
         from .cancel import checkpoint
 
         checkpoint()
+        if not getattr(self, "_autosized", False):
+            # fill unset capacities from catalog stats + sampled NDV
+            # (convertToTwoLevel analog; retry loop = safety net)
+            self._autosized = True
+            from ..plan.auto import autosize_plan
+
+            try:
+                autosize_plan(self.plan, tables, settings=self.settings)
+            except Exception:  # estimation must never sink a query
+                pass
         fail_point("exception_before_fragment_run")
         from .memory import MemoryLimitError, check_memory
 
@@ -245,7 +255,8 @@ class QueryRunner:
             if self.mesh is None and s.enable_spill and any_threshold:
                 from ..plan import nodes as P
                 from .memory import estimate_operator_bytes
-                from .outofcore import chunkable, grace_spec, sliced_spec
+                from .outofcore import (chunkable, grace_spec, groupagg_spec,
+                                        sliced_spec)
 
                 gb, jb, sb = (s.max_bytes_before_external_group_by,
                               s.max_bytes_before_external_join,
@@ -259,7 +270,8 @@ class QueryRunner:
                     (P.Join, P.SkewShuffleJoin, P.CrossJoin)) if jb else 0
                 est_sb = estimate_operator_bytes(
                     self.plan, tables, (P.Sort, P.TopN)) if sb else 0
-                if (gb and est_gb > gb and chunkable(self.plan)) or \
+                if (gb and est_gb > gb and (chunkable(self.plan)
+                                            or groupagg_spec(self.plan))) or \
                    (jb and est_jb > jb and grace_spec(self.plan) is not None) or \
                    (sb and est_sb > sb and sliced_spec(self.plan) is not None):
                     raise MemoryLimitError(
@@ -270,14 +282,16 @@ class QueryRunner:
             # out-of-core fallbacks (the spill analogs): chunked partial
             # aggregation, grace hash join, or external sort/topN
             from .outofcore import (
-                chunkable, grace_spec, run_chunked_aggregate,
-                run_grace_join, run_sliced, sliced_spec,
+                chunkable, grace_spec, groupagg_spec, run_chunked_aggregate,
+                run_grace_join, run_groupagg, run_sliced, sliced_spec,
             )
 
             mode = None
             if self.mesh is None and self.settings.enable_spill:
                 if chunkable(self.plan):
                     mode = "chunked"
+                elif groupagg_spec(self.plan) is not None:
+                    mode = "groupagg"
                 elif grace_spec(self.plan) is not None:
                     mode = "grace"
                 elif sliced_spec(self.plan) is not None:
@@ -294,6 +308,7 @@ class QueryRunner:
 
             budget = self.settings.max_bytes_per_device or (1 << 32)
             per_op = {"chunked": self.settings.max_bytes_before_external_group_by,
+                      "groupagg": self.settings.max_bytes_before_external_group_by,
                       "grace": self.settings.max_bytes_before_external_join,
                       "sliced": self.settings.max_bytes_before_external_sort}[mode]
             if per_op:
@@ -304,6 +319,10 @@ class QueryRunner:
             )
             if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
+            elif mode == "groupagg":
+                out = run_groupagg(self.plan, tables, budget,
+                                   spill_dir=self.settings.spill_dir,
+                                   nthreads=self.settings.max_threads)
             elif mode == "grace":
                 out = run_grace_join(self.plan, tables, budget,
                                      spill_dir=self.settings.spill_dir,

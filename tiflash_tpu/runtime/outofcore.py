@@ -41,13 +41,22 @@ def _scan_tables(node: P.PlanNode) -> List[str]:
     return out
 
 
+def _has_join(node: P.PlanNode) -> bool:
+    if isinstance(node, (P.Join, P.CrossJoin, P.SkewShuffleJoin)):
+        return True
+    return any(_has_join(c) for c in node.children)
+
+
 def chunkable(plan: P.PlanNode) -> bool:
     """True when the plan is a root Aggregation whose input pipeline reads
-    exactly one table and every aggregate decomposes."""
+    exactly one table (with NO join — a self-join reads 'one table' but
+    row-slicing would slice both sides) and every aggregate decomposes."""
     if not isinstance(plan, P.Aggregation):
         return False
     if any(a.func not in ("sum", "count", "avg", "min", "max", "first")
            for a in plan.aggs):
+        return False
+    if _has_join(plan.child):
         return False
     return len(set(_scan_tables(plan.child))) == 1
 
@@ -200,8 +209,16 @@ def grace_spec(plan: P.PlanNode):
     if len({t for t, _ in probe_base}) != 1 or len({t for t, _ in build_base}) != 1:
         return None  # each side partitions exactly one base table
     pt, bt = probe_base[0][0], build_base[0][0]
+    clone = None
     if pt == bt:
-        return None
+        # self-join / shared scan: the two sides partition the SAME base
+        # table independently (probe by probe keys, build by build keys
+        # — value-based hashing co-partitions equal keys), so the build
+        # subtree re-reads it under a cloned name (reference: the
+        # restore-round Join spills each side separately,
+        # Interpreters/Join.h:95-100)
+        clone = bt + "__grace_build"
+        bt = clone
     return {
         "wrappers": wrappers,
         "join": node,
@@ -209,7 +226,26 @@ def grace_spec(plan: P.PlanNode):
         "probe_cols": [c for _, c in probe_base],
         "build_table": bt,
         "build_cols": [c for _, c in build_base],
+        "clone_build_scan": clone,
     }
+
+
+def _clone_scan(node: P.PlanNode, old: str, new: str) -> P.PlanNode:
+    """Copy a subtree with TableScan(old) renamed to TableScan(new)."""
+    if isinstance(node, P.TableScan):
+        if node.table == old:
+            return P.TableScan(new, columns=node.columns)
+        return node
+    import copy
+
+    n2 = copy.copy(node)
+    kids = tuple(_clone_scan(c, old, new) for c in node.children)
+    n2.children = kids
+    if hasattr(n2, "child") and len(kids) == 1:
+        n2.child = kids[0]
+    if hasattr(n2, "probe") and len(kids) == 2:
+        n2.probe, n2.build = kids
+    return n2
 
 
 def _host_key_hash(block: Block, cols: List[str]) -> "object":
@@ -387,6 +423,30 @@ def run_grace_join(
 
     spec = grace_spec(plan)
     assert spec is not None, "run_grace_join on a non-graceable plan"
+    clone = spec.get("clone_build_scan")
+    if clone is not None:
+        # rebuild the plan with the build subtree scanning the cloned
+        # name, and register the shared table under it
+        join = spec["join"]
+        new_join = P.Join(
+            kind=join.kind, probe_keys=list(join.probe_keys),
+            build_keys=list(join.build_keys), probe=join.probe,
+            build=_clone_scan(join.build, clone[: -len("__grace_build")],
+                              clone),
+            unique_build=join.unique_build,
+            output_capacity=join.output_capacity)
+        node = new_join
+        for w in reversed(spec["wrappers"]):
+            import copy as _copy
+
+            w2 = _copy.copy(w)
+            w2.child = node
+            w2.children = (node,)
+            node = w2
+        plan = node
+        tables = dict(tables)
+        tables[clone] = tables[clone[: -len("__grace_build")]]
+        spec = dict(spec, join=new_join)
     probe_b = tables[spec["probe_table"]]
     build_b = tables[spec["build_table"]]
     big = block_bytes(probe_b) + block_bytes(build_b)
@@ -445,6 +505,90 @@ def run_grace_join(
             for k, v in overflows.items():
                 if int(np.asarray(v).max()) > 0:
                     raise RuntimeError(f"grace partition overflow at {k}")
+            _store_add(store, _to_host_rows(out), p)
+        merged = _concat_host_parts(_store_parts(store))
+    finally:
+        store.close()
+    return _reapply_reducers(spec["wrappers"], merged)
+
+
+# ---------------------------------------------------------------------------
+# group-hash partitioned aggregation (non-decomposable aggregates)
+# ---------------------------------------------------------------------------
+
+
+def groupagg_spec(plan: P.PlanNode):
+    """Match ``[TopN|Sort|Limit|Projection|Selection]* Aggregation`` with
+    group keys resolving to one base table.  Hash-partitioning the input
+    BY GROUP KEY makes every group partition-local, so ANY aggregate —
+    count(distinct), group_concat, var/std, quantile — is exact per
+    partition and outputs simply concatenate (reference: the agg spill
+    buckets partition by key hash too, ``MergingBuckets``)."""
+    wrappers = []
+    node = plan
+    while isinstance(node, (P.TopN, P.Sort, P.Limit, P.Projection,
+                            P.Selection)):
+        wrappers.append(node)
+        node = node.child
+    if not isinstance(node, P.Aggregation) or not node.keys:
+        return None
+    bases = [_resolve_key_base(node.child, k) for k in node.keys]
+    if any(b is None for b in bases):
+        return None
+    if len({t for t, _ in bases}) != 1:
+        return None
+    if _has_join(node.child) or len(set(_scan_tables(node.child))) != 1:
+        return None
+    return {"wrappers": wrappers, "agg": node, "table": bases[0][0],
+            "cols": [c for _, c in bases]}
+
+
+def run_groupagg(plan: P.PlanNode, tables: Dict[str, Block],
+                 budget_bytes: int, spill_dir: str = "",
+                 nthreads: int = 0) -> Block:
+    """Aggregation with non-decomposable aggregates over a table that
+    exceeds the device budget: host hash-partitions the base table by
+    GROUP KEY, each partition runs the full plan (groups are local),
+    partials spill to host, the reducing wrappers re-apply at the end."""
+    import numpy as np
+
+    from ..runtime.memory import block_bytes
+
+    spec = groupagg_spec(plan)
+    assert spec is not None, "run_groupagg on a non-matching plan"
+    base = tables[spec["table"]]
+    big = block_bytes(base)
+    P_ = 1
+    while big // P_ > max(budget_bytes // 4, 1):
+        P_ *= 2
+    P_ = min(P_, 256)
+    h = _host_key_hash(base, spec["cols"])
+    row_bytes = max(1, big // max(base.capacity, 1))
+    while P_ < 4096:
+        counts = np.bincount((h % np.uint64(P_)).astype(np.int64),
+                             minlength=P_)
+        if int(counts.max()) * row_bytes * 4 <= budget_bytes or \
+                int(counts.max()) <= 8192:
+            break
+        P_ *= 2
+    pid = (h % np.uint64(P_)).astype(np.int64)
+    counts = np.bincount(pid, minlength=P_)
+    cap = int(-(-(counts.max()) // 8192) * 8192) or 8192
+    parts = _partition_block(base, pid, P_, cap)
+
+    fn = compile_fragment(plan)
+    store = _part_store(spill_dir, "groupagg", nthreads)
+    from .cancel import checkpoint
+
+    try:
+        for p in range(P_):
+            checkpoint()
+            sub = dict(tables)
+            sub[spec["table"]] = parts[p]
+            out, overflows = fn(sub)
+            for k, v in overflows.items():
+                if int(np.asarray(v).max()) > 0:
+                    raise RuntimeError(f"groupagg partition overflow at {k}")
             _store_add(store, _to_host_rows(out), p)
         merged = _concat_host_parts(_store_parts(store))
     finally:

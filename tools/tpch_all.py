@@ -36,6 +36,7 @@ def main() -> None:
     import tiflash_tpu  # noqa: F401
     from tiflash_tpu.bench import tpch_queries as Q
     from tiflash_tpu.plan.compiler import Diagnostics, execute_plan
+    from tiflash_tpu.plan.auto import autosize_plan
     from tiflash_tpu.plan.rewrite import eager_aggregation, prune_columns
     from tiflash_tpu.storage.tpch import generate_tpch
 
@@ -53,12 +54,6 @@ def main() -> None:
         "q13": ("orders", "o_orderkey"),
         "q16": ("partsupp", "ps_suppkey"),
         "q22": ("customer", "c_acctbal"),
-    }
-    CAPS = {
-        "q3": {"agg_slots": 2 ** 21},
-        "q10": {"agg_slots": 2 ** 21},
-        "q18": {"agg_slots": 2 ** 21},
-        "q13": {"join_capacity": 4 * cat["orders"].row_count},
     }
 
     def checksum(block):
@@ -89,11 +84,10 @@ def main() -> None:
         if maker is None:
             rows.append((name, None, "no plan"))
             continue
-        kw = CAPS.get(name, {})
-        try:
-            plan = prune_columns(eager_aggregation(maker(**kw)))
-        except TypeError:
-            plan = prune_columns(eager_aggregation(maker()))
+        # capacities come from stats-derived auto-sizing (plan/auto.py),
+        # not hand-tuned constants (VERDICT r2 item 6)
+        plan = prune_columns(eager_aggregation(maker()))
+        autosize_plan(plan, cat.blocks())
         tbl, coln = SPECIAL.get(name, PERTURB["default"])
 
         @jax.jit
