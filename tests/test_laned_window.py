@@ -1,0 +1,103 @@
+"""Sub-device window lanes (VERDICT r2 item 7): when PARTITION BY has
+fewer distinct keys than devices (or is empty), partitions split into
+order-key-range lanes with boundary stitching — the fine-grained-shuffle
+analog (Flash/Mpp/FineGrainedShuffleWriter.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax
+import tiflash_tpu.core.dtypes as dt
+from tiflash_tpu.core.block import Block, column_from_numpy
+from tiflash_tpu.ops.sort import SortKey
+from tiflash_tpu.ops.window import WindowDesc
+from tiflash_tpu.plan import nodes as P
+from tiflash_tpu.plan.auto import distribute_plan
+from tiflash_tpu.mpp.runner import (collect_result, compile_distributed,
+                                    shard_catalog_blocks)
+from tiflash_tpu.plan.compiler import compile_fragment
+from tiflash_tpu.testing import oracle as O
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:8]), ("d",))
+
+
+FUNCS = [
+    WindowDesc("row_number", "rn"),
+    WindowDesc("rank", "rk"),
+    WindowDesc("dense_rank", "dr"),
+    WindowDesc("sum", "rs", arg="v"),       # running sum
+    WindowDesc("count", "rc", arg="v"),     # running count
+]
+
+
+def _run_both(tables, partition_by, mesh, order=None):
+    from tiflash_tpu.mpp.runner import ExchangeConfig
+
+    order = order or [SortKey("o")]
+    plan = P.Window(partition_by, order, FUNCS, P.TableScan("t"))
+    single, _ = compile_fragment(plan)(tables)
+    stats = {k: b.capacity for k, b in tables.items()}
+    dist = distribute_plan(plan, stats, 8, tables=tables)
+    assert "LanedWindow" in dist.pretty(), dist.pretty()
+    fn = compile_distributed(dist, mesh, cfg=ExchangeConfig(shuffle_factor=6.0))
+    out, ov = fn(shard_catalog_blocks(tables, mesh))
+    for k, v in ov.items():
+        assert not bool(np.asarray(v).max()), k
+    return single, collect_result(out), dist
+
+
+def _sorted_rows(block, keys):
+    t = O.block_to_pytable(block.compact())
+    cols = sorted(t)
+    rows = sorted(zip(*[t[c] for c in cols]),
+                  key=lambda r: tuple((x is None, x) for x in r))
+    return cols, rows
+
+
+def test_two_partitions_eight_devices(mesh):
+    rng = np.random.default_rng(47)
+    n = 5000
+    vvals = [None if rng.random() < 0.1 else int(x)
+             for x in rng.integers(0, 100, n)]
+    tables = {"t": O.pytable_to_block(
+        {"p": [int(x) for x in rng.integers(0, 2, n)],
+         "o": [int(x) for x in rng.integers(0, 10_000, n)],
+         "v": vvals},
+        {"p": dt.INT32, "o": dt.INT64, "v": dt.INT64.with_nullable(True)})}
+    single, dist, dplan = _run_both(tables, ["p"], mesh)
+    # the lane split must actually fan wider than the 2 partitions
+    import re
+
+    m = re.search(r"lanes=(\d+)", dplan.pretty())
+    assert m and int(m.group(1)) >= 4, dplan.pretty()
+    assert _sorted_rows(single, None) == _sorted_rows(dist, None)
+
+
+def test_empty_partition_by(mesh):
+    rng = np.random.default_rng(53)
+    n = 4000
+    tables = {"t": O.pytable_to_block(
+        {"o": [int(x) for x in rng.integers(-500, 500, n)],
+         "v": [int(x) for x in rng.integers(0, 7, n)]},
+        {"o": dt.INT64, "v": dt.INT64})}
+    single, dist, _ = _run_both(tables, [], mesh)
+    assert _sorted_rows(single, None) == _sorted_rows(dist, None)
+
+
+def test_desc_order_and_ties(mesh):
+    rng = np.random.default_rng(59)
+    n = 4000
+    # heavy ties: rank/dense_rank boundaries are the hard part
+    tables = {"t": O.pytable_to_block(
+        {"p": [int(x) for x in rng.integers(0, 3, n)],
+         "o": [int(x) for x in rng.integers(0, 40, n)],
+         "v": [int(x) for x in rng.integers(0, 9, n)]},
+        {"p": dt.INT32, "o": dt.INT64, "v": dt.INT64})}
+    single, dist, _ = _run_both(tables, ["p"], mesh,
+                                order=[SortKey("o", desc=True)])
+    assert _sorted_rows(single, None) == _sorted_rows(dist, None)

@@ -200,6 +200,14 @@ def _exec_spmd_node(
             mask = mask & cond.validity
         return child.and_sel(mask)
 
+    if isinstance(node, P.AddColumns):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        ev = ExprEvaluator(child)
+        out = child
+        for name, e in node.exprs.items():
+            out = out.with_column(name, ev.evaluate(e))
+        return out
+
     if isinstance(node, P.Projection):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
         ev = ExprEvaluator(child)
@@ -296,6 +304,10 @@ def _exec_spmd_node(
             child, list(node.partition_by), list(node.order_by), list(node.funcs)
         )
 
+    if isinstance(node, P.LanedWindow):
+        child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
+        return _laned_window(child, node, axis)
+
     if isinstance(node, P.Union):
         from ..exchange.skew import concat_blocks
 
@@ -383,6 +395,107 @@ def compile_distributed(
         check_vma=False,
     )
     return jax.jit(shard_fn)
+
+
+
+def _laned_window(child: Block, node, axis: str) -> Block:
+    """Lane-split window stitching (see plan/nodes.LanedWindow): local
+    windows per (partition, lane), then a psum'd (part_cap x lanes) carry
+    table offsets ranks and adds carry-ins to running aggregates.  Lane
+    ids bucket the ORDER-KEY VALUE, so peers never straddle lanes and
+    rank ties stay exact."""
+    from ..ops.window import window_block
+
+    L = int(node.n_lanes)
+    Pcap = int(node.part_cap)
+    G = Pcap * L
+    local = window_block(child, list(node.partition_by) + [node.lane_col],
+                         list(node.order_by), list(node.funcs))
+    n = local.capacity
+    live = local.sel_mask()
+
+    # exact partition slot (first key most significant — matches the
+    # window's lexicographic sort, so gids come out SORTED and the
+    # segment reductions avoid the unsorted-scatter cliff)
+    spans = []
+    slots = []
+    for name, spec in zip(node.partition_by, node.part_specs):
+        c = local[name]
+        if spec[0] == "dict":
+            span = int(spec[1])
+            s = c.data.astype(jnp.int64)
+        else:
+            lo, span = int(spec[1]), int(spec[2])
+            s = c.data.astype(jnp.int64) - lo
+        if c.validity is not None:
+            s = jnp.where(c.validity, s, span)  # NULL partition sorts last
+            span += 1
+        slots.append(jnp.clip(s, 0, span - 1))
+        spans.append(span)
+    pslot = jnp.zeros(n, dtype=jnp.int64)
+    for s, span in zip(slots, spans):
+        pslot = pslot * span + s
+    lane = jnp.clip(local[node.lane_col].data.astype(jnp.int64), 0, L - 1)
+    gid = jnp.where(live, pslot * L + lane, G).astype(jnp.int32)
+
+    def seg_sum(vals):
+        return jax.ops.segment_sum(vals, gid, num_segments=G + 1,
+                                   indices_are_sorted=True)[:G]
+
+    def seg_max(vals):
+        # empty segments yield the dtype min; clamp to 0 (every real
+        # per-lane maximum here is >= 1, and each (partition, lane)
+        # group lives on exactly one device after the exchange)
+        return jnp.maximum(
+            jax.ops.segment_max(vals, gid, num_segments=G + 1,
+                                indices_are_sorted=True)[:G], 0)
+
+    def carry_of(totals):
+        """psum across devices, then EXCLUSIVE prefix along lanes."""
+        t = jax.lax.psum(totals, axis)
+        t2 = t.reshape(Pcap, L)
+        exc = jnp.concatenate(
+            [jnp.zeros((Pcap, 1), t.dtype),
+             jnp.cumsum(t2, axis=1)[:, :-1]], axis=1)
+        return exc.reshape(G)
+
+    def per_row(carry_vec):
+        return jnp.take(carry_vec, jnp.minimum(gid, G - 1))
+
+    counts = seg_sum(live.astype(jnp.int64))
+    cnt_carry = per_row(carry_of(counts))
+
+    out = local
+    for f in node.funcs:
+        c = local[f.name]
+        if f.func in ("row_number", "rank"):
+            adj = c.data + jnp.where(live, cnt_carry, 0)
+            out = out.with_column(f.name, Column(adj, c.validity, c.dtype))
+        elif f.func == "dense_rank":
+            dmax = seg_max(jnp.where(live, c.data, 0))
+            adj = c.data + jnp.where(live, per_row(carry_of(dmax)), 0)
+            out = out.with_column(f.name, Column(adj, c.validity, c.dtype))
+        elif f.func in ("sum", "count"):
+            a = local[f.arg]
+            valid = a.valid_mask() & live
+            vcnt_carry = per_row(carry_of(seg_sum(valid.astype(jnp.int64))))
+            if f.func == "count":
+                adj = c.data + jnp.where(live, vcnt_carry, 0)
+                out = out.with_column(f.name,
+                                      Column(adj, c.validity, c.dtype))
+            else:
+                tot = seg_sum(jnp.where(valid, a.data.astype(jnp.int64), 0))
+                adj = c.data + jnp.where(live, per_row(carry_of(tot)), 0)
+                validity = None
+                if c.validity is not None:
+                    validity = c.validity | (vcnt_carry > 0)
+                out = out.with_column(f.name, Column(adj, validity, c.dtype))
+        else:  # planner guarantees this never happens
+            raise NotImplementedError(f"laned window func {f.func}")
+    keep = [nm for nm in out.names if nm != node.lane_col]
+    cols = dict(zip(out.names, out.columns))
+    return Block(names=tuple(keep), columns=tuple(cols[nm] for nm in keep),
+                 sel=out.sel)
 
 
 def collect_result(out: Block) -> Block:

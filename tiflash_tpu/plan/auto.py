@@ -232,6 +232,107 @@ def autosize_plan(plan: P.PlanNode, tables, cfg: Optional[AutoPlanConfig]
     return plan
 
 
+_LANED_RANKS = {"row_number", "rank", "dense_rank"}
+
+
+def _plan_laned_window(node: "P.Window", child: P.PlanNode, tables,
+                       num_devices: int):
+    """Fine-grained-shuffle analog (VERDICT r2 item 7): when the distinct
+    PARTITION BY domain is smaller than the device count (or empty),
+    whole-partition ownership idles devices — split each partition into
+    order-key-VALUE range lanes (sampled quantile bounds; equal values
+    share a lane so rank ties never straddle) and stitch boundaries with
+    carry tables (mpp/runner._laned_window).  Returns the laned plan or
+    None when the shape doesn't qualify.  Reference:
+    ``Flash/Mpp/FineGrainedShuffleWriter.cpp``."""
+    import numpy as np
+
+    from ..expr.nodes import Call, ColumnRef, Literal
+
+    for f in node.funcs:
+        if f.func in _LANED_RANKS:
+            continue
+        if f.func in ("sum", "count") and f.frame is None \
+                and f.frame_type == "rows":
+            continue
+        return None
+    if len(node.order_by) != 1 or tables is None:
+        return None
+    from ..runtime.outofcore import _resolve_key_base
+
+    sk = node.order_by[0]
+    rb = _resolve_key_base(node.child, sk.name)
+    if rb is None or rb[0] not in tables:
+        return None
+    oc = tables[rb[0]][rb[1]]
+    t = oc.dtype
+    if oc.data.ndim != 1 or t.is_string or t.is_float or t.is_vector:
+        return None
+    # running-sum args must be integer-kind (int64 carry arithmetic)
+    for f in node.funcs:
+        if f.func == "sum":
+            ra = _resolve_key_base(node.child, f.arg)
+            if ra is None or ra[0] not in tables:
+                return None
+            at = tables[ra[0]][ra[1]].dtype
+            if not (at.is_integer or at.kind.value == "bool"):
+                return None
+    # exact partition-slot domains (dictionary / proven int span)
+    part_specs = []
+    pcap = 1
+    for pk in node.partition_by:
+        rp = _resolve_key_base(node.child, pk)
+        if rp is None or rp[0] not in tables:
+            return None
+        pc = tables[rp[0]][rp[1]]
+        if pc.dtype.is_string and pc.dictionary is not None:
+            span = max(1, len(pc.dictionary))
+            part_specs.append(("dict", span))
+        elif pc.stats is not None and pc.data.ndim == 1 \
+                and int(pc.stats[1]) - int(pc.stats[0]) + 1 <= 64:
+            lo = int(pc.stats[0])
+            span = int(pc.stats[1]) - lo + 1
+            part_specs.append(("int", lo, span))
+        else:
+            return None
+        pcap *= span + (1 if pc.dtype.nullable or pc.validity is not None
+                        else 0)
+    if pcap > 64 or (node.partition_by and pcap >= num_devices):
+        return None  # enough partitions already — whole-partition wins
+
+    # lane bounds: sampled order-key quantiles (strict upper bounds)
+    L = max(2, num_devices)
+    head = np.asarray(oc.data[:8192]).astype(np.float64)
+    if oc.validity is not None:
+        head = head[np.asarray(oc.validity[:8192])]
+    if head.size < 4 * L:
+        return None
+    qs = np.quantile(head, [i / L for i in range(1, L)])
+    bounds = sorted({int(np.floor(q)) + 1 for q in qs})
+    if not bounds:
+        return None
+    L_eff = len(bounds) + 1
+    k = ColumnRef(sk.name)
+    args = []
+    for i, b in enumerate(bounds):
+        args += [Call("less", (k, Literal(int(b)))), Literal(i)]
+    args.append(Literal(len(bounds)))  # default: last bucket
+    bucket = Call("case_when", tuple(args))
+    if sk.desc:
+        bucket = Call("minus", (Literal(L_eff - 1), bucket))
+    null_lane = 0 if sk.nulls_first_resolved else L_eff - 1
+    lane = Call("case_when",
+                (Call("is_null", (k,)), Literal(null_lane), bucket))
+    lane_col = "__lane__"
+    add = P.AddColumns({lane_col: lane}, child)
+    x = P.ExchangeReceiver(P.ExchangeSender(
+        "hash", list(node.partition_by) + [lane_col], add))
+    return P.LanedWindow(
+        partition_by=list(node.partition_by), order_by=list(node.order_by),
+        funcs=list(node.funcs), n_lanes=L_eff, part_cap=pcap,
+        part_specs=tuple(part_specs), child=x)
+
+
 def distribute_plan(
     plan: P.PlanNode,
     stats: Dict[str, int],
@@ -316,6 +417,10 @@ def distribute_plan(
             gathered = P.ExchangeReceiver(P.ExchangeSender("passthrough", (), local))
             return P.Sort(list(node.sort_keys), gathered)
         if isinstance(node, P.Window):
+            laned = _plan_laned_window(node, walk(node.child), tables,
+                                       num_devices)
+            if laned is not None:
+                return laned
             return partitioned_window(
                 list(node.partition_by), list(node.order_by), list(node.funcs),
                 walk(node.child),

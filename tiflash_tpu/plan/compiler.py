@@ -83,6 +83,14 @@ def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ct
         diag.rows[nid] = out.num_rows()
         return out
 
+    if isinstance(node, P.AddColumns):
+        child = _exec(node.child, tables, diag, ctr)
+        ev = ExprEvaluator(child)
+        out = child
+        for name, e in node.exprs.items():
+            out = out.with_column(name, ev.evaluate(e))
+        return out
+
     if isinstance(node, P.Projection):
         from ..expr.nodes import ColumnRef
 

@@ -267,6 +267,56 @@ class CTERef(PlanNode):
 
 
 @dataclasses.dataclass
+class AddColumns(PlanNode):
+    """Append computed columns, keeping every existing column (a
+    Projection that doesn't drop — used by the planner to materialize
+    derived exchange keys like the window lane id)."""
+
+    exprs: Dict[str, Expr]
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        return f"AddColumns({', '.join(self.exprs)})"
+
+
+@dataclasses.dataclass
+class LanedWindow(PlanNode):
+    """Window whose partitions are SPLIT into order-key-range lanes so
+    low-cardinality (or empty) PARTITION BY still uses every device —
+    the fine-grained-shuffle analog
+    (``Flash/Mpp/FineGrainedShuffleWriter.cpp``,
+    ``docs/design/2022-06-14-fine-grained-shuffle.md``).  The child is
+    hash-exchanged on (partition keys + lane id column); each device
+    computes lane-local windows, then a tiny psum'd carry table stitches
+    lane boundaries (running aggs add carry-in; ranks offset by earlier-
+    lane counts).  ``part_cap`` is the exact static partition-slot
+    domain (dictionary size / int range span); ``n_lanes`` the lane
+    count; ``lane_col`` the AddColumns-computed lane id."""
+
+    partition_by: Sequence[str]
+    order_by: Sequence[SortKey]
+    funcs: Sequence["WindowDesc"]
+    n_lanes: int = 8
+    part_cap: int = 1
+    lane_col: str = "__lane__"
+    # per partition key: ("dict", span) or ("int", lo, span) — the exact
+    # static slot domain the carry tables are sized to
+    part_specs: Tuple = ()
+    child: PlanNode = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.children = (self.child,)
+
+    def describe(self):
+        fs = ", ".join(f"{f.func}->{f.name}" for f in self.funcs)
+        return (f"LanedWindow({fs}; lanes={self.n_lanes}"
+                f" part_cap={self.part_cap})")
+
+
+@dataclasses.dataclass
 class Expand(PlanNode):
     """Grouping-sets replication (tipb::Expand/Expand2,
     ``Interpreters/Expand.h``): one copy of the input per grouping set with

@@ -90,11 +90,15 @@ class QueryRunner:
         mesh=None,
         settings: Optional[Settings] = None,
         cancel: "Optional[object]" = None,
+        logical_plan: Optional[P.PlanNode] = None,
     ):
         # cooperative cancellation flag (runtime/cancel.CancelFlag);
         # checked at every host orchestration boundary below
         from .cancel import CancelFlag
 
+        # the exchange-free original (when the caller pre-distributed):
+        # out-of-core fallbacks match against THIS shape
+        self.logical_plan = logical_plan
         self.cancel: "Optional[CancelFlag]" = cancel
         self.settings = settings or Settings()
         if self.settings.enable_plan_rewrites:
@@ -296,6 +300,12 @@ class QueryRunner:
                     mode = "grace"
                 elif sliced_spec(self.plan) is not None:
                     mode = "sliced"
+            elif self.mesh is not None and self.settings.enable_spill \
+                    and grace_spec(self.logical_plan or self.plan) \
+                    is not None:
+                # config-5 composition: grace partitions x in-partition
+                # distributed execution over the mesh
+                mode = "grace"
             if mode is None:
                 raise
             from .logging import get_logger
@@ -324,15 +334,20 @@ class QueryRunner:
                                    spill_dir=self.settings.spill_dir,
                                    nthreads=self.settings.max_threads)
             elif mode == "grace":
-                out = run_grace_join(self.plan, tables, budget,
-                                     spill_dir=self.settings.spill_dir,
-                                     nthreads=self.settings.max_threads)
+                out = run_grace_join(
+                    (self.logical_plan or self.plan) if self.mesh is not None
+                    else self.plan, tables, budget,
+                    mesh=self.mesh,
+                    spill_dir=self.settings.spill_dir,
+                    nthreads=self.settings.max_threads)
             else:
                 out = run_sliced(self.plan, tables, chunk_rows,
                                  spill_dir=self.settings.spill_dir,
                                  nthreads=self.settings.max_threads)
             summary = ExecutionSummary(
                 plan_text=self.plan.pretty() + f"\n  [{mode} out-of-core]",
+                num_devices=1 if self.mesh is None
+                else int(np.prod(list(self.mesh.shape.values()))),
             )
             summary.result_rows = int(np.asarray(out.num_rows()))
             METRICS.counter("queries_total").inc()
@@ -454,7 +469,11 @@ def run_query(
 
             stats = {name: blk.capacity for name, blk in tables.items()}
             n_dev = int(_np.prod(list(mesh.shape.values())))
+            logical = plan
             plan = distribute_plan(plan, stats, n_dev)
+            tables = shard_catalog_blocks(tables, mesh)
+            return QueryRunner(plan, mesh=mesh, settings=settings,
+                               logical_plan=logical).run(tables)
         tables = shard_catalog_blocks(tables, mesh)
     return QueryRunner(plan, mesh=mesh, settings=settings).run(tables)
 

@@ -410,6 +410,7 @@ def run_grace_join(
     budget_bytes: int,
     spill_dir: str = "",
     nthreads: int = 0,
+    mesh=None,
 ) -> Block:
     """Execute a join-rooted plan whose inputs exceed the device budget.
 
@@ -418,6 +419,13 @@ def run_grace_join(
     partition outputs spill to host and the reducing wrappers merge them.
     When the build side fits in the budget it is replicated whole
     (broadcast-grace); otherwise both sides co-partition (classic grace).
+
+    With a ``mesh``, every partition's plan runs DISTRIBUTED across the
+    devices (hash exchanges inside each grace partition — the config-5
+    composition: out-of-core x multi-chip; the reference's compute-server
+    spill tests compose the same way,
+    ``Flash/tests/gtest_compute_server.cpp``).  ``budget_bytes`` is then
+    the per-partition AGGREGATE budget across devices.
     """
     from ..runtime.memory import block_bytes
 
@@ -491,7 +499,25 @@ def run_grace_join(
         cap_b = int(-(-(bc.max()) // 8192) * 8192) or 8192
         build_parts = _partition_block(build_b, pid_build, P_, cap_b)
 
-    fn = compile_fragment(plan)
+    if mesh is None:
+        fn = compile_fragment(plan)
+        shard = collect = None
+    else:
+        from ..mpp.runner import (collect_result, compile_distributed,
+                                  shard_catalog_blocks)
+        from ..plan.auto import distribute_plan
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        stats = {name: blk.capacity for name, blk in tables.items()}
+        dplan = plan
+        if "Exchange" not in plan.pretty():
+            dplan = distribute_plan(plan, stats, n_dev, tables=tables)
+        dist_fn = compile_distributed(dplan, mesh)
+
+        def fn(sub):
+            out, ov = dist_fn(shard_catalog_blocks(sub, mesh))
+            return collect_result(out), ov
+
     store = _part_store(spill_dir, "grace", nthreads)
     from .cancel import checkpoint
 
