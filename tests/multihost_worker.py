@@ -12,6 +12,7 @@ process.
 """
 
 import json
+import os
 import sys
 
 import jax
@@ -87,7 +88,70 @@ def main() -> None:
     results["join"] = O.block_to_pytable(
         collect_result(replicate_result(out, mesh)))
 
+    # right-outer across processes: the matched-flag OR must compose
+    # over the real multi-process collectives
+    ro_plan = shuffle_join(
+        kind="right_outer", probe_keys=["k"], build_keys=["rk"],
+        probe=P.TableScan("t"), build=P.TableScan("r"),
+        output_capacity=8192,
+    )
+    out, overflows = compile_distributed(ro_plan, mesh)(blocks)
+    assert all(not bool(np.asarray(v).max()) for v in overflows.values())
+    results["right_outer"] = O.block_to_pytable(
+        collect_result(replicate_result(out, mesh)))
+    print("RO-DONE", file=sys.stderr, flush=True)
+
+    # laned window (2 partitions over 4 global devices): lane stitching
+    # carries psum across PROCESSES
+    from tiflash_tpu.ops.sort import SortKey
+    from tiflash_tpu.ops.window import WindowDesc
+    from tiflash_tpu.plan.auto import distribute_plan
+
+    # window over the full (host-replicated) table for planning stats
+    t_full_blk = O.pytable_to_block(t_full, tschema)
+    wplan = P.Window(["p2"], [SortKey("v")],
+                     [WindowDesc("row_number", "rn"),
+                      WindowDesc("rank", "rk2"),
+                      WindowDesc("sum", "rs", arg="v")],
+                     P.TableScan("tw"))
+    tw_full = dict(t_full)
+    tw_full["p2"] = [k % 2 for k in t_full["k"]]
+    tw_schema = dict(tschema, p2=dt.INT32)
+    tw_loc = {c: tw_full[c][half] for c in tw_full}
+    wblocks = shard_local_blocks(
+        {"tw": O.pytable_to_block(tw_loc, tw_schema)}, mesh)
+    print("WIN-PLAN", file=sys.stderr, flush=True)
+    dplan = distribute_plan(
+        wplan, {"tw": n}, jax.device_count(),
+        tables={"tw": O.pytable_to_block(tw_full, tw_schema)})
+    assert "LanedWindow" in dplan.pretty(), dplan.pretty()
+    from tiflash_tpu.mpp.runner import ExchangeConfig
+
+    print("WIN-COMPILE", file=sys.stderr, flush=True)
+    out, overflows = compile_distributed(
+        dplan, mesh, cfg=ExchangeConfig(shuffle_factor=8.0))(wblocks)
+    print("WIN-RAN", file=sys.stderr, flush=True)
+    assert all(not bool(np.asarray(v).max()) for v in overflows.values())
+    print("WIN-OV", file=sys.stderr, flush=True)
+    rep = replicate_result(out, mesh)
+    print("WIN-REPL", file=sys.stderr, flush=True)
+    results["window"] = O.block_to_pytable(collect_result(rep))
+    print("WIN-COLLECT", file=sys.stderr, flush=True)
+
     print("RESULT" + json.dumps(results), flush=True)
+
+    # Explicit shutdown is a cross-process barrier: both workers reach it
+    # after printing RESULT, so neither kills the coordination service
+    # while the other still needs it. The atexit teardown that would run
+    # otherwise has been observed to wedge for minutes under load, so
+    # after the barrier exit hard — the result is already on stdout.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    try:
+        jax.distributed.shutdown()
+    except Exception:
+        pass
+    os._exit(0)
 
 
 if __name__ == "__main__":

