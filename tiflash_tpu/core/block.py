@@ -67,20 +67,28 @@ class Column:
     # the streaming scan kernel read 4 B/row with zero staging copies.
     # Dropped by every transformation (with_data/take).
     narrow32: Optional[jnp.ndarray] = None
+    # exact host-known VALUE SET of an integer column (sorted tuple of
+    # python ints) — the numeric analog of a string dictionary, set by
+    # the storage layer for low-NDV columns.  INVARIANT: every live value
+    # is in ``domain``.  Enables string-producing LUT functions
+    # (bin/hex/elt/lpad/...) over columns whose [min, max] span is far
+    # wider than the LUT budget.  Dropped by every transformation.
+    domain: Optional[Tuple[int, ...]] = None
 
     # -- pytree protocol --
     def tree_flatten(self):
         return (self.data, self.validity, self.narrow32), (
-            self.dtype, self.dictionary, self.concat_sep, self.stats
+            self.dtype, self.dictionary, self.concat_sep, self.stats,
+            self.domain,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, validity, narrow32 = children
-        dtype, dictionary, concat_sep, stats = aux
+        dtype, dictionary, concat_sep, stats, domain = aux
         return cls(data=data, validity=validity, dtype=dtype,
                    dictionary=dictionary, concat_sep=concat_sep, stats=stats,
-                   narrow32=narrow32)
+                   narrow32=narrow32, domain=domain)
 
     # -- basics --
     def __len__(self) -> int:
@@ -256,6 +264,7 @@ def column_from_numpy(
         v = jnp.asarray(np.array([s is not None for s in values]))
     stats = None
     narrow = None
+    domain = None
     if dtype.is_string:
         narrow = make_narrow32(codes, (0, max(0, len(dictionary) - 1)))
     elif dtype.is_wide_decimal:
@@ -268,6 +277,10 @@ def column_from_numpy(
         if host.size and np.issubdtype(host.dtype, np.integer):
             stats = (int(host.min()), int(host.max()))
             narrow = make_narrow32(host_all, stats)
+            if host.size <= 65536:
+                uniq = np.unique(host)
+                if uniq.size <= 4096:
+                    domain = tuple(int(x) for x in uniq)
         elif host.size and np.issubdtype(host.dtype, np.floating) \
                 and np.isfinite(host).all():
             # integer envelope of a float column: enables the rounded
@@ -275,7 +288,7 @@ def column_from_numpy(
             stats = (int(np.floor(host.min() + 0.5)) - 1,
                      int(np.floor(host.max() + 0.5)) + 1)
     return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary,
-                  stats=stats, narrow32=narrow)
+                  stats=stats, narrow32=narrow, domain=domain)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -108,6 +108,10 @@ _EXTRACT_PARTS = {
                         ("second", 1_000_000), ("microsecond", 1)],
 }
 
+# cross-product budget for k-ary string-producer LUTs (trace-time python
+# evaluations + dictionary size; combinations, never rows)
+_CROSS_LUT_CAP = 65536
+
 # MySQL GET_FORMAT table
 _GET_FORMAT = {
     ("DATE", "USA"): "%m.%d.%Y", ("DATE", "JIS"): "%Y-%m-%d",
@@ -342,6 +346,25 @@ class ExprEvaluator:
             return self._elt(call)
         if name == "concat_ws":
             return self._concat_ws(call)
+        if name in ("lpad", "rpad"):
+            left = name == "lpad"
+
+            def pad_fn(s, n, p):
+                # TiDB/MySQL: NULL on any NULL arg, negative length, or
+                # empty pad when padding is needed; lengths in CHARACTERS
+                if s is None or n is None or p is None:
+                    return None
+                s, p, n = str(s), str(p), _mysql_int_coerce(n)
+                if n < 0:
+                    return None
+                if len(s) >= n:
+                    return s[:n]
+                if not p:
+                    return None
+                pad = (p * n)[: n - len(s)]
+                return pad + s if left else s + pad
+
+            return self._cross_lut(call.args, pad_fn, name=name)
         if name == "timestampdiff":
             return self._timestampdiff(call)
         if name == "date_format":
@@ -666,10 +689,20 @@ class ExprEvaluator:
 
     def _elt(self, call: Call) -> Column:
         """MySQL ELT(n, s1, s2, ...): int index column + string literals;
-        out-of-range n -> NULL.  Device side is one clipped gather."""
+        out-of-range n -> NULL.  Device side is one clipped gather.
+        Column items (or a wide-domain index) route to the k-ary
+        cross-domain LUT."""
         if not all(isinstance(a, Literal) and isinstance(a.value, str)
                    for a in call.args[1:]):
-            raise NotImplementedError("ELT needs string literals")
+            def elt_fn(n, *items):
+                if n is None:
+                    return None
+                n = int(n)
+                if not (1 <= n <= len(items)):
+                    return None
+                return items[n - 1]
+
+            return self._cross_lut(call.args, elt_fn, name="elt")
         n_col = self.evaluate(call.args[0])
         items = [a.value for a in call.args[1:]]
         d = tuple(sorted(set(items)))
@@ -685,17 +718,22 @@ class ExprEvaluator:
         """CONCAT_WS(sep, ...): literal separator, at most one string
         column among the pieces (dictionary LUT); NULL pieces are skipped
         (MySQL), so a NULL column value yields the literals-only join."""
+        def ws_fn(sep, *pieces):
+            # MySQL: NULL separator -> NULL; NULL pieces are skipped
+            if sep is None:
+                return None
+            return str(sep).join(str(p) for p in pieces if p is not None)
+
         sep_a = call.args[0]
         if not (isinstance(sep_a, Literal) and isinstance(sep_a.value, str)):
-            raise NotImplementedError(
-                "CONCAT_WS separator must be a string literal")
+            return self._cross_lut(call.args, ws_fn, name="concat_ws")
         sep = sep_a.value
         col_idx = [i for i, a in enumerate(call.args[1:], start=1)
                    if not isinstance(a, Literal)]
         lits = {i: a.value for i, a in enumerate(call.args[1:], start=1)
                 if isinstance(a, Literal)}
         if len(col_idx) != 1:
-            raise ValueError("CONCAT_WS supports exactly one column piece")
+            return self._cross_lut(call.args, ws_fn, name="concat_ws")
         target = self.evaluate(call.args[col_idx[0]])
         if not target.dtype.is_string:
             raise ValueError("CONCAT_WS column piece must be a string")
@@ -805,8 +843,10 @@ class ExprEvaluator:
         target = self.evaluate(call.args[0])
         if (not (target.dtype.is_integer or target.dtype.is_float
                  or (target.dtype.is_decimal and target.data.ndim == 1))
-                or target.stats is None):
+                or (target.stats is None and target.domain is None)):
             return None
+        if target.stats is None and not target.dtype.is_integer:
+            return None  # float/decimal conversions below need range stats
         if target.dtype.is_decimal:
             from .functions import _div_round_half_up, _pow10
             from ..core.dtypes import INT64 as _I64
@@ -828,21 +868,36 @@ class ExprEvaluator:
             target = Column(data, target.validity,
                             _I64.with_nullable(target.dtype.nullable),
                             stats=target.stats)
-        lo, hi = int(target.stats[0]), int(target.stats[1])
-        if hi - lo > 65536:
+        fn = _INT_STRING_FNS[call.func]
+        params = [a.value for a in rest]
+        span_ok = (target.stats is not None
+                   and int(target.stats[1]) - int(target.stats[0]) <= 65536)
+        if span_ok:
+            lo, hi = int(target.stats[0]), int(target.stats[1])
+            dom_vals = range(lo, hi + 1)
+            idx = jnp.clip(target.data.astype(jnp.int64) - lo,
+                           0, hi - lo)
+        elif target.domain is not None and len(target.domain) <= 65536:
+            # exact value-set LUT (the numeric dictionary): covers columns
+            # whose [min, max] span is astronomically wider than their NDV
+            dom_vals = [int(v) for v in target.domain]
+            # the column's own physical dtype (uint64 domains overflow int64)
+            dom = jnp.asarray(np.array(dom_vals, dtype=target.data.dtype))
+            idx = jnp.clip(
+                jnp.searchsorted(dom, target.data, method="sort"),
+                0, len(dom_vals) - 1).astype(jnp.int64)
+        else:
             raise ValueError(
                 f"{call.func} over an integer column needs a proven value "
                 "range <= 65536 (dictionary LUT)"
             )
-        fn = _INT_STRING_FNS[call.func]
-        params = [a.value for a in rest]
-        mapped = [fn(v, *params) for v in range(lo, hi + 1)]
+        mapped = [fn(v, *params) for v in dom_vals]
         nulls = np.array([m is None for m in mapped] or [False])
         mapped = ["" if m is None else m for m in mapped]
         new_dict = tuple(sorted(set(mapped))) or ("",)
         rank = {s: i for i, s in enumerate(new_dict)}
         table = np.array([rank[m] for m in mapped] or [0], dtype=np.int32)
-        idx = jnp.clip(target.data.astype(jnp.int64) - lo, 0, len(table) - 1)
+        idx = jnp.minimum(idx, len(table) - 1)
         data = jnp.asarray(table)[idx.astype(jnp.int32)]
         validity, nullable = target.validity, target.dtype.nullable
         if nulls.any():  # fn returned None for some in-range values -> NULL
@@ -851,6 +906,94 @@ class ExprEvaluator:
             nullable = True
         return Column(data, validity,
                       STRING.with_nullable(nullable), new_dict)
+
+    # -- k-ary cross-domain LUT -------------------------------------------
+
+    def _arg_code_space(self, arg):
+        """One LUT axis for a k-ary string producer: returns
+        ``(host_values, codes)`` where ``host_values`` is a python list
+        (last slot None when the column is nullable — NULL inputs route
+        there) and ``codes`` a per-row int32 index into it; literals get
+        a 1-element axis with codes None.  Raises ValueError when the
+        argument has no host-enumerable domain."""
+        if isinstance(arg, Literal):
+            return [arg.value], None
+        c = self.evaluate(arg)
+        if c.dtype.is_string:
+            vals = list(c.dictionary or ()) or [""]
+            codes = jnp.clip(c.data.astype(jnp.int32), 0, len(vals) - 1)
+        elif c.dtype.kind is TypeKind.BOOL:
+            vals = [0, 1]
+            codes = c.data.astype(jnp.int32)
+        elif c.dtype.is_integer:
+            if c.domain is not None and len(c.domain) <= _CROSS_LUT_CAP:
+                vals = [int(x) for x in c.domain]
+                dom = jnp.asarray(np.array(vals, dtype=c.data.dtype))
+                codes = jnp.clip(
+                    jnp.searchsorted(dom, c.data, method="sort"),
+                    0, len(vals) - 1).astype(jnp.int32)
+            elif c.stats is not None and \
+                    int(c.stats[1]) - int(c.stats[0]) < 4096:
+                lo = int(c.stats[0])
+                vals = list(range(lo, int(c.stats[1]) + 1))
+                codes = jnp.clip(c.data.astype(jnp.int64) - lo, 0,
+                                 len(vals) - 1).astype(jnp.int32)
+            else:
+                raise ValueError(
+                    "cross-domain LUT needs a host-knowable value set "
+                    "(dictionary / value domain / narrow range stats)")
+        else:
+            raise ValueError(
+                f"cross-domain LUT: unsupported argument type {c.dtype}")
+        if c.validity is not None:
+            vals = vals + [None]
+            codes = jnp.where(c.validity, codes, jnp.int32(len(vals) - 1))
+        return vals, codes
+
+    def _cross_lut(self, args, fn, *, name: str) -> Column:
+        """k-ary string producer over the cross product of the arguments'
+        host-enumerable domains (dictionary / int value domain / narrow
+        range stats): one python ``fn`` call per domain COMBINATION
+        (never per row), one fused int32 code, one gather.  The TPU
+        answer to per-row string construction for multi-column forms —
+        NULL semantics live entirely in ``fn`` (it sees python None and
+        returns None for NULL).  Reference: per-row vectorized string
+        ops, ``Functions/FunctionsString.cpp`` — here replaced by
+        trace-time enumeration."""
+        import itertools
+
+        axes = [self._arg_code_space(a) for a in args]
+        total = 1
+        for vals, _ in axes:
+            total *= len(vals)
+        if total > _CROSS_LUT_CAP:
+            raise ValueError(f"{name}: cross-domain LUT size {total} "
+                             f"exceeds {_CROSS_LUT_CAP}")
+        code = None
+        for vals, codes in axes:
+            k = len(vals)
+            if code is not None and k > 1:
+                code = code * jnp.int32(k)
+            if codes is not None:
+                code = codes if code is None else code + codes
+        if code is None:  # all-literal call
+            code = jnp.zeros(self.n, dtype=jnp.int32)
+        mapped = [fn(*combo) for combo in
+                  itertools.product(*[v for v, _ in axes])]
+        nulls = np.array([m is None for m in mapped] or [False])
+        strs = ["" if m is None else str(m) for m in mapped]
+        new_dict = tuple(sorted(set(strs))) or ("",)
+        rank = {s: i for i, s in enumerate(new_dict)}
+        table = np.asarray([rank[s] for s in strs] or [0], dtype=np.int32)
+        idx = jnp.clip(code, 0, len(table) - 1)
+        data = jnp.asarray(table)[idx]
+        validity = None
+        nullable = False
+        if nulls.any():
+            validity = jnp.asarray(~nulls)[idx]
+            nullable = True
+        return Column(data, validity, STRING.with_nullable(nullable),
+                      new_dict)
 
     def _json_build(self, call: Call) -> Column:
         """JSON_ARRAY / JSON_OBJECT with literal args and at most one
@@ -946,10 +1089,8 @@ _STRING_TRANSFORMS = {
     "substring": _mysql_substring,
     "left": lambda s, n: s[: max(int(n), 0)],
     "right": lambda s, n: s[-int(n):] if int(n) > 0 else "",
-    "lpad": lambda s, n, p: (str(p) * int(n))[: max(int(n) - len(s), 0)] + s
-    if len(s) < int(n) else s[: int(n)],
-    "rpad": lambda s, n, p: s + (str(p) * int(n))[: max(int(n) - len(s), 0)]
-    if len(s) < int(n) else s[: int(n)],
+    # lpad/rpad are handled by the k-ary cross-domain LUT in _call
+    # (full MySQL NULL semantics: negative length / empty pad -> NULL)
     "replace": lambda s, old, new: s.replace(str(old), str(new)),
     "repeat": lambda s, n: s * max(int(n), 0),
     "insert_str": lambda s, pos, ln, new: (
@@ -1025,6 +1166,16 @@ _STRING_DATE_TRANSFORMS = {
 }
 
 
+def _mysql_int_coerce(v) -> int:
+    """MySQL string->int coercion: longest numeric prefix, rounded half
+    away from zero; non-numeric -> 0."""
+    if isinstance(v, str):
+        m = re.match(r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", v)
+        f = float(m.group(0)) if m else 0.0
+        return int(f + 0.5) if f >= 0 else -int(-f + 0.5)
+    return int(v)
+
+
 def _mysql_format_number(v: int, d: int = 0) -> str:
     return f"{v:,.{max(int(d), 0)}f}"
 
@@ -1050,9 +1201,11 @@ _INT_STRING_FNS = {
     "format": _mysql_format_number,
     "make_set": _mysql_make_set,
     "export_set": _mysql_export_set,
-    "space": lambda v: " " * max(int(v), 0),
+    # beyond max_allowed_packet (16MB default) MySQL returns NULL
+    "space": lambda v: None if v > 16777216 else " " * max(int(v), 0),
     "char": _rj.mysql_char,
     "inet_ntoa": _rj.inet_ntoa,
+    "unhex": _rj.unhex,
 }
 
 

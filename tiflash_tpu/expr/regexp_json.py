@@ -257,11 +257,23 @@ def from_base64(s: str) -> Optional[str]:
         return None
 
 
-def unhex(s: str) -> Optional[str]:
-    try:
-        return bytes.fromhex(s).decode("latin-1")
-    except Exception:
+def unhex(s) -> Optional[str]:
+    """MySQL UNHEX: hex text -> bytes (NULL for non-hex / odd length).
+    Integer arguments are stringified first (UNHEX(3039) = '09').  The
+    bytes decode utf-8-first (how the MySQL client renders VARBINARY)
+    with latin1 as the lossless fallback; hex() encodes utf-8, so the
+    round trip holds."""
+    s = str(s)
+    if not s or len(s) % 2:
         return None
+    try:
+        b = bytes.fromhex(s)
+    except ValueError:
+        return None
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
 
 
 def quote(s: str) -> str:

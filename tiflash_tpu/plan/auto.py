@@ -215,7 +215,14 @@ def autosize_plan(plan: P.PlanNode, tables, cfg: Optional[AutoPlanConfig]
             rows = _estimate_rows(node.child, stats, tables, sr)
             ndv = key_ndv(node.child, node.keys)
             est = min(rows, ndv) if ndv is not None else rows
-            node.num_slots = _pow2ceil(max(256, min(2 * est, rows)))
+            # 1.25x headroom, NOT 2x: pow2ceil already rounds up (worst
+            # case another 2x) and the overflow-retry loop is the real
+            # safety net.  Agg capacity is pure downstream tax — q3's
+            # final join probes the agg output, and 2x headroom put the
+            # whole probe/gather pipeline on 4M rows where ~1.5M live
+            # (measured: the 2^22 autosized q3 vs the 2^21 hand size).
+            node.num_slots = _pow2ceil(max(256, min(int(est * 1.25) + 1,
+                                                    rows)))
         elif isinstance(node, (P.Join, P.SkewShuffleJoin)) \
                 and getattr(node, "output_capacity", None) is None \
                 and not getattr(node, "unique_build", False):

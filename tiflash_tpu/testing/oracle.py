@@ -238,9 +238,20 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         rest = [eval_expr_row(a, row) for a in args[1:]]
         return sum(1 for v in rest if v is not None and float(v) <= float(n))
     if f == "concat_ws":
-        sep = args[0].value
+        sep = eval_expr_row(args[0], row)
+        if sep is None:  # MySQL: NULL separator -> NULL; NULL pieces skip
+            return None
         pieces = [eval_expr_row(a, row) for a in args[1:]]
         return str(sep).join(str(p) for p in pieces if p is not None)
+    if f == "elt":
+        # only the index and the SELECTED item decide NULL-ness
+        n = eval_expr_row(args[0], row)
+        if n is None:
+            return None
+        n = int(n)
+        if not (1 <= n <= len(args) - 1):
+            return None
+        return eval_expr_row(args[n], row)
     if f in ("json_array", "json_object"):
         vs = []
         for a2 in args:
@@ -691,8 +702,12 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         return a * max(int(b), 0)
     if f in ("lpad", "rpad"):
         n, p = int(vals[1]), str(vals[2])
+        if n < 0:
+            return None  # MySQL: negative target length -> NULL
         if len(a) >= n:
             return a[:n]
+        if not p:
+            return None  # padding needed but pad string empty -> NULL
         pad = (p * n)[: n - len(a)]
         return pad + a if f == "lpad" else a + pad
     if f in ("asin", "acos", "atan"):
@@ -774,9 +789,15 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         except Exception:
             return None
     if f == "unhex":
-        if len(a) % 2 or not all(c in "0123456789abcdefABCDEF" for c in a):
+        a = str(a)
+        if not a or len(a) % 2 or not all(
+                c in "0123456789abcdefABCDEF" for c in a):
             return None
-        return "".join(chr(int(a[i:i + 2], 16)) for i in range(0, len(a), 2))
+        bs = bytes(int(a[i:i + 2], 16) for i in range(0, len(a), 2))
+        try:
+            return bs.decode("utf-8")
+        except UnicodeDecodeError:
+            return bs.decode("latin-1")
     if f == "quote":
         body = ""
         for ch in a:

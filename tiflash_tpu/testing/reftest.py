@@ -44,8 +44,8 @@ class Unsupported(Exception):
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
-  | (?P<num>\d+\.\d*(e[+-]?\d+)?|\.\d+(e[+-]?\d+)?|\d+(e[+-]?\d+)?)
   | (?P<hex>0x[0-9a-fA-F]+|x'[0-9a-fA-F]*')
+  | (?P<num>\d+\.\d*(e[+-]?\d+)?|\.\d+(e[+-]?\d+)?|\d+(e[+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<qident>`[^`]*`)
   | (?P<name>[A-Za-z_@][A-Za-z0-9_@$]*)
