@@ -74,21 +74,29 @@ class Column:
     # (bin/hex/elt/lpad/...) over columns whose [min, max] span is far
     # wider than the LUT budget.  Dropped by every transformation.
     domain: Optional[Tuple[int, ...]] = None
+    # PROVEN upper bound on the number of distinct live values (exact NDV
+    # at load for key columns — unique/clustered counts are free there).
+    # INVARIANT: filters/joins/1:1 maps only preserve or shrink the
+    # distinct set, so a group-by on this column has <= ndv + 1 groups
+    # (+1 for the NULL group).  The TiDB-stats analog the reference's
+    # planner receives; lets the capacity auto-sizer pick EXACT agg
+    # capacities instead of sampled-extrapolation x headroom.
+    ndv: Optional[int] = None
 
     # -- pytree protocol --
     def tree_flatten(self):
         return (self.data, self.validity, self.narrow32), (
             self.dtype, self.dictionary, self.concat_sep, self.stats,
-            self.domain,
+            self.domain, self.ndv,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, validity, narrow32 = children
-        dtype, dictionary, concat_sep, stats, domain = aux
+        dtype, dictionary, concat_sep, stats, domain, ndv = aux
         return cls(data=data, validity=validity, dtype=dtype,
                    dictionary=dictionary, concat_sep=concat_sep, stats=stats,
-                   narrow32=narrow32, domain=domain)
+                   narrow32=narrow32, domain=domain, ndv=ndv)
 
     # -- basics --
     def __len__(self) -> int:

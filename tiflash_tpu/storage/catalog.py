@@ -106,6 +106,27 @@ class Catalog:
         block = Block.from_dict(columns)
         if clustered_by:
             block = dataclasses.replace(block, clustered_by=tuple(clustered_by))
+        # exact NDV for key columns — free for single-column unique keys
+        # (= row count), one adjacent-diff pass for the leading clustered
+        # column.  The TiDB-stats analog the reference planner receives;
+        # drives exact capacity auto-sizing (plan/auto.py).
+        ndvs: Dict[str, int] = {}
+        for uk in unique_keys:
+            if len(uk) == 1 and uk[0] in block.names:
+                ndvs[uk[0]] = block.capacity
+        lead = tuple(clustered_by)[:1]
+        if lead and lead[0] in block.names and lead[0] not in ndvs:
+            c = block[lead[0]]
+            if c.data.ndim == 1 and not c.dtype.is_string:
+                host = np.asarray(c.data)
+                if host.size:
+                    ndvs[lead[0]] = int((host[1:] != host[:-1]).sum()) + 1
+        if ndvs:
+            cols2 = {n: (dataclasses.replace(c, ndv=ndvs[n])
+                         if n in ndvs else c)
+                     for n, c in zip(block.names, block.columns)}
+            block = dataclasses.replace(
+                block, columns=tuple(cols2[n] for n in block.names))
         td = TableDef(
             name=name,
             block=block,
