@@ -62,6 +62,6 @@ def test_manifest_counts():
     from collections import Counter
 
     c = Counter(v["status"] for v in MANIFEST.values())
-    assert c["pass"] >= 57, c
-    assert c["fail"] <= 25, c
+    assert c["pass"] >= 67, c
+    assert c["fail"] <= 22, c
     assert c["unsupported"] <= 23, c

@@ -137,7 +137,27 @@ def test_regexp_substr_null_validity(data):
     assert any(v == "world" for v in vals)
 
 
-def test_regexp_requires_literal_pattern(data):
+def test_regexp_column_pattern(data):
+    """Column patterns route through the cross-domain LUT (one host
+    match per dictionary combo) — every string matches itself."""
     _, block = data
-    with pytest.raises(Exception):
-        evaluate_expr(call("regexp_like", col("s"), col("s")), block)
+    got = evaluate_expr(call("regexp_like", col("s"), col("s")), block)
+    import numpy as np
+
+    vals = np.asarray(got.data)
+    live = np.asarray(got.validity) if got.validity is not None else \
+        np.ones(len(vals), bool)
+    # s regexp s: true unless the string contains regex metachars that
+    # break self-matching; with this fixture's pool every live row matches
+    import re as _re
+
+    d = block["s"].dictionary or ()
+    for i, (v, ok) in enumerate(zip(vals, live)):
+        if not ok:
+            continue
+        s = d[int(np.asarray(block['s'].data)[i])]
+        try:
+            want = _re.search(s, s) is not None
+        except _re.error:
+            continue
+        assert bool(v) == want, (i, s)

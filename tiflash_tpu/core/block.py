@@ -295,6 +295,10 @@ def column_from_numpy(
             # int-LUT string producers (HEX/BIN/FORMAT over doubles)
             stats = (int(np.floor(host.min() + 0.5)) - 1,
                      int(np.floor(host.max() + 0.5)) + 1)
+            if host.size <= 65536:
+                uniq = np.unique(host)
+                if uniq.size <= 4096:
+                    domain = tuple(float(x) for x in uniq)
     return Column(data=data, validity=v, dtype=dtype, dictionary=dictionary,
                   stats=stats, narrow32=narrow, domain=domain)
 

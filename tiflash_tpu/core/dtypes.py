@@ -90,6 +90,11 @@ class DataType:
     # Decimal parameters (kind == DECIMAL only).
     precision: int = 0
     scale: int = 0
+    # MySQL TIMESTAMP semantics (kind == DATETIME only): values are
+    # stored as UTC microseconds and shift into the session time zone at
+    # column read (reference: TiDB pushes the tz offset per request,
+    # ``Flash/Coprocessor/DAGContext`` timezone fields).
+    tz_aware: bool = False
 
     # ---- physical representation ----
     @property

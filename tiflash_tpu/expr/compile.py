@@ -58,6 +58,57 @@ def query_now_us() -> int:
     return int(_time.time() * 1_000_000) if v is None else int(v)
 
 
+_QUERY_TZ_US: "_cv.ContextVar[int]" = _cv.ContextVar(
+    "tiflash_query_tz_us", default=0
+)
+
+
+def query_tz_us() -> int:
+    """Session time-zone offset (microseconds east of UTC) for the
+    current query scope.  TIMESTAMP (tz-aware DATETIME) columns shift by
+    this at read; UNIX_TIMESTAMP/FROM_UNIXTIME convert through it.
+    Reference: per-request tz in ``Flash/Coprocessor/DAGContext``."""
+    return int(_QUERY_TZ_US.get())
+
+
+class query_timezone:
+    """``with query_timezone(offset_us):`` — set the session tz offset
+    for the scope (the SET time_zone analog)."""
+
+    def __init__(self, offset_us: int):
+        self.us = int(offset_us)
+
+    def __enter__(self):
+        self._tok = _QUERY_TZ_US.set(self.us)
+        return self
+
+    def __exit__(self, *exc):
+        _QUERY_TZ_US.reset(self._tok)
+        return False
+
+
+def parse_tz_offset_us(spec: str) -> int:
+    """Session time-zone text ('+8:00', '-05:30', 'UTC', a named zone)
+    -> microseconds east of UTC.  Named zones resolve to their CURRENT
+    utc offset (no per-row DST model).  Raises ValueError on junk."""
+    s = spec.strip().upper()
+    if s in ("UTC", "GMT", "SYSTEM", ""):
+        return 0
+    m = re.match(r"^([+-])(\d{1,2}):(\d{2})$", s)
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        return sign * (int(m.group(2)) * 3600
+                       + int(m.group(3)) * 60) * 1_000_000
+    try:
+        import zoneinfo
+
+        off = datetime.datetime.now(
+            zoneinfo.ZoneInfo(spec.strip())).utcoffset()
+        return int(off.total_seconds() * 1_000_000)
+    except Exception:
+        raise ValueError(f"unsupported time_zone {spec!r}")
+
+
 class query_clock:
     """``with query_clock(us):`` — pin NOW()/RAND() for the scope."""
 
@@ -166,9 +217,26 @@ def _float_to_decimal(value: float) -> Optional[tuple]:
     return int(s), 0
 
 
+def _literal_us(value) -> int:
+    """Datetime literal (text or date/datetime) -> epoch microseconds,
+    keeping any time part."""
+    if isinstance(value, str):
+        value = datetime.datetime.fromisoformat(value.strip())
+    if isinstance(value, datetime.date) and \
+            not isinstance(value, datetime.datetime):
+        value = datetime.datetime(value.year, value.month, value.day)
+    return round((value - datetime.datetime(1970, 1, 1)).total_seconds()
+                 * 1_000_000)
+
+
 def _literal_days(value) -> int:
     if isinstance(value, str):
-        value = datetime.date.fromisoformat(value)
+        # MySQL accepts a full datetime text against a DATE column
+        # ('2026-03-01 00:00:00'); the time part truncates
+        s = value.strip()
+        value = (datetime.datetime.fromisoformat(s).date()
+                 if (" " in s or "T" in s)
+                 else datetime.date.fromisoformat(s))
     if isinstance(value, datetime.datetime):
         value = value.date()
     return (value - datetime.date(1970, 1, 1)).days
@@ -183,7 +251,20 @@ class ExprEvaluator:
 
     def evaluate(self, expr: Expr) -> Column:
         if isinstance(expr, ColumnRef):
-            return self.block[expr.name]
+            c = self.block[expr.name]
+            if c.dtype.tz_aware and c.dtype.kind is TypeKind.DATETIME:
+                off = query_tz_us()
+                if off:
+                    # TIMESTAMP reads in session local time (UTC storage)
+                    import dataclasses as _dc
+
+                    c = _dc.replace(
+                        c, data=c.data + jnp.int64(off),
+                        stats=None if c.stats is None else
+                        (c.stats[0] + off, c.stats[1] + off),
+                        narrow32=None, domain=None if c.domain is None
+                        else tuple(int(v) + off for v in c.domain))
+            return c
         if isinstance(expr, Literal):
             return self._literal_column(expr, None)
         if isinstance(expr, Call):
@@ -193,7 +274,11 @@ class ExprEvaluator:
         if isinstance(expr, Cast):
             from .functions import cast_column
 
-            return cast_column(self.evaluate(expr.arg), expr.target)
+            src = self.evaluate(expr.arg)
+            if expr.target.is_string and not src.dtype.is_string \
+                    and src.data.ndim == 1:
+                return self._cast_to_string_lut(src, expr.target)
+            return cast_column(src, expr.target)
         raise TypeError(f"unknown expression node {expr!r}")
 
     # -- literals ---------------------------------------------------------
@@ -222,14 +307,26 @@ class ExprEvaluator:
             cdt = context.dtype
             if cdt.is_string and isinstance(value, str):
                 return self._encode_string_literal(value, context)
+            if cdt.kind is TypeKind.DURATION and isinstance(value, str):
+                from .functions import parse_mysql_time
+
+                us = parse_mysql_time(value)
+                if us is None:  # MySQL: invalid TIME literal -> NULL
+                    return Column(jnp.zeros(self.n, dtype=jnp.int64),
+                                  jnp.zeros(self.n, dtype=jnp.bool_),
+                                  DataType(TypeKind.DURATION, True))
+                return Column(jnp.full(self.n, us, dtype=jnp.int64), None,
+                              DataType(TypeKind.DURATION))
             if cdt.is_temporal and isinstance(value, (str, datetime.date)):
-                days = _literal_days(value)
                 if cdt.kind is TypeKind.DATETIME:
+                    # full datetime text keeps its time part
+                    us = _literal_us(value)
                     return Column(
-                        jnp.full(self.n, days * 86_400_000_000, dtype=jnp.int64),
+                        jnp.full(self.n, us, dtype=jnp.int64),
                         None,
                         DataType(TypeKind.DATETIME),
                     )
+                days = _literal_days(value)
                 return Column(jnp.full(self.n, days, dtype=jnp.int32), None, DATE)
             if cdt.is_decimal and isinstance(value, float):
                 md = _float_to_decimal(value)
@@ -437,14 +534,39 @@ class ExprEvaluator:
             }[name]
             return self._encode_string_literal(text, None)
         if name == "get_format":
-            if not all(isinstance(a, Literal) for a in call.args[:2]):
-                raise NotImplementedError("GET_FORMAT needs literal args")
-            t = str(call.args[0].value).upper()
-            loc = str(call.args[1].value).upper()
-            fmt = _GET_FORMAT.get((t, loc))
-            if fmt is None:
-                raise ValueError(f"GET_FORMAT({t}, {loc}) unsupported")
-            return self._encode_string_literal(fmt, None)
+            # MySQL syntax: the first argument is a bare KEYWORD
+            # (GET_FORMAT(DATE, ...)) — the parser sees a ColumnRef
+            if isinstance(call.args[0], ColumnRef) and \
+                    call.args[0].name.upper() in ("DATE", "TIME",
+                                                  "DATETIME", "TIMESTAMP"):
+                call = Call(name, (Literal(call.args[0].name.upper()),
+                                   *call.args[1:]))
+            def gf_fn(t, loc):
+                if t is None or loc is None:
+                    return None
+                t = str(t).upper()
+                t = "DATETIME" if t == "TIMESTAMP" else t
+                return _GET_FORMAT.get((t, str(loc).upper()))
+
+            if all(isinstance(a, Literal) for a in call.args[:2]):
+                fmt = gf_fn(call.args[0].value, call.args[1].value)
+                if fmt is None:
+                    return self._null_string_column()
+                return self._encode_string_literal(fmt, None)
+
+            return self._cross_lut(call.args[:2], gf_fn, name="get_format")
+        if name == "substring_index":
+            def ssi_fn(s, d, n):
+                if s is None or d is None or n is None:
+                    return None
+                s, d, n = str(s), str(d), _mysql_int_coerce(n)
+                if not d or n == 0:
+                    return ""
+                parts = s.split(d)
+                return d.join(parts[:n] if n > 0 else parts[n:])
+
+            return self._cross_lut(call.args, ssi_fn,
+                                   name="substring_index")
         if name == "rand":
             import jax as _jax
 
@@ -477,6 +599,19 @@ class ExprEvaluator:
             st = self._maybe_string_bool_transform(call)
             if st is not None:
                 return st
+            if name == "regexp_like":
+                # column pattern: cross-domain LUT (subject x pattern)
+                rl = _STRING_BOOL_TRANSFORMS[name][1]
+
+                def rl_fn(*vs):
+                    if any(v is None for v in vs):
+                        return None
+                    return rl(str(vs[0]), *[str(v) for v in vs[1:]])
+
+                from ..core.dtypes import BOOL as _BOOL
+
+                return self._cross_lut_value(call.args, rl_fn,
+                                             name=name, out_dtype=_BOOL)
         # string predicate against literal(s): rewrite to code space
         if name in (_ORDER_CMPS | _EQ_CMPS | {"in"}):
             rewritten = self._maybe_string_predicate(call)
@@ -657,6 +792,14 @@ class ExprEvaluator:
         from .functions import _map_string_to_int
 
         params = [a.value for a in lits]
+        if any(p is None for p in params) \
+                and call.func not in _NEVER_NULL_FNS:
+            # MySQL: NULL pattern/param -> NULL result
+            from ..core.dtypes import BOOL as _BOOL
+
+            return Column(jnp.zeros(self.n, dtype=jnp.bool_),
+                          jnp.zeros(self.n, dtype=jnp.bool_),
+                          _BOOL.with_nullable(True))
         out = _map_string_to_int(target, lambda s: fn(s, *params),
                                  kind=TypeKind.BOOL)
         if call.func in _NEVER_NULL_FNS and out.validity is not None:
@@ -907,6 +1050,34 @@ class ExprEvaluator:
         return Column(data, validity,
                       STRING.with_nullable(nullable), new_dict)
 
+    def _cast_to_string_lut(self, src: Column, target) -> Column:
+        """CAST(x AS CHAR) for non-string x: MySQL text rendering over
+        the column's host-knowable domain (value domain / narrow range
+        stats / bool), one gather.  Reference: CastIntAsString &co,
+        ``Functions/FunctionsConversion.h``."""
+        vals, codes = self._col_code_space(src)
+        mapped = [None if v is None else _mysql_value_text(v) for v in vals]
+        nulls = np.array([m is None for m in mapped] or [False])
+        strs = ["" if m is None else m for m in mapped]
+        new_dict = tuple(sorted(set(strs))) or ("",)
+        rank = {s: i for i, s in enumerate(new_dict)}
+        table = np.asarray([rank[s] for s in strs] or [0], dtype=np.int32)
+        idx = jnp.clip(codes, 0, len(table) - 1)
+        data = jnp.asarray(table)[idx]
+        validity, nullable = src.validity, src.dtype.nullable
+        if nulls.any():
+            ok = jnp.asarray(~nulls)[idx]
+            validity = ok if validity is None else (validity & ok)
+            nullable = True
+        return Column(data, validity, target.with_nullable(nullable),
+                      new_dict)
+
+    def _null_string_column(self) -> Column:
+        """All-NULL string column (MySQL NULL result of a string fn)."""
+        return Column(jnp.zeros(self.n, dtype=jnp.int32),
+                      jnp.zeros(self.n, dtype=jnp.bool_),
+                      STRING.with_nullable(True), ("",))
+
     # -- k-ary cross-domain LUT -------------------------------------------
 
     def _arg_code_space(self, arg):
@@ -918,50 +1089,62 @@ class ExprEvaluator:
         argument has no host-enumerable domain."""
         if isinstance(arg, Literal):
             return [arg.value], None
-        c = self.evaluate(arg)
+        return self._col_code_space(self.evaluate(arg))
+
+    def _col_code_space(self, c: Column):
+        """(host_values, per-row int32 codes) for an already-evaluated
+        column — see _arg_code_space."""
         if c.dtype.is_string:
             vals = list(c.dictionary or ()) or [""]
             codes = jnp.clip(c.data.astype(jnp.int32), 0, len(vals) - 1)
         elif c.dtype.kind is TypeKind.BOOL:
             vals = [0, 1]
             codes = c.data.astype(jnp.int32)
-        elif c.dtype.is_integer:
-            if c.domain is not None and len(c.domain) <= _CROSS_LUT_CAP:
-                vals = [int(x) for x in c.domain]
-                dom = jnp.asarray(np.array(vals, dtype=c.data.dtype))
-                codes = jnp.clip(
-                    jnp.searchsorted(dom, c.data, method="sort"),
-                    0, len(vals) - 1).astype(jnp.int32)
-            elif c.stats is not None and \
-                    int(c.stats[1]) - int(c.stats[0]) < 4096:
-                lo = int(c.stats[0])
-                vals = list(range(lo, int(c.stats[1]) + 1))
-                codes = jnp.clip(c.data.astype(jnp.int64) - lo, 0,
-                                 len(vals) - 1).astype(jnp.int32)
+        elif c.domain is not None and len(c.domain) <= _CROSS_LUT_CAP \
+                and c.data.ndim == 1:
+            # exact value-domain axis: domain holds PHYSICAL values; map
+            # them to the host values ``fn`` should see per logical type
+            if c.dtype.is_decimal:
+                from decimal import Decimal as _D
+
+                vals = [_D(int(x)).scaleb(-c.dtype.scale)
+                        for x in c.domain]
+            elif c.dtype.kind is TypeKind.DATE:
+                epoch = datetime.date(1970, 1, 1)
+                vals = [epoch + datetime.timedelta(days=int(x))
+                        for x in c.domain]
+            elif c.dtype.kind is TypeKind.DATETIME:
+                epoch0 = datetime.datetime(1970, 1, 1)
+                vals = [epoch0 + datetime.timedelta(microseconds=int(x))
+                        for x in c.domain]
+            elif c.dtype.is_float:
+                vals = [float(x) for x in c.domain]
             else:
-                raise ValueError(
-                    "cross-domain LUT needs a host-knowable value set "
-                    "(dictionary / value domain / narrow range stats)")
+                vals = [int(x) for x in c.domain]
+            dom = jnp.asarray(np.array(list(c.domain),
+                                       dtype=c.data.dtype))
+            codes = jnp.clip(
+                jnp.searchsorted(dom, c.data, method="sort"),
+                0, len(vals) - 1).astype(jnp.int32)
+        elif c.dtype.is_integer and c.stats is not None and \
+                int(c.stats[1]) - int(c.stats[0]) < 4096:
+            lo = int(c.stats[0])
+            vals = list(range(lo, int(c.stats[1]) + 1))
+            codes = jnp.clip(c.data.astype(jnp.int64) - lo, 0,
+                             len(vals) - 1).astype(jnp.int32)
         else:
             raise ValueError(
-                f"cross-domain LUT: unsupported argument type {c.dtype}")
+                "cross-domain LUT needs a host-knowable value set "
+                "(dictionary / value domain / narrow range stats) — "
+                f"got {c.dtype}")
         if c.validity is not None:
             vals = vals + [None]
             codes = jnp.where(c.validity, codes, jnp.int32(len(vals) - 1))
         return vals, codes
 
-    def _cross_lut(self, args, fn, *, name: str) -> Column:
-        """k-ary string producer over the cross product of the arguments'
-        host-enumerable domains (dictionary / int value domain / narrow
-        range stats): one python ``fn`` call per domain COMBINATION
-        (never per row), one fused int32 code, one gather.  The TPU
-        answer to per-row string construction for multi-column forms —
-        NULL semantics live entirely in ``fn`` (it sees python None and
-        returns None for NULL).  Reference: per-row vectorized string
-        ops, ``Functions/FunctionsString.cpp`` — here replaced by
-        trace-time enumeration."""
-        import itertools
-
+    def _cross_codes(self, args, name: str):
+        """Shared cross-LUT front half: per-argument axes + the fused
+        per-row combination code (row-major, literal axes are size-1)."""
         axes = [self._arg_code_space(a) for a in args]
         total = 1
         for vals, _ in axes:
@@ -978,6 +1161,41 @@ class ExprEvaluator:
                 code = codes if code is None else code + codes
         if code is None:  # all-literal call
             code = jnp.zeros(self.n, dtype=jnp.int32)
+        return axes, code
+
+    def _cross_lut_value(self, args, fn, *, name: str,
+                         out_dtype: DataType) -> Column:
+        """Cross-domain LUT with a NON-string result (bool/int):
+        LIKE/ILIKE/regexp with column patterns &co."""
+        import itertools
+
+        axes, code = self._cross_codes(args, name)
+        mapped = [fn(*combo) for combo in
+                  itertools.product(*[v for v, _ in axes])]
+        nulls = np.array([m is None for m in mapped] or [False])
+        arr = np.asarray([0 if m is None else m for m in mapped] or [0],
+                         dtype=out_dtype.physical)
+        idx = jnp.clip(code, 0, len(arr) - 1)
+        data = jnp.asarray(arr)[idx]
+        validity, nullable = None, False
+        if nulls.any():
+            validity = jnp.asarray(~nulls)[idx]
+            nullable = True
+        return Column(data, validity, out_dtype.with_nullable(nullable))
+
+    def _cross_lut(self, args, fn, *, name: str) -> Column:
+        """k-ary string producer over the cross product of the arguments'
+        host-enumerable domains (dictionary / int value domain / narrow
+        range stats): one python ``fn`` call per domain COMBINATION
+        (never per row), one fused int32 code, one gather.  The TPU
+        answer to per-row string construction for multi-column forms —
+        NULL semantics live entirely in ``fn`` (it sees python None and
+        returns None for NULL).  Reference: per-row vectorized string
+        ops, ``Functions/FunctionsString.cpp`` — here replaced by
+        trace-time enumeration."""
+        import itertools
+
+        axes, code = self._cross_codes(args, name)
         mapped = [fn(*combo) for combo in
                   itertools.product(*[v for v, _ in axes])]
         nulls = np.array([m is None for m in mapped] or [False])
@@ -1044,19 +1262,35 @@ class ExprEvaluator:
         ilike3Args sigs, ``Functions/FunctionsStringSearch.h``)."""
         target = self.evaluate(call.args[0])
         pat_expr = call.args[1]
-        if not isinstance(pat_expr, Literal):
-            raise NotImplementedError("LIKE pattern must be a literal")
-        pattern = pat_expr.value
         escape = "\\"
         if len(call.args) > 2:
             esc_expr = call.args[2]
             assert isinstance(esc_expr, Literal), "LIKE escape must be a literal"
             v = esc_expr.value
             escape = chr(int(v)) if isinstance(v, int) else str(v)
+        # TiDB ILIKE folds ASCII case ONLY ('ü' does not match 'Ü' —
+        # fullstack ilike_pushdown.test), so fold both sides explicitly
+        # instead of re.I (unicode-aware)
+        fold = _ascii_lower if ci else (lambda s: s)
+        if not isinstance(pat_expr, Literal):
+            # column pattern: cross-domain LUT over subject x pattern
+            # dictionaries (reference like with non-constant pattern
+            # matches per row; here one host match per combo)
+            def like_fn(s, p):
+                if s is None or p is None:
+                    return None
+                rx = re.compile(_like_to_regex(fold(str(p)), escape), re.S)
+                return rx.fullmatch(fold(str(s))) is not None
+
+            from ..core.dtypes import BOOL as _BOOL
+
+            return self._cross_lut_value(call.args[:2], like_fn,
+                                         name="like", out_dtype=_BOOL)
+        pattern = pat_expr.value
         d = target.dictionary or ()
-        flags = re.S | (re.I if ci else 0)
-        regex = re.compile(_like_to_regex(pattern, escape), flags)
-        lut = np.array([regex.fullmatch(s) is not None for s in d], dtype=bool)
+        regex = re.compile(_like_to_regex(fold(pattern), escape), re.S)
+        lut = np.array([regex.fullmatch(fold(s)) is not None for s in d],
+                       dtype=bool)
         if len(lut) == 0:
             lut = np.zeros(1, dtype=bool)
         data = jnp.asarray(lut)[jnp.clip(target.data, 0, len(lut) - 1)]
@@ -1166,6 +1400,26 @@ _STRING_DATE_TRANSFORMS = {
 }
 
 
+def _mysql_value_text(v) -> str:
+    """MySQL CAST(x AS CHAR) text rendering of a host value."""
+    import decimal as _dec
+
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) and abs(v) < 1e16 else repr(v)
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
 def _mysql_int_coerce(v) -> int:
     """MySQL string->int coercion: longest numeric prefix, rounded half
     away from zero; non-numeric -> 0."""
@@ -1207,6 +1461,15 @@ _INT_STRING_FNS = {
     "inet_ntoa": _rj.inet_ntoa,
     "unhex": _rj.unhex,
 }
+
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def _ascii_lower(s: str) -> str:
+    """ASCII-only case folding (TiDB ILIKE collation behavior)."""
+    return s.translate(_ASCII_LOWER)
 
 
 def _like_to_regex(pattern: str, escape: str = "\\") -> str:

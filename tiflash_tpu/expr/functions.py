@@ -1861,11 +1861,15 @@ def _unix_timestamp():
         return DataType(TypeKind.INT64, ts[0].nullable)
 
     def evaluate(cols, out):
+        # the datetime argument reads as session-LOCAL time; the result
+        # is the UTC epoch (MySQL converts through the session tz)
+        from .compile import query_tz_us
+
         (a,) = cols
         if a.dtype.kind is TypeKind.DATE:
-            data = a.data.astype(jnp.int64) * 86_400
+            data = a.data.astype(jnp.int64) * 86_400 - query_tz_us() // 1_000_000
         else:
-            data = a.data.astype(jnp.int64) // 1_000_000
+            data = (a.data.astype(jnp.int64) - query_tz_us()) // 1_000_000
         return Column(data, a.validity, out)
 
     return infer, evaluate
@@ -1877,8 +1881,11 @@ def _from_unixtime():
         return DataType(TypeKind.DATETIME, ts[0].nullable)
 
     def evaluate(cols, out):
+        from .compile import query_tz_us
+
         (a,) = cols
-        return Column(a.data.astype(jnp.int64) * 1_000_000, a.validity, out)
+        return Column(a.data.astype(jnp.int64) * 1_000_000 + query_tz_us(),
+                      a.validity, out)
 
     return infer, evaluate
 

@@ -1642,6 +1642,20 @@ def hash_aggregate(
     num_slots: Optional[int] = None,
 ) -> AggregateResult:
     """Method dispatch (the ``chooseAggregationMethod`` analog)."""
+    # MySQL coerces temporal args of bit aggregates to their NUMERIC form
+    # (TIME 11:11:35 -> 111135, like CAST(.. AS SIGNED)) before the bit op
+    from ..core.dtypes import TypeKind as _TK
+
+    for a in aggs:
+        if a.func in _BIT_FUNCS and a.arg in block.names:
+            c = block[a.arg]
+            if c.dtype.kind in (_TK.DATE, _TK.DATETIME, _TK.DURATION):
+                from ..expr.functions import cast_column
+                from ..core.dtypes import INT64 as _I64
+
+                block = block.with_column(
+                    a.arg, cast_column(c, _I64.with_nullable(
+                        c.dtype.nullable)))
     rw = _wide_rewrite(block, aggs)
     if rw is not None:
         block, aggs, post = rw

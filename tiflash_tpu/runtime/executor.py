@@ -203,7 +203,7 @@ class QueryRunner:
         import time
 
         from .cancel import cancel_scope
-        from ..expr.compile import query_clock, query_now_us
+        from ..expr.compile import query_clock, query_now_us, query_timezone
 
         # pin the query clock once so NOW()/CURDATE()/RAND() agree across
         # fragments and capacity retries (reference: timestamp fixed in the
@@ -215,7 +215,10 @@ class QueryRunner:
         deadline = None
         if self.settings.max_execution_time_ms > 0:
             deadline = time.monotonic() + self.settings.max_execution_time_ms / 1e3
-        with cancel_scope(self.cancel, deadline), query_clock(now_us):
+        from ..expr.compile import parse_tz_offset_us
+
+        with cancel_scope(self.cancel, deadline), query_clock(now_us), \
+                query_timezone(parse_tz_offset_us(self.settings.time_zone)):
             return self._run_cancellable(tables)
 
     def _run_cancellable(self, tables) -> Tuple[Block, ExecutionSummary]:

@@ -46,6 +46,11 @@ class Settings:
     max_execution_time_ms: int = 0        # 0 = unlimited; checked at every
                                           # cancellation checkpoint
     query_timestamp_us: Optional[int] = None  # pin NOW()/CURDATE()/RAND()
+    # session time zone, '+HH:MM'/'-HH:MM'/'UTC' (Settings timezone /
+    # DAGContext tz offset analog): TIMESTAMP (tz-aware DATETIME) columns
+    # shift into this zone at read; UNIX_TIMESTAMP/FROM_UNIXTIME convert
+    # through it
+    time_zone: str = "UTC"
     enable_spill: bool = True             # gate out-of-core fallbacks
     # per-operator external-memory thresholds (Settings.h:138/140/321 —
     # max_bytes_before_external_group_by/-sort/-join): 0 = only the global

@@ -201,11 +201,19 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         v = eval_expr_row(args[0], row)
         if v is None:
             return None
-        pat = args[1].value
+        pat = eval_expr_row(args[1], row)
+        if pat is None:
+            return None
+        pat = str(pat)
         esc = "\\"
         if len(args) > 2:
             ev = args[2].value
             esc = chr(ev) if isinstance(ev, int) else str(ev)
+        if f == "ilike":
+            # TiDB ILIKE folds ASCII case only ('ü' != 'Ü')
+            tbl = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                                "abcdefghijklmnopqrstuvwxyz")
+            v, pat = str(v).translate(tbl), pat.translate(tbl)
         parts, i = [], 0
         while i < len(pat):
             c = pat[i]
@@ -215,8 +223,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
                 continue
             parts.append(".*" if c == "%" else "." if c == "_" else re.escape(c))
             i += 1
-        rx = re.compile("".join(parts), re.S | (re.I if f == "ilike" else 0))
-        return rx.fullmatch(v) is not None
+        rx = re.compile("".join(parts), re.S)
+        return rx.fullmatch(str(v)) is not None
     if f == "null_eq":
         va = eval_expr_row(args[0], row)
         vb = eval_expr_row(args[1], row)

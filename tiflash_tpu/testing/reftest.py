@@ -183,15 +183,16 @@ class SqlParser:
                     e = Call("is_not_false" if neg else "is_false", (e,))
                 else:
                     raise Unsupported("IS <what?>")
-            elif self.at_kw("like", "in", "between", "regexp", "rlike",
-                            "not"):
+            elif self.at_kw("like", "ilike", "in", "between", "regexp",
+                            "rlike", "not"):
                 neg = bool(self.eat_kw("not"))
-                if self.eat_kw("like"):
+                if self.at_kw("like", "ilike"):
+                    ci = bool(self.eat_kw("ilike")) or not self.eat_kw("like")
                     pat = self.parse_bitor()
                     args = [e, pat]
                     if self.eat_kw("escape"):
                         args.append(self.parse_bitor())
-                    e = Call("like", tuple(args))
+                    e = Call("ilike" if ci else "like", tuple(args))
                 elif self.eat_kw("regexp") or self.eat_kw("rlike"):
                     e = Call("regexp_like", (e, self.parse_bitor()))
                 elif self.eat_kw("in"):
@@ -299,6 +300,10 @@ class SqlParser:
         if k == "str":
             self.next()
             return Literal(_unquote_str(v))
+        if k == "name" and v.startswith("_") and self.peek(1)[0] == "str":
+            # charset introducer: _utf8mb4'...' (everything is utf-8 here)
+            self.next()
+            return Literal(_unquote_str(self.next()[1]))
         if k == "qident":
             self.next()
             return ColumnRef(v[1:-1])
@@ -462,9 +467,22 @@ class SqlParser:
         raise Unsupported(f"cast target {name}")
 
 
+def _parse_tz_offset(spec: str) -> int:
+    """'+8:00' / '-05:30' / 'UTC' / named zone -> microseconds east of
+    UTC (delegates to the engine parser)."""
+    from ..expr.compile import parse_tz_offset_us
+
+    try:
+        return parse_tz_offset_us(spec)
+    except ValueError as e:
+        raise Unsupported(str(e))
+
+
 def _parse_temporal_literal(kind: str, s: str):
     if kind == "date":
-        return datetime.date.fromisoformat(s)
+        # MySQL accepts a full datetime text in a DATE literal (time
+        # part truncates): DATE'2026-03-01 00:00:00'
+        return _parse_datetime_str(s).date()
     if kind == "timestamp":
         kind = "datetime"
     return _parse_datetime_str(s)
@@ -535,6 +553,11 @@ def parse_col_type(spec: str) -> Tuple[dt.DataType, Optional[int]]:
         t = dt.DATE
     elif base in ("datetime", "timestamp"):
         t = dt.DATETIME
+        if base == "timestamp":  # UTC storage + session-tz reads
+            t = dt.DATETIME.with_nullable(False)
+            import dataclasses as _dc
+
+            t = _dc.replace(t, tz_aware=True)
         fsp = int(params[0]) if params else 0
     elif base == "time":
         t = dt.DURATION
@@ -664,6 +687,7 @@ class RefTestSession:
         self.fsps: Dict[str, Dict[str, int]] = {}
         self.checked = 0       # queries with expected output compared
         self.unsupported: List[str] = []
+        self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
 
     # ---- statement dispatch
     def run_statement(self, sql: str, expected: Optional[List[str]]):
@@ -673,6 +697,11 @@ class RefTestSession:
         for stmt in parts:
             low = stmt.lower()
             if low.startswith("set "):
+                # honor SET time_zone (TIMESTAMP semantics); other
+                # session vars are TiDB routing hints — meaningless here
+                m = re.search(r"time_zone\s*=\s*'([^']*)'", stmt, re.I)
+                if m:
+                    self.tz_offset_us = _parse_tz_offset(m.group(1))
                 continue
             if low.startswith(("use ", "split ")):
                 continue  # database selection / region-split hints
@@ -776,9 +805,13 @@ class RefTestSession:
             fsps = self.fsps.get(t, {})
             for c in schema:
                 raw = rowvals.get(c)
-                rows[c].append(
-                    None if raw is None
-                    else self._value(raw, schema[c], fsps.get(c)))
+                v = (None if raw is None
+                     else self._value(raw, schema[c], fsps.get(c)))
+                if schema[c].tz_aware and isinstance(v, datetime.datetime):
+                    # TIMESTAMP stores UTC; the literal is session-local
+                    v -= datetime.timedelta(
+                        microseconds=self.tz_offset_us)
+                rows[c].append(v)
 
     def _value(self, raw: str, t: dt.DataType, fsp: Optional[int] = None):
         """One INSERT literal -> host value for pytable_to_block.
@@ -803,8 +836,11 @@ class RefTestSession:
 
     # ---- SELECT
     def _select(self, stmt: str, expected: Optional[List[str]]):
+        from ..expr.compile import query_timezone
+
         sel = SelectBuilder(self, stmt)
-        out_block = sel.run()
+        with query_timezone(self.tz_offset_us):
+            out_block = sel.run()
         if expected is None:
             return
         got = _block_rows(out_block)
