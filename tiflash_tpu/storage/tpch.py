@@ -50,10 +50,33 @@ def generate_tpch(
     sf: float,
     seed: int = 0,
     tables: Optional[list] = None,
+    column_subset: Optional[dict] = None,
 ) -> Catalog:
+    """``column_subset``: optional {table: [col, ...]} filter applied at
+    register time — at SF10+ staging every column would waste most of the
+    chip's HBM on columns the query never reads (the reference only reads
+    the requested column packs, ``Storages/DeltaMerge/DMFileReader``)."""
     rng = np.random.default_rng(seed)
     cat = Catalog()
     want = set(tables) if tables is not None else None
+    if column_subset:
+        _register = cat.register
+
+        def register(name, columns, **kw):
+            keep = column_subset.get(name)
+            if keep:
+                columns = {k: v for k, v in columns.items() if k in keep}
+                kw["unique_keys"] = [u for u in kw.get("unique_keys", ())
+                                     if all(c in columns for c in u)]
+                cb = []  # clustering is a PREFIX property
+                for c in kw.get("clustered_by", ()):
+                    if c not in columns:
+                        break
+                    cb.append(c)
+                kw["clustered_by"] = cb
+            return _register(name, columns, **kw)
+
+        cat.register = register
 
     n_orders = int(1_500_000 * sf)
     n_cust = int(150_000 * sf)
