@@ -24,6 +24,7 @@ MEMORY_LIMIT = 21
 CANCELLED = 30
 FAILPOINT = 40
 RESOURCE_EXHAUSTED = 41  # RU admission rejected
+LIMIT_EXCEEDED = 42      # max_rows_to_* / max_result_rows breached
 INTERNAL = 50
 
 _NAMES: Dict[int, str] = {
@@ -39,6 +40,7 @@ _NAMES: Dict[int, str] = {
     CANCELLED: "CANCELLED",
     FAILPOINT: "FAILPOINT",
     RESOURCE_EXHAUSTED: "RESOURCE_EXHAUSTED",
+    LIMIT_EXCEEDED: "LIMIT_EXCEEDED",
     INTERNAL: "INTERNAL",
 }
 

@@ -181,8 +181,14 @@ class QueryRunner:
             return self._compiled
         t0 = time.perf_counter()
         if self.mesh is None:
+            # operator row limits read the per-node counters, so force
+            # collection on when any is set
+            want_rows = self.settings.collect_summaries or any((
+                self.settings.max_rows_to_group_by,
+                self.settings.max_rows_in_join,
+                self.settings.max_rows_to_sort))
             inner = compile_fragment(
-                self.plan, collect_rows=self.settings.collect_summaries,
+                self.plan, collect_rows=want_rows,
                 rf_in_set_max=self.settings.rf_in_set_max_build,
             )
 
@@ -238,6 +244,7 @@ class QueryRunner:
             except Exception:  # estimation must never sink a query
                 pass
         fail_point("exception_before_fragment_run")
+        self._check_preflight_limits(tables)
         from .memory import MemoryLimitError, check_memory
 
         try:
@@ -399,6 +406,63 @@ class QueryRunner:
             )
         return result
 
+    def _check_preflight_limits(self, tables) -> None:
+        """max_rows_to_read / max_subquery_depth (Settings.h limits):
+        host-known facts, checked before launch."""
+        s = self.settings
+        if s.max_rows_to_read:
+            from ..plan import nodes as P
+
+            scanned, seen = 0, set()
+
+            def walk(n):
+                nonlocal scanned
+                if isinstance(n, P.TableScan) and n.table not in seen \
+                        and n.table in tables:
+                    seen.add(n.table)
+                    scanned += tables[n.table].capacity
+                for c in n.children:
+                    walk(c)
+
+            walk(self.plan)
+            if scanned > s.max_rows_to_read:
+                from .errors import LIMIT_EXCEEDED, EngineError
+
+                raise EngineError(
+                    f"query reads {scanned} rows > max_rows_to_read="
+                    f"{s.max_rows_to_read}", LIMIT_EXCEEDED)
+        if s.max_subquery_depth:
+            def depth(n):
+                return 1 + max((depth(c) for c in n.children), default=0)
+
+            d = depth(self.plan)
+            if d > s.max_subquery_depth:
+                from .errors import LIMIT_EXCEEDED, EngineError
+
+                raise EngineError(
+                    f"plan depth {d} > max_subquery_depth="
+                    f"{s.max_subquery_depth}", LIMIT_EXCEEDED)
+
+    def _check_row_limits(self, summary) -> None:
+        """Operator row limits against the per-node EXPLAIN ANALYZE
+        counters (throw-after semantics: a jitted program can't be
+        stopped mid-stream; Settings.h OverflowMode::THROW analog)."""
+        s = self.settings
+        checks = (("Aggregation", s.max_rows_to_group_by,
+                   "max_rows_to_group_by"),
+                  ("Join", s.max_rows_in_join, "max_rows_in_join"),
+                  ("Sort", s.max_rows_to_sort, "max_rows_to_sort"))
+        for prefix, lim, name in checks:
+            if not lim:
+                continue
+            for nid, rows in summary.node_rows.items():
+                if nid.startswith(prefix) and rows > lim:
+                    from .errors import LIMIT_EXCEEDED, EngineError
+
+                    raise EngineError(
+                        f"{nid} produced {rows} rows > {name}={lim}",
+                        LIMIT_EXCEEDED)
+
     def _run_with_retries(self, tables, summary, t_start):
         import jax
 
@@ -447,6 +511,24 @@ class QueryRunner:
         METRICS.counter("query_seconds_total").inc(summary.wall_seconds)
         result = collect_result(out) if self.mesh is not None else out
         summary.result_rows = int(np.asarray(result.num_rows()))
+        self._check_row_limits(summary)
+        s = self.settings
+        if s.max_result_rows and summary.result_rows > s.max_result_rows:
+            if s.result_overflow_mode == "break":
+                # truncate to the first max_result_rows live rows
+                # (OverflowMode::BREAK analog)
+                import jax.numpy as jnp
+
+                live = result.sel_mask()
+                keep = jnp.cumsum(live.astype(jnp.int64)) <= s.max_result_rows
+                result = result.and_sel(keep)
+                summary.result_rows = s.max_result_rows
+            else:
+                from .errors import LIMIT_EXCEEDED, EngineError
+
+                raise EngineError(
+                    f"result has {summary.result_rows} rows > "
+                    f"max_result_rows={s.max_result_rows}", LIMIT_EXCEEDED)
         METRICS.counter("rows_returned_total").inc(summary.result_rows)
         fail_point("exception_after_fragment_run")
         return result, summary

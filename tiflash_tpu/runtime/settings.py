@@ -62,6 +62,19 @@ class Settings:
     # host-side parser/spiller thread count (Settings.h:64 max_threads);
     # 0 = hardware concurrency
     max_threads: int = 0
+    # --- resource limits (Settings.h max_rows_to_read/-group_by/-sort,
+    # max_rows_in_join, max_result_rows + overflow modes).  0 = off.
+    # The engine runs whole static-shape programs, so read/depth limits
+    # check pre-flight and operator limits check the EXPLAIN ANALYZE row
+    # counters after the program ran (throw-after, not stop-mid-stream —
+    # a jitted program can't be interrupted) ---
+    max_rows_to_read: int = 0        # sum of scanned table rows (pre-flight)
+    max_rows_to_group_by: int = 0    # groups produced by any Aggregation
+    max_rows_in_join: int = 0        # rows out of any Join
+    max_rows_to_sort: int = 0        # rows through any full Sort
+    max_result_rows: int = 0         # final result rows
+    result_overflow_mode: str = "throw"  # throw | break (truncate result)
+    max_subquery_depth: int = 0      # plan tree depth guard (pre-flight)
     # --- service ---
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     service_queue_timeout_s: float = 0.0  # 0 = wait forever when QUEUED
