@@ -391,6 +391,50 @@ def _cast_duration(col: Column, target: DataType) -> Column:
     raise NotImplementedError(f"cast {src} -> {target}")
 
 
+def _round_wide_to_integral(m: jnp.ndarray, scale: int, name: str,
+                            out: DataType) -> jnp.ndarray:
+    """FLOOR/CEIL/ROUND/TRUNCATE of a multi-limb decimal mantissa to an
+    integral decimal (scale 0).  wide_divmod truncates toward zero, so
+    floor/ceil adjust by 1 when a remainder exists; ROUND is half away
+    from zero (MySQL).  Reference: Int256 rounding,
+    ``Functions/FunctionsRound.h``."""
+    import numpy as _np
+
+    from ..core import wide as W
+
+    L = m.shape[-1]
+    if scale == 0:
+        q = m
+    else:
+        W18 = 10 ** 18
+        den_host = _np.zeros((1, L), dtype=_np.int64)
+        v = 10 ** scale
+        for j in range(L - 1, 0, -1):
+            den_host[0, j] = v % W18
+            v //= W18
+        den_host[0, 0] = v
+        den = jnp.asarray(den_host)
+        q, r = W.wide_divmod(m, den)
+        rnz = jnp.any(r != 0, axis=-1)
+        neg = m[..., 0] < 0
+        one = jnp.zeros_like(q).at[..., -1].set(1)
+        if name == "floor":
+            q = jnp.where((neg & rnz)[..., None], W.wide_sub(q, one), q)
+        elif name == "ceil":
+            q = jnp.where((~neg & rnz)[..., None], W.wide_add(q, one), q)
+        elif name == "round":
+            # half away from zero: |r|*2 >= den bumps |q| by one
+            r2 = W.wide_add(r, r)
+            up = ~W.wide_cmp_lt(r2, den) & rnz
+            bump = jnp.where(neg[..., None], W.wide_neg(one), one)
+            q = jnp.where(up[..., None], W.wide_add(q, bump), q)
+        # truncate: wide_divmod already truncates toward zero
+    want = out.decimal_limbs
+    if want != L:
+        q, _ = W.resize_wide(q, want)
+    return q
+
+
 def parse_mysql_time(s: str):
     """'[-][D ]HH:MM:SS[.f]' / 'HH:MM' / 'SS' / numeric 'HHMMSS' ->
     signed microseconds, or None when unparseable (MySQL TIME literal
@@ -1482,6 +1526,10 @@ def _register_round_family(name: str):
                     raise NotImplementedError(
                         "ROUND(decimal, d) requires a literal d "
                         "(handled by the compile dispatcher)")
+                if a.data.ndim == 2:  # multi-limb (Decimal256) mantissas
+                    data = _round_wide_to_integral(a.data, a.dtype.scale,
+                                                   name, out)
+                    return Column(data, validity, out)
                 q = _pow10(a.dtype.scale)
                 m = a.data.astype(jnp.int64)
                 if name == "round":
