@@ -24,6 +24,7 @@ don't mask or manufacture mismatches.
 from __future__ import annotations
 
 import datetime
+import math
 import re
 from decimal import Decimal as D
 from typing import Any, Dict, List, Optional, Tuple
@@ -778,6 +779,30 @@ class RefTestSession:
             if t not in self.tables:
                 raise Unsupported(f"insert into unknown table {t}")
             schema, rows = self.tables[t]
+            mx = re.match(
+                r"select\s+\*\s+from\s+([`\w.]+)(?:\s+as\s+\w+)?\s+"
+                r"cross\s+join\s+([`\w.]+)(?:\s+as\s+\w+)?\s*$",
+                ms.group(2), re.I)
+            if mx:
+                # pre-join setup step (host-side Cartesian product)
+                a = mx.group(1).split(".")[-1].strip("`")
+                b = mx.group(2).split(".")[-1].strip("`")
+                if a not in self.tables or b not in self.tables:
+                    raise Unsupported("cross join of unknown table")
+                sa, ra = self.tables[a]
+                sb, rb = self.tables[b]
+                na = len(next(iter(ra.values()))) if ra else 0
+                nb = len(next(iter(rb.values()))) if rb else 0
+                names = list(schema)
+                if len(names) != len(sa) + len(sb):
+                    raise Unsupported("cross-join insert arity")
+                for i in range(na):
+                    for j in range(nb):
+                        vals = ([ra[c][i] for c in sa]
+                                + [rb[c][j] for c in sb])
+                        for c, v in zip(names, vals):
+                            rows[c].append(v)
+                return
             out = SelectBuilder(self, ms.group(2)).run()
             got = _block_rows(out)
             names = list(schema)
@@ -786,6 +811,31 @@ class RefTestSession:
                     raise Unsupported("insert-select arity")
                 for c, v in zip(names, r):
                     rows[c].append(v)
+            return
+        mset = re.match(r"insert\s+into\s+([`\w.]+)\s+set\s+(.*)$",
+                        stmt, re.I | re.S)
+        if mset:
+            # INSERT ... SET a = v, b = v2 — unmentioned columns NULL
+            t = mset.group(1).split(".")[-1].strip("`")
+            if t not in self.tables:
+                raise Unsupported(f"insert into unknown table {t}")
+            schema, rows = self.tables[t]
+            fsps = self.fsps.get(t, {})
+            rowvals: Dict[str, str] = {}
+            for assign in _split_args(mset.group(2)):
+                ma = re.match(r"`?(\w+)`?\s*=\s*(.+)$", assign.strip(),
+                              re.S)
+                if not ma:
+                    raise Unsupported(f"insert set form: {assign[:40]}")
+                rowvals[ma.group(1)] = ma.group(2)
+            for c in schema:
+                raw = rowvals.get(c)
+                v = (None if raw is None
+                     else self._value(raw, schema[c], fsps.get(c)))
+                if schema[c].tz_aware and isinstance(v, datetime.datetime):
+                    v -= datetime.timedelta(
+                        microseconds=self.tz_offset_us)
+                rows[c].append(v)
             return
         m = re.match(r"insert\s+into\s+([`\w.]+)\s*(\(([^)]*)\))?\s*values\s*(.*)$",
                      stmt, re.I | re.S)
@@ -897,6 +947,17 @@ def _eval_const(e: Expr):
             return args[0] * args[1]
         if e.func == "divide":
             return args[0] / args[1]
+        # constant math calls appearing in the corpus's INSERTs
+        if e.func == "pi" and not args:
+            return math.pi
+        if e.func == "exp":
+            return math.exp(float(args[0]))
+        if e.func == "sqrt":
+            return math.sqrt(float(args[0]))
+        if e.func in ("ln", "log") and len(args) == 1:
+            return math.log(float(args[0]))
+        if e.func in ("pow", "power"):
+            return math.pow(float(args[0]), float(args[1]))
     raise Unsupported(f"non-constant insert value {e!r}")
 
 
@@ -1275,10 +1336,31 @@ class SelectBuilder:
         for c in needed - set(pre):
             if c in schema:
                 pre[c] = ColumnRef(c)
+        having_expr = None
+        if having is not None:
+            # HAVING resolves select aliases first (MySQL), then group
+            # keys; aggregates it mentions lower into the same agg list
+            # (before P.Aggregation is built), so `having sum(x) > 0`
+            # works even when sum(x) is not selected.
+            alias_post = dict(zip(names, (post[n] for n in names)))
+
+            def sub_alias(e: Expr) -> Expr:
+                if isinstance(e, ColumnRef) and e.name in alias_post \
+                        and e.name not in key_names:
+                    return alias_post[e.name]
+                if isinstance(e, Call):
+                    return Call(e.func,
+                                tuple(sub_alias(a) for a in e.args))
+                if isinstance(e, Cast):
+                    return Cast(sub_alias(e.arg), e.target)
+                return e
+
+            having_expr = _as_bool(self._rw(
+                fix_bare(lower_agg(sub_keys(sub_alias(having))))))
         plan = P.Projection(pre, plan) if pre else plan
         plan = P.Aggregation(key_names, aggs, plan)
-        if having is not None:
-            raise Unsupported("HAVING")
+        if having_expr is not None:
+            plan = P.Selection(having_expr, plan)
         plan = P.Projection(post, plan)
         return plan, names
 
