@@ -12,9 +12,12 @@ measured 0.36/0.54/1.02 ms across fresh processes) and compile quality
 degrades for later programs in a shared process (q6 measured 1.78 ms
 in-process vs 0.157 ms fresh — 11x), so fresh-process best-of-N is the
 honest protocol; min is the honest number.  Budget: BENCH_BUDGET_S env
-(default 2400s); per-child timeout BENCH_CHILD_TIMEOUT_S (default
-1500s, remote compiles can wedge — the child is killed by exact PID and
-the attempt retried while budget remains).
+(default 1200s); per-child timeout BENCH_CHILD_TIMEOUT_S (default 600s,
+remote compiles can wedge — the child is killed by exact PID and the
+attempt retried while budget remains).  The best-so-far full record is
+re-printed after every config attempt so any kill point leaves a
+parseable last line (rounds 2 and 3 lost their record to an end-only
+print).
 
 ``vs_baseline`` = t_floor / t_achieved, where t_floor is a PER-CONFIG
 documented denominator:
@@ -339,9 +342,15 @@ def run_child(config: str, args) -> dict:
 def orchestrate(args) -> None:
     """Parent: one subprocess per (config, attempt), best attempt wins.
     The parent never initializes a JAX backend (children own the chip,
-    strictly one at a time)."""
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
-    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1500"))
+    strictly one at a time).
+
+    Timeout-proofing (VERDICT r3 item 1): the best-so-far FULL record is
+    printed (flush=True) after EVERY config attempt, headline q1 first in
+    the run order, so a driver kill at ANY point leaves a parseable last
+    line.  Rounds 2 and 3 both lost their official perf record to a
+    single end-of-run print."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "600"))
     attempts_target = int(os.environ.get("BENCH_ATTEMPTS", "2"))
     t_start = time.time()
     results: dict[str, dict] = {}
@@ -349,6 +358,18 @@ def orchestrate(args) -> None:
 
     def remaining() -> float:
         return budget - (time.time() - t_start)
+
+    def emit() -> None:
+        """Best-so-far record as one JSON line (the driver keeps the
+        last parseable line it sees)."""
+        placeholder = {"metric": f"tpch_{configs[0]}_sf{args.sf:g}_rows_per_s",
+                       "value": 0, "unit": "Mrows/s", "vs_baseline": 0,
+                       "error": "not yet run"}
+        head = dict(results.get(configs[0], placeholder))
+        if len(configs) > 1:
+            head["extra"] = {c: results[c] for c in configs[1:]
+                             if c in results}
+        print(json.dumps(head), flush=True)
 
     def attempt(cfg: str) -> dict | None:
         out_path = tempfile.mktemp(suffix=".json", prefix=f"bench_{cfg}_")
@@ -384,7 +405,8 @@ def orchestrate(args) -> None:
                 pass
 
     # pass 1: one attempt per config (headline first); pass 2+: repeat
-    # while budget remains — keep the best (max vs_baseline) per config
+    # while budget remains — keep the best (max vs_baseline) per config.
+    # emit() after every attempt so the record survives any kill point.
     for rnd in range(attempts_target):
         for cfg in configs:
             if rnd > 0 and remaining() < child_timeout * 0.4:
@@ -397,16 +419,13 @@ def orchestrate(args) -> None:
             cur = results.get(cfg)
             if cur is None or r.get("vs_baseline", 0) > cur.get("vs_baseline", 0):
                 results[cfg] = r
+            emit()
 
     for cfg in configs:
         results.setdefault(cfg, {
             "metric": f"{cfg}_failed", "value": 0, "unit": "Mrows/s",
             "vs_baseline": 0, "error": "all attempts failed/timed out"})
-
-    head = dict(results[configs[0]])
-    if len(configs) > 1:
-        head["extra"] = {c: results[c] for c in configs[1:]}
-    print(json.dumps(head))
+    emit()
 
 
 def main() -> None:

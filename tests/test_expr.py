@@ -151,3 +151,78 @@ def test_string_column_vs_column_cross_dictionary():
         got = evaluate_expr(_call(op, col("a"), col("b")), block).to_pylist()
         want = [pyop(x, y) for x, y in zip(["apple", "pear", "zebra", "kiwi"], b_vals)]
         assert got == want, (op, got, want)
+
+
+def test_mod_div_64bit_boundaries():
+    """MOD truncates toward zero and DIV truncates (not floors) at the
+    64-bit boundaries, and BIGINT UNSIGNED keeps its full 2^64 magnitude.
+    Checked against HARD-CODED MySQL answers — the oracle once shared the
+    engine's floor-division bug, so oracle parity alone cannot gate this.
+    Reference semantics: dbms/src/Functions/{modulo,divide}.cpp and
+    tests/fullstack-test/expr/mod_extra.test."""
+    IMIN, IMAX, UMAX = -2**63, 2**63 - 1, 2**64 - 1
+
+    def run(op, xs, ys, tx, ty):
+        block = Block.from_dict({"x": cfn(xs, tx), "y": cfn(ys, ty)})
+        out = evaluate_expr(call(op, col("x"), col("y")), block)
+        return out.to_pylist()
+
+    # --- signed x signed ---------------------------------------------
+    xs = [IMIN, IMIN, -5, 5, IMAX, IMIN, 7]
+    ys = [5, -3, 3, -3, -3, 0, 0]
+    assert run("modulo", xs, ys, dt.INT64, dt.INT64) == \
+        [-3, -2, -2, 2, 1, None, None]
+    assert run("int_div", xs, ys, dt.INT64, dt.INT64) == \
+        [-1844674407370955161, 3074457345618258602, -1, -1,
+         -3074457345618258602, None, None]
+
+    # --- signed x unsigned (magnitude above 2^63 must survive) -------
+    xs = [5, -5, IMIN, IMAX, 5]
+    ys = [UMAX, UMAX, UMAX, UMAX, 0]
+    assert run("modulo", xs, ys, dt.INT64, dt.UINT64) == \
+        [5, -5, IMIN, IMAX, None]
+    assert run("int_div", xs, ys, dt.INT64, dt.UINT64) == [0, 0, 0, 0, None]
+
+    # --- unsigned x signed / unsigned x unsigned ----------------------
+    xs = [UMAX, UMAX, UMAX, UMAX]
+    ys = [IMAX, 5, -3, IMIN]
+    assert run("modulo", xs, ys, dt.UINT64, dt.INT64) == [1, 0, 0, IMAX]
+    assert run("int_div", xs, ys, dt.UINT64, dt.INT64) == \
+        [2, 3689348814741910323, -6148914691236517205, -1]
+    assert run("modulo", [UMAX, UMAX], [UMAX, 3],
+               dt.UINT64, dt.UINT64) == [0, 0]
+    assert run("int_div", [UMAX, UMAX], [UMAX, 3],
+               dt.UINT64, dt.UINT64) == [1, 6148914691236517205]
+
+    # the oracle must agree from its OWN arithmetic (independence check)
+    for a, b, want_mod, want_div in [
+        (IMIN, 5, -3, -1844674407370955161),
+        (-5, 3, -2, -1),
+        (5, -3, 2, -1),
+        (5, UMAX, 5, 0),
+        (UMAX, IMAX, 1, 2),
+    ]:
+        from tiflash_tpu.expr.nodes import call as _c
+        assert O.eval_expr_row(_c("modulo", col("x"), col("y")),
+                               {"x": a, "y": b}) == want_mod
+        assert O.eval_expr_row(_c("int_div", col("x"), col("y")),
+                               {"x": a, "y": b}) == want_div
+
+
+def test_float_fmod_exactness():
+    """Float MOD is C fmod — exact even when a/b overflows the 53-bit
+    quotient (5 % 3e-308).  Denormal RESULTS flush to 0 (XLA is FTZ for
+    f64; documented deviation)."""
+    import math
+
+    xs = [5.0, -5.0, 1.3, 9.223372036854776e18, 5.0, 0.0]
+    ys = [3e-308, 3e-308, 1.1, 1.1, 1.234567890123e69, 1.1]
+    block = Block.from_dict({"x": cfn(xs, dt.FLOAT64),
+                             "y": cfn(ys, dt.FLOAT64)})
+    got = evaluate_expr(call("modulo", col("x"), col("y")), block).to_pylist()
+    for g, x, y in zip(got, xs, ys):
+        w = math.fmod(x, y)
+        if abs(w) < 2.2250738585072014e-308 and w != 0.0:
+            assert g == 0.0 or g == w  # denormal may flush
+        else:
+            assert g == w, (x, y, g, w)

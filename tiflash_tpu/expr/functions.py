@@ -28,6 +28,7 @@ import fnmatch
 import math
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -705,6 +706,57 @@ def _and_validity(cols: Sequence[Column]) -> Optional[jnp.ndarray]:
 # arithmetic
 # ---------------------------------------------------------------------------
 
+def _float_fmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact C fmod for float64 (MySQL float MOD semantics: remainder
+    with the dividend's sign).  XLA's float Rem lowers to
+    a - b*trunc(a/b), which collapses to 0 once a/b needs more than 53
+    bits (5 % 3e-308 must be ~2.128e-308, not 0).  Decompose to integer
+    mantissas and reduce the exponent gap by modular doubling — exact
+    for any gap; the while_loop runs max(e_a - e_b) iterations of cheap
+    vector ops.  Reference: dbms/src/Functions/modulo.cpp (std::fmod)."""
+    ma, ea = jnp.frexp(jnp.abs(a))          # |a| = ma * 2^ea, ma in [.5,1)
+    mb, eb = jnp.frexp(jnp.abs(b))
+    ia = (ma * (2.0 ** 53)).astype(jnp.int64)   # exact 53-bit mantissa
+    ib = (mb * (2.0 ** 53)).astype(jnp.int64)
+    shift = (ea - eb).astype(jnp.int64)
+    ib_safe = jnp.where(ib > 0, ib, jnp.int64(1))
+
+    def body(carry):
+        r, s = carry
+        act = s > 0
+        r = jnp.where(act, (r * 2) % ib_safe, r)
+        return r, jnp.where(act, s - 1, s)
+
+    r, _ = jax.lax.while_loop(
+        lambda c: jnp.any(c[1] > 0), body,
+        (ia % ib_safe, jnp.maximum(shift, 0)))
+    # two-step ldexp: a single ldexp(r, -1074) underflows because XLA's
+    # exp2 dies below 2^-1022; halving keeps intermediates normal, so
+    # every NORMAL result is exact.  Denormal results still flush to 0:
+    # XLA CPU/TPU codegen is FTZ+DAZ for f64 and no arithmetic op can
+    # produce or consume a denormal (documented deviation; the reftest
+    # comparator accepts +-0 where the recorded answer is denormal).
+    e = eb - 53
+    h1 = e // 2
+    out = jnp.ldexp(jnp.ldexp(r.astype(jnp.float64), h1), e - h1)
+    out = jnp.where(shift < 0, jnp.abs(a), out)     # |a| < |b|: fmod = a
+    out = jnp.where(b == 0, jnp.float64(jnp.nan), out)  # masked by validity
+    return jnp.copysign(out, a).astype(a.dtype)
+
+
+def _uint64_magnitude(c: Column) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(|x| as uint64, x < 0) for any integer column.  Signed->unsigned
+    astype wraps mod 2^64 (two's-complement bit pattern), so 0 - u is
+    |x| even at INT64_MIN; unsigned columns pass through untouched."""
+    d = c.data
+    if jnp.issubdtype(d.dtype, jnp.unsignedinteger):
+        return d.astype(jnp.uint64), jnp.zeros(d.shape, jnp.bool_)
+    d = d.astype(jnp.int64)
+    neg = d < 0
+    u = d.astype(jnp.uint64)
+    return jnp.where(neg, jnp.uint64(0) - u, u), neg
+
+
 def _arith_infer(op: str):
     def infer(ts: Sequence[DataType]) -> DataType:
         a, b = ts
@@ -863,6 +915,28 @@ def _arith_eval(op: str):
             else:
                 raise NotImplementedError(op)
             return Column(data, validity, out)
+        if (op in ("int_div", "modulo") and out.is_integer
+                and a.dtype.is_integer and b.dtype.is_integer):
+            # MySQL MOD/DIV at the 64-bit boundaries (reference:
+            # dbms/src/Functions/{modulo,divide}.cpp): compute on uint64
+            # MAGNITUDES, then reapply the sign (dividend's for MOD, XOR
+            # for DIV).  This is INT64_MIN-safe (|INT64_MIN| fits uint64)
+            # and keeps BIGINT UNSIGNED values above 2^63 exact, which a
+            # cast to the common signed type would destroy
+            # (e.g. 5 % 18446744073709551615 must be 5, not 5 % -1).
+            ua, neg_a = _uint64_magnitude(a)
+            ub, neg_b = _uint64_magnitude(b)
+            nonzero = ub != jnp.uint64(0)
+            safe = jnp.where(nonzero, ub, jnp.uint64(1))
+            if op == "modulo":
+                res = jax.lax.rem(ua, safe)
+                neg = neg_a
+            else:
+                res = jax.lax.div(ua, safe)
+                neg = neg_a ^ neg_b
+            data = jnp.where(neg, jnp.uint64(0) - res, res)
+            validity = nonzero if validity is None else (validity & nonzero)
+            return Column(data.astype(out.jnp_dtype), validity, out)
         # float / integer paths
         da = cast_column(a, out.with_nullable(False)).data
         db = cast_column(b, out.with_nullable(False)).data
@@ -877,16 +951,29 @@ def _arith_eval(op: str):
             data = da / jnp.where(nonzero, db, 1)
             validity = nonzero if validity is None else (validity & nonzero)
         elif op == "int_div":
-            nonzero = db != 0
-            data = jnp.where(nonzero, da, 0) // jnp.where(nonzero, db, 1)
-            validity = nonzero if validity is None else (validity & nonzero)
-        elif op == "modulo":
+            # MySQL DIV truncates toward zero (-5 DIV 3 = -1), unlike
+            # python floor division.  lax.div has C truncation semantics
+            # on integers and is INT64_MIN-safe (no abs/negate wrap).
+            # Reference: dbms/src/Functions/divide.cpp (TiDBDivideInt).
             nonzero = db != 0
             safe = jnp.where(nonzero, db, 1)
-            # MySQL mod takes the dividend's sign (C fmod), not python's
-            data = da - safe * jnp.trunc(da / safe).astype(da.dtype) if out.is_float else (
-                jnp.sign(da) * (jnp.abs(da) % jnp.abs(safe))
-            )
+            if jnp.issubdtype(da.dtype, jnp.integer):
+                data = jax.lax.div(da, safe)
+            else:
+                data = jnp.trunc(da / safe)
+            validity = nonzero if validity is None else (validity & nonzero)
+        elif op == "modulo":
+            # MySQL MOD takes the dividend's sign (C fmod / lax.rem),
+            # not python's floored remainder.  lax.rem is INT64_MIN-safe:
+            # the old sign(a)*(|a| % |b|) form wrapped at INT64_MIN
+            # (MOD(-9223372036854775808, 5) must be -3, not -2).
+            # Reference: dbms/src/Functions/modulo.cpp.
+            nonzero = db != 0
+            safe = jnp.where(nonzero, db, 1)
+            if out.is_float:
+                data = _float_fmod(da, safe)
+            else:
+                data = jax.lax.rem(da, safe)
             validity = nonzero if validity is None else (validity & nonzero)
         else:
             raise NotImplementedError(op)

@@ -14,6 +14,7 @@ Blocks to the same shape for comparison.
 from __future__ import annotations
 
 import datetime
+import fractions
 import decimal
 import math
 import re
@@ -366,13 +367,27 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     if f == "int_div":
         if b == 0:
             return None
-        return int(a // b)
+        # MySQL DIV truncates toward zero: -5 DIV 3 = -1 (python //
+        # floors to -2).  Exact for ints (arbitrary precision); for
+        # float/Decimal args Fraction keeps the quotient exact before
+        # truncation.
+        if isinstance(a, int) and isinstance(b, int):
+            q = abs(a) // abs(b)
+            return -q if (a < 0) != (b < 0) else q
+        fa = fractions.Fraction(a if not isinstance(a, D) else str(a))
+        fb = fractions.Fraction(b if not isinstance(b, D) else str(b))
+        q = abs(fa) / abs(fb)
+        q = int(q)  # Fraction.__int__ truncates toward zero
+        return -q if (fa < 0) != (fb < 0) else q
     if f == "modulo":
         if b == 0:
             return None
         if isinstance(a, float) or isinstance(b, float):
             return math.fmod(a, b)
-        return int(math.copysign(abs(int(a)) % abs(int(b)), a)) if a else 0
+        # pure-int: copysign would roundtrip through float (loses
+        # precision past 2^53 — INT64_MIN % 5 must stay exact)
+        r = abs(int(a)) % abs(int(b))
+        return -r if a < 0 else r
     if f == "negate":
         return -a
     if f == "abs":
