@@ -686,6 +686,7 @@ class RefTestSession:
         self.tables: Dict[str, Tuple[Dict[str, dt.DataType],
                                      Dict[str, list]]] = {}
         self.fsps: Dict[str, Dict[str, int]] = {}
+        self.generated: Dict[str, Dict[str, Expr]] = {}  # virtual cols
         self.checked = 0       # queries with expected output compared
         self.unsupported: List[str] = []
         self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
@@ -706,8 +707,18 @@ class RefTestSession:
                 continue
             if low.startswith(("use ", "split ")):
                 continue  # database selection / region-split hints
+            ma = re.match(r"alter\s+table\s+([`\w.]+)\s+add\s+column\s+"
+                          r"`?(\w+)`?\s+(.*)$", stmt, re.I | re.S)
+            if ma:
+                self._alter_add_column(ma.group(1).split(".")[-1]
+                                       .strip("`"), ma.group(2),
+                                       ma.group(3))
+                continue
+            if re.match(r"alter\s+table\s+[`\w.]+\s+add\s+(index|key|"
+                        r"unique|primary)", low):
+                continue  # indexes are storage hints — no-ops here
             if low.startswith("alter table") and " add " in low:
-                raise Unsupported("ALTER TABLE ADD COLUMN")
+                raise Unsupported(f"ALTER TABLE ADD form: {stmt[:60]}")
             if low.startswith(("drop table", "drop database",
                                "create database", "analyze table",
                                "alter table", "truncate")):
@@ -718,13 +729,15 @@ class RefTestSession:
                         self.tables.pop(
                             m.group(1).split(".")[-1].strip("`"), None)
                 continue
+            if re.match(r"create\s+(unique\s+)?index\s", low):
+                continue  # indexes are storage hints — no-ops here
             if low.startswith("create table"):
                 name, schema, fsps = parse_create_table(stmt)
                 self.tables[name] = (schema, {c: [] for c in schema})
                 self.fsps[name] = fsps
                 continue
             if low.startswith("insert into"):
-                self._insert(stmt)
+                self._materialize_generated(self._insert(stmt))
                 continue
             if low.startswith("delete from"):
                 m = re.match(r"delete\s+from\s+([`\w.]+)\s*$", stmt, re.I)
@@ -771,19 +784,71 @@ class RefTestSession:
             raise Unsupported(f"statement: {stmt[:50]}")
 
     # ---- INSERT
+    def _alter_add_column(self, t: str, name: str, spec: str):
+        """ALTER TABLE .. ADD COLUMN, plain or ``AS (expr) VIRTUAL``
+        (generated columns — TiDB computes these on read; here the
+        ENGINE evaluates the generating expression over the base
+        columns, the same pushed-down compute TiFlash performs.
+        Reference: tests/fullstack-test/expr/generated_columns.test)."""
+        if t not in self.tables:
+            raise Unsupported(f"alter unknown table {t}")
+        schema, rows = self.tables[t]
+        gen = re.search(r"\bas\s*\((.*)\)\s*(virtual|stored)?\s*;?\s*$",
+                        spec, re.I | re.S)
+        type_part = spec[:gen.start()] if gen else spec
+        dtype, fsp = parse_col_type(" " + type_part.strip().rstrip(";"))
+        schema[name] = dtype.with_nullable(True)
+        if fsp is not None:
+            self.fsps.setdefault(t, {})[name] = fsp
+        n = len(next(iter(rows.values()))) if rows else 0
+        rows[name] = [None] * n
+        if gen:
+            self.generated.setdefault(t, {})[name] = \
+                SqlParser(gen.group(1)).parse_expr()
+            self._materialize_generated(t)
+
+    def _materialize_generated(self, t: str):
+        """Recompute every virtual column of ``t`` from the current base
+        rows (tables here are tiny; full recompute keeps every insert
+        form and DELETE consistent)."""
+        gens = self.generated.get(t)
+        if not gens or t not in self.tables:
+            return
+        from ..core.block import Block as _Block
+        from ..expr.compile import evaluate_expr
+        from . import oracle as O
+
+        schema, rows = self.tables[t]
+        base = {c: rows[c] for c in schema if c not in gens}
+        n = len(next(iter(base.values()))) if base else 0
+        if n == 0:
+            for c in gens:
+                rows[c] = []
+            return
+        blk = O.pytable_to_block(base, {c: schema[c] for c in base})
+        for cname, expr in gens.items():
+            col = evaluate_expr(expr, blk)
+            vals = O.block_to_pytable(
+                _Block(names=("r",), columns=(col,)))["r"]
+            rows[cname] = [_coerce_host_value(v, schema[cname])
+                           for v in vals]
+
     def _insert(self, stmt: str):
-        ms = re.match(r"insert\s+into\s+([`\w.]+)\s*(select\s+.*)$",
-                      stmt, re.I | re.S)
+        ms = re.match(r"insert\s+into\s+([`\w.]+)\s*(?:\(([^)]*)\))?\s*"
+                      r"(select\s+.*)$", stmt, re.I | re.S)
         if ms:
             t = ms.group(1).split(".")[-1].strip("`")
             if t not in self.tables:
                 raise Unsupported(f"insert into unknown table {t}")
             schema, rows = self.tables[t]
+            col_list = ([c.strip().strip("`") for c in
+                         ms.group(2).split(",")] if ms.group(2) else None)
+            select_sql = ms.group(3)
             mx = re.match(
                 r"select\s+\*\s+from\s+([`\w.]+)(?:\s+as\s+\w+)?\s+"
                 r"cross\s+join\s+([`\w.]+)(?:\s+as\s+\w+)?\s*$",
-                ms.group(2), re.I)
-            if mx:
+                select_sql, re.I)
+            if mx and col_list is None:
                 # pre-join setup step (host-side Cartesian product)
                 a = mx.group(1).split(".")[-1].strip("`")
                 b = mx.group(2).split(".")[-1].strip("`")
@@ -802,16 +867,20 @@ class RefTestSession:
                                 + [rb[c][j] for c in sb])
                         for c, v in zip(names, vals):
                             rows[c].append(v)
-                return
-            out = SelectBuilder(self, ms.group(2)).run()
+                return t
+            out = SelectBuilder(self, select_sql).run()
             got = _block_rows(out)
-            names = list(schema)
+            names = col_list if col_list is not None else list(schema)
+            unnamed = [c for c in schema
+                       if names.count(c) == 0]  # NULL-filled
             for r in got:
                 if len(r) != len(names):
                     raise Unsupported("insert-select arity")
                 for c, v in zip(names, r):
-                    rows[c].append(v)
-            return
+                    rows[c].append(self._coerce_inserted(v, schema[c]))
+                for c in unnamed:
+                    rows[c].append(None)
+            return t
         mset = re.match(r"insert\s+into\s+([`\w.]+)\s+set\s+(.*)$",
                         stmt, re.I | re.S)
         if mset:
@@ -836,7 +905,7 @@ class RefTestSession:
                     v -= datetime.timedelta(
                         microseconds=self.tz_offset_us)
                 rows[c].append(v)
-            return
+            return t
         m = re.match(r"insert\s+into\s+([`\w.]+)\s*(\(([^)]*)\))?\s*values\s*(.*)$",
                      stmt, re.I | re.S)
         if not m:
@@ -862,6 +931,15 @@ class RefTestSession:
                     v -= datetime.timedelta(
                         microseconds=self.tz_offset_us)
                 rows[c].append(v)
+        return t
+
+    def _coerce_inserted(self, v, t: dt.DataType):
+        """insert-select values pass through the engine's output types;
+        coerce to the target column type (e.g. double -> time(6))."""
+        try:
+            return _coerce_host_value(v, t)
+        except Exception:
+            return v
 
     def _value(self, raw: str, t: dt.DataType, fsp: Optional[int] = None):
         """One INSERT literal -> host value for pytable_to_block.
@@ -982,6 +1060,16 @@ def _coerce_host_value(v, t: dt.DataType):
     if t.kind is dt.TypeKind.DURATION:
         if isinstance(v, str):
             return _parse_duration_us(v)
+        if isinstance(v, (D, float)):
+            # numeric HHMMSS[.ffffff] form -> microseconds
+            d = D(str(v))
+            neg = d < 0
+            mag = abs(d)
+            whole = int(mag)
+            frac_us = int((mag - whole) * 1_000_000)
+            h, m_, s = whole // 10_000, (whole // 100) % 100, whole % 100
+            us = (h * 3600 + m_ * 60 + s) * 1_000_000 + frac_us
+            return -us if neg else us
         return v
     if t.is_string:
         return str(v)
@@ -1029,6 +1117,32 @@ class SelectBuilder:
     def _rw(self, e: Expr) -> Expr:
         return _coerce_temporal(_rewrite(e), self.schema)
 
+    def _cartesian(self, tables: List[str]) -> str:
+        """Materialize a comma-join FROM list as one synthetic table
+        (column names must be globally unique, as in the corpus)."""
+        import itertools
+
+        schema: Dict[str, dt.DataType] = {}
+        rowsets = []
+        for t in tables:
+            if t not in self.sess.tables:
+                raise Unsupported(f"unknown table {t}")
+            s, r = self.sess.tables[t]
+            for c in s:
+                if c in schema:
+                    raise Unsupported(f"ambiguous column {c} in comma join")
+            schema.update(s)
+            rowsets.append((s, r))
+        cols: Dict[str, list] = {c: [] for c in schema}
+        ns = [len(next(iter(r.values()))) if r else 0 for _, r in rowsets]
+        for idxs in itertools.product(*(range(n) for n in ns)):
+            for (s, r), i in zip(rowsets, idxs):
+                for c in s:
+                    cols[c].append(r[c][i])
+        name = "__commajoin__"
+        self.sess.tables[name] = (schema, cols)
+        return name
+
     def run(self):
         p = self.p
         p.expect_kw("select")
@@ -1059,18 +1173,28 @@ class SelectBuilder:
 
         table = None
         if p.eat_kw("from"):
-            tk, tv = p.next()
-            table = tv.strip("`")
-            while p.at_op("."):
-                p.next()
-                table = p.next()[1].strip("`")
-            # alias
-            if p.at_kw("as"):
-                p.next()
-                p.next()
-            elif p.peek()[0] == "name" and not p.at_kw(
-                    "where", "group", "order", "limit"):
-                p.next()
+            from_tables = []
+            while True:
+                tk, tv = p.next()
+                table = tv.strip("`")
+                while p.at_op("."):
+                    p.next()
+                    table = p.next()[1].strip("`")
+                # alias
+                if p.at_kw("as"):
+                    p.next()
+                    p.next()
+                elif p.peek()[0] == "name" and not p.at_kw(
+                        "where", "group", "order", "limit", "union",
+                        "having"):
+                    p.next()
+                from_tables.append(table)
+                if not p.eat_op(","):
+                    break
+            if len(from_tables) > 1:
+                # comma join: host-side Cartesian product (corpus tables
+                # are tiny); WHERE equalities filter through the engine
+                table = self._cartesian(from_tables)
         where = None
         if p.eat_kw("where"):
             where = p.parse_expr()
@@ -1463,6 +1587,16 @@ def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
             return x
         args = [walk(a) for a in x.args]
         f = x.func
+        if f in ("plus", "minus", "multiply", "divide") and len(args) == 2:
+            # TIME in numeric arithmetic uses its MySQL numeric form
+            # HHMMSS.ffffff ('00:10:10.123456' + 0.001 = 1010.124456) —
+            # TiDB wraps the TIME operand in a cast; this front-end
+            # plays TiDB's role (reference: generated_columns2.test)
+            for i in (0, 1):
+                t = col_type(args[i])
+                if t is not None and t.kind is dt.TypeKind.DURATION:
+                    args[i] = Cast(args[i],
+                                   dt.Decimal(18, 6, nullable=True))
         if _is_temporal_fn(f):
             args[0] = fix_arg(args[0])
             if f in _TEMPORAL_ALL_ARGS and len(args) > 1:
