@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +95,11 @@ class DataType:
     # column read (reference: TiDB pushes the tz offset per request,
     # ``Flash/Coprocessor/DAGContext`` timezone fields).
     tz_aware: bool = False
+    # ENUM members in declaration order (kind == STRING only): the
+    # numeric value of an ENUM is its 1-based index here, NOT the
+    # string's numeric parse (reference: DataTypes/DataTypeEnum.h,
+    # sum_of_enum_pushdown.test).
+    enum_values: Optional[Tuple[str, ...]] = None
 
     # ---- physical representation ----
     @property
@@ -113,6 +118,11 @@ class DataType:
     @property
     def is_float(self) -> bool:
         return self.kind in _FLOAT_KINDS
+
+    @property
+    def is_unsigned(self) -> bool:
+        return self.kind in (TypeKind.UINT8, TypeKind.UINT32,
+                             TypeKind.UINT64)
 
     @property
     def is_decimal(self) -> bool:
@@ -210,6 +220,14 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
     """Result type of arithmetic between two numeric types (TiDB-flavored
     subset; reference: ``Functions/FunctionsArithmetic.h`` type deduction)."""
     nullable = a.nullable or b.nullable
+    if a.is_string or b.is_string:
+        # string operands in arithmetic are DOUBLE ('3' + 4 = 7.0;
+        # ENUM strings contribute their 1-based index)
+        return DataType(TypeKind.FLOAT64, nullable)
+    if a.is_float or b.is_float:
+        # the approximate type wins, even against decimal (MySQL:
+        # double x decimal is DOUBLE arithmetic — sqrt.test f * -1.0)
+        return DataType(TypeKind.FLOAT64, nullable)
     if a.is_decimal or b.is_decimal:
         # decimal arithmetic keeps max scale (add/sub); mul adds scales —
         # callers that need mul semantics adjust explicitly.
@@ -217,8 +235,6 @@ def common_numeric_type(a: DataType, b: DataType) -> DataType:
         cap = 38 if (a.is_wide_decimal or b.is_wide_decimal) else 18
         prec = min(cap, max(a.precision - a.scale, b.precision - b.scale) + scale + 1)
         return Decimal(prec, scale, nullable)
-    if a.is_float or b.is_float:
-        return DataType(TypeKind.FLOAT64, nullable)
     # integer widening: to int64, or uint64 when both sides are unsigned
     # (MySQL LEAST/GREATEST/arith over BIGINT UNSIGNED stay unsigned)
     unsigned = {TypeKind.UINT8, TypeKind.UINT32, TypeKind.UINT64}

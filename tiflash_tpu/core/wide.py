@@ -214,11 +214,16 @@ def wide_sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def wide_to_f64(w: jnp.ndarray) -> jnp.ndarray:
-    """Approximate float64 value (relative error ~2^-52) — estimation only."""
-    acc = w[..., 0].astype(jnp.float64)
+    """float64 value (relative error a few ulp).  Negatives are negated
+    to MAGNITUDE limbs before combining: the floor layout stores -1.1e20
+    as [-1, 999.., 999.., 0], and combining that directly cancels
+    catastrophically (-1e54 + ~1e54 leaves absolute error ~1e38)."""
+    neg = w[..., 0] < 0
+    mag = jnp.where(neg[..., None], wide_neg(w), w)
+    acc = mag[..., 0].astype(jnp.float64)
     for i in range(1, w.shape[-1]):
-        acc = acc * float(W18) + w[..., i].astype(jnp.float64)
-    return acc
+        acc = acc * float(W18) + mag[..., i].astype(jnp.float64)
+    return jnp.where(neg, -acc, acc)
 
 
 def _div_small_floor(w: jnp.ndarray, c) -> Tuple[jnp.ndarray, jnp.ndarray]:

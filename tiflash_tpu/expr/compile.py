@@ -343,8 +343,12 @@ class ExprEvaluator:
         from decimal import Decimal as _D
 
         if isinstance(value, _D):
+            import decimal as _dec
+
             s = max(0, -value.as_tuple().exponent)
-            m = int(value.scaleb(s))
+            # scaleb under an explicit wide context: the DEFAULT context
+            # is prec-28 and silently rounds >28-digit literal mantissas
+            m = int(value.scaleb(s, context=_dec.Context(prec=90)))
             if abs(m) < 2 ** 63:
                 return Column(jnp.full(self.n, m, dtype=jnp.int64), None,
                               Decimal(18, s), stats=(m, m))
@@ -370,6 +374,14 @@ class ExprEvaluator:
             days = (value - datetime.date(1970, 1, 1)).days
             return Column(jnp.full(self.n, days, dtype=jnp.int32), None,
                           DATE, stats=(days, days))
+        if isinstance(value, int) and not isinstance(value, bool):
+            lo, hi = -(2 ** 63), 2 ** 63 - 1
+            if dt.kind is TypeKind.UINT64:
+                lo, hi = 0, 2 ** 64 - 1
+            if not (lo <= value <= hi):
+                # beyond-64-bit integer literal (in_expression.test:
+                # IN (1, 18446744073709551616)): DECIMAL semantics
+                return self._literal_column(Literal(_D(value)), context)
         st = (int(value), int(value)) if isinstance(value, (int, bool)) else None
         return Column(jnp.full(self.n, value, dtype=dt.jnp_dtype), None, dt,
                       stats=st)
@@ -473,11 +485,14 @@ class ExprEvaluator:
             target = self.evaluate(call.args[0])
             if target.dtype.is_decimal:
                 d_expr = call.args[1]
-                assert isinstance(d_expr, Literal), \
-                    f"{name.upper()}(decimal, d) needs a literal digit count"
-                from .functions import round_decimal_frac
+                from .functions import (round_decimal_frac,
+                                        round_decimal_frac_dynamic)
 
-                return round_decimal_frac(target, int(d_expr.value), name)
+                if isinstance(d_expr, Literal):
+                    return round_decimal_frac(target, int(d_expr.value),
+                                              name)
+                return round_decimal_frac_dynamic(
+                    target, self.evaluate(d_expr), name)
             # non-decimal: generic path (d may even be a column)
         if name in ("date_add", "date_sub"):
             unit_expr = call.args[2]

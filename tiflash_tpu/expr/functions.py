@@ -142,10 +142,17 @@ def cast_column(col: Column, target: DataType) -> Column:
             data = jnp.clip(data, -lim, lim)
     elif target.is_float:
         if src.is_decimal:
-            data = data.astype(jnp.float64) / _pow10(src.scale)
+            if data.ndim == 2:  # multi-limb mantissa
+                from ..core.wide import wide_to_f64
+
+                data = wide_to_f64(data)
+            else:
+                data = data.astype(jnp.float64)
+            data = _barrier_div(data, _pow10(src.scale))
         elif src.kind in (TypeKind.DATE, TypeKind.DATETIME):
             whole, frac = _temporal_numeric_parts(col)
-            data = whole.astype(jnp.float64) + frac.astype(jnp.float64) / 1e6
+            data = whole.astype(jnp.float64) + _barrier_div(
+                frac.astype(jnp.float64), 1e6)
         else:
             data = data.astype(target.jnp_dtype)
     elif target.is_integer:
@@ -234,7 +241,9 @@ def _cast_wide(col: Column, target: DataType) -> Column:
         return Column(val, col.validity, target)
     # wide decimal source -> non-decimal target
     if target.is_float:
-        f = W.wide_to_f64(data) / float(10 ** src.scale)
+        # barrier: this XLA runtime folds /const into *reciprocal,
+        # breaking correctly-rounded results (see _barrier_div)
+        f = _barrier_div(W.wide_to_f64(data), float(10 ** src.scale))
         return Column(f.astype(target.jnp_dtype), col.validity, target)
     if target.is_integer:
         if src.scale > 9:
@@ -336,7 +345,8 @@ def _cast_duration(col: Column, target: DataType) -> Column:
             out = jnp.where(neg, -packed, packed)
             return Column(out.astype(target.jnp_dtype), col.validity, target)
         if target.is_float:
-            f = packed.astype(jnp.float64) + frac.astype(jnp.float64) / 1e6
+            f = packed.astype(jnp.float64) + _barrier_div(
+                frac.astype(jnp.float64), 1e6)
             out = jnp.where(neg, -f, f)
             return Column(out.astype(target.jnp_dtype), col.validity, target)
         if target.is_decimal:
@@ -481,8 +491,15 @@ def _cast_string_lut(col: Column, target: DataType) -> Column:
 
     num_rx = _re.compile(r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
     d = col.dictionary or ()
+    enum_vals = col.dtype.enum_values
 
     def parse_num(s: str) -> float:
+        if enum_vals is not None:
+            # ENUM numeric value = 1-based declaration index ('' = 0)
+            try:
+                return float(enum_vals.index(s) + 1)
+            except ValueError:
+                return 0.0
         m = num_rx.match(s)
         return float(m.group(0)) if m else 0.0
 
@@ -706,6 +723,17 @@ def _and_validity(cols: Sequence[Column]) -> Optional[jnp.ndarray]:
 # arithmetic
 # ---------------------------------------------------------------------------
 
+def _barrier_div(num: jnp.ndarray, c) -> jnp.ndarray:
+    """num / c with the divisor behind an optimization barrier.  This
+    XLA runtime rewrites division-by-a-compile-time-constant into
+    multiplication by the (inexactly rounded) reciprocal even with
+    fast-math flags off, which breaks correctly-rounded decimal->float
+    casts: 1100000 / 1e6 must be exactly double(1.1), not
+    1.0999999999999999 (mod_extra.test, sqrt.test)."""
+    den = jax.lax.optimization_barrier(jnp.float64(c))
+    return num / den
+
+
 def _float_fmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact C fmod for float64 (MySQL float MOD semantics: remainder
     with the dividend's sign).  XLA's float Rem lowers to
@@ -760,7 +788,11 @@ def _uint64_magnitude(c: Column) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _arith_infer(op: str):
     def infer(ts: Sequence[DataType]) -> DataType:
         a, b = ts
-        if op == "multiply" and (a.is_decimal or b.is_decimal):
+        if op == "multiply" and (a.is_decimal or b.is_decimal) \
+                and not (a.is_float or b.is_float
+                         or a.is_string or b.is_string):
+            # float x decimal is DOUBLE arithmetic (MySQL: approximate
+            # type wins — sqrt.test: sqrt(f * -1.0) must see -0.25)
             sa = a.scale if a.is_decimal else 0
             sb = b.scale if b.is_decimal else 0
             if a.is_wide_decimal or b.is_wide_decimal:
@@ -833,7 +865,13 @@ def _wide_align(a: Column, b: Column):
 def _arith_eval(op: str):
     def evaluate(cols: Sequence[Column], out: DataType) -> Column:
         a, b = cols
-        validity = _and_validity(cols)
+        # string operands: DOUBLE arithmetic (numeric-prefix parse;
+        # ENUM -> 1-based index via the cast LUT)
+        if a.dtype.is_string:
+            a = cast_column(a, DataType(TypeKind.FLOAT64, True))
+        if b.dtype.is_string:
+            b = cast_column(b, DataType(TypeKind.FLOAT64, True))
+        validity = _and_validity([a, b])
         wide_operand = (
             (a.dtype.is_wide_decimal or b.dtype.is_wide_decimal)
             and out.is_decimal
@@ -863,33 +901,47 @@ def _arith_eval(op: str):
             # documented deviation — shape-static programs cannot throw)
             validity = ~ovf if validity is None else (validity & ~ovf)
             return Column(data, validity, out)
-        if op == "divide" and a.dtype.is_wide_decimal:
-            # wide numerator (a merged sum state / its count, ratios of two
-            # sums e.g. Q8 mkt_share) — exact two-limb long division
-            # (core/wide.py); the divisor may itself be wide
+        _div_sa = a.dtype.scale if a.dtype.is_decimal else 0
+        _div_sb = b.dtype.scale if b.dtype.is_decimal else 0
+        if (op == "divide" and out.is_decimal
+                and (a.dtype.is_wide_decimal or b.dtype.is_wide_decimal
+                     or (a.dtype.precision or 18)
+                     + (out.scale - _div_sa + _div_sb) > 18)):
+            # exact long division (core/wide.py) whenever the scaled
+            # numerator can exceed int64 — wide operands (Q8 mkt_share
+            # ratios of sums) or narrow ones whose shift pushes past 18
+            # digits (decimal_divide.test).  Limb count follows the
+            # scaled numerator's digit count.
             from ..core import wide as W
 
-            w = a.data if a.data.ndim == 2 else W.widen_i64(
-                a.data.astype(jnp.int64))
-            sa = a.dtype.scale
-            sb = b.dtype.scale if b.dtype.is_decimal else 0
-            shift = out.scale - sa + sb
-            assert shift >= 0, (out.scale, sa, sb)
+            shift = out.scale - _div_sa + _div_sb
+            assert shift >= 0, (out.scale, _div_sa, _div_sb)
+            L = max(2, -(-((a.dtype.precision or 18) + shift) // 18),
+                    a.data.shape[-1] if a.data.ndim == 2 else 0,
+                    b.data.shape[-1] if b.data.ndim == 2 else 0)
+            w = _as_wide(a, L)
             while shift > 0:
                 w, _ = W.wide_mul_pow10(w, min(shift, 9))
                 shift -= 9
             if b.data.ndim == 2:
-                den_w = b.data
-                nonzero = (W.wide_hi(den_w) != 0) | (W.wide_lo(den_w) != 0)
+                den_w = (b.data if b.data.shape[-1] == L
+                         else W.resize_wide(b.data, L)[0])
+                nonzero = jnp.any(b.data != 0, axis=-1)
             else:
                 den = b.data.astype(jnp.int64)
                 nonzero = den != 0
-                den_w = W.widen_i64(den)
-            one = W.widen_i64(jnp.ones_like(W.wide_hi(den_w)))
+                den_w = W.widen_i64_to(den, L)
+            one = W.widen_i64_to(jnp.ones(den_w.shape[:-1],
+                                          dtype=jnp.int64), L)
             den_w = jnp.where(nonzero[..., None], den_w, one)
             data = W.wide_div_wide_round_half_up(w, den_w)
             validity = nonzero if validity is None else (validity & nonzero)
-            return Column(data, validity, out)
+            if out.decimal_limbs >= 2:
+                if data.shape[-1] != out.decimal_limbs:
+                    data, _ = W.resize_wide(data, out.decimal_limbs)
+                return Column(data, validity, out)
+            val, _fits = W.narrow_i64(_resize2(data))
+            return Column(val, validity, out)
         if out.is_decimal:
             if op in ("plus", "minus"):
                 da, db, s = _align_decimal_pair(a, b)
@@ -989,10 +1041,20 @@ for _op in ("plus", "minus", "multiply", "divide", "int_div", "modulo"):
 @register("negate")
 def _negate():
     def infer(ts):
+        if ts[0].is_unsigned:
+            # -BIGINT UNSIGNED is signed (TiDB types it DECIMAL(20,0);
+            # values <= 2^63 fit int64, which covers the engine's
+            # envelope — unary_minus.test: -(9223372036854775808) =
+            # INT64_MIN).  Reference: dbms/src/Functions/negate sigs.
+            return DataType(TypeKind.INT64, ts[0].nullable)
         return ts[0]
 
     def evaluate(cols, out):
         (a,) = cols
+        if a.dtype.is_unsigned:
+            u = a.data.astype(jnp.uint64)
+            return Column((jnp.uint64(0) - u).astype(jnp.int64),
+                          a.validity, out)
         return Column(-a.data, a.validity, out)
 
     return infer, evaluate
@@ -1557,9 +1619,11 @@ def _pow():
 
 
 _ROUND_FLOAT_FNS = {
-    "round": lambda x: jnp.where(
-        x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)
-    ),  # MySQL rounds half away from zero, not banker's
+    # APPROXIMATE types round half to even (TiFlash lowers float ROUND
+    # to the hardware's nearest-even rint; round.test: ROUND(-4.5
+    # DOUBLE) = -4).  Exact types (decimal paths) stay half away from
+    # zero per MySQL.  Reference: dbms/src/Functions/FunctionsRound.h.
+    "round": jnp.rint,
     "floor": jnp.floor,
     "ceil": jnp.ceil,
     "truncate": jnp.trunc,
@@ -1573,10 +1637,25 @@ def round_decimal_frac(col: Column, d: int, mode: str, out=None) -> Column:
     s = col.dtype.scale
     new_scale = max(min(int(d), s), 0)
     out = out or Decimal(col.dtype.precision, new_scale, col.dtype.nullable)
-    m = col.data.astype(jnp.int64)
     shift = s - new_scale if int(d) >= 0 else s - new_scale - int(d)
     if shift <= 0:
-        return Column(m, col.validity, out)
+        return Column(col.data, col.validity, out)
+    if shift > col.dtype.precision:
+        # rounding position beyond the value's capacity (|m| < 10^prec
+        # <= 10^shift / 2): exactly 0 — and 10^shift would overflow
+        # (round_with_frac.test: ROUND(a, -1000000))
+        return Column(jnp.zeros_like(col.data), col.validity, out)
+    if col.data.ndim == 2:  # multi-limb mantissa: wide divmod, not
+        # per-limb int64 division
+        from ..core import wide as W
+
+        data = _round_wide_to_integral(col.data, shift, mode, out)
+        back = -int(d) if int(d) < 0 else 0
+        while back > 0:
+            data, _ = W.wide_mul_pow10(data, min(back, 9))
+            back -= 9
+        return Column(data, col.validity, out)
+    m = col.data.astype(jnp.int64)
     q = _pow10(shift)
     if mode == "round":
         data = _div_round_half_up(m, q)
@@ -1591,6 +1670,75 @@ def round_decimal_frac(col: Column, d: int, mode: str, out=None) -> Column:
     return Column(data, col.validity, out)
 
 
+def round_decimal_frac_dynamic(col: Column, d_col: Column,
+                               mode: str) -> Column:
+    """ROUND/TRUNCATE/FLOOR/CEIL(decimal, d) with a PER-ROW digit count
+    (round_with_frac.test: ``round(<decimal literal>, i)``).  The result
+    keeps the input scale; rounding zeroes the mantissa below digit
+    position k = scale - d, half away from zero.  Supports int64 and
+    two-limb mantissas (precision <= 36).  Reference: tidbRoundWithFrac,
+    ``dbms/src/Functions/FunctionsRound.h``."""
+    s, prec = col.dtype.scale, col.dtype.precision
+    out = Decimal(prec, s, True)
+    validity = _and_validity([col, d_col])
+    d = jnp.clip(d_col.data.astype(jnp.int64), -80, 80)  # s - INT64_MIN
+    # would wrap; |d| beyond 80 behaves identically to +-80
+    k = jnp.clip(s - d, 0, prec + 2)
+    dead = k > prec  # 10^k / 2 > 10^prec > |m|: rounds to exactly 0
+
+    def carry_of(r2, q, neg, rnz):
+        # r2 = 2 * remainder-proxy, q = divisor-proxy (same units)
+        if mode == "round":
+            return r2 >= q
+        if mode == "truncate":
+            return jnp.zeros_like(neg)
+        if mode == "floor":
+            return neg & rnz
+        return (~neg) & rnz  # ceil
+
+    if col.data.ndim == 1:
+        m = col.data.astype(jnp.int64)
+        neg = m < 0
+        mag = jnp.abs(m)
+        q = jnp.power(jnp.int64(10), jnp.minimum(k, 18))
+        r = mag % q
+        c = carry_of(r * 2, q, neg, r > 0)
+        mag2 = mag - r + jnp.where(c, q, 0)
+        mag2 = jnp.where(dead, 0, mag2)
+        return Column(jnp.where(neg, -mag2, mag2), validity, out)
+    if col.data.shape[-1] != 2:
+        raise NotImplementedError(
+            "variable-digit ROUND above precision 36")
+    top, lo = col.data[..., 0], col.data[..., 1]
+    W18 = jnp.int64(10 ** 18)
+    neg = top < 0
+    mhi = jnp.where(neg, -top - (lo > 0), top)
+    mlo = jnp.where(neg & (lo > 0), W18 - lo, lo)
+    # k <= 18: round inside the low limb (10^18 is divisible by 10^k)
+    qa = jnp.power(jnp.int64(10), jnp.clip(k, 0, 18))
+    ra = mlo % qa
+    ca = carry_of(ra * 2, qa, neg, ra > 0)
+    lo_a = mlo - ra + jnp.where(ca, qa, 0)
+    hi_a = mhi + (lo_a >= W18)
+    lo_a = jnp.where(lo_a >= W18, 0, lo_a)
+    # 18 < k <= 36: round inside the high limb; remainder spans both
+    qb = jnp.power(jnp.int64(10), jnp.clip(k - 18, 1, 18))
+    rb = mhi % qb
+    rnz_b = (rb > 0) | (mlo > 0)
+    # 2*rem >= q*10^18  <=>  2*rb > qb - 1 (lo >= 0 settles equality up)
+    cb = carry_of(rb * 2, qb, neg, rnz_b)
+    hi_b = mhi - rb + jnp.where(cb, qb, 0)
+    in_a = k <= 18
+    hi2 = jnp.where(in_a, hi_a, hi_b)
+    lo2 = jnp.where(in_a, lo_a, 0)
+    hi2 = jnp.where(dead, 0, hi2)
+    lo2 = jnp.where(dead, 0, lo2)
+    # back to the signed-top / nonneg-low layout
+    top2 = jnp.where(neg, -hi2 - (lo2 > 0), hi2)
+    lo3 = jnp.where(neg & (lo2 > 0), W18 - lo2, lo2)
+    return Column(jnp.stack([top2, lo3], axis=-1), validity, out)
+
+
 def _register_round_family(name: str):
     def factory():
         def infer(ts):
@@ -1600,14 +1748,22 @@ def _register_round_family(name: str):
                 # scale depends on the literal d and is typed in the
                 # compile dispatcher (round_decimal_frac)
                 return Decimal(t.precision, 0, t.nullable)
-            if t.is_float:
+            if t.is_float or t.is_string:
+                # string input: MySQL casts to double (tidb_truncate.test
+                # TRUNCATE('-1.23', 0) = -1)
                 return DataType(TypeKind.FLOAT64, t.nullable)
+            if t.is_unsigned:
+                # BIGINT UNSIGNED keeps its 2^64 magnitude
+                # (round.test: ROUND(18446744073709551615) = itself)
+                return DataType(TypeKind.UINT64, t.nullable)
             return DataType(TypeKind.INT64, t.nullable)
 
         def evaluate(cols, out):
             a = cols[0]
+            if a.dtype.is_string:
+                a = cast_column(a, DataType(TypeKind.FLOAT64, True))
             d_col = cols[1] if len(cols) > 1 else None
-            validity = _and_validity(cols)
+            validity = _and_validity([a] + list(cols[1:]))
             if a.dtype.is_decimal:
                 if d_col is not None:
                     raise NotImplementedError(
@@ -1633,24 +1789,55 @@ def _register_round_family(name: str):
                 x = a.data.astype(jnp.float64)
                 if d_col is None:
                     return Column(fn(x), validity, out)
-                # ROUND(x, d): d may be a column (MySQL allows it)
-                f = jnp.power(10.0, d_col.data.astype(jnp.float64))
-                return Column(fn(x * f) / f, validity, out)
+                # ROUND(x, d): d may be a column (MySQL allows it).
+                # Clamp d so 10^d stays normal (|d| beyond 307 cannot
+                # move any f64 anyway), and where x*10^d overflows the
+                # rounding is a no-op (round_with_frac.test: d=1000000)
+                dd = jnp.clip(d_col.data.astype(jnp.float64), -307., 307.)
+                f = jax.lax.optimization_barrier(jnp.power(10.0, dd))
+                s = x * f
+                return Column(jnp.where(jnp.isfinite(s), fn(s) / f, x),
+                              validity, out)
             # integer argument: only negative d changes the value
+            if out.is_unsigned:
+                u = a.data.astype(jnp.uint64)
+                if d_col is None:
+                    return Column(u, validity, out)
+                nd = jnp.maximum(-d_col.data.astype(jnp.int64), 0)
+                q = jnp.power(jnp.int64(10), nd).astype(jnp.uint64)
+                if name == "round":
+                    data = (u + q // jnp.uint64(2)) // q * q
+                elif name in ("floor", "truncate"):
+                    data = u // q * q
+                else:  # ceil
+                    data = (u + q - jnp.uint64(1)) // q * q
+                return Column(data, validity, out)
             m = a.data.astype(jnp.int64)
             if d_col is None:
                 return Column(m, validity, out)
-            nd = jnp.maximum(-d_col.data.astype(jnp.int64), 0)
-            q = jnp.power(jnp.int64(10), nd)
+            # uint64 magnitudes: |INT64_MIN| wraps in signed abs
+            # (tidb_truncate.test: TRUNCATE(INT64_MIN, -10))
+            neg = m < 0
+            u = m.astype(jnp.uint64)
+            mag = jnp.where(neg, jnp.uint64(0) - u, u)
+            dd = jnp.clip(d_col.data.astype(jnp.int64), -100, 100)
+            # clamp BEFORE negating: -INT64_MIN wraps
+            nd = jnp.clip(-dd, 0, 19)
+            q = jnp.power(jnp.uint64(10), nd.astype(jnp.uint64))
+            dead = -dd > 19  # 10^20 > 2^64: rounds to 0
             if name == "round":
-                data = _div_round_half_up(m, q) * q
-            elif name == "floor":
-                data = jnp.floor_divide(m, q) * q
-            elif name == "ceil":
-                data = -jnp.floor_divide(-m, q) * q
-            else:
-                data = jnp.sign(m) * (jnp.abs(m) // q) * q
-            return Column(data, validity, out)
+                mag2 = (mag + q // jnp.uint64(2)) // q * q
+            elif name == "truncate":
+                mag2 = mag // q * q
+            elif name == "floor":  # toward -inf: ceil the magnitude when neg
+                mag2 = jnp.where(neg, (mag + q - jnp.uint64(1)) // q * q,
+                                 mag // q * q)
+            else:  # ceil: toward +inf
+                mag2 = jnp.where(neg, mag // q * q,
+                                 (mag + q - jnp.uint64(1)) // q * q)
+            mag2 = jnp.where(dead, jnp.uint64(0), mag2)
+            data = jnp.where(neg, jnp.uint64(0) - mag2, mag2)
+            return Column(data.astype(out.jnp_dtype), validity, out)
 
         return infer, evaluate
 
@@ -2526,15 +2713,26 @@ _register_part_name("dayname", "dayofweek", [
 @register("in")
 def _in():
     def infer(ts):
-        return DataType(TypeKind.BOOL, ts[0].nullable)
+        return DataType(TypeKind.BOOL,
+                        any(t.nullable for t in ts))
 
     def evaluate(cols, out):
+        # MySQL three-valued IN: TRUE on a match; otherwise NULL if the
+        # probe or ANY list element is NULL, else FALSE
+        # (in_expression.test: x IN (NULL, 0, 0) is NULL when x <> 0)
         a = cols[0]
         acc = None
+        some_null = jnp.zeros((), dtype=jnp.bool_)
         for c in cols[1:]:
             eq = get_function("equals").evaluate([a, c], BOOL)
-            acc = eq.data if acc is None else (acc | eq.data)
-        return Column(acc, a.validity, out)
+            hit = eq.data if c.validity is None else (eq.data & c.validity)
+            acc = hit if acc is None else (acc | hit)
+            if c.validity is not None:
+                some_null = some_null | ~c.validity
+        validity = acc | ~some_null
+        if a.validity is not None:
+            validity = validity & a.validity
+        return Column(acc, validity, out)
 
     return infer, evaluate
 

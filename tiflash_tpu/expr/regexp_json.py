@@ -326,6 +326,10 @@ def is_ipv4(s: str) -> bool:
 def is_ipv6(s: str) -> bool:
     import ipaddress
 
+    if "%" in s:
+        # python accepts zone indices ('fe80::1%24'); MySQL does not
+        # (is_ip_addr.test)
+        return False
     try:
         ipaddress.IPv6Address(s)
         return True
@@ -423,13 +427,155 @@ def mysql_format_to_strftime(fmt: str) -> str:
     return "".join(out)
 
 
+_MONTH_NAMES = ["january", "february", "march", "april", "may", "june",
+                "july", "august", "september", "october", "november",
+                "december"]
+
+
+def _mysql_strptime_parts(s: str, fmt: str):
+    """MySQL-lax STR_TO_DATE scanner (reference MyTimeParser /
+    str_to_date.test): whitespace runs in the INPUT are skipped before
+    every token, a whitespace run in the FORMAT matches any (even zero)
+    input whitespace, %f accepts 0-6 digits (empty -> 0), numeric specs
+    take 1-2 digits (4 for %Y, 3 for %j).  Returns a parts dict or
+    None."""
+    si, n = 0, len(s)
+    vals: dict = {}
+
+    def skip_ws():
+        nonlocal si
+        while si < n and s[si].isspace():
+            si += 1
+
+    def digits(maxd, mind=1):
+        nonlocal si
+        j = si
+        while j < n and j - si < maxd and s[j].isdigit():
+            j += 1
+        if j - si < mind:
+            return None
+        v = int(s[si:j])
+        si = j
+        return v
+
+    fi = 0
+    while fi < len(fmt):
+        ch = fmt[fi]
+        if ch == "%" and fi + 1 < len(fmt):
+            spec = fmt[fi + 1]
+            fi += 2
+            skip_ws()
+            if spec == "%":
+                if si < n and s[si] == "%":
+                    si += 1
+                    continue
+                return None
+            if spec == "f":
+                j = si
+                while j < n and s[j].isdigit():
+                    j += 1
+                frac = s[si:j]
+                si = j
+                vals["f"] = int((frac + "000000")[:6]) if frac else 0
+                continue
+            if spec in ("b", "M", "a", "W"):
+                j = si
+                while j < n and s[j].isalpha():
+                    j += 1
+                name = s[si:j].lower()
+                si = j
+                if spec in ("a", "W"):
+                    continue  # weekday names carry no value
+                for mi, full in enumerate(_MONTH_NAMES):
+                    if name == full or (len(name) >= 3
+                                        and full.startswith(name)):
+                        vals["m"] = mi + 1
+                        break
+                else:
+                    return None
+                continue
+            if spec == "p":
+                word = s[si:si + 2].upper()
+                if word not in ("AM", "PM"):
+                    return None
+                si += 2
+                vals["p"] = word
+                continue
+            if spec == "T":
+                for sub, sep in (("H", ":"), ("i", ":"), ("s", "")):
+                    v = digits(2)
+                    if v is None:
+                        return None
+                    vals[sub] = v
+                    if sep:
+                        if si < n and s[si] == sep:
+                            si += 1
+                        else:
+                            return None
+                continue
+            if spec == "r":
+                for sub, sep in (("I", ":"), ("i", ":"), ("s", "")):
+                    v = digits(2)
+                    if v is None:
+                        return None
+                    vals[sub] = v
+                    if sep:
+                        if si < n and s[si] == sep:
+                            si += 1
+                        else:
+                            return None
+                skip_ws()
+                word = s[si:si + 2].upper()
+                if word in ("AM", "PM"):
+                    si += 2
+                    vals["p"] = word
+                continue
+            width = {"Y": 4, "j": 3}.get(spec, 2)
+            v = digits(width)
+            if v is None:
+                return None
+            if spec == "y":
+                vals["Y"] = 2000 + v if v < 70 else 1900 + v
+            elif spec in ("e", "d"):
+                vals["d"] = v
+            elif spec == "c":
+                vals["m"] = v
+            elif spec in ("h", "I", "l"):
+                vals["I"] = v
+            elif spec == "k":
+                vals["H"] = v
+            elif spec == "S":
+                vals["s"] = v
+            else:
+                vals[spec] = v
+        elif ch.isspace():
+            fi += 1
+            skip_ws()
+        else:
+            skip_ws()
+            if si < n and s[si] == ch:
+                si += 1
+                fi += 1
+            else:
+                return None
+    if "I" in vals:  # 12-hour clock
+        h = vals.pop("I") % 12
+        if vals.get("p") == "PM":
+            h += 12
+        vals["H"] = h
+    return vals
+
+
 def str_to_date(s: str, fmt: str):
     """MySQL STR_TO_DATE -> datetime.date, or None on parse failure.
     Date-part specifiers only (the engine's DATE representation)."""
     import datetime as _dt
 
+    vals = _mysql_strptime_parts(s, fmt)
+    if vals is None:
+        return None
     try:
-        return _dt.datetime.strptime(s, mysql_format_to_strftime(fmt)).date()
+        return _dt.date(vals["Y"], vals["m"], vals["d"])
     except Exception:
         return None
 
@@ -588,7 +734,12 @@ def str_to_datetime(s: str, fmt: str):
     (reference strToDateDatetime sig)."""
     import datetime as _dt
 
+    vals = _mysql_strptime_parts(s, fmt)
+    if vals is None:
+        return None
     try:
-        return _dt.datetime.strptime(s, mysql_format_to_strftime(fmt))
+        return _dt.datetime(vals["Y"], vals["m"], vals["d"],
+                            vals.get("H", 0), vals.get("i", 0),
+                            vals.get("s", 0), vals.get("f", 0))
     except Exception:
         return None

@@ -100,6 +100,12 @@ def agg_result_dtype(func: str, arg: Optional[DataType]) -> DataType:
             return Decimal(min(arg.precision + 22, 65), arg.scale, nullable=True)
         if arg.is_float:
             return FLOAT64.with_nullable(True)
+        if arg.is_unsigned:
+            # BIGINT UNSIGNED keeps its 2^64 magnitude (accumulation is
+            # the same int64 bit pattern; only the TYPE must say so).
+            # MySQL types this DECIMAL; overflow past 2^64 is outside
+            # the engine's envelope (reference: round.test uint64 sums)
+            return UINT64.with_nullable(True)
         return INT64.with_nullable(True)
     if func == "avg":
         if arg.is_float:

@@ -29,7 +29,10 @@ from ..expr.nodes import Call, ColumnRef, Expr, Literal
 
 PyTable = Dict[str, List[Any]]
 
-_CTX = decimal.Context(prec=65, rounding=decimal.ROUND_HALF_UP)
+_CTX = decimal.Context(prec=90, rounding=decimal.ROUND_HALF_UP)
+# 90 > 65 + 20: a decimal(65, s) mantissa shifted by any scale stays
+# exact (python's DEFAULT context is prec-28 and silently rounds 65-digit
+# mantissas — never use bare decimal arithmetic on wide values)
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +197,15 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
                 return eval_expr_row(pairs[i + 1], row)
         return eval_expr_row(args[-1], row) if len(args) % 2 == 1 else None
     if f == "in":
+        # MySQL three-valued IN: TRUE on match, NULL when unmatched and
+        # the probe or any list element is NULL, else FALSE
         v = eval_expr_row(args[0], row)
         if v is None:
             return None
-        return any(eval_expr_row(a, row) == v for a in args[1:])
+        vs = [eval_expr_row(a, row) for a in args[1:]]
+        if any(x == v for x in vs if x is not None):
+            return True
+        return None if any(x is None for x in vs) else False
     if f in ("like", "ilike"):
         v = eval_expr_row(args[0], row)
         if v is None:
@@ -446,6 +454,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         def red(x, mode):
             half = D("0.5") if isinstance(x, D) else 0.5
             if mode == "round":
+                if isinstance(x, float):
+                    return round(x)  # approximate types: half to even
                 return math.floor(x + half) if x >= 0 else math.ceil(x - half)
             if mode == "floor":
                 return math.floor(x)
@@ -456,17 +466,32 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         if isinstance(a, D):
             s = -a.as_tuple().exponent if a.as_tuple().exponent < 0 else 0
             ns = max(min(d, s), 0)
-            scaled = red(a.scaleb(min(d, s)), f)
-            v = D(scaled).scaleb(-min(d, s))
-            return v.quantize(D(1).scaleb(-ns))
+            scaled = red(a.scaleb(min(d, s), context=_CTX), f)
+            v = D(scaled).scaleb(-min(d, s), context=_CTX)
+            return v.quantize(D(1).scaleb(-ns, context=_CTX),
+                              context=_CTX)
         if isinstance(a, float):
-            fct = 10.0 ** d
-            return red(a * fct, f) / fct
+            fct = 10.0 ** max(min(d, 307), -307)  # |d|>307 can't move f64
+            s = a * fct
+            if not math.isfinite(s):
+                return a  # rounding position beyond the value: no-op
+            return red(s, f) / fct
         u = int(a)
         if d >= 0:
             return u
         q = 10 ** (-d)
-        return red(u / q, f) * q
+        # exact integer arithmetic: u/q as float would take the
+        # approximate-type half-to-even rule, but integers are EXACT
+        # (ROUND(125, -1) = 130, half away from zero)
+        if f == "round":
+            r = (abs(u) + q // 2) // q * q
+            return -r if u < 0 else r
+        if f == "truncate":
+            r = abs(u) // q * q
+            return -r if u < 0 else r
+        if f == "floor":
+            return (u // q) * q
+        return -((-u) // q) * q  # ceil
     if f in ("round", "floor", "ceil", "truncate"):
         if isinstance(a, D):
             if f == "round":
@@ -478,7 +503,7 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return int(a.to_integral_value(rounding=decimal.ROUND_DOWN))
         if isinstance(a, float):
             if f == "round":
-                return math.floor(a + 0.5) if a >= 0 else math.ceil(a - 0.5)
+                return round(a)  # approximate types: half to even
             return {"floor": math.floor, "ceil": math.ceil,
                     "truncate": math.trunc}[f](a)
         return int(a)
@@ -1752,7 +1777,8 @@ def pytable_to_block(table: PyTable, schema: Dict[str, DataType]) -> Block:
                 if v is None:
                     conv.append(0)
                 elif dt.is_decimal:
-                    conv.append(int(D(v).scaleb(dt.scale).to_integral_value()))
+                    conv.append(int(D(v).scaleb(dt.scale, context=_CTX)
+                                    .to_integral_value()))
                 elif dt.kind is TypeKind.DATETIME:
                     conv.append(round(
                         (v - datetime.datetime(1970, 1, 1)).total_seconds()
