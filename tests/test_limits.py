@@ -86,3 +86,30 @@ def test_max_subquery_depth(blk):
     out, _ = run_query(plan, {"T": blk},
                        settings=Settings(max_subquery_depth=16))
     assert out is not None
+
+
+def test_max_ast_depth(blk):
+    """Settings.h max_ast_depth: pre-flight expression-depth guard."""
+    deep = col("v")
+    for _ in range(20):
+        deep = deep + 1
+    plan = P.Projection({"x": deep}, P.TableScan("T"))
+    _expect_limit(plan, blk, Settings(max_ast_depth=5))
+    out, _ = run_query(plan, {"T": blk},
+                       settings=Settings(max_ast_depth=64))
+    assert out is not None
+
+
+def test_max_spilled_rows_per_file(blk, tmp_path):
+    """Settings.h max_spilled_rows_per_file caps out-of-core chunk rows
+    on top of the byte budget (result parity with in-memory)."""
+    plan = AGG()
+    want, _ = run_query(plan, {"T": blk})
+    got, summary = run_query(
+        plan, {"T": blk},
+        settings=Settings(max_bytes_before_external_group_by=1,
+                          max_spilled_rows_per_file=100,
+                          spill_dir=str(tmp_path)))
+    assert "out-of-core" in summary.plan_text
+    assert O.sort_pytable(O.block_to_pytable(got)) == \
+        O.sort_pytable(O.block_to_pytable(want))

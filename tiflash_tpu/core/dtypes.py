@@ -100,6 +100,10 @@ class DataType:
     # string's numeric parse (reference: DataTypes/DataTypeEnum.h,
     # sum_of_enum_pushdown.test).
     enum_values: Optional[Tuple[str, ...]] = None
+    # MySQL YEAR columns (stored as a small int) compare against
+    # DATE/DATETIME in the DATE domain, as year-01-01
+    # (compare_year_with_date.test)
+    mysql_year: bool = False
 
     # ---- physical representation ----
     @property
@@ -197,6 +201,139 @@ STRING = DataType(TypeKind.STRING)
 # MySQL TIME range: ±838:59:59.000000 (reference DataTypeMyDuration;
 # ``Functions/FunctionsDuration.h`` clamps to this on overflow).
 DURATION_MAX_US = 3_020_399_000_000
+
+# TiDB zero dates ('0000-00-00', reference Common/MyTime.cpp zero-date
+# handling): the engine stores them as a DISTINCT sentinel day number far
+# below 0001-01-01 (-719162).  A zero DATETIME keeps its time-of-day:
+# it lives in [ZERO_DT_BASE_US, ZERO_DT_BASE_US + 1 day).
+ZERO_DATE_DAYS = -3_650_000
+ZERO_DT_BASE_US = ZERO_DATE_DAYS * 86_400_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C++ integer division (truncates toward zero) — Hinnant's civil
+    algorithms assume it; python's floor division is off by one for the
+    negative non-multiples (year 0 dates)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def civil_to_days(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian (y, m, d) -> days since 1970-01-01 for ANY
+    year (python datetime only covers 1..9999; the corpus needs year 0
+    '0000-12-01' and FROM_DAYS results past 9999)."""
+    y -= m <= 2
+    era = _trunc_div(y if y >= 0 else y - 399, 400)
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def days_to_civil(days: int):
+    """Inverse of civil_to_days."""
+    z = days + 719468
+    era = _trunc_div(z if z >= 0 else z - 146096, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (m <= 2), m, d
+
+
+class CivilDate:
+    """A DATE outside python's year 1..9999 (year 0 or 10000+),
+    represented by its civil fields."""
+
+    def __init__(self, y: int, m: int, d: int):
+        self.y, self.m, self.d = y, m, d
+
+    @property
+    def epoch_days(self) -> int:
+        return civil_to_days(self.y, self.m, self.d)
+
+    def __repr__(self):
+        return f"{self.y:04d}-{self.m:02d}-{self.d:02d}"
+
+    __str__ = __repr__
+
+    def __eq__(self, other):
+        return (isinstance(other, CivilDate)
+                and (other.y, other.m, other.d) == (self.y, self.m, self.d))
+
+    def __hash__(self):
+        return hash(("civil", self.y, self.m, self.d))
+
+
+class CivilDateTime(CivilDate):
+    """A DATETIME outside python's year range."""
+
+    def __init__(self, y, m, d, hh=0, mi=0, ss=0, us=0):
+        super().__init__(y, m, d)
+        self.hh, self.mi, self.ss, self.us = hh, mi, ss, us
+
+    @property
+    def epoch_us(self) -> int:
+        tod = ((self.hh * 3600 + self.mi * 60 + self.ss) * 1_000_000
+               + self.us)
+        return self.epoch_days * 86_400_000_000 + tod
+
+    def __repr__(self):
+        base = (f"{self.y:04d}-{self.m:02d}-{self.d:02d} "
+                f"{self.hh:02d}:{self.mi:02d}:{self.ss:02d}")
+        return base + (f".{self.us:06d}" if self.us else "")
+
+    __str__ = __repr__
+
+    def __eq__(self, other):
+        return (isinstance(other, CivilDateTime)
+                and str(other) == str(self))
+
+    def __hash__(self):
+        return hash(("civildt", str(self)))
+
+
+class ZeroDate:
+    """Host-side value for '0000-00-00' (a real storable MySQL value,
+    distinct from NULL)."""
+
+    def __repr__(self):
+        return "0000-00-00"
+
+    __str__ = __repr__
+
+    def __eq__(self, other):
+        return isinstance(other, ZeroDate)
+
+    def __hash__(self):
+        return hash("0000-00-00")
+
+
+class ZeroDateTime:
+    """Host-side value for '0000-00-00 HH:MM:SS[.ffffff]' — a zero DATE
+    with a preserved time-of-day (date_add.test INTERVAL -2020 year)."""
+
+    def __init__(self, tod_us: int = 0):
+        self.tod_us = int(tod_us)
+
+    def __repr__(self):
+        t = self.tod_us
+        h, t = divmod(t, 3_600_000_000)
+        m, t = divmod(t, 60_000_000)
+        s, us = divmod(t, 1_000_000)
+        base = f"0000-00-00 {h:02d}:{m:02d}:{s:02d}"
+        return base + (f".{us:06d}" if us else "")
+
+    __str__ = __repr__
+
+    def __eq__(self, other):
+        return isinstance(other, ZeroDateTime) and other.tod_us == self.tod_us
+
+    def __hash__(self):
+        return hash(("0000-00-00", self.tod_us))
 
 
 def Vector(dims: int, nullable: bool = False) -> DataType:

@@ -435,10 +435,25 @@ def wide_to_host_ints(arr, validity=None) -> List:
 def resize_wide(w: jnp.ndarray, limbs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Re-limb a wide value to ``limbs`` limbs; (result, overflow flag
     when shrinking loses magnitude).  Canonicalization rides the renorm
-    carry chain, so negative values re-limb correctly."""
+    carry chain, so negative values re-limb correctly.  Shrinking keeps
+    the low limbs and folds the sign fill (upper limbs all 0, or -1
+    followed by 10^18-1 fills) into the new top limb; anything else
+    overflows (e.g. a 4-limb division result narrowing to a
+    Decimal(38,_) type)."""
     if w.shape[-1] == limbs:
         return w, jnp.zeros(w.shape[:-1], dtype=jnp.bool_)
-    return renorm_digits(digits_of_wide(w), limbs=limbs)
+    if w.shape[-1] < limbs:
+        return renorm_digits(digits_of_wide(w), limbs=limbs)
+    canon, ov = renorm_digits(digits_of_wide(w), limbs=w.shape[-1])
+    cut = w.shape[-1] - limbs
+    upper, low = canon[..., :cut], canon[..., cut:]
+    pos_fit = jnp.all(upper == 0, axis=-1)
+    neg_fit = upper[..., 0] == -1
+    for j in range(1, cut):
+        neg_fit = neg_fit & (upper[..., j] == W18 - 1)
+    new_top = jnp.where(neg_fit, low[..., 0] - W18, low[..., 0])
+    out = low.at[..., 0].set(new_top)
+    return out, ov | ~(pos_fit | neg_fit)
 
 
 def widen_i64_to(x: jnp.ndarray, limbs: int) -> jnp.ndarray:

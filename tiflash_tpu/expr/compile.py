@@ -36,7 +36,7 @@ from ..core.dtypes import (
     TypeKind,
 )
 from .functions import get_function, cast_column
-from .nodes import Call, ColumnRef, Expr, Literal
+from .nodes import Call, Cast, ColumnRef, Expr, Literal
 
 _ORDER_CMPS = {"less", "less_or_equals", "greater", "greater_or_equals"}
 _EQ_CMPS = {"equals", "not_equals"}
@@ -365,6 +365,12 @@ class ExprEvaluator:
                 [jnp.full(self.n, x, dtype=jnp.int64)
                  for x in reversed(limbs)], axis=-1)
             return Column(data, None, t)
+        from ..core.dtypes import ZERO_DT_BASE_US, ZeroDateTime
+
+        if isinstance(value, ZeroDateTime):
+            us = ZERO_DT_BASE_US + value.tod_us
+            return Column(jnp.full(self.n, us, dtype=jnp.int64), None,
+                          DataType(TypeKind.DATETIME), stats=(us, us))
         if isinstance(value, datetime.datetime):
             us = round((value - datetime.datetime(1970, 1, 1))
                        .total_seconds() * 1e6)
@@ -505,12 +511,46 @@ class ExprEvaluator:
         if name == "extract":
             unit_expr = call.args[0]
             assert isinstance(unit_expr, Literal), "EXTRACT unit must be a literal"
-            parts = _EXTRACT_PARTS.get(str(unit_expr.value).upper())
+            unit = str(unit_expr.value).upper()
+            parts = _EXTRACT_PARTS.get(unit)
             if parts is None:
-                raise ValueError(f"unsupported EXTRACT unit {unit_expr.value!r}")
+                raise ValueError(f"unsupported EXTRACT unit {unit!r}")
+            val = self.evaluate(call.args[1])
+            arg_expr = call.args[1]
+            if val.dtype.is_string:
+                # MySQL implicitly parses the string operand
+                # (extract_datetime_from_string.test)
+                arg_expr = Cast(call.args[1],
+                                DataType(TypeKind.DATETIME, True))
+            if val.dtype.kind is TypeKind.DURATION:
+                # EXTRACT over TIME is SIGNED (unlike HOUR():
+                # EXTRACT(HOUR FROM '-838:34:56') = -838 —
+                # extract_duration.test); compose on the magnitude,
+                # reapply the sign
+                us = val.data.astype(jnp.int64)
+                neg = us < 0
+                mag = jnp.abs(us)
+                pv = {
+                    "hour": mag // 3_600_000_000,
+                    "minute": (mag // 60_000_000) % 60,
+                    "second": (mag // 1_000_000) % 60,
+                    "microsecond": mag % 1_000_000,
+                    "day_of_month": jnp.zeros_like(mag),
+                }
+                acc_v = None
+                for part_fn, weight in parts:
+                    if part_fn not in pv:
+                        raise ValueError(
+                            f"EXTRACT {unit} over TIME unsupported")
+                    term_v = pv[part_fn] * weight
+                    acc_v = term_v if acc_v is None else acc_v + term_v
+                data = jnp.where(neg, -acc_v, acc_v)
+                return Column(data, val.validity,
+                              DataType(TypeKind.INT64,
+                                       val.dtype.nullable))
             acc = None
             for part_fn, weight in parts:
-                term = Call(part_fn, (call.args[1],))
+                term = Call(part_fn, (arg_expr,))
                 if weight != 1:
                     term = Call("multiply", (term, Literal(weight)))
                 acc = term if acc is None else Call("plus", (acc, term))
@@ -1005,17 +1045,37 @@ class ExprEvaluator:
             return None
         if target.stats is None and not target.dtype.is_integer:
             return None  # float/decimal conversions below need range stats
+        fn_override = None
         if target.dtype.is_decimal:
             from .functions import _div_round_half_up, _pow10
             from ..core.dtypes import INT64 as _I64
 
-            q = 10 ** target.dtype.scale
-            data = _div_round_half_up(target.data.astype(jnp.int64),
-                                      _pow10(target.dtype.scale))
-            st = (int(target.stats[0]) // q - 1, int(target.stats[1]) // q + 1)
-            target = Column(data, target.validity,
-                            _I64.with_nullable(target.dtype.nullable),
-                            stats=st)
+            if call.func == "format":
+                # FORMAT keeps the fraction (999.9999 with d=10 is
+                # '999.9999000000', NOT '1,000.0000000000'): LUT over
+                # the exact MANTISSA domain — format.test
+                import decimal as _dec
+
+                sc = target.dtype.scale
+                base = _INT_STRING_FNS["format"]
+                ctx90 = _dec.Context(prec=90)
+
+                def fn_override(v, *p, _b=base, _s=sc, _c=ctx90):
+                    return _b(_dec.Decimal(int(v)).scaleb(-_s, _c), *p)
+
+                target = Column(target.data.astype(jnp.int64),
+                                target.validity,
+                                _I64.with_nullable(target.dtype.nullable),
+                                stats=target.stats, domain=target.domain)
+            else:
+                q = 10 ** target.dtype.scale
+                data = _div_round_half_up(target.data.astype(jnp.int64),
+                                          _pow10(target.dtype.scale))
+                st = (int(target.stats[0]) // q - 1,
+                      int(target.stats[1]) // q + 1)
+                target = Column(data, target.validity,
+                                _I64.with_nullable(target.dtype.nullable),
+                                stats=st)
         if target.dtype.is_float:
             # MySQL rounds the numeric argument (HEX(255.5) = '100')
             x = target.data.astype(jnp.float64)
@@ -1026,7 +1086,7 @@ class ExprEvaluator:
             target = Column(data, target.validity,
                             _I64.with_nullable(target.dtype.nullable),
                             stats=target.stats)
-        fn = _INT_STRING_FNS[call.func]
+        fn = fn_override or _INT_STRING_FNS[call.func]
         params = [a.value for a in rest]
         span_ok = (target.stats is not None
                    and int(target.stats[1]) - int(target.stats[0]) <= 65536)
@@ -1378,6 +1438,18 @@ _STRING_TRANSFORMS.update({
     "inet6_ntoa": _rj.inet6_ntoa,
 })
 
+from .functions import dayname_of_string, monthname_of_string  # noqa: E402
+
+_STRING_TRANSFORMS.update({
+    # weekday/month names straight from TEXT: partial-zero and year-0
+    # dates are storable values no DATE cast can carry
+    # (datename_monthname.test)
+    "dayname": dayname_of_string,
+    "day_name": dayname_of_string,
+    "monthname": monthname_of_string,
+    "month_name": monthname_of_string,
+})
+
 # functions that return 0/false (never NULL) for NULL input — MySQL
 # IS_IPV4/IS_IPV6 family semantics
 _NEVER_NULL_FNS = {"is_ipv4", "is_ipv6", "is_ipv4_compat", "is_ipv4_mapped"}
@@ -1445,8 +1517,18 @@ def _mysql_int_coerce(v) -> int:
     return int(v)
 
 
-def _mysql_format_number(v: int, d: int = 0) -> str:
-    return f"{v:,.{max(int(d), 0)}f}"
+def _mysql_format_number(v, d: int = 0) -> str:
+    import decimal as _dec
+
+    d = max(int(d), 0)
+    if isinstance(v, _dec.Decimal):
+        # exact: quantize half-up at d digits (FORMAT(999.9999, 10)
+        # must keep the fraction, not collapse through float)
+        q = v.quantize(_dec.Decimal(1).scaleb(-d),
+                       rounding=_dec.ROUND_HALF_UP,
+                       context=_dec.Context(prec=90))
+        return f"{q:,.{d}f}"
+    return f"{v:,.{d}f}"
 
 
 def _mysql_make_set(bits: int, *strs) -> str:

@@ -479,6 +479,308 @@ def parse_mysql_time(s: str):
     return max(-DURATION_MAX_US, min(DURATION_MAX_US, us))
 
 
+_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def mysql_str_to_datetime(s: str, fields_only: bool = False):
+    """String -> datetime.datetime under TiDB/TiFlash rules — a faithful
+    port of the reference's ``parseMyDateTimeAndJudgeIsDate``
+    (dbms/src/Common/MyTime.cpp:804, string path): punctuation runs
+    separate fields; space/'T' separate date from time only after 3 date
+    fields; compact digit strings take per-length layouts (14/8 = 4-digit
+    year, 12/11/10/9/7/6/5 = 2-digit year); for 5/6/8-digit compact
+    forms the '.xxx' tail is a compact TIME (HH[MM[SS]]), for 9/10 it is
+    the SECONDS, and only full hh:mm:ss forms keep it as a rounded
+    6-digit fraction; 2-digit years map <70 -> 20xx; trailing
+    +HH[:MM]/Z is a time-zone shift.  Returns None where the reference
+    returns NULL."""
+    import datetime as _dt
+
+    s = s.strip()
+    if not s:
+        return None
+
+    # ---- getTimeZone (MyTime.cpp:185) ----
+    l = len(s)
+    zidx = sidx = spidx = -1
+    for i in range(l - 1, -1, -1):
+        c = s[i]
+        if c == "Z":
+            zidx = i
+            break
+        if sidx == -1 and c in "+-":
+            sidx = i
+        if spidx == -1 and c == ":":
+            spidx = i
+    k = 0
+    if l - zidx == 1:
+        k += 100
+    if l - sidx in (3, 5, 6):
+        k += (l - sidx) * 10
+    if l - spidx == 3:
+        k += 3
+    combos = {100: (0, 0), 30: (2, 0), 50: (4, 2), 63: (5, 2)}
+    tz_idx, tz_sign, tz_hour, tz_sep, tz_minute = -1, "", "", "", ""
+    if k in combos:
+        h, m = combos[k]
+        ok = True
+        if sidx != -1:
+            tz_sign = s[sidx]
+            tz_idx = sidx
+        if zidx != -1:
+            tz_idx = zidx
+        if l - spidx == 3:
+            tz_sep = s[spidx]
+        if h:
+            tz_hour = s[l - h:l - h + 2]
+            ok = ok and tz_hour.isdigit()
+        if m:
+            tz_minute = s[l - m:l - m + 2]
+            ok = ok and tz_minute.isdigit()
+        if not ok:
+            tz_idx = -1
+
+    has_tz = False
+    body = s
+    if tz_idx > 0:
+        has_tz = True
+        e = tz_idx
+        while e > 0 and body[e - 1] in _PUNCT:
+            e -= 1
+        body = body[:e]
+
+    # ---- getFracIndex + frac extraction (MyTime.cpp:254,292) ----
+    frac_idx = -1
+    for i in range(len(body) - 1, -1, -1):
+        c = body[i]
+        if c not in "+-" and c in _PUNCT:
+            if c == ".":
+                frac_idx = i
+            break
+    frac_str = ""
+    if frac_idx > 0:
+        fe = frac_idx + 1
+        while fe < len(body) and body[fe].isdigit():
+            fe += 1
+        if fe != len(body):
+            return None  # truncated garbage after the fraction
+        frac_str = body[frac_idx + 1:fe]
+        fi = frac_idx
+        while fi > 0 and body[fi - 1] in _PUNCT:
+            fi -= 1
+        body = body[:fi]
+
+    # ---- parseDateFormat (MyTime.cpp:93) ----
+    body = body.strip()
+    if not body or not body[0].isdigit():
+        return None
+
+    def is_sep(c, prev_parts):
+        if c in _PUNCT:
+            return True
+        if prev_parts == 2 and (c == "T" or c.isspace()):
+            return True
+        return prev_parts > 4 and not c.isdigit()
+
+    seps = []
+    start = 0
+    i = 1
+    while i < len(body) - 1:
+        if is_sep(body[i], len(seps)):
+            prev = len(seps)
+            seps.append(body[start:i])
+            start = i + 1
+            j = i + 1
+            while j < len(body) and is_sep(body[j], prev):
+                start += 1
+                i += 1
+                j += 1
+            i += 1
+            continue
+        if not body[i].isdigit():
+            return None
+        i += 1
+    seps.append(body[start:])
+
+    # ---- frac absorption (no_absorb, MyTime.cpp:819) ----
+    no_absorb = len(seps) > 5 or (len(seps) == 1 and len(seps[0]) > 4)
+    if frac_str and not no_absorb:
+        seps.append(frac_str)
+        frac_str = ""
+    if has_tz and tz_sign:
+        if not no_absorb and (not tz_minute or tz_sep):
+            if tz_hour:
+                seps.append(tz_hour)
+            if tz_minute:
+                seps.append(tz_minute)
+            has_tz = False
+
+    def adjust_year(y):
+        if 0 <= y <= 69:
+            return 2000 + y
+        if 70 <= y <= 99:
+            return 1900 + y
+        return y
+
+    year = month = day = hour = minute = second = 0
+    hhmmss = False
+    n = len(seps)
+    if n == 0:
+        return None
+    if n == 1:
+        d0 = seps[0]
+        ld = len(d0)
+        layouts = {14: (4, 2, 2, 2, 2, 2), 12: (2, 2, 2, 2, 2, 2),
+                   11: (2, 2, 2, 2, 2, 1), 10: (2, 2, 2, 2, 2),
+                   9: (2, 2, 2, 2, 1), 8: (4, 2, 2), 7: (2, 2, 2, 1),
+                   6: (2, 2, 2), 5: (2, 2, 1)}
+        if ld not in layouts or not d0.isdigit():
+            return None
+        widths = layouts[ld]
+        vals, p = [], 0
+        for w in widths:
+            vals.append(int(d0[p:p + w]))
+            p += w
+        vals += [0] * (6 - len(vals))
+        year, month, day, hour, minute, second = vals
+        if ld != 14 and ld != 8:
+            year = adjust_year(year)
+        if ld in (14, 12, 11):
+            hhmmss = True
+        if ld in (5, 6, 8):
+            # '.xxx' tail of a date-only compact is a compact TIME
+            if frac_str:
+                t = frac_str
+                if len(t) <= 2:
+                    hour = int(t)
+                elif len(t) <= 4:
+                    hour, minute = int(t[:2]), int(t[2:4])
+                else:
+                    hour, minute, second = (int(t[:2]), int(t[2:4]),
+                                            int(t[4:6]))
+                frac_str = ""
+        if ld in (9, 10):
+            if frac_str:
+                second = int(frac_str[:2]) if frac_str[:2].isdigit() else 0
+                frac_str = ""
+    elif n == 2:
+        return None
+    else:
+        try:
+            fields = [int(x) for x in seps[:6]]
+        except ValueError:
+            return None
+        fields += [0] * (6 - len(fields))
+        year, month, day, hour, minute, second = fields
+        if n >= 6:
+            hhmmss = True
+        if len(seps[0]) <= 2:
+            if (year, month, day, hour, minute, second) != (0,) * 6 \
+                    or frac_str:
+                year = adjust_year(year)
+
+    # ---- fraction (parseFrac, fsp=6; MyTime.cpp:748) ----
+    micro, bump = 0, False
+    if hhmmss and frac_str:
+        digits = frac_str[:7]
+        v = int(digits)
+        if len(digits) <= 6:
+            micro = v * 10 ** (6 - len(digits))
+        else:
+            v = (v + 5) // 10
+            if v >= 10 ** 6:
+                bump = True
+                micro = 0
+            else:
+                micro = v
+
+    # ---- checkTime ----
+    if not (hour <= 23 and minute <= 59 and second <= 59):
+        return None
+    if fields_only:
+        # raw civil fields (month/day MAY be 0 — partial zero dates are
+        # storable; datename_monthname.test '0000-01-00')
+        if month > 12 or day > 31 or year > 9999:
+            return None
+        return (year, month, day, hour, minute, second, micro)
+    if year == 0 and month == 0 and day == 0:
+        # TiDB zero date: a storable value, time-of-day kept
+        from ..core.dtypes import ZeroDateTime
+
+        tod = ((hour * 3600 + minute * 60 + second) * 1_000_000 + micro)
+        return ZeroDateTime(tod + (1_000_000 if bump else 0))
+    if not (1 <= month <= 12 and 1 <= day <= 31 and year <= 9999):
+        return None
+    try:
+        res = _dt.datetime(year, month, day, hour, minute, second, micro)
+    except ValueError:
+        # year 0 with a REAL month/day ('0000-12-01') is valid TiDB
+        # data but outside python's datetime range
+        leap = year % 4 == 0 and (year % 100 != 0
+                                  or (year % 400 == 0 and year != 0))
+        dim = [31, 29 if leap else 28, 31, 30, 31, 30,
+               31, 31, 30, 31, 30, 31][month - 1]
+        if year == 0 and day <= dim:
+            from ..core.dtypes import CivilDateTime
+
+            return CivilDateTime(year, month, day, hour, minute,
+                                 second, micro)
+        return None
+    if bump:
+        res += _dt.timedelta(seconds=1)
+
+    if has_tz:
+        if not hhmmss:
+            return None
+        dh = int(tz_hour) if tz_hour else 0
+        dm = int(tz_minute) if tz_minute else 0
+        if dh > 14 or dm > 59 or (dh == 14 and dm != 0) \
+                or (tz_sign == "-" and dh == 0 and dm == 0):
+            return None
+        off = dh * 3600 + dm * 60
+        if tz_sign == "-":
+            off = -off
+        res -= _dt.timedelta(seconds=off)  # addSeconds(result, -offset)
+    return res
+
+
+_WEEKDAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+                  "Friday", "Saturday"]
+_MONTH_FULL_NAMES = ["January", "February", "March", "April", "May",
+                     "June", "July", "August", "September", "October",
+                     "November", "December"]
+
+
+def _days_in_month(y: int, mo: int) -> int:
+    leap = y % 4 == 0 and (y % 100 != 0 or (y % 400 == 0 and y != 0))
+    return [31, 29 if leap else 28, 31, 30, 31, 30,
+            31, 31, 30, 31, 30, 31][mo - 1]
+
+
+def dayname_of_string(s: str):
+    """DAYNAME over raw text — partial zero dates ('0000-01-00') and
+    year-0 dates are storable but have no weekday unless month AND day
+    are real (datename_monthname.test)."""
+    f = mysql_str_to_datetime(s, fields_only=True)
+    if f is None:
+        return None
+    y, mo, d = f[:3]
+    if mo == 0 or d == 0 or d > _days_in_month(y, mo):
+        return None
+    from ..core.dtypes import civil_to_days
+
+    return _WEEKDAY_NAMES[(civil_to_days(y, mo, d) + 4) % 7]
+
+
+def monthname_of_string(s: str):
+    f = mysql_str_to_datetime(s, fields_only=True)
+    if f is None or f[1] == 0:
+        return None
+    if f[2] > _days_in_month(f[0], f[1]):
+        return None
+    return _MONTH_FULL_NAMES[f[1] - 1]
+
+
 def _cast_string_lut(col: Column, target: DataType) -> Column:
     """CAST(string AS numeric/temporal) over the dictionary (host parse +
     one gather).  MySQL coercion rules: the longest numeric prefix parses
@@ -503,54 +805,29 @@ def _cast_string_lut(col: Column, target: DataType) -> Column:
         m = num_rx.match(s)
         return float(m.group(0)) if m else 0.0
 
-    def parse_dt(s: str):
-        """MySQL-lenient datetime text: ANY punctuation separates fields
-        ('2012@12*12', '2012-12-12 12-12'), compact digit forms
-        (YYYYMMDD[HHMMSS], 2-digit years <70 -> 20xx), optional
-        fraction after a full 6-field time."""
-        s = s.strip()
-        if _re.search(r"[A-Za-z]", s.replace("T", " ", 1)):
-            return None
-        parts = _re.findall(r"\d+", s)
-        if not parts:
-            return None
-        frac = 0
-        if len(parts) == 1:
-            digits = parts[0]
-            # compact forms need full 8/14 digits (TiDB str-to-datetime
-            # in DATE_ADD rejects YYMMDD — fullstack date_add.test)
-            if len(digits) in (8, 14):
-                f = [digits[0:4], digits[4:6], digits[6:8]]
-                if len(digits) == 14:
-                    f += [digits[8:10], digits[10:12], digits[12:14]]
-            else:
-                return None
-        else:
-            f = parts[:6]
-            if len(parts) == 7 and "." in s:
-                frac = int(parts[6][:6].ljust(6, "0"))
-            elif len(parts) > 6:
-                return None
-        if len(f) < 3:
-            return None
-        if len(f[0]) != 4:
-            return None  # delimited forms require a 4-digit year
-        y = int(f[0])
-        tail = [int(x) for x in f[3:6]] + [0] * (6 - len(f))
-        try:
-            return _dt.datetime(y, int(f[1]), int(f[2]),
-                                tail[0], tail[1], tail[2], frac)
-        except ValueError:
-            return None
+    parse_dt = mysql_str_to_datetime
 
     nulls = _np.zeros(max(len(d), 1), dtype=bool)
     if target.kind in (TypeKind.DATE, TypeKind.DATETIME):
+        from ..core.dtypes import (ZERO_DATE_DAYS, ZERO_DT_BASE_US,
+                                   ZeroDateTime)
+
         vals = _np.zeros(max(len(d), 1), dtype=_np.int64)
         epoch = _dt.datetime(1970, 1, 1)
+        from ..core.dtypes import CivilDateTime
+
         for i, s in enumerate(d):
             t = parse_dt(s)
             if t is None:
                 nulls[i] = True
+            elif isinstance(t, ZeroDateTime):
+                vals[i] = (ZERO_DATE_DAYS
+                           if target.kind is TypeKind.DATE
+                           else ZERO_DT_BASE_US + t.tod_us)
+            elif isinstance(t, CivilDateTime):
+                vals[i] = (t.epoch_days
+                           if target.kind is TypeKind.DATE
+                           else t.epoch_us)
             elif target.kind is TypeKind.DATE:
                 vals[i] = (t.date() - epoch.date()).days
             else:
@@ -807,10 +1084,12 @@ def _arith_infer(op: str):
             if a.is_decimal or (a.is_integer and (b.is_decimal or b.is_integer)):
                 sa = a.scale if a.is_decimal else 0
                 if a.is_wide_decimal:
-                    # DivDecimalInferer (Common/Decimal.h:140), capped at 38
+                    # DivDecimalInferer (Common/Decimal.h:140), capped at
+                    # the Decimal256 tier (65) — a 38 cap silently
+                    # truncated distributed avg states above 38 digits
                     sb = b.scale if b.is_decimal else 0
                     return Decimal(
-                        min(a.precision + sb + DIV_PRECISION_INCREMENT, 38),
+                        min(a.precision + sb + DIV_PRECISION_INCREMENT, 65),
                         min(sa + DIV_PRECISION_INCREMENT, 30), True)
                 return Decimal(18, sa + DIV_PRECISION_INCREMENT, True)
             return DataType(TypeKind.FLOAT64, True)
@@ -938,7 +1217,11 @@ def _arith_eval(op: str):
             validity = nonzero if validity is None else (validity & nonzero)
             if out.decimal_limbs >= 2:
                 if data.shape[-1] != out.decimal_limbs:
-                    data, _ = W.resize_wide(data, out.decimal_limbs)
+                    data, ovf = W.resize_wide(data, out.decimal_limbs)
+                    # beyond-precision quotients: NULL (the reference
+                    # errors; shape-static programs cannot throw)
+                    validity = (~ovf if validity is None
+                                else (validity & ~ovf))
                 return Column(data, validity, out)
             val, _fits = W.narrow_i64(_resize2(data))
             return Column(val, validity, out)
@@ -1528,6 +1811,8 @@ def _register_date_part(name: str, part: int):
             (a,) = cols
             y, m, d = _civil_from_days(_date_days(a))
             data = (y, m, d)[part]
+            # YEAR/MONTH/DAY of the ZERO date are 0, not NULL (MySQL)
+            data = jnp.where(_zero_date_rows(a), 0, data)
             return Column(data.astype(jnp.int64), a.validity, out)
 
         return infer, evaluate
@@ -2031,10 +2316,16 @@ _DT_US_MAX = (_DATE_DAYS_MAX + 1) * 86_400_000_000 - 1
 
 
 def _temporal_range_valid(data, validity, kind):
+    from ..core.dtypes import ZERO_DATE_DAYS, ZERO_DT_BASE_US
+
     if kind is TypeKind.DATETIME:
         ok = (data >= _DT_US_MIN) & (data <= _DT_US_MAX)
+        # zero datetimes ('0000-00-00 HH:MM:SS') are valid storable values
+        ok = ok | ((data >= ZERO_DT_BASE_US)
+                   & (data < ZERO_DT_BASE_US + 86_400_000_000))
     else:
         ok = (data >= _DATE_DAYS_MIN) & (data <= _DATE_DAYS_MAX)
+        ok = ok | (data == ZERO_DATE_DAYS)
     return ok if validity is None else (validity & ok)
 
 
@@ -2080,14 +2371,26 @@ def _datediff():
     return infer, evaluate
 
 
+def _zero_date_rows(a: Column) -> jnp.ndarray:
+    """True where the row holds the ZERO date sentinel."""
+    from ..core.dtypes import ZERO_DATE_DAYS
+
+    return _date_days(a) == ZERO_DATE_DAYS
+
+
 def _register_date_fn(name: str, fn):
     def factory():
         def infer(ts):
-            return DataType(TypeKind.INT64, ts[0].nullable)
+            return DataType(TypeKind.INT64, True)
 
         def evaluate(cols, out):
             (a,) = cols
-            return Column(fn(_date_days(a)).astype(jnp.int64), a.validity, out)
+            # day-number functions of the ZERO date are NULL
+            # (TO_DAYS('0000-00-00') — from_days.test, datename test)
+            zero = _zero_date_rows(a)
+            v = ~zero if a.validity is None else (a.validity & ~zero)
+            days = jnp.where(zero, 0, _date_days(a))
+            return Column(fn(days).astype(jnp.int64), v, out)
 
         return infer, evaluate
 
@@ -2197,6 +2500,31 @@ def _unix_timestamp():
     return infer, evaluate
 
 
+@register("unix_timestamp_decimal")
+def _unix_timestamp_decimal():
+    """UNIX_TIMESTAMP of a DATETIME(fsp>0) column types DECIMAL(.., fsp)
+    (unixTimeStamp.test '1621770314.192'); mantissa = tz-shifted epoch
+    MICROSECONDS (scale 6) — the caller casts down to the column's fsp.
+    Reference: DataTypeMyDuration fsp modeling / tidbUnixTimeStampDec."""
+
+    def infer(ts):
+        # epoch seconds are <= 10 digits; 18,6 keeps the int64 mantissa
+        return Decimal(18, 6, True)
+
+    def evaluate(cols, out):
+        from .compile import query_tz_us
+
+        (a,) = cols
+        if a.dtype.kind is TypeKind.DATE:
+            us = (a.data.astype(jnp.int64) * 86_400_000_000
+                  - query_tz_us())
+        else:
+            us = a.data.astype(jnp.int64) - query_tz_us()
+        return Column(us, a.validity, out)
+
+    return infer, evaluate
+
+
 @register("from_unixtime")
 def _from_unixtime():
     def infer(ts):
@@ -2267,18 +2595,40 @@ _register_date_fn("week", _week_mode0)
 _register_date_fn("yearweek", _yearweek_mode0)
 
 
-@register("from_days")
-def _from_days():
-    def infer(ts):
-        return DataType(TypeKind.DATE, True)
+def _register_from_days(name: str, mpp: bool):
+    """FROM_DAYS has MODE-dependent tails (from_days.test records both):
+    the MPP path NULLs day numbers past 9999-12-31 (3652424), while the
+    cop path lets results run to 10000-03-15 (3652499) and zeroes only
+    past that.  Both zero n < 366."""
 
-    def evaluate(cols, out):
-        (a,) = cols
-        days = a.data.astype(jnp.int64) - 719528  # inverse of TO_DAYS
-        v = _temporal_range_valid(days, a.validity, TypeKind.DATE)
-        return Column(jnp.where(v, days, 0).astype(jnp.int32), v, out)
+    def factory():
+        def infer(ts):
+            return DataType(TypeKind.DATE, True)
 
-    return infer, evaluate
+        def evaluate(cols, out):
+            from ..core.dtypes import ZERO_DATE_DAYS
+
+            (a,) = cols
+            n = a.data.astype(jnp.int64)
+            days = n - 719528  # inverse of TO_DAYS
+            hi = 3_652_424 if mpp else 3_652_499
+            zero = (n < 366) | (jnp.zeros_like(n, dtype=jnp.bool_)
+                                if mpp else (n > hi))
+            days = jnp.where(zero, jnp.int64(ZERO_DATE_DAYS), days)
+            v = a.validity
+            if mpp:
+                bad = n > hi
+                v = ~bad if v is None else (v & ~bad)
+                days = jnp.where(bad, 0, days)
+            return Column(days.astype(jnp.int32), v, out)
+
+        return infer, evaluate
+
+    register(name)(factory)
+
+
+_register_from_days("from_days", True)
+_register_from_days("from_days_cop", False)
 
 
 @register("makedate")
@@ -2377,6 +2727,8 @@ def _register_add_months(name: str, sign: int, unit_months: int):
             return DataType(ts[0].kind, True)
 
         def evaluate(cols, out):
+            from ..core.dtypes import ZERO_DATE_DAYS, ZERO_DT_BASE_US
+
             a, n = cols
             months = n.data.astype(jnp.int64) * (sign * unit_months)
             days = _date_days(a)
@@ -2384,12 +2736,19 @@ def _register_add_months(name: str, sign: int, unit_months: int):
             # check below NULLs anything that actually left the window
             new_days = _add_months_days(days, jnp.clip(months,
                                                        -240_000, 240_000))
+            # landing exactly in year 0 gives the ZERO date, date part
+            # zeroed, time kept ('2020-12-12' - 2020 years =
+            # '0000-00-00'; year < 0 stays NULL via the range check)
+            y0, _, _ = _civil_from_days(new_days)
+            zero = y0 == 0
             if a.dtype.kind is TypeKind.DATETIME:
                 tod = a.data.astype(jnp.int64) - days * 86_400_000_000
-                us = new_days * 86_400_000_000 + tod
+                us = jnp.where(zero, ZERO_DT_BASE_US + tod,
+                               new_days * 86_400_000_000 + tod)
                 v = _temporal_range_valid(us, _and_validity(cols),
                                           TypeKind.DATETIME)
                 return Column(jnp.where(v, us, 0), v, out)
+            new_days = jnp.where(zero, ZERO_DATE_DAYS, new_days)
             v = _temporal_range_valid(new_days, _and_validity(cols),
                                       TypeKind.DATE)
             return Column(jnp.where(v, new_days, 0).astype(jnp.int32),
@@ -2688,7 +3047,11 @@ def _register_part_name(name: str, part_fn_name: str, names_list):
                 cols, DataType(TypeKind.INT64, cols[0].dtype.nullable)
             )
             idx = jnp.clip(part.data - 1, 0, len(names_list) - 1).astype(jnp.int32)
-            return Column(jnp.asarray(rank)[idx], part.validity, out, sorted_dict)
+            # part 0 (zero dates) has no name: NULL
+            v = part.data >= 1
+            if part.validity is not None:
+                v = v & part.validity
+            return Column(jnp.asarray(rank)[idx], v, out, sorted_dict)
 
         return infer, evaluate
 

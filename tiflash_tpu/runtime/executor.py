@@ -337,6 +337,9 @@ class QueryRunner:
                 self.plan, tables, budget,
                 work_factor=self.settings.outofcore_work_factor,
             )
+            if self.settings.max_spilled_rows_per_file:
+                chunk_rows = min(chunk_rows,
+                                 self.settings.max_spilled_rows_per_file)
             if mode == "chunked":
                 out = run_chunked_aggregate(self.plan, tables, chunk_rows)
             elif mode == "groupagg":
@@ -442,6 +445,39 @@ class QueryRunner:
                 raise EngineError(
                     f"plan depth {d} > max_subquery_depth="
                     f"{s.max_subquery_depth}", LIMIT_EXCEEDED)
+        if s.max_ast_depth:
+            # Settings.h max_ast_depth: expression-tree depth guard
+            # (pre-flight — the reference's exceeds-depth error)
+            from ..expr.nodes import Call as _C, Cast as _Ca
+            from ..plan import nodes as P
+
+            def edepth(e):
+                if isinstance(e, _C):
+                    return 1 + max((edepth(a) for a in e.args), default=0)
+                if isinstance(e, _Ca):
+                    return 1 + edepth(e.arg)
+                return 1
+
+            def plan_exprs(n):
+                for attr in ("exprs", "predicate", "condition"):
+                    v = getattr(n, attr, None)
+                    if isinstance(v, dict):
+                        yield from v.values()
+                    elif v is not None and hasattr(v, "__class__") \
+                            and v.__class__.__module__.endswith(
+                                "expr.nodes"):
+                        yield v
+                for c in n.children:
+                    yield from plan_exprs(c)
+
+            worst = max((edepth(e) for e in plan_exprs(self.plan)),
+                        default=0)
+            if worst > s.max_ast_depth:
+                from .errors import LIMIT_EXCEEDED, EngineError
+
+                raise EngineError(
+                    f"expression depth {worst} > max_ast_depth="
+                    f"{s.max_ast_depth}", LIMIT_EXCEEDED)
 
     def _check_row_limits(self, summary) -> None:
         """Operator row limits against the per-node EXPLAIN ANALYZE

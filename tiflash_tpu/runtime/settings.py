@@ -62,6 +62,11 @@ class Settings:
     # host-side parser/spiller thread count (Settings.h:64 max_threads);
     # 0 = hardware concurrency
     max_threads: int = 0
+    # out-of-core chunk/partition row cap (Settings.h
+    # max_spilled_rows_per_file): caps how many rows any chunked /
+    # sliced out-of-core round stages at once, on top of the byte
+    # budget.  0 = bytes-only
+    max_spilled_rows_per_file: int = 0
     # --- resource limits (Settings.h max_rows_to_read/-group_by/-sort,
     # max_rows_in_join, max_result_rows + overflow modes).  0 = off.
     # The engine runs whole static-shape programs, so read/depth limits
@@ -75,6 +80,7 @@ class Settings:
     max_result_rows: int = 0         # final result rows
     result_overflow_mode: str = "throw"  # throw | break (truncate result)
     max_subquery_depth: int = 0      # plan tree depth guard (pre-flight)
+    max_ast_depth: int = 0           # expression tree depth guard
     # --- service ---
     service_max_concurrency: int = 4      # admission slots (MinTSO analog)
     service_queue_timeout_s: float = 0.0  # 0 = wait forever when QUEUED

@@ -52,19 +52,39 @@ def block_to_pytable(block: Block) -> PyTable:
                     else D(v).scaleb(-col.dtype.scale, context=_CTX)
                     for v in vals]
         elif col.dtype.kind is TypeKind.DATE:
-            vals = [
-                None if v is None else datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
-                for v in vals
-            ]
+            from ..core.dtypes import (ZERO_DATE_DAYS, CivilDate, ZeroDate,
+                                       days_to_civil)
+
+            def _d(v):
+                if v is None:
+                    return None
+                if v == ZERO_DATE_DAYS:
+                    return ZeroDate()
+                try:
+                    return (datetime.date(1970, 1, 1)
+                            + datetime.timedelta(days=int(v)))
+                except OverflowError:  # year 0 / year 10000+
+                    return CivilDate(*days_to_civil(int(v)))
+            vals = [_d(v) for v in vals]
         elif col.dtype.kind is TypeKind.DATETIME:
+            from ..core.dtypes import (ZERO_DT_BASE_US, CivilDateTime,
+                                       ZeroDateTime, days_to_civil)
+
             def _dt(v):
                 if v is None:
                     return None
+                if ZERO_DT_BASE_US <= v < ZERO_DT_BASE_US + 86_400_000_000:
+                    return ZeroDateTime(v - ZERO_DT_BASE_US)
                 try:
                     return (datetime.datetime(1970, 1, 1)
                             + datetime.timedelta(microseconds=v))
-                except OverflowError:
-                    return None  # outside python's year 1..9999
+                except OverflowError:  # year 0 / year 10000+
+                    days, tod = divmod(int(v), 86_400_000_000)
+                    y, m, d = days_to_civil(days)
+                    s, us = divmod(tod, 1_000_000)
+                    mi, s = divmod(s, 60)
+                    hh, mi = divmod(mi, 60)
+                    return CivilDateTime(y, m, d, hh, mi, s, us)
             vals = [_dt(v) for v in vals]
         elif col.dtype.kind is TypeKind.BOOL:
             vals = [None if v is None else bool(v) for v in vals]
@@ -1772,10 +1792,23 @@ def pytable_to_block(table: PyTable, schema: Dict[str, DataType]) -> Block:
         if dt.is_string or dt.is_vector:
             cols[name] = column_from_numpy(vals, dt, validity)
         else:
+            from ..core.dtypes import (ZERO_DATE_DAYS, ZERO_DT_BASE_US,
+                                       CivilDate, CivilDateTime, ZeroDate,
+                                       ZeroDateTime)
+
             conv = []
             for v in vals:
                 if v is None:
                     conv.append(0)
+                elif isinstance(v, ZeroDate):
+                    conv.append(ZERO_DATE_DAYS)
+                elif isinstance(v, ZeroDateTime):
+                    conv.append(ZERO_DT_BASE_US + v.tod_us)
+                elif isinstance(v, CivilDateTime):
+                    conv.append(v.epoch_days
+                                if dt.kind is TypeKind.DATE else v.epoch_us)
+                elif isinstance(v, CivilDate):
+                    conv.append(v.epoch_days)
                 elif dt.is_decimal:
                     conv.append(int(D(v).scaleb(dt.scale, context=_CTX)
                                     .to_integral_value()))

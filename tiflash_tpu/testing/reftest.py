@@ -359,7 +359,17 @@ class SqlParser:
         # function call or bare column
         if self.peek(1) == ("op", "("):
             self.next()
-            return self.parse_call(name)
+            e = self.parse_call(name)
+            if self.at_kw("over"):
+                # window function: `over w` / `over (partition by ...)`
+                self.next()
+                if self.eat_op("("):
+                    spec = self.parse_window_spec()
+                    self.expect_op(")")
+                else:
+                    spec = self.next()[1].strip("`")
+                return Call("__over__", (e, Literal(spec)))
+            return e
         # dotted identifiers: db.t.c / t.c — keep the last component
         self.next()
         parts = [v]
@@ -370,6 +380,30 @@ class SqlParser:
                 raise Unsupported("bad dotted name")
             parts.append(nv[1:-1] if nk == "qident" else nv)
         return ColumnRef(parts[-1])
+
+    def parse_window_spec(self):
+        """(PARTITION BY e, ... ORDER BY e [desc], ...) -> a spec tuple
+        (partition exprs, [(order expr, desc)]).  Frames unsupported."""
+        part: List[Expr] = []
+        order: List[Tuple[Expr, bool]] = []
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            part.append(self.parse_expr())
+            while self.eat_op(","):
+                part.append(self.parse_expr())
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                desc = bool(self.eat_kw("desc"))
+                if not desc:
+                    self.eat_kw("asc")
+                order.append((e, desc))
+                if not self.eat_op(","):
+                    break
+        if self.at_kw("rows", "range"):
+            raise Unsupported("window frame clause")
+        return ("__winspec__", tuple(part), tuple(order))
 
     def parse_call(self, name: str) -> Expr:
         self.expect_op("(")
@@ -507,7 +541,20 @@ def _parse_datetime_str(s: str) -> datetime.datetime:
     mi = int(m.group(5) or 0)
     ss = int(m.group(6) or 0)
     us = int(float(m.group(7) or 0) * 1e6 + 0.5)
-    return datetime.datetime(y, mo, d, hh, mi, ss, us)
+    if (y, mo, d) == (0, 0, 0):
+        # TiDB zero date: storable, keeps any time-of-day (lead_lag.test)
+        from ..core.dtypes import ZeroDateTime
+
+        return ZeroDateTime(((hh * 3600 + mi * 60 + ss) * 1_000_000) + us)
+    try:
+        return datetime.datetime(y, mo, d, hh, mi, ss, us)
+    except ValueError:
+        if y == 0 and 1 <= mo <= 12 and 1 <= d <= 31:
+            # year-0 dates are storable TiDB values ('0000-01-01')
+            from ..core.dtypes import CivilDateTime
+
+            return CivilDateTime(y, mo, d, hh, mi, ss, us)
+        raise Unsupported(f"datetime literal {s!r}")
 
 
 # ---------------------------------------------------- DDL / schema layer
@@ -516,7 +563,9 @@ _DDL_TYPE = re.compile(r"^\s*(\w+)\s*(\(([^)]*)\))?", re.I)
 
 _INT_KINDS = {"tinyint": dt.INT8, "smallint": dt.INT16,
               "mediumint": dt.INT32, "int": dt.INT32, "integer": dt.INT32,
-              "bigint": dt.INT64, "year": dt.INT16}
+              "bigint": dt.INT64,
+              "year": __import__("dataclasses").replace(dt.INT16,
+                                                        mysql_year=True)}
 _UINT_KINDS = {"tinyint": dt.UINT8, "smallint": dt.UINT32,
                "mediumint": dt.UINT32, "int": dt.UINT32,
                "integer": dt.UINT32, "bigint": dt.UINT64}
@@ -702,12 +751,29 @@ class RefTestSession:
         self.checked = 0       # queries with expected output compared
         self.unsupported: List[str] = []
         self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
+        self.cop_mode = False  # tiflash_cop vs MPP (FROM_DAYS tails)
 
     # ---- statement dispatch
     def run_statement(self, sql: str, expected: Optional[List[str]]):
+        # every `mysql>` line runs in a FRESH client connection
+        # (reference tests/run-test.py spawns mysql per line), so
+        # session variables only live within the line
+        self.tz_offset_us = 0
+        self.cop_mode = False
         # strip leading SET statements (session vars are TiDB routing
         # hints — tiflash replica / mpp mode — meaningless here)
         parts = [p.strip() for p in _split_semicolons(sql) if p.strip()]
+        if any(p.lower() == "show warnings" for p in parts):
+            # warnings are client-protocol surface (documented
+            # unsupported); verify the data table, drop the appended
+            # warnings table from the expected block (return_warning.test)
+            parts = [p for p in parts if p.lower() != "show warnings"]
+            if expected is not None:
+                borders = [i for i, ln in enumerate(expected)
+                           if ln.strip().startswith("+-")]
+                if len(borders) >= 4:
+                    expected = expected[:borders[3]]
+            self.unsupported.append("SHOW WARNINGS (client protocol)")
         for stmt in parts:
             low = stmt.lower()
             if low.startswith("set "):
@@ -716,6 +782,10 @@ class RefTestSession:
                 m = re.search(r"time_zone\s*=\s*'([^']*)'", stmt, re.I)
                 if m:
                     self.tz_offset_us = _parse_tz_offset(m.group(1))
+                if re.search(r"tidb_allow_tiflash_cop\s*=\s*on", low):
+                    self.cop_mode = True
+                if re.search(r"tidb_(enforce|allow)_mpp\s*=\s*1", low):
+                    self.cop_mode = False
                 continue
             if low.startswith(("use ", "split ")):
                 continue  # database selection / region-split hints
@@ -962,9 +1032,11 @@ class RefTestSession:
         expr = SqlParser(s).parse_expr()
         v = _eval_const(expr)
         v = _coerce_host_value(v, t)
-        if v is not None and fsp is not None:
+        if v is not None and fsp is not None \
+                and isinstance(v, (datetime.datetime, int)):
             q = 10 ** (6 - fsp)
-            if t.kind is dt.TypeKind.DATETIME:
+            if t.kind is dt.TypeKind.DATETIME \
+                    and isinstance(v, datetime.datetime):
                 us = round((v - datetime.datetime(1970, 1, 1))
                            .total_seconds() * 1e6)
                 us = (abs(us) + q // 2) // q * q * (1 if us >= 0 else -1)
@@ -1057,8 +1129,15 @@ def _coerce_host_value(v, t: dt.DataType):
     if t.is_decimal:
         return D(str(v))
     if t.kind is dt.TypeKind.DATE:
+        from ..core.dtypes import (CivilDate, CivilDateTime, ZeroDate,
+                                   ZeroDateTime)
+
         if isinstance(v, str):
-            return _parse_datetime_str(v).date()
+            v = _parse_datetime_str(v)
+        if isinstance(v, (ZeroDate, ZeroDateTime)):
+            return ZeroDate()
+        if isinstance(v, CivilDateTime):
+            return CivilDate(v.y, v.m, v.d)
         if isinstance(v, datetime.datetime):
             return v.date()
         return v
@@ -1127,7 +1206,126 @@ class SelectBuilder:
         self.schema: Dict[str, dt.DataType] = {}
 
     def _rw(self, e: Expr) -> Expr:
-        return _coerce_temporal(_rewrite(e), self.schema)
+        e = _coerce_temporal(_rewrite(e), self.schema,
+                             getattr(self, "col_fsps", {}))
+        if self.sess.cop_mode:
+            e = _swap_fn(e, "from_days", "from_days_cop")
+        return e
+
+    def _build_window(self, plan, items, schema):
+        """Lower ``f(...) OVER w`` items onto the engine's Window plan
+        node (ops/window.py).  All OVER clauses in one query must share
+        a spec.  lead/lag defaults apply only OUTSIDE the partition —
+        NULL data values stay NULL — so a same-shift indicator over a
+        constant column marks out-of-partition rows and an if() applies
+        the default (lead_lag.test)."""
+        from ..ops.window import WindowDesc
+
+        pre: Dict[str, Expr] = {}
+        descs: List[WindowDesc] = []
+        spec_seen = [None]
+
+        def resolve_spec(v):
+            if isinstance(v, str):
+                if v not in self.windows:
+                    raise Unsupported(f"unknown window {v!r}")
+                return self.windows[v]
+            return v
+
+        def col_of(e):
+            if isinstance(e, ColumnRef):
+                return e.name
+            n = f"__wc{len(pre)}"
+            pre[n] = self._rw(e)
+            return n
+
+        def walk(e):
+            if isinstance(e, Call) and e.func == "__over__":
+                inner, spec_l = e.args
+                spec = resolve_spec(spec_l.value)
+                if spec_seen[0] is None:
+                    spec_seen[0] = spec
+                elif spec_seen[0] != spec:
+                    raise Unsupported("multiple window specs in a query")
+                if not isinstance(inner, Call):
+                    raise Unsupported("window over non-call")
+                fname = {"lead": "lead", "lag": "lag",
+                         "row_number": "row_number", "rank": "rank",
+                         "dense_rank": "dense_rank",
+                         "first_value": "first_value",
+                         "last_value": "last_value"}.get(inner.func)
+                if fname is None:
+                    raise Unsupported(f"window function {inner.func}")
+                out_name = f"__wo{len(descs)}"
+                if fname in ("row_number", "rank", "dense_rank"):
+                    descs.append(WindowDesc(fname, out_name))
+                    return ColumnRef(out_name)
+                argn = col_of(inner.args[0])
+                offset = 1
+                if len(inner.args) > 1:
+                    o = inner.args[1]
+                    if not isinstance(o, Literal):
+                        raise Unsupported("window offset must be literal")
+                    # clamp: offsets beyond any table size (the corpus
+                    # probes 2^64-1) behave identically — all rows fall
+                    # outside the partition
+                    offset = max(0, min(int(o.value), 1 << 40))
+                descs.append(WindowDesc(fname, out_name, arg=argn,
+                                        offset=offset))
+                default = (inner.args[2] if len(inner.args) > 2 else None)
+                arg_stringy = (
+                    (argn in schema and schema[argn].is_string)
+                    or (isinstance(inner.args[0], Literal)
+                        and isinstance(inner.args[0].value, str)))
+                if (arg_stringy and isinstance(default, Literal)
+                        and default.value is not None
+                        and not isinstance(default.value, str)):
+                    # MySQL coerces the default to the ARG's type:
+                    # lead(str_col, 1, 123) yields '123'
+                    default = Literal(str(default.value))
+                if (default is not None and fname in ("lead", "lag")
+                        and not (isinstance(default, Literal)
+                                 and default.value is None)):
+                    if "__wone" not in pre:
+                        pre["__wone"] = Literal(1)
+                    ind = f"__wi{len(descs)}"
+                    descs.append(WindowDesc(fname, ind, arg="__wone",
+                                            offset=offset))
+                    out_ref: Expr = ColumnRef(out_name)
+                    at = schema.get(argn)
+                    if (at is not None
+                            and at.kind in (dt.TypeKind.DATE,
+                                            dt.TypeKind.DATETIME,
+                                            dt.TypeKind.DURATION)
+                            and isinstance(default, Literal)
+                            and not isinstance(default.value, str)):
+                        # temporal arg + numeric default: MySQL widens
+                        # the result to VARCHAR ('88888' next to
+                        # '2010-01-01 11:00:00')
+                        out_ref = Cast(out_ref,
+                                       dt.STRING.with_nullable(True))
+                        default = Literal(str(default.value))
+                    return Call("if", (Call("is_null", (ColumnRef(ind),)),
+                                       default, out_ref))
+                return ColumnRef(out_name)
+            if isinstance(e, Call):
+                return Call(e.func, tuple(walk(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(walk(e.arg), e.target)
+            return e
+
+        new_items = [(a, walk(e)) for a, e in items]
+        spec = spec_seen[0]
+        if spec is None:
+            return plan, items
+        part_names = [col_of(e) for e in spec[1]]
+        okeys = [SortKey(col_of(e), desc=d) for e, d in spec[2]]
+        if pre:
+            proj = {c: ColumnRef(c) for c in schema}
+            proj.update(pre)
+            plan = P.Projection(proj, plan)
+        plan = P.Window(part_names, okeys, descs, plan)
+        return plan, new_items
 
     def _cartesian(self, tables: List[str]) -> str:
         """Materialize a comma-join FROM list as one synthetic table
@@ -1174,7 +1372,8 @@ class SelectBuilder:
                 tk, tv = p.next()
                 alias = tv[1:-1] if tk in ("qident", "str") else tv
             elif p.peek()[0] in ("name", "qident") and not p.at_kw(
-                    "from", "where", "group", "order", "limit", "union"):
+                    "from", "where", "group", "order", "limit", "union",
+                    "window", "having"):
                 tk, tv = p.next()
                 alias = tv[1:-1] if tk == "qident" else tv
             if alias is None and isinstance(expr, ColumnRef):
@@ -1198,7 +1397,7 @@ class SelectBuilder:
                     p.next()
                 elif p.peek()[0] == "name" and not p.at_kw(
                         "where", "group", "order", "limit", "union",
-                        "having"):
+                        "having", "window"):
                     p.next()
                 from_tables.append(table)
                 if not p.eat_op(","):
@@ -1231,6 +1430,16 @@ class SelectBuilder:
         having = None
         if p.eat_kw("having"):
             having = p.parse_expr()
+        self.windows = {}
+        if p.eat_kw("window"):
+            while True:
+                wname = p.next()[1].strip("`")
+                p.expect_kw("as")
+                p.expect_op("(")
+                self.windows[wname] = p.parse_window_spec()
+                p.expect_op(")")
+                if not p.eat_op(","):
+                    break
         order_by: List[Tuple[Expr, bool]] = []
         if p.eat_kw("order"):
             p.expect_kw("by")
@@ -1287,8 +1496,12 @@ class SelectBuilder:
                 plan = P.TableScan(table)
             table_schema = schema
             self.schema = schema
+            self.col_fsps = self.sess.fsps.get(table, {})
             if where is not None:
                 plan = P.Selection(_as_bool(self._rw(where)), plan)
+
+        if any(_has_over(e) for _, e in items):
+            plan, items = self._build_window(plan, items, table_schema)
 
         agg_items = [(a, e) for a, e in items if _has_agg(e)]
         # resolve ORDER BY keys first: expressions/base columns become
@@ -1553,12 +1766,21 @@ def _has_agg(e: Expr) -> bool:
 _TEMPORAL_PREFIXES = ("date_add_", "date_sub_")
 _TEMPORAL_ARG0 = {"date", "last_day", "to_days", "to_seconds", "day",
                   "day_of_month", "dayofmonth", "day_of_week", "dayofweek",
-                  "day_of_year", "dayofyear", "month", "monthname",
-                  "month_name", "dayname", "day_name", "year", "quarter",
+                  "day_of_year", "dayofyear", "month", "year", "quarter",
                   "week", "weekofyear", "week_of_year", "weekday",
                   "yearweek", "unix_timestamp", "hour", "minute", "second",
                   "microsecond", "date_format"}
+# dayname/monthname take their STRING argument raw: the engine's text
+# LUT handles partial-zero dates a DATE cast cannot carry
 _TEMPORAL_ALL_ARGS = {"datediff"}
+
+
+def _has_over(e: Expr) -> bool:
+    if isinstance(e, Call):
+        return e.func == "__over__" or any(_has_over(a) for a in e.args)
+    if isinstance(e, Cast):
+        return _has_over(e.arg)
+    return False
 
 
 def _is_temporal_fn(f: str) -> bool:
@@ -1566,7 +1788,17 @@ def _is_temporal_fn(f: str) -> bool:
         f.startswith(_TEMPORAL_PREFIXES)
 
 
-def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
+def _swap_fn(e: Expr, frm: str, to: str) -> Expr:
+    if isinstance(e, Call):
+        args = tuple(_swap_fn(a, frm, to) for a in e.args)
+        return Call(to if e.func == frm else e.func, args)
+    if isinstance(e, Cast):
+        return Cast(_swap_fn(e.arg, frm, to), e.target)
+    return e
+
+
+def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType],
+                     col_fsps: Optional[Dict[str, int]] = None) -> Expr:
     """Insert the implicit string->temporal casts MySQL performs when a
     date function receives string input, and round REAL interval
     amounts to integers (MySQL ADDDATE(d, 1.6) adds 2 days)."""
@@ -1582,11 +1814,15 @@ def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
         if isinstance(x, Literal) and x.value is None:
             return Literal(None, dt.DATETIME.with_nullable(True))
         if isinstance(x, Literal) and isinstance(x.value, str):
-            try:
-                v = _parse_datetime_str(x.value)
-            except (Unsupported, ValueError):
+            from ..core.dtypes import ZeroDateTime as _ZDT
+            from ..expr.functions import mysql_str_to_datetime
+
+            v = mysql_str_to_datetime(x.value)
+            if v is None:
                 # MySQL: an unparseable datetime string argument -> NULL
                 return Literal(None, dt.DATETIME.with_nullable(True))
+            if isinstance(v, _ZDT):
+                return Literal(v, dt.DATETIME.with_nullable(True))
             if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0) \
                     and len(x.value.strip()) <= 10:
                 return Literal(v.date())
@@ -1606,6 +1842,16 @@ def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
             return x
         args = [walk(a) for a in x.args]
         f = x.func
+        if f in ("equals", "not_equals", "less", "less_or_equals",
+                 "greater", "greater_or_equals") and len(args) == 2:
+            ts = [col_type(a) for a in args]
+            for i in (0, 1):
+                o = 1 - i
+                if (ts[i] is not None and ts[i].mysql_year
+                        and ts[o] is not None and ts[o].is_temporal):
+                    # YEAR vs DATE compares as year-01-01
+                    # (compare_year_with_date.test)
+                    args[i] = Call("makedate", (args[i], Literal(1)))
         if f in ("plus", "minus", "multiply", "divide") and len(args) == 2:
             # TIME in numeric arithmetic uses its MySQL numeric form
             # HHMMSS.ffffff ('00:10:10.123456' + 0.001 = 1010.124456) —
@@ -1616,6 +1862,14 @@ def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType]) -> Expr:
                 if t is not None and t.kind is dt.TypeKind.DURATION:
                     args[i] = Cast(args[i],
                                    dt.Decimal(18, 6, nullable=True))
+        if (f == "unix_timestamp" and len(args) == 1
+                and isinstance(args[0], ColumnRef)
+                and (col_fsps or {}).get(args[0].name, 0) > 0):
+            # DATETIME(fsp>0): UNIX_TIMESTAMP types DECIMAL(.., fsp)
+            # (unixTimeStamp.test)
+            fsp = (col_fsps or {})[args[0].name]
+            return Cast(Call("unix_timestamp_decimal", (args[0],)),
+                        dt.Decimal(10 + fsp, fsp, nullable=True))
         if _is_temporal_fn(f):
             args[0] = fix_arg(args[0])
             if f in _TEMPORAL_ALL_ARGS and len(args) > 1:
@@ -1750,6 +2004,22 @@ def _cell_matches(got, cell: str, dtype: dt.DataType) -> bool:
     if k is dt.TypeKind.DATE:
         return str(got) == cell
     if k is dt.TypeKind.DATETIME:
+        from ..core.dtypes import CivilDateTime as _CDT
+        from ..core.dtypes import ZeroDateTime as _ZDT
+
+        if isinstance(got, _CDT):
+            got_s = str(got)
+            if got_s == cell or got_s.split(".")[0] == cell:
+                return True
+            return (got.hh, got.mi, got.ss, got.us) == (0, 0, 0, 0) \
+                and f"{got.y:04d}-{got.m:02d}-{got.d:02d}" == cell
+
+        if isinstance(got, _ZDT):
+            got_s = str(got)
+            # a DATE-parsed source prints the bare zero date; the
+            # front-end types everything DATETIME, so accept both forms
+            return (got_s == cell or got_s.split(".")[0] == cell
+                    or (got.tod_us == 0 and cell == "0000-00-00"))
         # normalize fractional seconds (strip trailing zeros of the
         # fraction ONLY — naive rstrip eats the seconds' zeros)
         def norm(s: str) -> str:
@@ -1758,15 +2028,19 @@ def _cell_matches(got, cell: str, dtype: dt.DataType) -> bool:
             head, frac = s.rsplit(".", 1)
             frac = frac.rstrip("0")
             return head + ("." + frac if frac else "")
+        # f-strings, not strftime: glibc %Y prints year 7 as "7", the
+        # corpus records "0007" (date_add.test 0007-11-26)
+        base = (f"{got.year:04d}-{got.month:02d}-{got.day:02d}")
         if got.microsecond:
-            gs = (got.strftime("%Y-%m-%d %H:%M:%S.")
-                  + f"{got.microsecond:06d}")
+            gs = (f"{base} {got.hour:02d}:{got.minute:02d}:"
+                  f"{got.second:02d}.{got.microsecond:06d}")
         else:
-            gs = got.strftime("%Y-%m-%d %H:%M:%S")
+            gs = (f"{base} {got.hour:02d}:{got.minute:02d}:"
+                  f"{got.second:02d}")
             if got.time() == datetime.time(0) and " " not in cell:
                 # MySQL string-in/string-out date functions print the
                 # date-only form; a midnight datetime matches it
-                return got.strftime("%Y-%m-%d") == cell
+                return base == cell
         return norm(gs) == norm(cell)
     if k is dt.TypeKind.DURATION:
         try:
