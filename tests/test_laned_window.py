@@ -32,6 +32,9 @@ FUNCS = [
     WindowDesc("dense_rank", "dr"),
     WindowDesc("sum", "rs", arg="v"),       # running sum
     WindowDesc("count", "rc", arg="v"),     # running count
+    WindowDesc("min", "rmin", arg="v"),     # running min (VERDICT r3 #6)
+    WindowDesc("max", "rmax", arg="v"),     # running max
+    WindowDesc("avg", "ravg", arg="v"),     # running avg (sum+count carries)
 ]
 
 

@@ -404,13 +404,27 @@ def _laned_window(child: Block, node, axis: str) -> Block:
     table offsets ranks and adds carry-ins to running aggregates.  Lane
     ids bucket the ORDER-KEY VALUE, so peers never straddle lanes and
     rank ties stay exact."""
+    import dataclasses as _dc
+
     from ..ops.window import window_block
 
     L = int(node.n_lanes)
     Pcap = int(node.part_cap)
     G = Pcap * L
+    # running AVG splits into sum+count temps: each gets its own lane
+    # carry, then the adjusted quotient is retyped like the local avg
+    work_funcs = []
+    avg_specs = {}
+    for f in node.funcs:
+        if f.func == "avg":
+            s, c2 = f.name + "__ls", f.name + "__lc"
+            work_funcs += [_dc.replace(f, func="sum", name=s),
+                           _dc.replace(f, func="count", name=c2)]
+            avg_specs[f.name] = (s, c2, f)
+        else:
+            work_funcs.append(f)
     local = window_block(child, list(node.partition_by) + [node.lane_col],
-                         list(node.order_by), list(node.funcs))
+                         list(node.order_by), work_funcs)
     n = local.capacity
     live = local.sel_mask()
 
@@ -465,8 +479,24 @@ def _laned_window(child: Block, node, axis: str) -> Block:
     counts = seg_sum(live.astype(jnp.int64))
     cnt_carry = per_row(carry_of(counts))
 
+    def carry_minmax(vals_masked, is_min):
+        """Per-(p,lane) extreme -> cross-device combine -> EXCLUSIVE
+        prefix along lanes (identity at lane 0)."""
+        ident = (jnp.iinfo(jnp.int64).max if is_min
+                 else jnp.iinfo(jnp.int64).min)
+        seg = (jax.ops.segment_min if is_min else jax.ops.segment_max)(
+            vals_masked, gid, num_segments=G + 1,
+            indices_are_sorted=True)[:G]
+        t = (jax.lax.pmin if is_min else jax.lax.pmax)(seg, axis)
+        t2 = t.reshape(Pcap, L)
+        cum = (jax.lax.cummin if is_min else jax.lax.cummax)(t2, axis=1)
+        exc = jnp.concatenate(
+            [jnp.full((Pcap, 1), ident, dtype=t.dtype), cum[:, :-1]],
+            axis=1)
+        return exc.reshape(G), ident
+
     out = local
-    for f in node.funcs:
+    for f in work_funcs:
         c = local[f.name]
         if f.func in ("row_number", "rank"):
             adj = c.data + jnp.where(live, cnt_carry, 0)
@@ -490,9 +520,51 @@ def _laned_window(child: Block, node, axis: str) -> Block:
                 if c.validity is not None:
                     validity = c.validity | (vcnt_carry > 0)
                 out = out.with_column(f.name, Column(adj, validity, c.dtype))
+        elif f.func in ("min", "max"):
+            a = local[f.arg]
+            valid = a.valid_mask() & live
+            vcnt_carry = per_row(carry_of(seg_sum(valid.astype(jnp.int64))))
+            is_min = f.func == "min"
+            ident0 = (jnp.iinfo(jnp.int64).max if is_min
+                      else jnp.iinfo(jnp.int64).min)
+            masked = jnp.where(valid, a.data.astype(jnp.int64), ident0)
+            carry_tab, ident = carry_minmax(masked, is_min)
+            carry = per_row(carry_tab)
+            has_carry = vcnt_carry > 0
+            local_valid = c.validity if c.validity is not None else live
+            base = jnp.where(local_valid, c.data.astype(jnp.int64), ident)
+            cval = jnp.where(has_carry, carry, ident)
+            merged = (jnp.minimum if is_min else jnp.maximum)(base, cval)
+            new_valid = (local_valid | has_carry) & live
+            out = out.with_column(
+                f.name, Column(merged.astype(c.data.dtype), new_valid,
+                               c.dtype, c.dictionary))
         else:  # planner guarantees this never happens
             raise NotImplementedError(f"laned window func {f.func}")
-    keep = [nm for nm in out.names if nm != node.lane_col]
+    # adjusted AVG = (sum + carry) / (count + carry), typed like the
+    # single-chip running avg
+    for name, (s, c2, f) in avg_specs.items():
+        from ..core.dtypes import FLOAT64
+        from ..core.dtypes import Decimal as DecimalT
+        from ..expr.functions import _div_round_half_up
+
+        sc = out[s]
+        cc = out[c2]
+        arg_dt = local[f.arg].dtype
+        cnt = cc.data.astype(jnp.int64)
+        ssum = sc.data.astype(jnp.int64)
+        if arg_dt.is_decimal:
+            rdt = DecimalT(18, arg_dt.scale + 4, nullable=True)
+            d = _div_round_half_up(ssum * (10 ** 4), jnp.maximum(cnt, 1))
+        else:
+            rdt = FLOAT64.with_nullable(True)
+            d = ssum / jnp.maximum(cnt, 1).astype(jnp.float64)
+        out = out.with_column(
+            name, Column(d.astype(rdt.jnp_dtype), cnt > 0, rdt))
+    drop = {node.lane_col}
+    for s, c2, _f in avg_specs.values():
+        drop |= {s, c2}
+    keep = [nm for nm in out.names if nm not in drop]
     cols = dict(zip(out.names, out.columns))
     return Block(names=tuple(keep), columns=tuple(cols[nm] for nm in keep),
                  sel=out.sel)

@@ -248,7 +248,7 @@ def window_block(
     run_aggs = [f for f in funcs
                 if f.frame is None and (
                     f.func == "count"
-                    or (f.func == "sum"
+                    or (f.func in ("sum", "avg")
                         and not sblock[f.arg].dtype.is_float))]
     frame_reads: dict = {}
     run_specs: dict = {}
@@ -503,13 +503,31 @@ def window_block(
                         rdt = FLOAT64.with_nullable(True)
                         d = sum_f / jnp.maximum(cnt_f, 1).astype(jnp.float64)
                     out_cols[f.name] = Column(d.astype(rdt.jnp_dtype), cnt_f > 0, rdt)
-        elif f.func in ("sum", "min", "max", "count"):
+        elif f.func in ("sum", "min", "max", "count", "avg"):
             # frame: unbounded preceding .. current row (running aggregates)
             if f.name in run_specs:
                 c = sblock[f.arg] if f.arg else None
                 run_cnt, run_sum = run_specs[f.name]
                 if f.func == "count":
                     out_cols[f.name] = Column(run_cnt, None, INT64)
+                elif f.func == "avg":
+                    # running AVG = running sum / running valid count
+                    # (typed like the framed avg: scale + 4 for
+                    # decimals, double otherwise)
+                    from ..core.dtypes import FLOAT64
+                    from ..core.dtypes import Decimal as DecimalT
+                    from ..expr.functions import _div_round_half_up
+
+                    if c.dtype.is_decimal:
+                        rdt = DecimalT(18, c.dtype.scale + 4, nullable=True)
+                        d = _div_round_half_up(run_sum * (10 ** 4),
+                                               jnp.maximum(run_cnt, 1))
+                    else:
+                        rdt = FLOAT64.with_nullable(True)
+                        d = (run_sum
+                             / jnp.maximum(run_cnt, 1).astype(jnp.float64))
+                    out_cols[f.name] = Column(d.astype(rdt.jnp_dtype),
+                                              run_cnt > 0, rdt)
                 else:  # running int/decimal sum
                     rdt = (
                         DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)

@@ -276,8 +276,8 @@ def _plan_laned_window(node: "P.Window", child: P.PlanNode, tables,
     for f in node.funcs:
         if f.func in _LANED_RANKS:
             continue
-        if f.func in ("sum", "count") and f.frame is None \
-                and f.frame_type == "rows":
+        if f.func in ("sum", "count", "min", "max", "avg") \
+                and f.frame is None and f.frame_type == "rows":
             continue
         return None
     if len(node.order_by) != 1 or tables is None:
@@ -292,14 +292,18 @@ def _plan_laned_window(node: "P.Window", child: P.PlanNode, tables,
     t = oc.dtype
     if oc.data.ndim != 1 or t.is_string or t.is_float or t.is_vector:
         return None
-    # running-sum args must be integer-kind (int64 carry arithmetic)
+    # running-agg args must carry int64 mantissas (carry arithmetic):
+    # integer kinds, bool, or narrow decimals (sum/avg only)
     for f in node.funcs:
-        if f.func == "sum":
+        if f.func in ("sum", "min", "max", "avg"):
             ra = _resolve_key_base(node.child, f.arg)
             if ra is None or ra[0] not in tables:
                 return None
             at = tables[ra[0]][ra[1]].dtype
-            if not (at.is_integer or at.kind.value == "bool"):
+            ok = at.is_integer or at.kind.value == "bool"
+            if f.func in ("sum", "avg"):
+                ok = ok or (at.is_decimal and not at.is_wide_decimal)
+            if not ok:
                 return None
     # exact partition-slot domains (dictionary / proven int span)
     part_specs = []

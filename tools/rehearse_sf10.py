@@ -86,11 +86,12 @@ def main():
                        "o_shippriority"],
             "customer": ["c_custkey", "c_mktsegment"],
         })
+    rows = cat["lineitem"].row_count
+    log(f"host gen done sf{SF:g} ({rows} lineitem rows) "
+        f"{time.time()-t0:.1f}s; staging to device...")
     blocks = cat.blocks()
     jax.block_until_ready(blocks)
-    rows = cat["lineitem"].row_count
-    log(f"gen+stage sf{SF:g} ({rows} lineitem rows) "
-        f"{time.time()-t0:.1f}s")
+    log(f"gen+stage sf{SF:g} {time.time()-t0:.1f}s")
     spill_dir = tempfile.mkdtemp(prefix="sf10_spill_")
 
     # ---- phase 1: Q3 shape ------------------------------------------
