@@ -220,6 +220,31 @@ def make_narrow32(host: "np.ndarray", stats: Tuple[int, int]):
     return jnp.asarray(np.pad(arr, (0, pad)))
 
 
+def _json_order_key(s: str):
+    """Total order matching MySQL JSON comparison precedence
+    (json_contains_path.test ORDER BY over a JSON column)."""
+    import json as _json
+
+    def k(v):
+        if v is None:
+            return (0,)
+        if isinstance(v, bool):
+            return (6, v)
+        if isinstance(v, (int, float)):
+            return (1, float(v))
+        if isinstance(v, str):
+            return (2, v)
+        if isinstance(v, dict):
+            return (3, len(v),
+                    tuple(sorted((kk, k(vv)) for kk, vv in v.items())))
+        return (4, tuple(k(x) for x in v), len(v))
+
+    try:
+        return k(_json.loads(s)) if s else (0,)
+    except Exception:
+        return (9, s)
+
+
 def column_from_numpy(
     values: Sequence, dtype: DataType, validity: Optional[Sequence[bool]] = None
 ) -> Column:
@@ -241,9 +266,14 @@ def column_from_numpy(
         # Order-preserving dictionary: codes are ranks in the sorted set of
         # distinct strings, so integer comparisons on codes == binary-collation
         # string comparisons (reference: ``TiDB/Collation`` binary collator).
+        # JSON columns rank by MySQL JSON precedence (number < string <
+        # object < array < boolean) so ORDER BY follows JSON semantics.
         values = list(values)
         arr = np.array(["" if s is None else s for s in values], dtype=object)
-        uniq_sorted = sorted(set(arr.tolist()))
+        if dtype.mysql_json:
+            uniq_sorted = sorted(set(arr.tolist()), key=_json_order_key)
+        else:
+            uniq_sorted = sorted(set(arr.tolist()))
         rank = {s: i for i, s in enumerate(uniq_sorted)}
         codes = np.fromiter((rank[s] for s in arr.tolist()), dtype=np.int32, count=len(arr))
         data = jnp.asarray(codes)

@@ -104,6 +104,14 @@ class DataType:
     # DATE/DATETIME in the DATE domain, as year-01-01
     # (compare_year_with_date.test)
     mysql_year: bool = False
+    # JSON columns ride the STRING representation (normalized text);
+    # the flag makes JSON builders embed the value as a DOCUMENT, not a
+    # quoted string (json_array.test)
+    mysql_json: bool = False
+    # binary-collation string families carry their MySQL field-type
+    # code (TINY_BLOB=249, BLOB=252, BINARY=254, VAR_STRING=15 ...);
+    # CAST(AS JSON) renders them as base64 opaques (cast_as_json.test)
+    mysql_blob: int = 0
 
     # ---- physical representation ----
     @property

@@ -17,6 +17,7 @@ fast paths (``Functions/CollationStringOptimized.cpp``).
 from __future__ import annotations
 
 import bisect
+import dataclasses
 import datetime
 import re
 from typing import Dict, Optional
@@ -255,11 +256,16 @@ class ExprEvaluator:
             if c.dtype.tz_aware and c.dtype.kind is TypeKind.DATETIME:
                 off = query_tz_us()
                 if off:
-                    # TIMESTAMP reads in session local time (UTC storage)
+                    # TIMESTAMP reads in session local time (UTC
+                    # storage).  The result drops tz_aware: it is now
+                    # WALL time, and a downstream plan stage re-reading
+                    # the materialized column must not shift again
+                    # (timestamp_literal.test scalar subquery)
                     import dataclasses as _dc
 
                     c = _dc.replace(
                         c, data=c.data + jnp.int64(off),
+                        dtype=_dc.replace(c.dtype, tz_aware=False),
                         stats=None if c.stats is None else
                         (c.stats[0] + off, c.stats[1] + off),
                         narrow32=None, domain=None if c.domain is None
@@ -436,6 +442,46 @@ class ExprEvaluator:
                                  concat_sep=a.concat_sep)
         return new_args, merged
 
+    def _coerce_mixed_branches(self, name: str, args):
+        """MySQL branch-type aggregation for COALESCE/IF/CASE: a string
+        branch anywhere makes the RESULT a string, so every non-string
+        value branch is rendered to MySQL text over its host-knowable
+        domain (coalesce_pushdown.test mixes char/decimal/int/datetime).
+        Reference: ``Functions/FunctionsConditional`` getReturnType
+        aggregation."""
+        if name == "coalesce":
+            vals = list(range(len(args)))
+        elif name == "if":
+            vals = list(range(1, len(args)))
+        elif name == "case_when":
+            vals = list(range(1, len(args), 2))
+            if len(args) % 2 == 1:
+                vals.append(len(args) - 1)
+        else:
+            return args
+        picked = [args[i] for i in vals]
+
+        def klass(a):
+            if a.dtype.is_string:
+                return "s"
+            if a.dtype.kind in (TypeKind.DATETIME, TypeKind.DATE,
+                                TypeKind.DURATION):
+                return "t"
+            return "n"
+
+        ks = {klass(a) for a in picked}
+        # string anywhere -> string; temporal mixed with numeric ->
+        # string too (MySQL aggregates DATETIME+INT to VARCHAR)
+        if "s" not in ks and ks != {"t", "n"}:
+            return args
+        if len(ks) == 1:
+            return args
+        new_args = list(args)
+        for i in vals:
+            if not args[i].dtype.is_string:
+                new_args[i] = self._cast_to_string_lut(args[i], STRING)
+        return new_args
+
     # -- calls ------------------------------------------------------------
 
     def _call(self, call: Call) -> Column:
@@ -486,6 +532,8 @@ class ExprEvaluator:
             return self._date_format(call)
         if name in ("json_array", "json_object"):
             return self._json_build(call)
+        if name == "cast_as_json":
+            return self._cast_as_json(call)
         if (name in ("round", "truncate", "ceil", "floor")
                 and len(call.args) == 2):
             target = self.evaluate(call.args[0])
@@ -654,6 +702,35 @@ class ExprEvaluator:
             st = self._maybe_string_bool_transform(call)
             if st is not None:
                 return st
+            if name in ("json_contains_path", "json_contains",
+                        "json_valid"):
+                # column (non-literal) parameters: k-ary cross-domain
+                # LUT over the argument dictionaries
+                # (json_contains_path.test drives col_type/col_path
+                # from tables)
+                if name == "json_valid" and len(call.args) == 1:
+                    a0 = self.evaluate(call.args[0])
+                    if not a0.dtype.is_string:
+                        # non-string types can never hold JSON: constant
+                        # 0, never NULL (json_valid.test col_others)
+                        fnv = get_function(name)
+                        return fnv.evaluate([a0], fnv.infer([a0.dtype]))
+                fn0 = _STRING_BOOL_TRANSFORMS[name][1]
+
+                def jc(*vs):
+                    if name == "json_contains_path":
+                        # NULL paths participate in the short-circuit
+                        if vs[0] is None or vs[1] is None:
+                            return None
+                        return fn0(str(vs[0]), str(vs[1]), *vs[2:])
+                    if any(v is None for v in vs):
+                        return None
+                    return fn0(*[str(v) for v in vs])
+
+                from ..core.dtypes import BOOL as _BOOL
+
+                return self._cross_lut_value(call.args, jc,
+                                             name=name, out_dtype=_BOOL)
             if name == "regexp_like":
                 # column pattern: cross-domain LUT (subject x pattern)
                 rl = _STRING_BOOL_TRANSFORMS[name][1]
@@ -690,6 +767,7 @@ class ExprEvaluator:
                 use = str_ctx if isinstance(a.value, str) and str_ctx is not None else ctx
                 evaluated[i] = self._literal_column(a, use)
         args = [evaluated[i] for i in range(len(call.args))]
+        args = self._coerce_mixed_branches(name, args)
         args, merged_dict = self._harmonize_string_args(args)
         fn = get_function(name)
         out = fn.infer([a.dtype for a in args])
@@ -724,7 +802,9 @@ class ExprEvaluator:
         if not lit_idx or len(col_idx) != 1:
             return None
         target = self.evaluate(args[col_idx[0]])
-        if not target.dtype.is_string:
+        if not target.dtype.is_string or target.dtype.mysql_json:
+            # JSON dictionaries rank by JSON precedence, not bytes —
+            # the bisect code-space tricks below assume lexicographic
             return None
         d = target.dictionary or ()
         intd = DataType(TypeKind.INT32, target.dtype.nullable)
@@ -1125,13 +1205,21 @@ class ExprEvaluator:
         return Column(data, validity,
                       STRING.with_nullable(nullable), new_dict)
 
-    def _cast_to_string_lut(self, src: Column, target) -> Column:
+    def _cast_to_string_lut(self, src: Column, target,
+                            render=None) -> Column:
         """CAST(x AS CHAR) for non-string x: MySQL text rendering over
         the column's host-knowable domain (value domain / narrow range
         stats / bool), one gather.  Reference: CastIntAsString &co,
         ``Functions/FunctionsConversion.h``."""
         vals, codes = self._col_code_space(src)
-        mapped = [None if v is None else _mysql_value_text(v) for v in vals]
+        if render is None and src.dtype.kind is TypeKind.FLOAT32:
+            # CAST(FLOAT AS CHAR) renders at float32 precision: shortest
+            # text that round-trips the f32 value (LENGTH(float 1.3)=3).
+            # JSON casts keep the exact widened double instead.
+            vals = [None if v is None else float(str(np.float32(v)))
+                    for v in vals]
+        render = render or _mysql_value_text
+        mapped = [None if v is None else render(v) for v in vals]
         nulls = np.array([m is None for m in mapped] or [False])
         strs = ["" if m is None else m for m in mapped]
         new_dict = tuple(sorted(set(strs))) or ("",)
@@ -1288,6 +1376,68 @@ class ExprEvaluator:
         return Column(data, validity, STRING.with_nullable(nullable),
                       new_dict)
 
+    def _cast_as_json(self, call: Call) -> Column:
+        """CAST(x AS JSON) -> JSON text (reference CastXAsJson sigs):
+        numbers keep their decimal text, BOOL comparisons become
+        true/false, temporal values become quoted strings, strings
+        parse as documents (invalid text becomes a quoted JSON string),
+        JSON columns normalize (cast_as_json.test)."""
+        import json as _json
+
+        from .regexp_json import json_dumps_mysql
+
+        src = self.evaluate(call.args[0])
+        sdt = src.dtype
+        if sdt.is_string:
+            from .functions import _map_string_to_string
+
+            if sdt.mysql_blob:
+                import base64 as _b64
+
+                def jf(s, _c=sdt.mysql_blob):
+                    # binary families are JSON OPAQUES:
+                    # "base64:type<code>:<b64(bytes)>"
+                    b = _b64.b64encode(
+                        s.encode("utf-8", "surrogateescape")).decode()
+                    return _json.dumps(f"base64:type{_c}:{b}")
+            else:
+                def jf(s, _isjson=sdt.mysql_json):
+                    try:
+                        return json_dumps_mysql(_json.loads(s))
+                    except Exception:
+                        return (s if _isjson
+                                else _json.dumps(s, ensure_ascii=False))
+            return _map_string_to_string(src, jf)
+
+        def render(v):
+            if sdt.kind is TypeKind.BOOL or isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, datetime.datetime):
+                # JSON datetimes always carry the 6-digit fraction
+                return _json.dumps(
+                    f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+                    f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+                    f".{v.microsecond:06d}")
+            if sdt.kind is TypeKind.DURATION:
+                us = int(v)
+                sign = "-" if us < 0 else ""
+                us = abs(us)
+                h, rem = divmod(us // 1_000_000, 3600)
+                mi, s2 = divmod(rem, 60)
+                return _json.dumps(
+                    f"{sign}{h:02d}:{mi:02d}:{s2:02d}"
+                    f".{us % 1_000_000:06d}")
+            if isinstance(v, datetime.date):
+                return _json.dumps(_mysql_value_text(v))
+            if isinstance(v, float):
+                return _json.dumps(v)  # JSON float text keeps '.0'
+            return _mysql_value_text(v)
+
+        out = self._cast_to_string_lut(src, STRING, render=render)
+        return Column(out.data, out.validity,
+                      dataclasses.replace(out.dtype, mysql_json=True),
+                      out.dictionary)
+
     def _json_build(self, call: Call) -> Column:
         """JSON_ARRAY / JSON_OBJECT with literal args and at most one
         string column (dictionary LUT; reference json_array/json_object
@@ -1324,12 +1474,25 @@ class ExprEvaluator:
 
         lits = [a.value if isinstance(a, Literal) else None for a in args]
 
+        is_json = target.dtype.mysql_json
+
         def fn(s):
             vals = list(lits)
+            if is_json:
+                # a JSON column embeds as a DOCUMENT, not quoted text
+                import json as _json
+
+                try:
+                    s = _json.loads(s)
+                except Exception:
+                    pass
             vals[i] = s
             return build(vals)
 
-        return _map_string_to_string(target, fn)
+        nv = list(lits)
+        nv[i] = None
+        # SQL NULL arg is a JSON null ELEMENT: JSON_ARRAY(NULL) = '[null]'
+        return _map_string_to_string(target, fn, null_result=build(nv))
 
     def _like(self, call: Call, ci: bool = False) -> Column:
         """LIKE/ILIKE pattern matching via host-side dictionary LUT.

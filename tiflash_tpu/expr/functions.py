@@ -2925,18 +2925,29 @@ def _lut_validity(col: Column, nulls: "_np.ndarray"):
     return v, True
 
 
-def _map_string_to_string(col: Column, fn) -> Column:
+def _map_string_to_string(col: Column, fn, null_result=None) -> Column:
     """Host LUT over the dictionary; ``fn`` may return None -> SQL NULL
-    (e.g. regexp_substr with no match, from_base64 on invalid input)."""
+    (e.g. regexp_substr with no match, from_base64 on invalid input).
+    ``null_result``: value emitted for SQL-NULL input rows instead of
+    NULL (JSON_ARRAY(NULL) = '[null]')."""
     d = col.dictionary or ()
     mapped = [fn(s) for s in d]
     nulls = _np.array([m is None for m in mapped] or [False])
     mapped = ["" if m is None else m for m in mapped]
-    new_dict = tuple(sorted(set(mapped))) or ("",)
+    pool = set(mapped)
+    if null_result is not None:
+        pool.add(null_result)
+    new_dict = tuple(sorted(pool)) or ("",)
     rank = {s: i for i, s in enumerate(new_dict)}
     table = _np.array([rank[m] for m in mapped] or [0], dtype=_np.int32)
     data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
     validity, nullable = _lut_validity(col, nulls)
+    if null_result is not None and col.validity is not None:
+        data = jnp.where(col.validity, data,
+                         jnp.int32(rank[null_result]))
+        bad = jnp.asarray(nulls)[jnp.clip(col.data, 0, len(nulls) - 1)]
+        validity = col.validity & ~bad | ~col.validity
+        nullable = True
     return Column(data, validity, STRING.with_nullable(nullable), new_dict)
 
 
@@ -2963,6 +2974,10 @@ def _register_string_unary(name: str, fn, to_int: bool = False):
 
         def evaluate(cols, out):
             (a,) = cols
+            if not a.dtype.is_string:
+                # MySQL coerces: LENGTH(123) = 3, ASCII(123) = 49
+                # (ascii_pushdown.test over numeric columns)
+                a = _coerce_string_arg(a)
             if to_int:
                 return _map_string_to_int(a, fn)
             return _map_string_to_string(a, fn)
@@ -2972,13 +2987,27 @@ def _register_string_unary(name: str, fn, to_int: bool = False):
     register(name)(factory)
 
 
+def _coerce_string_arg(a: Column) -> Column:
+    """Implicit numeric/temporal -> string coercion for string
+    functions, via the engine's MySQL text rendering (needs a
+    host-knowable domain, like every string LUT)."""
+    from .compile import ExprEvaluator
+
+    ev = ExprEvaluator.__new__(ExprEvaluator)
+    ev.n = int(a.data.shape[0])
+    return ev._cast_to_string_lut(a, STRING)
+
+
 _register_string_unary("upper", str.upper)
 _register_string_unary("lower", str.lower)
 _register_string_unary("reverse", lambda s: s[::-1])
 _register_string_unary("ltrim", str.lstrip)
 _register_string_unary("rtrim", str.rstrip)
 _register_string_unary("trim", str.strip)
-_register_string_unary("length", len, to_int=True)
+# LENGTH counts BYTES (utf-8), CHAR_LENGTH counts characters
+# (length_pushdown.test with multibyte values)
+_register_string_unary("length", lambda s: len(s.encode("utf-8")),
+                       to_int=True)
 _register_string_unary("char_length", len, to_int=True)
 _register_string_unary("ascii", lambda s: ord(s[0]) if s else 0, to_int=True)
 _register_string_unary("bit_length", lambda s: 8 * len(s.encode()), to_int=True)
@@ -3071,6 +3100,25 @@ _register_part_name("day_name", "dayofweek", [
 _register_part_name("dayname", "dayofweek", [
     "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
     "Saturday"])
+
+
+@register("json_valid")
+def _json_valid():
+    """Fallback for NON-string arguments: MySQL JSON_VALID(123) = 0
+    (only strings can hold JSON text; string columns take the
+    dictionary-LUT path in compile.py)."""
+
+    def infer(ts):
+        return DataType(TypeKind.BOOL, False)
+
+    def evaluate(cols, out):
+        (a,) = cols
+        # never NULL: TiDB folds "this type can never hold JSON" to a
+        # constant 0 even for NULL input (json_valid.test)
+        return Column(jnp.zeros(a.data.shape[:1], dtype=jnp.bool_),
+                      None, out)
+
+    return infer, evaluate
 
 
 @register("in")

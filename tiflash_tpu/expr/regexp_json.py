@@ -106,6 +106,9 @@ def parse_json_path(path: str) -> List[PathStep]:
                 j = path.index('"', i + 1)
                 steps.append(("key", path[i + 1: j]))
                 i = j + 1
+            elif path[i:i + 1] == "*":
+                steps.append(("wild_key", None))
+                i += 1
             else:
                 j = i
                 while j < len(path) and (path[j].isalnum() or path[j] == "_"):
@@ -114,9 +117,16 @@ def parse_json_path(path: str) -> List[PathStep]:
                     raise ValueError(f"bad JSON path member at {i}: {path!r}")
                 steps.append(("key", path[i:j]))
                 i = j
+        elif c == "*" and path[i:i + 2] == "**":
+            steps.append(("wild_deep", None))
+            i += 2
         elif c == "[":
             j = path.index("]", i)
-            steps.append(("idx", int(path[i + 1: j])))
+            body = path[i + 1: j].strip()
+            if body == "*":
+                steps.append(("wild_elem", None))
+            else:
+                steps.append(("idx", int(body)))
             i = j + 1
         else:
             raise ValueError(f"bad JSON path at {i}: {path!r}")
@@ -126,42 +136,92 @@ def parse_json_path(path: str) -> List[PathStep]:
 _MISSING = object()
 
 
+def _navigate_multi(v, steps: List[PathStep]) -> list:
+    """All values addressed by ``steps`` (wildcards fan out; MySQL
+    document order)."""
+    cur = [v]
+    for kind, k in steps:
+        nxt = []
+        for x in cur:
+            if kind == "key":
+                if isinstance(x, dict) and k in x:
+                    nxt.append(x[k])
+            elif kind == "idx":
+                if isinstance(x, list):
+                    if 0 <= k < len(x):
+                        nxt.append(x[k])
+                elif k == 0:
+                    nxt.append(x)  # $[0] on a scalar is the scalar
+            elif kind == "wild_elem":
+                if isinstance(x, list):
+                    nxt.extend(x)
+            elif kind == "wild_key":
+                if isinstance(x, dict):
+                    nxt.extend(x.values())
+            else:  # wild_deep '**': the value and every descendant
+                stack = [x]
+                while stack:
+                    y = stack.pop(0)
+                    nxt.append(y)
+                    if isinstance(y, dict):
+                        stack.extend(y.values())
+                    elif isinstance(y, list):
+                        stack.extend(y)
+        cur = nxt
+    return cur
+
+
 def _json_navigate(doc: str, steps: List[PathStep]):
-    """Returns the addressed value, _MISSING if absent, or _MISSING if the
-    document is not valid JSON."""
+    """Returns the addressed value, _MISSING if absent/invalid JSON.
+    With wildcard steps the result is the LIST of matches (callers wrap
+    per MySQL: json_extract returns an array)."""
     try:
         v = json.loads(doc)
     except Exception:
         return _MISSING
-    for kind, k in steps:
-        if kind == "key":
-            if isinstance(v, dict) and k in v:
-                v = v[k]
-            else:
-                return _MISSING
-        else:
-            if isinstance(v, list):
-                if 0 <= k < len(v):
-                    v = v[k]
-                else:
-                    return _MISSING
-            elif k == 0:
-                pass  # MySQL: $[0] on a scalar addresses the scalar
-            else:
-                return _MISSING
-    return v
+    wild = any(kind.startswith("wild") for kind, _ in steps)
+    matches = _navigate_multi(v, steps)
+    if wild:
+        return matches if matches else _MISSING
+    return matches[0] if matches else _MISSING
 
 
 def json_dumps_mysql(v: Any) -> str:
-    """MySQL-style JSON text: ", " / ": " separators, utf-8 kept raw."""
-    return json.dumps(v, separators=(", ", ": "), ensure_ascii=False)
+    """MySQL-style JSON text: ", " / ": " separators, utf-8 kept raw,
+    object keys in BINARY-JSON order (length, then bytes —
+    json_object.test '{"nil": ..., "obj": ...}')."""
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: (len(kv[0]), kv[0]))
+        return "{" + ", ".join(
+            f"{json.dumps(k, ensure_ascii=False)}: {json_dumps_mysql(x)}"
+            for k, x in items) + "}"
+    if isinstance(v, list):
+        return "[" + ", ".join(json_dumps_mysql(x) for x in v) + "]"
+    return json.dumps(v, ensure_ascii=False)
 
 
-def json_extract(doc: str, path: str) -> Optional[str]:
-    v = _json_navigate(doc, parse_json_path(path))
-    if v is _MISSING:
+def json_extract(doc: str, *paths: str) -> Optional[str]:
+    """JSON_EXTRACT(doc, path[, path...]): single non-wildcard path
+    yields the value; multiple paths or wildcards yield an ARRAY of all
+    matches (MySQL)."""
+    all_matches = []
+    wild = len(paths) > 1
+    for p in paths:
+        steps = parse_json_path(p)
+        wild = wild or any(k.startswith("wild") for k, _ in steps)
+        v = _json_navigate(doc, steps)
+        if v is _MISSING:
+            continue
+        if isinstance(v, list) and any(k.startswith("wild")
+                                       for k, _ in steps):
+            all_matches.extend(v)
+        else:
+            all_matches.append(v)
+    if not all_matches:
         return None
-    return json_dumps_mysql(v)
+    if not wild:
+        return json_dumps_mysql(all_matches[0])
+    return json_dumps_mysql(all_matches)
 
 
 def json_unquote(s: str) -> str:
@@ -228,16 +288,31 @@ def json_depth(doc: str) -> Optional[int]:
     return depth(v)
 
 
-def json_contains_path(doc: str, one_or_all: str, *paths: str) -> Optional[bool]:
-    hits = []
-    for p in paths:
-        v = _json_navigate(doc, parse_json_path(p))
-        hits.append(v is not _MISSING)
+def json_contains_path(doc: str, one_or_all: str, *paths) -> Optional[bool]:
+    """Short-circuits in PATH ORDER (MySQL): 'all' returns 0 at the
+    first absent path even if a later path is NULL; 'one' returns 1 at
+    the first hit; a NULL path reached before the answer is decided
+    gives NULL (json_contains_path.test)."""
     try:
         json.loads(doc)
     except Exception:
         return None
-    return all(hits) if str(one_or_all).lower() == "all" else any(hits)
+    mode = str(one_or_all).lower()
+    if mode not in ("one", "all"):
+        return None
+    for p in paths:
+        if p is None:
+            return None
+        try:
+            steps = parse_json_path(str(p))
+        except ValueError:
+            return None  # malformed path (LUT probes dead entries too)
+        hit = _json_navigate(doc, steps) is not _MISSING
+        if mode == "all" and not hit:
+            return False
+        if mode == "one" and hit:
+            return True
+    return mode == "all"
 
 
 # ---------------------------------------------------------------------------

@@ -290,18 +290,27 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return None
         return eval_expr_row(args[n], row)
     if f in ("json_array", "json_object"):
-        vs = []
-        for a2 in args:
-            v = eval_expr_row(a2, row)
-            if v is None and not isinstance(a2, Literal):
-                return None  # NULL column row -> NULL (LUT-family rule)
-            vs.append(v)
+        # SQL NULL embeds as a JSON null element: JSON_ARRAY(NULL) =
+        # '[null]' (matches MySQL; literal and column NULLs alike)
+        vs = [eval_expr_row(a2, row) for a2 in args]
         if f == "json_array":
             doc = vs
         else:
             doc = {str(vs[i]): vs[i + 1] for i in range(0, len(vs), 2)}
         import json as _json
-        return _json.dumps(doc, separators=(", ", ": "), ensure_ascii=False)
+
+        def dump(v):
+            # MySQL binary-JSON object key order: length, then bytes
+            if isinstance(v, dict):
+                its = sorted(v.items(), key=lambda kv: (len(kv[0]), kv[0]))
+                return "{" + ", ".join(
+                    f"{_json.dumps(k, ensure_ascii=False)}: {dump(x)}"
+                    for k, x in its) + "}"
+            if isinstance(v, (list, tuple)):
+                return "[" + ", ".join(dump(x) for x in v) + "]"
+            return _json.dumps(v, ensure_ascii=False)
+
+        return dump(doc)
     if f == "extract":
         unit = str(args[0].value).upper()
         d0 = eval_expr_row(args[1], row)
@@ -751,7 +760,9 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
         return {"upper": str.upper, "lower": str.lower,
                 "reverse": lambda s: s[::-1], "trim": str.strip,
                 "ltrim": str.lstrip, "rtrim": str.rstrip}[f](a)
-    if f in ("length", "char_length"):
+    if f == "length":
+        return len(str(a).encode("utf-8"))  # MySQL LENGTH = bytes
+    if f == "char_length":
         return len(a)
     if f == "ascii":
         return ord(a[0]) if a else 0

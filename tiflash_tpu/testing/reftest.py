@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*")
   | (?P<qident>`[^`]*`)
   | (?P<name>[A-Za-z_@][A-Za-z0-9_@$]*)
-  | (?P<op><=>|<<|>>|<=|>=|<>|!=|:=|\|\||&&|[-+*/%=<>(),.;|&^~!])
+  | (?P<op><=>|->>|->|<<|>>|<=|>=|<>|!=|:=|\|\||&&|[-+*/%=<>(),.;|&^~!])
 """, re.VERBOSE)
 
 
@@ -289,7 +289,16 @@ class SqlParser:
             return Call("not", (self.parse_unary(),))
         if self.eat_kw("binary"):  # BINARY expr: collation no-op here
             return self.parse_unary()
-        return self.parse_primary()
+        e = self.parse_primary()
+        # JSON path operators: a->'$.x' = json_extract,
+        # a->>'$.x' = json_unquote(json_extract)
+        while self.at_op("->", "->>"):
+            op = self.next()[1]
+            path = self.parse_primary()
+            e = Call("json_extract", (e, path))
+            if op == "->>":
+                e = Call("json_unquote", (e,))
+        return e
 
     def parse_primary(self) -> Expr:
         k, v = self.peek()
@@ -313,6 +322,23 @@ class SqlParser:
         if k == "qident":
             self.next()
             return ColumnRef(v[1:-1])
+        if self.at_op("(") and self.peek(1)[0] == "name" \
+                and self.peek(1)[1].lower() == "select":
+            # scalar subquery: run it now, fold to a literal
+            # (timestamp_literal.test: value = (select max(value) ...))
+            if getattr(self, "sess", None) is None:
+                raise Unsupported("scalar subquery outside a session")
+            self.next()
+            sub = SelectBuilder(self.sess, self, nested=True)
+            blk = sub.run()
+            self.expect_op(")")
+            from . import oracle as O
+
+            tab = O.block_to_pytable(blk.compact())
+            col = tab[blk.names[0]]
+            if len(blk.names) != 1 or len(col) > 1:
+                raise Unsupported("subquery is not scalar")
+            return Literal(col[0] if col else None)
         if self.eat_op("("):
             e = self.parse_expr()
             if self.eat_op(","):  # row constructor — unsupported
@@ -416,6 +442,14 @@ class SqlParser:
         if name in ("trim", "ltrim", "rtrim") and self.at_kw(
                 "leading", "trailing", "both"):
             raise Unsupported("TRIM(LEADING/TRAILING/BOTH ...)")
+        if name == "position":
+            # POSITION(substr IN str) — parse below comparison level so
+            # IN is the keyword, not the membership operator
+            sub = self.parse_bitor()
+            self.expect_kw("in")
+            s = self.parse_bitor()
+            self.expect_op(")")
+            return Call("position", (sub, s))
         if name == "count" and self.eat_op("*"):
             self.expect_op(")")
             return Call("count", (Literal("*"),))
@@ -460,16 +494,25 @@ class SqlParser:
     def _mk_cast(self, arg: Expr, target: dt.DataType) -> Expr:
         """CAST with MySQL fsp semantics: TIME(n)/DATETIME(n) round the
         fractional seconds (default fsp 0)."""
+        if getattr(self, "cast_json", False):
+            self.cast_json = False
+            return Call("cast_as_json", (arg,))
         e: Expr = Cast(arg, target)
         fsp = getattr(self, "cast_fsp", None)
         self.cast_fsp = None
         if fsp is not None and target.kind in (dt.TypeKind.DATETIME,
                                                dt.TypeKind.DURATION):
             e = Call("cast_fsp_round", (e, Literal(int(fsp))))
+        clen = getattr(self, "cast_char_len", None)
+        self.cast_char_len = None
+        if clen is not None and target.is_string:
+            e = Call("left", (e, Literal(int(clen))))
         return e
 
     def parse_cast_type(self) -> dt.DataType:
         self.cast_fsp = None
+        self.cast_char_len = None
+        self.cast_json = False
         name = self.next()[1].lower()
         params: List[int] = []
         if self.eat_op("("):
@@ -495,6 +538,8 @@ class SqlParser:
         if name == "float":
             return dt.FLOAT32
         if name in ("char", "nchar", "varchar"):
+            # CAST(x AS CHAR(n)) truncates to n characters
+            self.cast_char_len = params[0] if params else None
             return dt.STRING
         if name == "date":
             return dt.DATE
@@ -504,6 +549,11 @@ class SqlParser:
         if name == "time":
             self.cast_fsp = params[0] if params else 0
             return dt.DURATION
+        if name == "json":
+            self.cast_json = True
+            import dataclasses as _dc
+
+            return _dc.replace(dt.STRING, mysql_json=True)
         raise Unsupported(f"cast target {name}")
 
 
@@ -607,9 +657,20 @@ def parse_col_type(spec: str) -> Tuple[dt.DataType, Optional[int]]:
 
         members = tuple(p.strip().strip("'\"") for p in params)
         t = _dc.replace(dt.STRING, enum_values=members)
+    elif base in ("binary", "varbinary", "blob", "tinyblob",
+                  "mediumblob", "longblob"):
+        # binary families carry their MySQL field-type code; BINARY(n)
+        # zero-pads stored values to n bytes (cast_as_json.test)
+        import dataclasses as _dc
+
+        code = {"tinyblob": 249, "mediumblob": 250, "longblob": 251,
+                "blob": 252, "binary": 254, "varbinary": 15}[base]
+        t = _dc.replace(dt.STRING, mysql_blob=code)
+        if base == "binary":
+            fsp = None
+            t = _dc.replace(t, precision=int(params[0]) if params else 1)
     elif base in ("varchar", "char", "text", "tinytext", "mediumtext",
-                  "longtext", "set", "binary", "varbinary",
-                  "blob", "tinyblob", "mediumblob", "longblob"):
+                  "longtext", "set"):
         t = dt.STRING
     elif base == "date":
         t = dt.DATE
@@ -627,7 +688,12 @@ def parse_col_type(spec: str) -> Tuple[dt.DataType, Optional[int]]:
     elif base == "bit":
         t = dt.UINT64
     elif base == "json":
-        raise Unsupported("JSON column type")
+        # JSON columns ride the dictionary-encoded STRING representation
+        # (normalized text); the JSON function family evaluates over the
+        # dictionary LUT (expr/regexp_json.py)
+        import dataclasses as _dc
+
+        t = _dc.replace(dt.STRING, mysql_json=True)
     else:
         raise Unsupported(f"column type {base}")
     return (t.with_nullable(nullable) if nullable else t), fsp
@@ -672,6 +738,15 @@ def parse_create_table(sql: str):
         schema[name], fsp = parse_col_type(rest)
         if fsp is not None:
             fsps[name] = fsp
+    tail = m.group(4) or ""
+    if re.search(r"collate\s*=?\s*binary", tail, re.I):
+        # table-level binary collation: varchar/char become VAR_STRING
+        # binary fields (type code 15 — cast_as_json.test)
+        import dataclasses as _dc
+
+        for cn, ct in list(schema.items()):
+            if ct.is_string and not ct.mysql_blob:
+                schema[cn] = _dc.replace(ct, mysql_blob=15)
     return table, schema, fsps
 
 
@@ -775,6 +850,9 @@ class RefTestSession:
                     expected = expected[:borders[3]]
             self.unsupported.append("SHOW WARNINGS (client protocol)")
         for stmt in parts:
+            stmt = re.sub(r"\s*#NO_UNESCAPE\s*$", "", stmt)
+            if stmt.startswith("#") or not stmt:
+                continue  # directive/comment (#NO_UNESCAPE, #RETURN)
             low = stmt.lower()
             if low.startswith("set "):
                 # honor SET time_zone (TIMESTAMP semantics); other
@@ -1163,6 +1241,19 @@ def _coerce_host_value(v, t: dt.DataType):
             return -us if neg else us
         return v
     if t.is_string:
+        if t.mysql_blob == 254 and t.precision and isinstance(v, str):
+            # BINARY(n) zero-pads stored values to n bytes
+            return v.ljust(t.precision, "\x00")
+        if t.mysql_json and isinstance(v, str):
+            # store NORMALIZED JSON text (MySQL binary-JSON display:
+            # ', ' / ': ' separators — cast_json_as_string.test)
+            import json as _json
+
+            from ..expr.regexp_json import json_dumps_mysql
+            try:
+                return json_dumps_mysql(_json.loads(v))
+            except Exception:
+                return str(v)
         return str(v)
     if t.kind in (dt.TypeKind.FLOAT32, dt.TypeKind.FLOAT64):
         return float(v)
@@ -1199,9 +1290,11 @@ _FUNC_RENAME = {
 
 
 class SelectBuilder:
-    def __init__(self, session: RefTestSession, sql: str):
+    def __init__(self, session: RefTestSession, sql, nested: bool = False):
         self.sess = session
-        self.p = SqlParser(sql)
+        self.p = sql if isinstance(sql, SqlParser) else SqlParser(sql)
+        self.p.sess = session  # scalar subqueries run in-session
+        self.nested = nested  # derived table: stop at the closing ')'
         self.order_sensitive = False
         self.schema: Dict[str, dt.DataType] = {}
 
@@ -1386,22 +1479,51 @@ class SelectBuilder:
         if p.eat_kw("from"):
             from_tables = []
             while True:
-                tk, tv = p.next()
-                table = tv.strip("`")
-                while p.at_op("."):
+                if p.at_op("("):
+                    # derived table: run the subselect, register the
+                    # result as a session temp (json_contains_path.test)
                     p.next()
-                    table = p.next()[1].strip("`")
-                # alias
-                if p.at_kw("as"):
-                    p.next()
-                    p.next()
-                elif p.peek()[0] == "name" and not p.at_kw(
-                        "where", "group", "order", "limit", "union",
-                        "having", "window"):
-                    p.next()
+                    sub = SelectBuilder(self.sess, p, nested=True)
+                    sub_block = sub.run()
+                    p.expect_op(")")
+                    alias = "__derived__"
+                    if p.at_kw("as"):
+                        p.next()
+                        alias = p.next()[1].strip("`")
+                    elif p.peek()[0] in ("name", "qident"):
+                        alias = p.next()[1].strip("`")
+                    sschema = {n: c.dtype for n, c in
+                               zip(sub_block.names, sub_block.columns)}
+                    from . import oracle as O
+
+                    self.sess.tables[alias] = (
+                        sschema, O.block_to_pytable(sub_block.compact()))
+                    table = alias
+                else:
+                    tk, tv = p.next()
+                    table = tv.strip("`")
+                    while p.at_op("."):
+                        p.next()
+                        table = p.next()[1].strip("`")
+                    # alias
+                    if p.at_kw("as"):
+                        p.next()
+                        p.next()
+                    elif p.peek()[0] == "name" and not p.at_kw(
+                            "where", "group", "order", "limit", "union",
+                            "having", "window", "join", "cross", "inner"):
+                        p.next()
                 from_tables.append(table)
-                if not p.eat_op(","):
-                    break
+                if p.eat_op(","):
+                    continue
+                # bare JOIN chains without ON are cross joins
+                if p.at_kw("join") or (p.at_kw("cross", "inner")
+                                       and p.peek(1)[1].lower() == "join"):
+                    p.eat_kw("cross")
+                    p.eat_kw("inner")
+                    p.expect_kw("join")
+                    continue
+                break
             if len(from_tables) > 1:
                 # comma join: host-side Cartesian product (corpus tables
                 # are tiny); WHERE equalities filter through the engine
@@ -1455,7 +1577,7 @@ class SelectBuilder:
         limit = None
         if p.eat_kw("limit"):
             limit = int(p.next()[1])
-        if p.peek()[0] != "eof":
+        if p.peek()[0] != "eof" and not (self.nested and p.at_op(")")):
             raise Unsupported(f"trailing sql at {p.peek()[1]!r}")
 
         if star:
@@ -2127,6 +2249,16 @@ def parse_test_file(path: str) -> List[Tuple[str, Optional[List[str]]]]:
                     raise Unsupported("binary-as-hex client mode")
             else:
                 if cur is not None:
+                    # multi-line INSERT ... VALUES continuation: the
+                    # statement so far dangles on 'values'/',' and the
+                    # line looks like a tuple (json_object.test)
+                    dangling = re.sub(r"\s*#NO_UNESCAPE\s*$", "",
+                                      cur.rstrip())
+                    if (not cur_expected and s.startswith("(")
+                            and (dangling.lower().endswith("values")
+                                 or dangling.endswith(","))):
+                        cur = cur + " " + s
+                        continue
                     # bordered table rows OR tab-separated client output
                     cur_expected.append(line)
     if cur is not None:
