@@ -172,3 +172,43 @@ def test_quad_sum_distributed_matches_single(dist):
         want_avg = _div_half_up(sum(vals) * 10 ** 4, len(vals))
         assert int(r["a"][i].scaleb(8, context=CTX)) == want_avg, \
             ("avg", g, dist)
+
+
+def test_wide_decimal_div_mod():
+    """MySQL DIV/MOD over wide decimals: DIV truncates toward zero to an
+    integer, MOD keeps the common (max) scale and the dividend's sign —
+    both exact to 60-digit operands via the truncating wide division
+    (reference: dbms/src/Functions/{divide,modulo}.cpp over Decimal;
+    corpus mod.test t13).  Oracle: python Fraction/Decimal."""
+    import fractions
+
+    from tiflash_tpu.expr.nodes import call
+
+    rng = np.random.default_rng(11)
+    mant_a = _rand_mantissas(rng, 48, 55) + [0, 10 ** 55 - 1]
+    mant_b = [(m or 7) for m in _rand_mantissas(rng, 48, 40)] + [3, -3]
+    ta, tb = dt.Decimal(60, 5), dt.Decimal(45, 7)
+    blk = Block.from_dict({
+        "a": column_from_numpy(mant_a, ta),
+        "b": column_from_numpy(mant_b, tb),
+    })
+    plan = P.Projection(
+        {"q": call("int_div", col("a"), col("b")),
+         "r": call("modulo", col("a"), col("b"))}, P.TableScan("t"))
+    out, _ = compile_fragment(plan)(dict(t=blk))
+    r = out.compact().to_pylists()
+    for i, (ma, mb) in enumerate(zip(mant_a, mant_b)):
+        fa = fractions.Fraction(ma, 10 ** 5)
+        fb = fractions.Fraction(mb, 10 ** 7)
+        want_q = int(abs(fa) / abs(fb)) * (-1 if (fa < 0) != (fb < 0) else 1)
+        if abs(want_q) >= 2 ** 63:
+            # beyond-BIGINT quotient: NULL (the reference errors;
+            # shape-static programs cannot throw)
+            assert r["q"][i] is None, ("div overflow", i, ma, mb)
+        else:
+            assert int(r["q"][i]) == want_q, ("div", i, ma, mb)
+        # remainder at scale 7 (max), dividend's sign; output is the
+        # raw mantissa
+        want_r = fa - want_q * fb
+        got = fractions.Fraction(int(r["r"][i]), 10 ** 7)
+        assert got == want_r, ("mod", i, ma, mb, got)

@@ -528,6 +528,12 @@ class ExprEvaluator:
             return self._cross_lut(call.args, pad_fn, name=name)
         if name == "timestampdiff":
             return self._timestampdiff(call)
+        if name == "from_unixtime" and len(call.args) == 2:
+            fmt = call.args[1]
+            if isinstance(fmt, Literal) and fmt.value is None:
+                # NULL format string -> NULL (null_literal.test)
+                return self._null_string_column()
+            raise NotImplementedError("FROM_UNIXTIME(ts, fmt)")
         if name == "date_format":
             return self._date_format(call)
         if name in ("json_array", "json_object"):
@@ -1045,6 +1051,12 @@ class ExprEvaluator:
         unit_a = call.args[0]
         assert isinstance(unit_a, Literal), "TIMESTAMPDIFF unit must be a literal"
         unit = str(unit_a.value).upper()
+        if any(isinstance(x, Literal) and x.value is None
+               for x in call.args[1:]):
+            # NULL operand -> NULL (null_literal.test)
+            return Column(jnp.zeros(self.n, dtype=jnp.int64),
+                          jnp.zeros(self.n, dtype=jnp.bool_),
+                          DataType(TypeKind.INT64, True))
         a = self.evaluate(call.args[1])
         b = self.evaluate(call.args[2])
         from .functions import _and_validity, _civil_from_days, _date_days
@@ -1086,6 +1098,8 @@ class ExprEvaluator:
         target = self.evaluate(call.args[0])
         fmt_a = call.args[1]
         assert isinstance(fmt_a, Literal), "DATE_FORMAT needs a literal format"
+        if fmt_a.value is None:
+            return self._null_string_column()  # NULL format -> NULL
         if target.dtype.kind is not TypeKind.DATE:
             raise ValueError("DATE_FORMAT supports DATE columns (datetime: "
                              "cast to date first)")

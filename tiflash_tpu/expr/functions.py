@@ -1093,7 +1093,26 @@ def _arith_infer(op: str):
                         min(sa + DIV_PRECISION_INCREMENT, 30), True)
                 return Decimal(18, sa + DIV_PRECISION_INCREMENT, True)
             return DataType(TypeKind.FLOAT64, True)
-        if op in ("int_div", "modulo"):
+        if op == "int_div":
+            if a.is_decimal or b.is_decimal or a.is_float or b.is_float:
+                # MySQL DIV always yields an integer (BIGINT; unsigned
+                # if either operand is) — null_literal.test `x DIV NULL`
+                k = TypeKind.UINT64 if (a.is_unsigned or b.is_unsigned) \
+                    else TypeKind.INT64
+                return DataType(k, True)
+            return common_numeric_type(a, b).with_nullable(True)
+        if op == "modulo":
+            if (a.is_decimal or b.is_decimal) and not (
+                    a.is_float or b.is_float or a.is_string
+                    or b.is_string):
+                # MySQL MOD: |r| < |b| with the common (max) scale —
+                # precision must carry the operands' full integer part
+                # (mod.test decimal(60,5): common_numeric_type's 38 cap
+                # would truncate the remainder)
+                scale = max(a.scale, b.scale)
+                ip = max((a.precision or 19) - a.scale,
+                         (b.precision or 19) - b.scale)
+                return Decimal(min(65, ip + scale), scale, True)
             t = common_numeric_type(a, b)
             return t.with_nullable(True)  # div by zero -> NULL
         return common_numeric_type(a, b)
@@ -1180,6 +1199,73 @@ def _arith_eval(op: str):
             # documented deviation — shape-static programs cannot throw)
             validity = ~ovf if validity is None else (validity & ~ovf)
             return Column(data, validity, out)
+        if op in ("int_div", "modulo") \
+                and (a.dtype.is_decimal or b.dtype.is_decimal) \
+                and not (a.dtype.is_float or b.dtype.is_float):
+            # exact decimal DIV/MOD: same-scale mantissas through the
+            # truncating wide division (MySQL `1.4 DIV 0.5` = 2;
+            # MOD keeps the dividend's sign at the common scale).
+            # Reference: dbms/src/Functions/divide.cpp TiDBDivideInt,
+            # modulo.cpp over Decimal types.
+            from ..core import wide as W
+
+            sa = a.dtype.scale if a.dtype.is_decimal else 0
+            sb = b.dtype.scale if b.dtype.is_decimal else 0
+            s = max(sa, sb)
+            # limbs must hold each operand AFTER scale-up to s
+            pa = (a.dtype.precision or 19) - sa + s
+            pb = (b.dtype.precision or 19) - sb + s
+            if max(pa, pb) > 65:
+                raise NotImplementedError(
+                    f"{op}: scaled operand precision {max(pa, pb)} > 65")
+            L = max(2, -(-pa // 18), -(-pb // 18),
+                    a.data.shape[-1] if a.data.ndim == 2 else 0,
+                    b.data.shape[-1] if b.data.ndim == 2 else 0)
+
+            def widen_op(c: Column):
+                # BIGINT UNSIGNED above 2**63: decompose on uint64 so
+                # the value stays exact (an int64 cast would go
+                # negative — mod_extra.test u64 % decimal)
+                if c.dtype.kind is TypeKind.UINT64 and c.data.ndim == 1:
+                    u = c.data.astype(jnp.uint64)
+                    hi = (u // jnp.uint64(10**18)).astype(jnp.int64)
+                    lo = (u % jnp.uint64(10**18)).astype(jnp.int64)
+                    pad = [jnp.zeros_like(hi)] * (L - 2)
+                    return jnp.stack(pad + [hi, lo], axis=-1)
+                return _as_wide(c, L)
+
+            wa, _ = W.wide_scale_up(widen_op(a), s - sa)
+            wb, _ = W.wide_scale_up(widen_op(b), s - sb)
+            nonzero = jnp.any(wb != 0, axis=-1)
+            one_w = W.widen_i64_to(
+                jnp.ones(wb.shape[:-1], dtype=jnp.int64), L)
+            wb = jnp.where(nonzero[..., None], wb, one_w)
+            q, r = W.wide_divmod(wa, wb)
+            validity = nonzero if validity is None else (validity & nonzero)
+            def narrow(w):
+                # narrow_i64 reads limbs 0/1 (two-limb layout): re-limb
+                # wider values first, folding resize overflow into fits
+                if w.shape[-1] != 2:
+                    w, ovf = W.resize_wide(w, 2)
+                    val, fits = W.narrow_i64(w)
+                    return val, fits & ~ovf
+                return W.narrow_i64(w)
+
+            if op == "int_div":
+                val, fits = narrow(q)
+                validity = validity & fits
+                return Column(val.astype(out.jnp_dtype), validity, out)
+            # remainder: magnitude at scale s, dividend's sign
+            r = jnp.where((wa[..., 0] < 0)[..., None], W.wide_neg(r), r)
+            if out.scale > s:
+                r, _ = W.wide_scale_up(r, out.scale - s)
+            if out.is_decimal and out.decimal_limbs >= 2:
+                if r.shape[-1] != out.decimal_limbs:
+                    r, _ = W.resize_wide(r, out.decimal_limbs)
+                return Column(r, validity, out)
+            val, fits = narrow(r)
+            validity = validity & fits
+            return Column(val.astype(out.jnp_dtype), validity, out)
         _div_sa = a.dtype.scale if a.dtype.is_decimal else 0
         _div_sb = b.dtype.scale if b.dtype.is_decimal else 0
         if (op == "divide" and out.is_decimal
@@ -1270,6 +1356,17 @@ def _arith_eval(op: str):
                 res = jax.lax.div(ua, safe)
                 neg = neg_a ^ neg_b
             data = jnp.where(neg, jnp.uint64(0) - res, res)
+            validity = nonzero if validity is None else (validity & nonzero)
+            return Column(data.astype(out.jnp_dtype), validity, out)
+        if op == "int_div" and not (a.dtype.is_integer
+                                    and b.dtype.is_integer):
+            # float DIV: divide in f64, truncate to the integer result
+            # (inputs must NOT round through the int output type first)
+            f64 = DataType(TypeKind.FLOAT64, False)
+            fa = cast_column(a, f64).data
+            fb = cast_column(b, f64).data
+            nonzero = fb != 0
+            data = jnp.trunc(fa / jnp.where(nonzero, fb, 1.0))
             validity = nonzero if validity is None else (validity & nonzero)
             return Column(data.astype(out.jnp_dtype), validity, out)
         # float / integer paths

@@ -421,6 +421,11 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
             return None
         if isinstance(a, float) or isinstance(b, float):
             return math.fmod(a, b)
+        if isinstance(a, D) or isinstance(b, D):
+            # decimal MOD keeps the fraction and the dividend's sign
+            # (MOD(7.5, 2) = 1.5); Context.remainder truncates
+            return _CTX.remainder(a if isinstance(a, D) else D(a),
+                                  b if isinstance(b, D) else D(b))
         # pure-int: copysign would roundtrip through float (loses
         # precision past 2^53 — INT64_MIN % 5 must stay exact)
         r = abs(int(a)) % abs(int(b))

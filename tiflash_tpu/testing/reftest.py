@@ -1132,6 +1132,14 @@ class RefTestSession:
         with query_timezone(self.tz_offset_us):
             out_block = sel.run()
         if expected is None:
+            # no recorded output = the query returned EMPTY SET
+            # (null_literal.test WHERE NULL predicates) — verify that
+            got = _block_rows(out_block)
+            if got:
+                raise AssertionError(
+                    f"row count: got {len(got)} want 0 (empty set)\n"
+                    f"query: {stmt}\ngot: {got[:8]}")
+            self.checked += 1
             return
         got = _block_rows(out_block)
         want, bordered = _parse_expected(expected)
@@ -2044,7 +2052,10 @@ def _rewrite(e: Expr) -> Expr:
             op = "date_add" if f == "adddate" else "date_sub"
             return Call(f"{op}_days", args)
     if f == "timestampdiff" and len(args) == 3:
-        raise Unsupported("timestampdiff")
+        # first argument is a bare unit keyword, not a column
+        u = args[0]
+        if isinstance(u, ColumnRef):
+            args = (Literal(u.name),) + args[1:]
     return Call(f, args)
 
 
