@@ -83,6 +83,7 @@ def test_manifest_counts():
     from collections import Counter
 
     c = Counter(v["status"] for v in MANIFEST.values())
-    assert c["pass"] >= 114, c
+    assert c["pass"] >= 117, c
+    assert c["zero"] <= 0, c
     assert c["fail"] <= 0, c
     assert c["unsupported"] <= 0, c

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.block import Block, Column
+from ..runtime.errors import EngineError, EvalError
 from ..core.dtypes import (
     BOOL,
     DATE,
@@ -243,12 +244,42 @@ def _literal_days(value) -> int:
     return (value - datetime.date(1970, 1, 1)).days
 
 
+def _doc_depth(v) -> int:
+    """Nesting depth of a parsed JSON document (iterative — corpus docs
+    go 110 levels deep precisely to probe the 100 cap)."""
+    best, stack = 1, [(v, 1)]
+    while stack:
+        x, k = stack.pop()
+        best = max(best, k)
+        if isinstance(x, dict):
+            stack.extend((c, k + 1) for c in x.values())
+        elif isinstance(x, list):
+            stack.extend((c, k + 1) for c in x)
+    return best
+
+
+# functions a zero-argument call is legal for (everything else is an
+# ERROR 1582 'Incorrect parameter count' at plan time, matching MySQL)
+_ZERO_ARG_OK = frozenset({
+    "now", "sysdate", "current_timestamp", "curdate", "current_date",
+    "curtime", "current_time", "utc_timestamp", "utc_date", "utc_time",
+    "unix_timestamp", "rand", "uuid", "pi", "connection_id", "database",
+    "version", "found_rows", "last_insert_id", "row_count", "user",
+    "current_user", "json_object", "json_array", "uuid_short",
+    "release_all_locks", "grouping",
+})
+
+
 class ExprEvaluator:
     """Evaluates a typed expression tree against one Block (at trace time)."""
 
     def __init__(self, block: Block):
         self.block = block
         self.n = block.capacity
+        # runtime error channel: (per-row bool mask, message) collected
+        # from host-LUT EvalError entries; the fragment compiler
+        # reduces live-row masks to scalar flags (runtime/errors.py)
+        self.runtime_errors: list = []
 
     def evaluate(self, expr: Expr) -> Column:
         if isinstance(expr, ColumnRef):
@@ -492,9 +523,17 @@ class ExprEvaluator:
         if call.func in ("adddate", "subdate") and len(call.args) == 3:
             call = Call("date_add" if call.func == "adddate" else "date_sub",
                         call.args)
+        orig_name = call.func
         name = _ALIASES.get(call.func, call.func)
         if name != call.func:
             call = Call(name, call.args)
+        if not call.args and name not in _ZERO_ARG_OK:
+            # MySQL rejects empty calls of arg-taking natives at plan
+            # time (least_greatest.test / day_of_month.test; ERROR 1582
+            # — spelled with the name AS WRITTEN, not the canonical one)
+            raise EngineError(
+                "Incorrect parameter count in the call to native "
+                f"function '{orig_name}'")
         if name == "like":
             return self._like(call)
         if name == "ilike":
@@ -533,7 +572,16 @@ class ExprEvaluator:
             if isinstance(fmt, Literal) and fmt.value is None:
                 # NULL format string -> NULL (null_literal.test)
                 return self._null_string_column()
-            raise NotImplementedError("FROM_UNIXTIME(ts, fmt)")
+            if not isinstance(fmt, Literal):
+                # the reference rejects non-constant formats at plan
+                # time (from_unixtime.test; FunctionsConversion
+                # fromUnixTime constant-argument check)
+                raise EngineError(
+                    "Argument at index 1 for function fromUnixTime "
+                    "must be constant")
+            return self.evaluate(
+                Call("date_format",
+                     (Call("from_unixtime", (call.args[0],)), fmt)))
         if name == "date_format":
             return self._date_format(call)
         if name in ("json_array", "json_object"):
@@ -887,7 +935,8 @@ class ExprEvaluator:
             return Column(jnp.zeros(self.n, dtype=jnp.int32),
                           jnp.zeros(self.n, dtype=jnp.bool_),
                           STRING.with_nullable(True), ("",))
-        return _map_string_to_string(target, lambda s: fn(s, *params))
+        return _map_string_to_string(target, lambda s: fn(s, *params),
+                                     errors=self.runtime_errors)
 
     def _maybe_string_int_transform(self, call: Call) -> Optional[Column]:
         """str-column + literal params -> int via dictionary LUT
@@ -1234,6 +1283,8 @@ class ExprEvaluator:
                     for v in vals]
         render = render or _mysql_value_text
         mapped = [None if v is None else render(v) for v in vals]
+        mapped = self._sift_lut_errors(
+            mapped, jnp.clip(codes, 0, len(mapped) - 1))
         nulls = np.array([m is None for m in mapped] or [False])
         strs = ["" if m is None else m for m in mapped]
         new_dict = tuple(sorted(set(strs))) or ("",)
@@ -1340,6 +1391,28 @@ class ExprEvaluator:
             code = jnp.zeros(self.n, dtype=jnp.int32)
         return axes, code
 
+    def _sift_lut_errors(self, mapped, idx, base_validity=None):
+        """Runtime error channel: split ``EvalError`` entries out of a
+        LUT table.  Per distinct message, records a per-row bool mask
+        (rows whose code lands on an error entry) in
+        ``self.runtime_errors``; returns ``mapped`` with errors replaced
+        by None so the value path stays well-formed.  ``base_validity``
+        masks rows whose NULL input makes the code slot meaningless."""
+        if not any(isinstance(m, EvalError) for m in mapped):
+            return mapped
+        by_msg: Dict[str, list] = {}
+        for i, m in enumerate(mapped):
+            if isinstance(m, EvalError):
+                by_msg.setdefault(m.message, []).append(i)
+        for msg, idxs in by_msg.items():
+            tbl = np.zeros(len(mapped), dtype=bool)
+            tbl[idxs] = True
+            mask = jnp.asarray(tbl)[idx]
+            if base_validity is not None:
+                mask = mask & base_validity
+            self.runtime_errors.append((mask, msg))
+        return [None if isinstance(m, EvalError) else m for m in mapped]
+
     def _cross_lut_value(self, args, fn, *, name: str,
                          out_dtype: DataType) -> Column:
         """Cross-domain LUT with a NON-string result (bool/int):
@@ -1349,6 +1422,8 @@ class ExprEvaluator:
         axes, code = self._cross_codes(args, name)
         mapped = [fn(*combo) for combo in
                   itertools.product(*[v for v, _ in axes])]
+        mapped = self._sift_lut_errors(
+            mapped, jnp.clip(code, 0, len(mapped) - 1))
         nulls = np.array([m is None for m in mapped] or [False])
         arr = np.asarray([0 if m is None else m for m in mapped] or [0],
                          dtype=out_dtype.physical)
@@ -1375,6 +1450,8 @@ class ExprEvaluator:
         axes, code = self._cross_codes(args, name)
         mapped = [fn(*combo) for combo in
                   itertools.product(*[v for v, _ in axes])]
+        mapped = self._sift_lut_errors(
+            mapped, jnp.clip(code, 0, len(mapped) - 1))
         nulls = np.array([m is None for m in mapped] or [False])
         strs = ["" if m is None else str(m) for m in mapped]
         new_dict = tuple(sorted(set(strs))) or ("",)
@@ -1416,12 +1493,28 @@ class ExprEvaluator:
                     return _json.dumps(f"base64:type{_c}:{b}")
             else:
                 def jf(s, _isjson=sdt.mysql_json):
+                    from ..runtime.errors import EvalError as _EE
+
                     try:
-                        return json_dumps_mysql(_json.loads(s))
+                        doc = _json.loads(s)
                     except Exception:
-                        return (s if _isjson
-                                else _json.dumps(s, ensure_ascii=False))
-            return _map_string_to_string(src, jf)
+                        if _isjson:
+                            return s
+                        # the reference REJECTS non-JSON text at cast
+                        # time per row (TiDB/Decode/JsonBinary.cpp parse
+                        # error; cast_as_json.test flag=1/2 rows)
+                        return _EE("Invalid JSON text: The document "
+                                   "root must not be followed by other "
+                                   "values.")
+                    if _doc_depth(doc) > 100:
+                        # MySQL caps JSON nesting at 100
+                        # (cast_as_json.test test_long_str)
+                        return _EE("Invalid JSON text: The JSON "
+                                   "document exceeds the maximum "
+                                   "depth.")
+                    return json_dumps_mysql(doc)
+            return _map_string_to_string(src, jf,
+                                         errors=self.runtime_errors)
 
         def render(v):
             if sdt.kind is TypeKind.BOOL or isinstance(v, bool):
@@ -1453,60 +1546,60 @@ class ExprEvaluator:
                       out.dictionary)
 
     def _json_build(self, call: Call) -> Column:
-        """JSON_ARRAY / JSON_OBJECT with literal args and at most one
-        string column (dictionary LUT; reference json_array/json_object
-        sigs).  A JSON scalar arg that is itself valid JSON text is kept
-        raw when it came from a json-producing expression is out of
-        scope — string values are quoted, ints/floats/bools inlined,
-        literal None becomes JSON null."""
+        """JSON_ARRAY / JSON_OBJECT (reference json_array/json_object
+        sigs): literal args fold; column args (any number, any
+        host-enumerable type) compose through the k-ary cross-domain
+        LUT — one python build per domain COMBINATION.  String values
+        quote, ints/floats/bools inline, JSON columns embed as
+        documents, SQL NULL value -> JSON null element.  A NULL KEY is
+        a per-row runtime error (json_object.test id=4; TiDB error
+        3158)."""
+        import json as _json
+
         from .regexp_json import json_dumps_mysql
 
         args = call.args
-        col_idx = [i for i, a in enumerate(args) if not isinstance(a, Literal)]
+        col_idx = [i for i, a in enumerate(args)
+                   if not isinstance(a, Literal)]
+        is_obj = call.func == "json_object"
 
         def build(values):
-            if call.func == "json_array":
-                doc = list(values)
-            else:
-                if len(values) % 2:
-                    raise ValueError("JSON_OBJECT needs key/value pairs")
-                doc = {str(values[i]): values[i + 1]
-                       for i in range(0, len(values), 2)}
+            if not is_obj:
+                return json_dumps_mysql(list(values))
+            if len(values) % 2:
+                raise ValueError("JSON_OBJECT needs key/value pairs")
+            doc = {}
+            for i in range(0, len(values), 2):
+                k = values[i]
+                if k is None:
+                    return EvalError("JSON documents may not contain "
+                                     "NULL member names.")
+                doc[str(k)] = values[i + 1]
             return json_dumps_mysql(doc)
 
         if not col_idx:
-            return self._encode_string_literal(
-                build([a.value for a in args]), None)
-        if len(col_idx) != 1:
-            raise ValueError(
-                f"{call.func} supports at most one non-literal argument")
-        i = col_idx[0]
-        target = self.evaluate(args[i])
-        if not target.dtype.is_string:
-            raise ValueError(f"{call.func} column argument must be a string")
-        from .functions import _map_string_to_string
+            v = build([a.value for a in args])
+            if isinstance(v, EvalError):
+                # constant-foldable error: no rows needed to decide
+                raise EngineError(v.message)
+            return self._encode_string_literal(v, None)
 
-        lits = [a.value if isinstance(a, Literal) else None for a in args]
+        # JSON-typed column args embed as DOCUMENTS, not quoted text
+        json_arg = {i: bool(self.evaluate(args[i]).dtype.mysql_json)
+                    for i in col_idx}
 
-        is_json = target.dtype.mysql_json
-
-        def fn(s):
-            vals = list(lits)
-            if is_json:
-                # a JSON column embeds as a DOCUMENT, not quoted text
-                import json as _json
-
-                try:
-                    s = _json.loads(s)
-                except Exception:
-                    pass
-            vals[i] = s
+        def fn(*vs):
+            vals = list(vs)
+            for i in col_idx:
+                v = vals[i]
+                if json_arg[i] and isinstance(v, str):
+                    try:
+                        vals[i] = _json.loads(v)
+                    except Exception:
+                        pass
             return build(vals)
 
-        nv = list(lits)
-        nv[i] = None
-        # SQL NULL arg is a JSON null ELEMENT: JSON_ARRAY(NULL) = '[null]'
-        return _map_string_to_string(target, fn, null_result=build(nv))
+        return self._cross_lut(args, fn, name=call.func)
 
     def _like(self, call: Call, ci: bool = False) -> Column:
         """LIKE/ILIKE pattern matching via host-side dictionary LUT.

@@ -3022,13 +3022,34 @@ def _lut_validity(col: Column, nulls: "_np.ndarray"):
     return v, True
 
 
-def _map_string_to_string(col: Column, fn, null_result=None) -> Column:
+def _map_string_to_string(col: Column, fn, null_result=None,
+                          errors=None) -> Column:
     """Host LUT over the dictionary; ``fn`` may return None -> SQL NULL
     (e.g. regexp_substr with no match, from_base64 on invalid input).
     ``null_result``: value emitted for SQL-NULL input rows instead of
-    NULL (JSON_ARRAY(NULL) = '[null]')."""
+    NULL (JSON_ARRAY(NULL) = '[null]').  ``fn`` may also return
+    ``EvalError`` — per-row runtime errors appended to ``errors``
+    (an ExprEvaluator's ``runtime_errors`` sink) as (mask, message);
+    without a sink they degrade to NULL."""
+    from ..runtime.errors import EvalError as _EE
+
     d = col.dictionary or ()
     mapped = [fn(s) for s in d]
+    if any(isinstance(m, _EE) for m in mapped):
+        if errors is not None:
+            by_msg: dict = {}
+            for i, m in enumerate(mapped):
+                if isinstance(m, _EE):
+                    by_msg.setdefault(m.message, []).append(i)
+            idx = jnp.clip(col.data, 0, max(len(mapped) - 1, 0))
+            for msg, idxs in by_msg.items():
+                tbl = _np.zeros(max(len(mapped), 1), dtype=bool)
+                tbl[idxs] = True
+                mask = jnp.asarray(tbl)[idx]
+                if col.validity is not None:
+                    mask = mask & col.validity
+                errors.append((mask, msg))
+        mapped = [None if isinstance(m, _EE) else m for m in mapped]
     nulls = _np.array([m is None for m in mapped] or [False])
     mapped = ["" if m is None else m for m in mapped]
     pool = set(mapped)

@@ -78,10 +78,16 @@ class Expr:
 
 @dataclasses.dataclass(eq=False)
 class ColumnRef(Expr):
-    """Reference to an input column by name; dtype resolved at bind time."""
+    """Reference to an input column by name; dtype resolved at bind time.
+
+    ``qual`` carries a table/alias qualifier (``t1.a``) when the source
+    text had one — the engine resolves by ``name`` alone; qualifiers
+    matter only to front-ends joining aliased tables (reftest ON-joins).
+    """
 
     name: str
     dtype: Optional[DataType] = None
+    qual: Optional[str] = None
 
     def __repr__(self):
         return f"col({self.name})"

@@ -96,7 +96,10 @@ PathStep = Tuple[str, Any]  # ('key', name) | ('idx', i)
 
 def parse_json_path(path: str) -> List[PathStep]:
     if not path.startswith("$"):
-        raise ValueError(f"JSON path must start with '$': {path!r}")
+        # TiDB error 3143 text (json_length.test empty-path rejection)
+        raise ValueError(
+            "Invalid JSON path expression. The error is around "
+            f"character position 1: {path!r}")
     i, steps = 1, []
     while i < len(path):
         c = path[i]
@@ -224,7 +227,12 @@ def json_extract(doc: str, *paths: str) -> Optional[str]:
     return json_dumps_mysql(all_matches)
 
 
-def json_unquote(s: str) -> str:
+def json_unquote(s: str):
+    """MySQL JSON_UNQUOTE: values wrapped in double quotes must parse
+    as a JSON string — an invalid escape inside is a per-row runtime
+    error (json_unquote.test '"hello\\ "'; TiDB error 3141).
+    Unquoted values pass through (JsonBinary::unquoteStringInBuffer,
+    ``TiDB/Decode/JsonBinary.cpp:769``)."""
     if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
         try:
             v = json.loads(s)
@@ -232,6 +240,10 @@ def json_unquote(s: str) -> str:
                 return v
         except Exception:
             pass
+        from ..runtime.errors import EvalError
+
+        return EvalError("Invalid JSON text: The document root must "
+                         "not be followed by other values.")
     return s
 
 

@@ -162,6 +162,26 @@ def _apply_runtime_filter(node: P.RuntimeFilterApply, child: Block,
     return child.with_sel(sel)
 
 
+def _drain_spmd_errors(ev: ExprEvaluator, block: Block,
+                       overflows: Dict[str, jnp.ndarray]) -> None:
+    """Runtime error channel, SPMD flavor: per-row EvalError lanes fold
+    into scalar flags keyed ``__rterr__<message>`` in the flag dict —
+    the per-device flags ride the existing pmax reduction
+    (compile_distributed) and the executor's split_runtime_errors
+    raises host-side (plan/compiler.py:_drain_eval_errors is the
+    single-fragment twin)."""
+    from ..runtime.errors import RTERR_PREFIX
+
+    for mask, msg in ev.runtime_errors:
+        if block.sel is not None:
+            mask = mask & block.sel
+        flag = jnp.any(mask)
+        key = RTERR_PREFIX + msg
+        prev = overflows.get(key)
+        overflows[key] = flag if prev is None else (prev | flag)
+    ev.runtime_errors.clear()
+
+
 def _exec_spmd(
     node: P.PlanNode,
     tables: Dict[str, Block],
@@ -194,7 +214,9 @@ def _exec_spmd_node(
 
     if isinstance(node, P.Selection):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
-        cond = ExprEvaluator(child).evaluate(node.cond)
+        ev = ExprEvaluator(child)
+        cond = ev.evaluate(node.cond)
+        _drain_spmd_errors(ev, child, overflows)
         mask = cond.data.astype(jnp.bool_)
         if cond.validity is not None:
             mask = mask & cond.validity
@@ -206,14 +228,17 @@ def _exec_spmd_node(
         out = child
         for name, e in node.exprs.items():
             out = out.with_column(name, ev.evaluate(e))
+        _drain_spmd_errors(ev, child, overflows)
         return out
 
     if isinstance(node, P.Projection):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)
         ev = ExprEvaluator(child)
-        return Block.from_dict(
+        out = Block.from_dict(
             {name: ev.evaluate(e) for name, e in node.exprs.items()}, sel=child.sel
         )
+        _drain_spmd_errors(ev, child, overflows)
+        return out
 
     if isinstance(node, P.Aggregation):
         child = _exec_spmd(node.child, tables, axis, cfg, overflows, ctr)

@@ -44,6 +44,10 @@ class Diagnostics:
     # published runtime filters: rf_id -> [(min, max, sorted_set|None), ...]
     rf: Dict[str, list] = dataclasses.field(default_factory=dict)
     rf_in_set_max: int = 1 << 20
+    # runtime error channel: message -> scalar bool flag (any live row
+    # hit a per-row EvalError; raised host-side after execution —
+    # runtime/errors.py:raise_runtime_errors)
+    errors: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
 
 def execute_plan(plan: P.PlanNode, tables: Dict[str, Block], diag: Optional[Diagnostics] = None) -> Block:
@@ -62,6 +66,19 @@ def _exec(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: Li
         return _exec_node(node, tables, diag, ctr)
 
 
+def _drain_eval_errors(ev: ExprEvaluator, block: Block, diag: Diagnostics) -> None:
+    """Fold an evaluator's per-row error lanes into scalar flags, masked
+    to the block's LIVE rows (filtered-out rows cannot error — the
+    reference only evaluates selected rows)."""
+    for mask, msg in ev.runtime_errors:
+        if block.sel is not None:
+            mask = mask & block.sel
+        flag = jnp.any(mask)
+        prev = diag.errors.get(msg)
+        diag.errors[msg] = flag if prev is None else (prev | flag)
+    ev.runtime_errors.clear()
+
+
 def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ctr: List[int]) -> Block:
     ctr[0] += 1
     nid = f"{type(node).__name__}_{ctr[0]}"
@@ -75,7 +92,9 @@ def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ct
 
     if isinstance(node, P.Selection):
         child = _exec(node.child, tables, diag, ctr)
-        cond = ExprEvaluator(child).evaluate(node.cond)
+        ev = ExprEvaluator(child)
+        cond = ev.evaluate(node.cond)
+        _drain_eval_errors(ev, child, diag)
         mask = cond.data.astype(jnp.bool_)
         if cond.validity is not None:
             mask = mask & cond.validity  # NULL condition == not selected
@@ -89,6 +108,7 @@ def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ct
         out = child
         for name, e in node.exprs.items():
             out = out.with_column(name, ev.evaluate(e))
+        _drain_eval_errors(ev, child, diag)
         return out
 
     if isinstance(node, P.Projection):
@@ -97,6 +117,7 @@ def _exec_node(node: P.PlanNode, tables: Dict[str, Block], diag: Diagnostics, ct
         child = _exec(node.child, tables, diag, ctr)
         ev = ExprEvaluator(child)
         cols = {name: ev.evaluate(e) for name, e in node.exprs.items()}
+        _drain_eval_errors(ev, child, diag)
         out = Block.from_dict(cols, sel=child.sel)
         # row order is unchanged: clustering survives through bare-column
         # passthroughs (renames included)
@@ -254,11 +275,18 @@ def compile_fragment(
 
     @jax.jit
     def run(tables: Dict[str, Block]):
+        from ..runtime.errors import RTERR_PREFIX
+
         diag = Diagnostics({}, {}, rf_in_set_max=rf_in_set_max)
         out = execute_plan(plan, tables, diag)
+        # runtime-error flags ride the overflow dict under a reserved
+        # prefix (runtime/errors.py:split_runtime_errors peels them off)
+        flags = dict(diag.overflows)
+        for msg, v in diag.errors.items():
+            flags[RTERR_PREFIX + msg] = v
         if collect_rows:
-            return out, diag.overflows, diag.rows
-        return out, diag.overflows
+            return out, flags, diag.rows
+        return out, flags
 
     return run
 

@@ -25,6 +25,7 @@ CANCELLED = 30
 FAILPOINT = 40
 RESOURCE_EXHAUSTED = 41  # RU admission rejected
 LIMIT_EXCEEDED = 42      # max_rows_to_* / max_result_rows breached
+RUNTIME_EVAL = 43        # per-row evaluation error (invalid JSON, ...)
 INTERNAL = 50
 
 _NAMES: Dict[int, str] = {
@@ -41,6 +42,7 @@ _NAMES: Dict[int, str] = {
     FAILPOINT: "FAILPOINT",
     RESOURCE_EXHAUSTED: "RESOURCE_EXHAUSTED",
     LIMIT_EXCEEDED: "LIMIT_EXCEEDED",
+    RUNTIME_EVAL: "RUNTIME_EVAL",
     INTERNAL: "INTERNAL",
 }
 
@@ -58,6 +60,46 @@ class EngineError(RuntimeError):
         super().__init__(message)
         if code is not None:
             self.code = code
+
+
+class EvalError:
+    """Sentinel a host LUT function returns for a PER-ROW runtime error
+    (the reference throws mid-column-evaluation: CastStringAsJson on
+    invalid text, ``TiDB/Decode/JsonBinary.cpp``; JSON_OBJECT with a
+    NULL key).  On TPU nothing can throw inside a compiled program, so
+    the evaluator turns these into a per-row boolean error lane, the
+    fragment compiler reduces live-row lanes to scalar flags returned
+    beside the capacity-overflow flags, and the host raises
+    ``EngineError`` after execution — the runtime error channel."""
+
+    __slots__ = ("message",)
+
+    def __init__(self, message: str):
+        self.message = message
+
+
+# reserved key prefix carrying runtime-error flags through the
+# (block, overflows) fragment return contract
+RTERR_PREFIX = "__rterr__"
+
+
+def split_runtime_errors(flags: Dict) -> tuple:
+    """Split a fragment's flag dict into (capacity_overflows,
+    {message: scalar_flag}) — the latter is the runtime error channel."""
+    cap = {k: v for k, v in flags.items() if not k.startswith(RTERR_PREFIX)}
+    err = {k[len(RTERR_PREFIX):]: v for k, v in flags.items()
+           if k.startswith(RTERR_PREFIX)}
+    return cap, err
+
+
+def raise_runtime_errors(err_flags: Dict) -> None:
+    """Raise EngineError for any set runtime-error flag (host-side,
+    post-execution — the analog of the reference's per-row throw)."""
+    import numpy as _np
+
+    for msg, v in err_flags.items():
+        if bool(_np.asarray(v).max()):
+            raise EngineError(msg, RUNTIME_EVAL)
 
 
 def classify(exc: BaseException) -> int:
@@ -101,4 +143,6 @@ def error_payload(exc: BaseException) -> Dict:
     }
 
 
-__all__ = ["EngineError", "classify", "error_payload", "error_name"]
+__all__ = ["EngineError", "EvalError", "classify", "error_payload",
+           "error_name", "split_runtime_errors", "raise_runtime_errors",
+           "RTERR_PREFIX"]

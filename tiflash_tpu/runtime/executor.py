@@ -515,16 +515,22 @@ class QueryRunner:
             fn = self._compile()
             checkpoint()
             res = fn(tables)
-            out, overflows = res[0], res[1]
+            out, flags = res[0], res[1]
             node_rows = res[2] if len(res) == 3 else {}
             jax.block_until_ready(out)
             checkpoint()
+            from .errors import raise_runtime_errors, split_runtime_errors
+
+            overflows, rterrs = split_runtime_errors(flags)
             flagged = {
                 k: int(np.asarray(v).max())
                 for k, v in overflows.items()
                 if int(np.asarray(v).max()) > 0
             }
             if not flagged:
+                # capacity clean: surface any per-row evaluation errors
+                # (a retry-worthy overflow wins — its rows are garbage)
+                raise_runtime_errors(rterrs)
                 break
             fail_point("exception_during_retry")
             log.info("capacity overflow, retrying: %s", flagged)

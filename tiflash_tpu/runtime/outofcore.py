@@ -32,6 +32,21 @@ from ..plan import nodes as P
 from ..plan.compiler import compile_fragment
 
 
+def _check_flags(flags: Dict, what: str) -> None:
+    """Raise runtime-eval errors, then treat any remaining positive flag
+    as a capacity overflow (out-of-core paths size partitions up front —
+    an overflow here is a bug, not a retry signal)."""
+    import numpy as np
+
+    from .errors import raise_runtime_errors, split_runtime_errors
+
+    overflows, rterrs = split_runtime_errors(flags)
+    raise_runtime_errors(rterrs)
+    for k, v in overflows.items():
+        if int(np.asarray(v).max()) > 0:
+            raise RuntimeError(f"{what} overflow at {k}")
+
+
 def _scan_tables(node: P.PlanNode) -> List[str]:
     if isinstance(node, P.TableScan):
         return [node.table]
@@ -86,6 +101,14 @@ def run_chunked_aggregate(
     from .distribute_helpers import build_partial_final  # lazy import (below)
 
     partial_plan, final_plan_builder = build_partial_final(plan)
+    # a chunk holds at most chunk_rows distinct keys: shrink the chunk
+    # program's hash capacity accordingly.  autosize sizes num_slots for
+    # the WHOLE table's NDV (15M slots of accumulator planes at SF10's
+    # l_orderkey group-by) — paying that per chunk is what the chunking
+    # exists to avoid, and on a real chip it exhausts HBM
+    if isinstance(partial_plan, P.Aggregation) and partial_plan.num_slots:
+        cap = 1 << (2 * chunk_rows - 1).bit_length()
+        partial_plan.num_slots = min(partial_plan.num_slots, cap)
     table_name = _scan_tables(plan.child)[0]
     base = tables[table_name]
     n = base.capacity
@@ -93,7 +116,7 @@ def run_chunked_aggregate(
     fn = compile_fragment(partial_plan)
     from .cancel import checkpoint
 
-    partials: List[Block] = []
+    partials: List = []
     start = 0
     while start < n:
         checkpoint()  # cancellable between chunks
@@ -108,35 +131,20 @@ def run_chunked_aggregate(
         sub = dict(tables)
         sub[table_name] = chunk
         out, overflows = fn(sub)
-        for k, v in overflows.items():
-            if int(v) > 0:
-                raise RuntimeError(f"chunked aggregate overflow at {k}: {int(v)}")
-        # pull the partial state to host so device memory stays bounded
-        partials.append(
-            Block(
-                names=out.names,
-                columns=tuple(
-                    Column(
-                        jnp.asarray(c.data),
-                        None if c.validity is None else jnp.asarray(c.validity),
-                        c.dtype, c.dictionary,
-                    )
-                    for c in out.columns
-                ),
-                sel=out.sel,
-            ).compact()
-        )
+        _check_flags(overflows, "chunked aggregate")
+        # TRUE host offload, sliced to live rows (host RAM is this
+        # path's spill tier): the former jnp copy kept every partial —
+        # at its full slot capacity — pinned in HBM, and the merge
+        # concatenated N x num_slots rows (found by the SF10 on-chip
+        # rehearsal: RESOURCE_EXHAUSTED)
+        partials.append(_to_host_rows(out))
         start += rows
 
-    merged = partials[0]
-    for p in partials[1:]:
-        merged = concat_blocks(merged, p)
+    merged = _concat_host_parts(partials)
     final_plan = final_plan_builder()
     ffn = compile_fragment(final_plan)
     out, overflows = ffn({"__partials": merged})
-    for k, v in overflows.items():
-        if int(v) > 0:
-            raise RuntimeError(f"chunked final overflow at {k}")
+    _check_flags(overflows, "chunked final")
     return out
 
 
@@ -365,6 +373,15 @@ def _concat_host_parts(parts) -> Block:
     for i in range(ncols):
         datas = [p[1][i][0] for p in parts]
         dtype, dictionary, stats = parts[0][1][i][2]
+        # range stats must cover EVERY part (downstream narrowing / LUT
+        # domain decisions rely on them being sound)
+        if stats is not None:
+            allst = [p[1][i][2][2] for p in parts]
+            if any(s is None for s in allst):
+                stats = None
+            else:
+                stats = (min(s[0] for s in allst),
+                         max(s[1] for s in allst))
         data = np.concatenate(datas) if datas else np.zeros(0)
         if any(p[1][i][1] is not None for p in parts):
             validity = np.concatenate([
@@ -395,11 +412,7 @@ def _reapply_reducers(wrappers, merged: Block) -> Block:
         else:
             continue
         out, overflows = compile_fragment(mini)({"__oc": merged})
-        import numpy as np
-
-        for k, v in overflows.items():
-            if int(np.asarray(v).max()) > 0:
-                raise RuntimeError(f"out-of-core merge overflow at {k}")
+        _check_flags(overflows, "out-of-core merge")
         merged = out.compact()
     return merged
 
@@ -528,9 +541,7 @@ def run_grace_join(
             sub[spec["probe_table"]] = probe_parts[p]
             sub[spec["build_table"]] = build_parts[p]
             out, overflows = fn(sub)
-            for k, v in overflows.items():
-                if int(np.asarray(v).max()) > 0:
-                    raise RuntimeError(f"grace partition overflow at {k}")
+            _check_flags(overflows, "grace partition")
             _store_add(store, _to_host_rows(out), p)
         merged = _concat_host_parts(_store_parts(store))
     finally:
@@ -612,9 +623,7 @@ def run_groupagg(plan: P.PlanNode, tables: Dict[str, Block],
             sub = dict(tables)
             sub[spec["table"]] = parts[p]
             out, overflows = fn(sub)
-            for k, v in overflows.items():
-                if int(np.asarray(v).max()) > 0:
-                    raise RuntimeError(f"groupagg partition overflow at {k}")
+            _check_flags(overflows, "groupagg partition")
             _store_add(store, _to_host_rows(out), p)
         merged = _concat_host_parts(_store_parts(store))
     finally:
@@ -674,9 +683,7 @@ def run_sliced(plan: P.PlanNode, tables: Dict[str, Block],
             sub = dict(tables)
             sub[spec["table"]] = chunk
             out, overflows = fn(sub)
-            for k, v in overflows.items():
-                if int(np.asarray(v).max()) > 0:
-                    raise RuntimeError(f"sliced run overflow at {k}")
+            _check_flags(overflows, "sliced run")
             _store_add(store, _to_host_rows(out), run_no)
             start += rows
             run_no += 1

@@ -26,8 +26,14 @@ from __future__ import annotations
 import datetime
 import math
 import re
+import sys
 from decimal import Decimal as D
 from typing import Any, Dict, List, Optional, Tuple
+
+# the corpus nests CASE ~100 deep (expr_tree_too_deep.test) — the
+# recursive-descent parser needs ~15 frames per level; the engine's
+# governed guard is Settings.max_ast_depth, not the python stack
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 50_000))
 
 from ..core import dtypes as dt
 from ..expr.nodes import Call, Cast, ColumnRef, Expr, Literal
@@ -396,7 +402,9 @@ class SqlParser:
                     spec = self.next()[1].strip("`")
                 return Call("__over__", (e, Literal(spec)))
             return e
-        # dotted identifiers: db.t.c / t.c — keep the last component
+        # dotted identifiers: db.t.c / t.c — resolve by the last
+        # component; the immediate qualifier is kept for front-end join
+        # alias resolution (enum.test t1.a != t2.a)
         self.next()
         parts = [v]
         while self.at_op(".") :
@@ -405,7 +413,8 @@ class SqlParser:
             if nk not in ("name", "qident"):
                 raise Unsupported("bad dotted name")
             parts.append(nv[1:-1] if nk == "qident" else nv)
-        return ColumnRef(parts[-1])
+        qual = parts[-2] if len(parts) >= 2 else None
+        return ColumnRef(parts[-1], qual=qual)
 
     def parse_window_spec(self):
         """(PARTITION BY e, ... ORDER BY e [desc], ...) -> a spec tuple
@@ -850,7 +859,15 @@ class RefTestSession:
                     expected = expected[:borders[3]]
             self.unsupported.append("SHOW WARNINGS (client protocol)")
         for stmt in parts:
-            stmt = re.sub(r"\s*#NO_UNESCAPE\s*$", "", stmt)
+            stmt, n_unesc = re.subn(r"\s*#NO_UNESCAPE\s*$", "", stmt)
+            if n_unesc:
+                # the reference harness pipes every command through a
+                # shell double-quoted string; normally it pre-doubles
+                # backslashes so the shell pass is an identity, but
+                # NO_UNESCAPE skips the doubling and the SHELL consumes
+                # one escape level (run-test.py:98 to_unescaped_str) —
+                # '\\\\' in the file reaches mysql as '\\'
+                stmt = re.sub(r'\\([\\$`"])', r"\1", stmt)
             if stmt.startswith("#") or not stmt:
                 continue  # directive/comment (#NO_UNESCAPE, #RETURN)
             low = stmt.lower()
@@ -912,8 +929,11 @@ class RefTestSession:
                 if expected is not None and any(
                         "{#REGEXP}" in ln or "ERROR" in ln
                         for ln in expected):
-                    self.unsupported.append(
-                        f"expects error/regexp output: {stmt[:60]}")
+                    # the recorded output is an ERROR (optionally as a
+                    # {#REGEXP} pattern): the engine must RAISE, and
+                    # the message must match (from_unixtime.test's
+                    # non-constant-format rejection)
+                    self._select_expect_error(stmt, expected)
                     continue
                 try:
                     self._select(stmt, expected)
@@ -1125,6 +1145,43 @@ class RefTestSession:
         return v
 
     # ---- SELECT
+    def _select_expect_error(self, stmt: str, expected: List[str]):
+        """Verify a query the reference corpus records as FAILING:
+        the engine must raise, and the message must match the file's
+        ``{#REGEXP}`` pattern / ERROR line (reference runner
+        tests/run-test.py error-output matching)."""
+        from ..expr.compile import query_timezone
+
+        pats = []
+        for ln in expected:
+            if "{#REGEXP}" in ln:
+                pats.append(ln.split("{#REGEXP}", 1)[1].strip())
+            elif "ERROR" in ln:
+                # 'ERROR 1582 (42000) at line 1: <message>' — the
+                # mysql-client framing is the reference runner's; only
+                # the message is engine behavior
+                m = re.search(r"at line \d+:\s*(.*)$", ln)
+                pats.append(re.escape(m.group(1).strip() if m
+                                      else ln.strip()))
+        try:
+            sel = SelectBuilder(self, stmt)
+            with query_timezone(self.tz_offset_us):
+                sel.run()
+        except Unsupported as e:
+            # front-end gap: the statement never reached the engine, so
+            # nothing about the engine's behavior was verified
+            self.unsupported.append(f"{e} in: {stmt[:80]}")
+            return
+        except Exception as e:
+            msg = str(e)
+            if not any(re.search(p, msg) for p in pats):
+                raise AssertionError(
+                    f"error mismatch for: {stmt[:80]}\n"
+                    f"got:  {msg[:160]}\nwant: {pats}")
+            self.checked += 1
+            return
+        raise AssertionError(f"expected an error for: {stmt[:80]}")
+
     def _select(self, stmt: str, expected: Optional[List[str]]):
         from ..expr.compile import query_timezone
 
@@ -1305,8 +1362,24 @@ class SelectBuilder:
         self.nested = nested  # derived table: stop at the closing ')'
         self.order_sensitive = False
         self.schema: Dict[str, dt.DataType] = {}
+        # (alias, column) -> internal column name, set by _join_on_host
+        self.qualmap: Dict[Tuple[str, str], str] = {}
+
+    def _qualify(self, e: Expr) -> Expr:
+        """Resolve ``t1.a``-style refs against the ON-join alias map."""
+        if isinstance(e, ColumnRef):
+            if e.qual is not None and (e.qual, e.name) in self.qualmap:
+                return ColumnRef(self.qualmap[(e.qual, e.name)])
+            return e
+        if isinstance(e, Call):
+            return Call(e.func, tuple(self._qualify(a) for a in e.args))
+        if isinstance(e, Cast):
+            return Cast(self._qualify(e.arg), e.target)
+        return e
 
     def _rw(self, e: Expr) -> Expr:
+        if self.qualmap:
+            e = self._qualify(e)
         e = _coerce_temporal(_rewrite(e), self.schema,
                              getattr(self, "col_fsps", {}))
         if self.sess.cop_mode:
@@ -1367,10 +1440,23 @@ class SelectBuilder:
                     o = inner.args[1]
                     if not isinstance(o, Literal):
                         raise Unsupported("window offset must be literal")
+                    from ..runtime.errors import EngineError
+
+                    ov = int(o.value)
+                    if ov < 0:
+                        # MySQL's parser rejects negative offsets
+                        # outright (lead_lag.test)
+                        raise EngineError(
+                            "You have an error in your SQL syntax: "
+                            f"negative {inner.func} offset {ov}")
+                    if ov >= 1 << 64:
+                        # beyond BIGINT UNSIGNED: ER_WRONG_ARGUMENTS
+                        raise EngineError(
+                            f"Incorrect arguments to {inner.func}")
                     # clamp: offsets beyond any table size (the corpus
                     # probes 2^64-1) behave identically — all rows fall
                     # outside the partition
-                    offset = max(0, min(int(o.value), 1 << 40))
+                    offset = min(ov, 1 << 40)
                 descs.append(WindowDesc(fname, out_name, arg=argn,
                                         offset=offset))
                 default = (inner.args[2] if len(inner.args) > 2 else None)
@@ -1454,6 +1540,84 @@ class SelectBuilder:
         self.sess.tables[name] = (schema, cols)
         return name
 
+    def _join_on_host(self, from_items) -> str:
+        """ON / LEFT / RIGHT join chains over tiny corpus tables:
+        host-side nested loop with MySQL three-valued ON semantics,
+        registered as one synthetic session table.  Column names are
+        alias-disambiguated only when two sides share a name
+        (``t1.a`` / ``t2.a`` in enum.test's self right-join); the
+        (alias, column) -> internal map feeds _qualify so later
+        clauses resolve qualified refs.  Engine joins proper are
+        exercised by tests/test_join*; this path exists so the corpus
+        front-end covers the reference's mysql-driver join queries
+        (reference runner: tests/run-test.py) without teaching the
+        tokenizer a planner's worth of scoping rules."""
+        from . import oracle as O
+
+        sides = []
+        for t, alias, jt, cond in from_items:
+            if t not in self.sess.tables:
+                raise Unsupported(f"unknown table {t}")
+            s, r = self.sess.tables[t]
+            sides.append((alias, s, r, jt, cond))
+
+        counts: Dict[str, int] = {}
+        for _, s, _, _, _ in sides:
+            for c in s:
+                counts[c] = counts.get(c, 0) + 1
+        schema: Dict[str, dt.DataType] = {}
+        for alias, s, _, _, _ in sides:
+            for c, ty in s.items():
+                internal = c if counts[c] == 1 else f"{alias}.{c}"
+                if internal in schema:
+                    raise Unsupported(f"ambiguous join column {internal}")
+                self.qualmap[(alias, c)] = internal
+                schema[internal] = ty
+
+        def rows_of(alias, s, r):
+            n = len(next(iter(r.values()))) if r else 0
+            return [{self.qualmap[(alias, c)]: r[c][i] for c in s}
+                    for i in range(n)]
+
+        alias0, s0, r0, _, _ = sides[0]
+        acc = rows_of(alias0, s0, r0)
+        acc_cols = [self.qualmap[(alias0, c)] for c in s0]
+        for alias, s, r, jt, cond in sides[1:]:
+            cur = rows_of(alias, s, r)
+            cur_cols = [self.qualmap[(alias, c)] for c in s]
+            cond_q = self._qualify(cond) if cond is not None else None
+            out = []
+            matched_right = [False] * len(cur)
+            for lrow in acc:
+                hit = False
+                for j, rrow in enumerate(cur):
+                    both = {**lrow, **rrow}
+                    if cond_q is not None:
+                        v = O.eval_expr_row(cond_q, both)
+                        if v is None or not v:
+                            continue
+                    out.append(both)
+                    hit = True
+                    matched_right[j] = True
+                if not hit and jt == "left":
+                    out.append({**lrow, **{c: None for c in cur_cols}})
+            if jt == "right":
+                for j, rrow in enumerate(cur):
+                    if not matched_right[j]:
+                        out.append(
+                            {**{c: None for c in acc_cols}, **rrow})
+            acc = out
+            acc_cols = acc_cols + cur_cols
+
+        cols = {c: [row[c] for row in acc] for c in schema}
+        # outer joins null-extend NOT NULL sides
+        for c, vals in cols.items():
+            if any(v is None for v in vals) and not schema[c].nullable:
+                schema[c] = schema[c].with_nullable(True)
+        name = "__onjoin__"
+        self.sess.tables[name] = (schema, cols)
+        return name
+
     def run(self):
         p = self.p
         p.expect_kw("select")
@@ -1485,8 +1649,10 @@ class SelectBuilder:
 
         table = None
         if p.eat_kw("from"):
-            from_tables = []
+            from_items = []  # (table, alias, jointype, on_expr)
+            pending_jt = None
             while True:
+                alias = None
                 if p.at_op("("):
                     # derived table: run the subselect, register the
                     # result as a session temp (json_contains_path.test)
@@ -1516,26 +1682,44 @@ class SelectBuilder:
                     # alias
                     if p.at_kw("as"):
                         p.next()
-                        p.next()
+                        alias = p.next()[1].strip("`")
                     elif p.peek()[0] == "name" and not p.at_kw(
                             "where", "group", "order", "limit", "union",
-                            "having", "window", "join", "cross", "inner"):
-                        p.next()
-                from_tables.append(table)
+                            "having", "window", "join", "cross", "inner",
+                            "left", "right", "on"):
+                        alias = p.next()[1].strip("`")
+                cond = p.parse_expr() if p.eat_kw("on") else None
+                from_items.append((table, alias or table,
+                                   pending_jt, cond))
+                pending_jt = None
                 if p.eat_op(","):
+                    pending_jt = "inner"
                     continue
-                # bare JOIN chains without ON are cross joins
-                if p.at_kw("join") or (p.at_kw("cross", "inner")
-                                       and p.peek(1)[1].lower() == "join"):
-                    p.eat_kw("cross")
-                    p.eat_kw("inner")
+                if p.at_kw("join"):
+                    p.next()
+                    pending_jt = "inner"
+                elif p.at_kw("cross", "inner") \
+                        and p.peek(1)[1].lower() == "join":
+                    p.next()
                     p.expect_kw("join")
-                    continue
-                break
-            if len(from_tables) > 1:
-                # comma join: host-side Cartesian product (corpus tables
-                # are tiny); WHERE equalities filter through the engine
-                table = self._cartesian(from_tables)
+                    pending_jt = "inner"
+                elif p.at_kw("left", "right") and \
+                        p.peek(1)[1].lower() in ("join", "outer"):
+                    pending_jt = p.next()[1].lower()
+                    p.eat_kw("outer")
+                    p.expect_kw("join")
+                else:
+                    break
+            if len(from_items) > 1:
+                if any(it[3] is not None or it[2] in ("left", "right")
+                       for it in from_items):
+                    # ON / outer joins: host-side nested-loop join over
+                    # alias-qualified rows (enum.test right join on !=)
+                    table = self._join_on_host(from_items)
+                else:
+                    # comma join: host-side Cartesian product (corpus
+                    # tables are tiny); WHERE filters through the engine
+                    table = self._cartesian([it[0] for it in from_items])
         where = None
         if p.eat_kw("where"):
             where = p.parse_expr()
@@ -1682,7 +1866,12 @@ class SelectBuilder:
 
         from ..plan.compiler import compile_fragment
 
-        out, overflows = compile_fragment(plan)(blocks)
+        out, flags = compile_fragment(plan)(blocks)
+        from ..runtime.errors import (raise_runtime_errors,
+                                      split_runtime_errors)
+
+        overflows, rterrs = split_runtime_errors(flags)
+        raise_runtime_errors(rterrs)
         for k, v in overflows.items():
             import numpy as np
 
@@ -2000,7 +2189,9 @@ def _coerce_temporal(e: Expr, schema: Dict[str, dt.DataType],
             fsp = (col_fsps or {})[args[0].name]
             return Cast(Call("unix_timestamp_decimal", (args[0],)),
                         dt.Decimal(10 + fsp, fsp, nullable=True))
-        if _is_temporal_fn(f):
+        if _is_temporal_fn(f) and args:
+            # zero-arg calls fall through: the engine rejects them with
+            # 'Incorrect parameter count' (day_of_month.test)
             args[0] = fix_arg(args[0])
             if f in _TEMPORAL_ALL_ARGS and len(args) > 1:
                 args[1] = fix_arg(args[1])
