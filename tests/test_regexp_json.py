@@ -94,6 +94,8 @@ JSON_CASES = [
     ("extract_idx", call("json_extract", col("j"), lit("$[2]"))),
     ("extract_scalar_idx0", call("json_extract", col("j"), lit("$[0]"))),
     ("extract_missing", call("json_extract", col("j"), lit("$.zzz"))),
+    ("keys_root", call("json_keys", col("j"))),
+    ("keys_path", call("json_keys", col("j"), lit("$.b"))),
     ("unquote", call("json_unquote", col("j"))),
     ("unquote_extracted", call("json_unquote",
                                call("json_extract", col("j"), lit("$.d")))),
