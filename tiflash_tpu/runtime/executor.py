@@ -333,6 +333,19 @@ class QueryRunner:
                       "sliced": self.settings.max_bytes_before_external_sort}[mode]
             if per_op:
                 budget = min(budget, per_op)
+            # the threshold is a TRIGGER; as a partition/chunk SIZING
+            # budget it must stay proportional to the inputs or a
+            # degenerate setting (force-spill with 1 byte) explodes the
+            # partition count into thousands of tiny per-partition
+            # programs + spill files (SF10 rehearsal: P_=4096, 14k
+            # ~50-byte .spl files, ~30 min of fixed dispatch cost).
+            # inputs/64 keeps >= ~16 partitions at 4x headroom — real
+            # out-of-core behavior — while leaving realistic thresholds
+            # untouched
+            from .memory import block_bytes
+
+            budget = max(budget,
+                         sum(block_bytes(b) for b in tables.values()) // 64)
             chunk_rows = plan_chunk_rows(
                 self.plan, tables, budget,
                 work_factor=self.settings.outofcore_work_factor,

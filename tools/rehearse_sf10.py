@@ -35,6 +35,11 @@ from tiflash_tpu.runtime.settings import Settings
 from tiflash_tpu.storage.tpch import generate_tpch
 
 SF = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+# optional phase subset, e.g. `rehearse_sf10.py 10 q3_grace,hc` — remote
+# compiles are load-dependent (30s-10+ min/program); a retry after a
+# wedge should not pay for already-recorded phases
+PHASES = set((sys.argv[2] if len(sys.argv) > 2
+              else "q3_mem,q3_grace,hc_mem,hc_ext").split(","))
 
 log = lambda m: print(m, file=sys.stderr, flush=True)
 emit = lambda d: print(json.dumps(d), flush=True)
@@ -98,16 +103,21 @@ def main():
     from tiflash_tpu.bench.tpch_queries import q3_plan
     from tiflash_tpu.plan.auto import autosize_plan
 
-    plan = q3_plan()
-    autosize_plan(plan, blocks)
-    cs_mem = timed_run("q3_in_memory", plan, blocks, Settings())
+    cs_mem = None
+    if "q3_mem" in PHASES:
+        plan = q3_plan()
+        autosize_plan(plan, blocks)
+        cs_mem = timed_run("q3_in_memory", plan, blocks, Settings())
 
-    plan2 = q3_plan()
-    autosize_plan(plan2, blocks)
-    s = Settings(max_bytes_before_external_join=1, spill_dir=spill_dir)
-    cs_grace = timed_run("q3_grace_join", plan2, blocks, s)
-    assert cs_grace == cs_mem, (cs_grace, cs_mem)
-    emit({"phase": "q3_parity", "equal": True})
+    if "q3_grace" in PHASES:
+        plan2 = q3_plan()
+        autosize_plan(plan2, blocks)
+        s = Settings(max_bytes_before_external_join=1,
+                     spill_dir=spill_dir)
+        cs_grace = timed_run("q3_grace_join", plan2, blocks, s)
+        if cs_mem is not None:
+            assert cs_grace == cs_mem, (cs_grace, cs_mem)
+            emit({"phase": "q3_parity", "equal": True})
 
     # ---- phase 2: high-cardinality group-by -------------------------
     # group by l_orderkey: SF x 1.5M distinct groups over SF x 6M rows
@@ -120,7 +130,12 @@ def main():
                                 columns=["l_orderkey", "l_extendedprice",
                                          "l_shipdate"])))
     autosize_plan(hc, blocks)
-    cs_agg = timed_run("hc_groupby_in_memory", hc, blocks, Settings())
+    cs_agg = None
+    if "hc_mem" in PHASES:
+        cs_agg = timed_run("hc_groupby_in_memory", hc, blocks, Settings())
+    if "hc_ext" not in PHASES:
+        emit({"phase": "done", "total_wall_s": round(time.time() - t0, 1)})
+        return
 
     hc2 = P.Aggregation(
         ["l_orderkey"],
@@ -134,8 +149,9 @@ def main():
     s2 = Settings(max_bytes_before_external_group_by=1,
                   spill_dir=spill_dir)
     cs_ext = timed_run("hc_groupby_external", hc2, blocks, s2)
-    assert cs_ext == cs_agg, (cs_ext, cs_agg)
-    emit({"phase": "hc_parity", "equal": True})
+    if cs_agg is not None:
+        assert cs_ext == cs_agg, (cs_ext, cs_agg)
+        emit({"phase": "hc_parity", "equal": True})
     emit({"phase": "done", "total_wall_s": round(time.time() - t0, 1)})
 
 
