@@ -32,7 +32,10 @@ documented denominator:
   second-stage survivor sort is ~(n/2048)*k rows, negligible.  Measured
   on v5e (tools/measure_primitives.py, 2026-08-19): 6M rows = 3.03 ms,
   100M rows = 51.6 ms (~0.5 ns/row); we use the per-size measured
-  floors.
+  floors.  Raw committed evidence: docs/bench/ holds dated primitive
+  runs (PRIMITIVES_*.json when present), the round-4 official record
+  (BENCH_local_2026-08-20_r4.json + full log), and the SF10 rehearsal
+  outputs (sf10_rehearsal_r4.out, docs/SF10_REHEARSAL.json).
 - q3 (join + group-by + topN at SF1): t_floor = the sum of its
   irreducible primitive stages, each measured independently on v5e
   (tools/measure_primitives.py + CLAUDE.md cost model):

@@ -169,3 +169,40 @@ def test_per_operator_external_group_by_threshold():
     O.assert_tables_equal(
         O.sort_pytable(O.block_to_pytable(out.compact())),
         O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)
+
+
+def test_bucketed_final_merge_parity(monkeypatch):
+    """Force the MergingBuckets-analog final merge (group-key-hash
+    buckets, one reused small final program) and check parity with the
+    in-memory result — the SF10 high-cardinality rehearsal path."""
+    import numpy as np
+
+    from tiflash_tpu.core import dtypes as dt
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime import outofcore
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    sch = {"g": dt.INT64, "v": dt.INT64}
+    pt = O.random_pytable(rng, n, sch, null_prob=0.0,
+                          int_range=(-1000, 1000))
+    # high-cardinality groups relative to n: many survive per chunk
+    pt["g"] = [abs(x) % 4096 for x in pt["g"]]
+    tables = {"t": O.pytable_to_block(pt, sch)}
+    plan = P.Aggregation(["g"], [P.AggDesc("sum", "v", "s"),
+                                 P.AggDesc("count", None, "c"),
+                                 P.AggDesc("avg", "v", "a"),
+                                 P.AggDesc("min", "v", "lo")],
+                         P.TableScan("t"))
+    # tiny bucket capacity -> several buckets; tiny threshold -> path on
+    monkeypatch.setattr(outofcore, "_FINAL_MERGE_ROWS", 2048)
+    s = Settings(max_bytes_before_external_group_by=200_000)
+    out, summary = QueryRunner(plan, settings=s).run(tables)
+    assert "chunked out-of-core" in summary.plan_text
+    ref, _ = QueryRunner(plan, settings=Settings()).run(tables)
+    O.assert_tables_equal(
+        O.sort_pytable(O.block_to_pytable(out.compact())),
+        O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)

@@ -140,12 +140,15 @@ def run_chunked_aggregate(
         partials.append(_to_host_rows(out))
         start += rows
 
-    merged = _concat_host_parts(partials)
-    final_plan = final_plan_builder()
-    ffn = compile_fragment(final_plan)
-    out, overflows = ffn({"__partials": merged})
-    _check_flags(overflows, "chunked final")
-    return out
+    total_partial_rows = sum(p[2] for p in partials)
+    if total_partial_rows <= _FINAL_MERGE_ROWS:
+        merged = _concat_host_parts(partials)
+        final_plan = final_plan_builder()
+        ffn = compile_fragment(final_plan)
+        out, overflows = ffn({"__partials": merged})
+        _check_flags(overflows, "chunked final")
+        return out
+    return _bucketed_final_merge(plan, final_plan_builder, partials)
 
 
 # ---------------------------------------------------------------------------
@@ -256,34 +259,42 @@ def _clone_scan(node: P.PlanNode, old: str, new: str) -> P.PlanNode:
     return n2
 
 
-def _host_key_hash(block: Block, cols: List[str]) -> "object":
-    """Stable value-based uint64 hash of the key columns, on host.
-    Dictionary strings hash by VALUE (not code) so co-partitioning holds
-    across tables with different dictionaries."""
+def _hash_host_triples(triples, n: int) -> "object":
+    """Splitmix64 over host (data, validity, dictionary) column triples —
+    the shared core of `_host_key_hash` and the bucketed final merge."""
     import zlib
 
     import numpy as np
 
-    h = np.full(block.capacity, 0x9E3779B97F4A7C15, dtype=np.uint64)
-    for name in cols:
-        c = block[name]
-        data = np.asarray(c.data)
-        if c.dictionary is not None:
+    h = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for data, validity, dictionary in triples:
+        data = np.asarray(data)
+        if dictionary is not None:
             lut = np.fromiter(
-                (zlib.crc32(s.encode()) for s in c.dictionary),
-                dtype=np.uint64, count=len(c.dictionary),
-            ) if c.dictionary else np.zeros(1, dtype=np.uint64)
+                (zlib.crc32(s.encode()) for s in dictionary),
+                dtype=np.uint64, count=len(dictionary),
+            ) if dictionary else np.zeros(1, dtype=np.uint64)
             x = lut[np.clip(data, 0, max(len(lut) - 1, 0))]
         else:
             x = data.astype(np.int64).view(np.uint64)
-        if c.validity is not None:
-            x = np.where(np.asarray(c.validity), x, np.uint64(0))
+        if validity is not None:
+            x = np.where(np.asarray(validity), x, np.uint64(0))
         # splitmix64 finalizer
         z = (h ^ x) * np.uint64(0xBF58476D1CE4E5B9)
         z ^= z >> np.uint64(27)
         z *= np.uint64(0x94D049BB133111EB)
         h = z ^ (z >> np.uint64(31))
     return h
+
+
+def _host_key_hash(block: Block, cols: List[str]) -> "object":
+    """Stable value-based uint64 hash of the key columns, on host.
+    Dictionary strings hash by VALUE (not code) so co-partitioning holds
+    across tables with different dictionaries."""
+    return _hash_host_triples(
+        ((block[name].data, block[name].validity, block[name].dictionary)
+         for name in cols),
+        block.capacity)
 
 
 def _partition_block(block: Block, pid, P_: int, cap: int) -> List[Block]:
@@ -395,6 +406,104 @@ def _concat_host_parts(parts) -> Block:
                            None if validity is None else jnp.asarray(validity),
                            dtype, dictionary, stats=stats))
     return Block(names=names, columns=tuple(cols), sel=None)
+
+
+# One final-merge program's input capacity (rows of partial states).
+# Above this the merge runs BUCKETED (see _bucketed_final_merge): a
+# single program over N_chunks x chunk_cap partial rows with the whole
+# table's num_slots is the largest program this engine ever builds — at
+# SF10 (15M-group l_orderkey agg, ~60M partial rows) it crashes the AOT
+# compile helper outright (SIGSEGV, observed twice) and would pin every
+# partial in HBM besides.
+_FINAL_MERGE_ROWS = 4 << 20
+
+
+def _split_host_part(part, key_idx, P_: int):
+    """Split one host partial (names, cols, n) into per-bucket host
+    parts by group-key hash; yields (bucket, sub_part), empties skipped."""
+    import numpy as np
+
+    names, cols, n = part
+    h = _hash_host_triples(
+        ((cols[i][0], cols[i][1], cols[i][2][1]) for i in key_idx), n)
+    pid = (h % np.uint64(P_)).astype(np.int64)
+    for p in np.unique(pid):
+        m = pid == p
+        sub = [(d[m], None if v is None else v[m], meta)
+               for d, v, meta in cols]
+        yield int(p), (names, sub, int(m.sum()))
+
+
+def _stage_host_parts_padded(parts, cap: int) -> Block:
+    """Concat host parts and stage ONE device block padded to ``cap``
+    rows with a live-row sel mask — uniform shapes let one compiled
+    final program serve every bucket."""
+    import numpy as np
+
+    merged = _concat_host_parts(parts)
+    n = merged.capacity
+    assert n <= cap, (n, cap)
+    cols = []
+    for c in merged.columns:
+        data = np.asarray(c.data)
+        data = np.pad(data, [(0, cap - n)] + [(0, 0)] * (data.ndim - 1))
+        validity = c.validity
+        if validity is not None:
+            validity = np.pad(np.asarray(validity),
+                              [(0, cap - n)] + [(0, 0)] * (validity.ndim - 1))
+        cols.append(Column(jnp.asarray(data),
+                           None if validity is None else jnp.asarray(validity),
+                           c.dtype, c.dictionary, stats=c.stats))
+    sel = jnp.asarray(np.arange(cap) < n)
+    return Block(names=merged.names, columns=tuple(cols), sel=sel)
+
+
+def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
+                          partials) -> Block:
+    """Merge chunked-agg partial states in GROUP-KEY-HASH buckets — the
+    reference's ``MergingBuckets`` restore analog
+    (``Interpreters/Aggregator.h`` spill restore).  Hashing on the group
+    keys keeps every group whole inside one bucket, so a small final
+    program (compiled once, reused per bucket) is exact and bucket
+    outputs simply concatenate; no device block ever holds more than one
+    bucket of partials."""
+    import numpy as np
+
+    from .cancel import checkpoint
+
+    total = sum(p[2] for p in partials)
+    P_ = 1
+    while total // P_ > _FINAL_MERGE_ROWS and P_ < 1024:
+        P_ *= 2
+    names = partials[0][0]
+    key_idx = [names.index(k) for k in plan.keys]
+    buckets: List[List] = [[] for _ in range(P_)]
+    for part in partials:
+        for p, sub in _split_host_part(part, key_idx, P_):
+            buckets[p].append(sub)
+    rows = [sum(s[2] for s in b) for b in buckets]
+    cap = int(-(-max(max(rows), 1) // 8192) * 8192)
+
+    final_plan = final_plan_builder()
+    agg = final_plan
+    while not isinstance(agg, P.Aggregation):
+        agg = agg.child
+    if agg.num_slots:
+        # a bucket holds <= cap group rows — same shrink rule as the
+        # per-chunk partial program
+        agg.num_slots = min(agg.num_slots, 1 << (2 * cap - 1).bit_length())
+    ffn = compile_fragment(final_plan)
+
+    outs = []
+    for p in range(P_):
+        if not buckets[p]:
+            continue
+        checkpoint()  # cancellable between buckets
+        out, overflows = ffn(
+            {"__partials": _stage_host_parts_padded(buckets[p], cap)})
+        _check_flags(overflows, "chunked final bucket")
+        outs.append(_to_host_rows(out))
+    return _concat_host_parts(outs)
 
 
 def _reapply_reducers(wrappers, merged: Block) -> Block:
