@@ -206,3 +206,51 @@ def test_bucketed_final_merge_parity(monkeypatch):
     O.assert_tables_equal(
         O.sort_pytable(O.block_to_pytable(out.compact())),
         O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)
+
+
+def test_final_merge_compile_failure_ladder(monkeypatch):
+    """Arm the compile-failure failpoint so BOTH device rungs of the
+    bucketed-final-merge fallback ladder fail, landing in the host-side
+    numpy merge — and check exact parity with the in-memory result
+    (the engineering-around-the-SIGSEGV path, VERDICT r4 item 1)."""
+    import numpy as np
+
+    from tiflash_tpu.core import dtypes as dt
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime import outofcore
+    from tiflash_tpu.runtime.executor import QueryRunner
+    from tiflash_tpu.runtime.failpoint import FailPoint
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    rng = np.random.default_rng(13)
+    n = 60_000
+    sch = {"g": dt.INT64, "v": dt.INT64, "d": dt.Decimal(15, 2),
+           "f": dt.FLOAT64}
+    pt = O.random_pytable(rng, n, sch, null_prob=0.1,
+                          int_range=(-1000, 1000))
+    pt["g"] = [1 if x is None else abs(x) % 4096 for x in pt["g"]]
+    tables = {"t": O.pytable_to_block(pt, sch)}
+    plan = P.Aggregation(
+        ["g"],
+        [P.AggDesc("sum", "v", "s"),
+         P.AggDesc("count", None, "c"),
+         P.AggDesc("avg", "v", "a"),       # post-projection re-applied
+         P.AggDesc("min", "v", "lo"),
+         P.AggDesc("max", "f", "hi"),
+         P.AggDesc("sum", "d", "ds"),      # narrow-stored wide typing
+         P.AggDesc("first", "v", "fv")],
+        P.TableScan("t"))
+    monkeypatch.setattr(outofcore, "_FINAL_MERGE_ROWS", 2048)
+    FailPoint.enable("compile_failure_in_final_merge")
+    try:
+        s = Settings(max_bytes_before_external_group_by=200_000)
+        out, summary = QueryRunner(plan, settings=s).run(tables)
+    finally:
+        FailPoint.disable("compile_failure_in_final_merge")
+    assert "chunked out-of-core" in summary.plan_text
+    assert FailPoint.get("compile_failure_in_final_merge").hits == 2
+    ref, _ = QueryRunner(plan, settings=Settings()).run(tables)
+    O.assert_tables_equal(
+        O.sort_pytable(O.block_to_pytable(out.compact())),
+        O.sort_pytable(O.block_to_pytable(ref.compact())), ordered=True)

@@ -95,6 +95,9 @@ for _n in (
     "exception_before_exchange",
     "exception_during_retry",
     "random_fragment_failure",
+    # simulates the remote-compile-helper SIGSEGV on the bucketed
+    # final-merge program (runtime/outofcore.py fallback ladder)
+    "compile_failure_in_final_merge",
 ):
     FailPoint.register(_n)
 

@@ -277,8 +277,16 @@ def _hash_host_triples(triples, n: int) -> "object":
             x = lut[np.clip(data, 0, max(len(lut) - 1, 0))]
         else:
             x = data.astype(np.int64).view(np.uint64)
+            if x.ndim > 1:
+                # multi-plane key column (wide-decimal limbs): XOR-fold
+                # the planes into one lane — equal values have equal limb
+                # tuples, so the fold preserves co-partitioning
+                x = np.bitwise_xor.reduce(x, axis=tuple(range(1, x.ndim)))
         if validity is not None:
-            x = np.where(np.asarray(validity), x, np.uint64(0))
+            v = np.asarray(validity)
+            if v.ndim > 1:
+                v = v.all(axis=tuple(range(1, v.ndim)))
+            x = np.where(v, x, np.uint64(0))
         # splitmix64 finalizer
         z = (h ^ x) * np.uint64(0xBF58476D1CE4E5B9)
         z ^= z >> np.uint64(27)
@@ -437,7 +445,10 @@ def _split_host_part(part, key_idx, P_: int):
 def _stage_host_parts_padded(parts, cap: int) -> Block:
     """Concat host parts and stage ONE device block padded to ``cap``
     rows with a live-row sel mask — uniform shapes let one compiled
-    final program serve every bucket."""
+    final program serve every bucket.  Pad rows REPEAT the last live row
+    (``np.pad(mode="edge")``) so the columns' range stats stay sound
+    unconditionally — the invariant ``_concat_host_parts`` documents —
+    rather than relying on sel-deadness downstream."""
     import numpy as np
 
     merged = _concat_host_parts(parts)
@@ -446,14 +457,17 @@ def _stage_host_parts_padded(parts, cap: int) -> Block:
     cols = []
     for c in merged.columns:
         data = np.asarray(c.data)
-        data = np.pad(data, [(0, cap - n)] + [(0, 0)] * (data.ndim - 1))
+        pad = [(0, cap - n)] + [(0, 0)] * (data.ndim - 1)
+        data = np.pad(data, pad, mode="edge" if n else "constant")
         validity = c.validity
+        stats = c.stats if n else None
         if validity is not None:
-            validity = np.pad(np.asarray(validity),
-                              [(0, cap - n)] + [(0, 0)] * (validity.ndim - 1))
+            vpad = [(0, cap - n)] + [(0, 0)] * (np.asarray(validity).ndim - 1)
+            validity = np.pad(np.asarray(validity), vpad,
+                              mode="edge" if n else "constant")
         cols.append(Column(jnp.asarray(data),
                            None if validity is None else jnp.asarray(validity),
-                           c.dtype, c.dictionary, stats=c.stats))
+                           c.dtype, c.dictionary, stats=stats))
     sel = jnp.asarray(np.arange(cap) < n)
     return Block(names=merged.names, columns=tuple(cols), sel=sel)
 
@@ -462,14 +476,28 @@ def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
                           partials) -> Block:
     """Merge chunked-agg partial states in GROUP-KEY-HASH buckets — the
     reference's ``MergingBuckets`` restore analog
-    (``Interpreters/Aggregator.h`` spill restore).  Hashing on the group
-    keys keeps every group whole inside one bucket, so a small final
-    program (compiled once, reused per bucket) is exact and bucket
-    outputs simply concatenate; no device block ever holds more than one
-    bucket of partials."""
-    import numpy as np
+    (``Interpreters/Aggregator.cpp:1268`` spill restore,
+    ``Aggregator.h:1035``).  Hashing on the group keys keeps every group
+    whole inside one bucket, so a small final program (compiled once,
+    reused per bucket) is exact and bucket outputs simply concatenate.
 
-    from .cancel import checkpoint
+    COMPILE-FAILURE FALLBACK LADDER: the remote compile helper SIGSEGVs
+    deterministically on some merge-program shapes (three identical
+    failures at SF10 on the same program — see
+    ``docs/bench/sf10_hc_retry*.err``); re-running the same program is
+    not a strategy.  Each rung changes the program SHAPE, and the last
+    rung leaves the compiler out entirely:
+
+    1. agg core + post-projection as SEPARATE programs at the natural
+       bucket count (two simple shapes instead of one fused one);
+    2. 4x the bucket count (smaller uniform shapes);
+    3. host-side numpy merge (``_host_final_merge``) — correctness
+       first; the reference restores spilled buckets on the CPU too.
+    """
+    import jax
+
+    from .failpoint import FailPointError
+    from .logging import get_logger
 
     total = sum(p[2] for p in partials)
     P_ = 1
@@ -477,22 +505,74 @@ def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
         P_ *= 2
     names = partials[0][0]
     key_idx = [names.index(k) for k in plan.keys]
+    log = get_logger("tiflash_tpu.outofcore")
+    for p_try in dict.fromkeys((P_, min(P_ * 4, 4096))):
+        try:
+            return _device_bucket_merge(
+                final_plan_builder, partials, key_idx, p_try)
+        except (jax.errors.JaxRuntimeError, FailPointError) as e:
+            # backend/compile-service failure (or its fault-injection
+            # twin, failpoint ``compile_failure_in_final_merge``) — not
+            # an engine error; step down the ladder
+            first = str(e).splitlines()[0] if str(e) else repr(e)
+            log.warning(
+                "bucketed final merge at %d buckets failed in the "
+                "backend (%s); stepping down the fallback ladder",
+                p_try, first)
+    log.warning("bucketed final merge: device programs failed to "
+                "compile; falling back to the host-side merge")
+    return _host_final_merge(plan, final_plan_builder, partials)
+
+
+def _device_bucket_merge(final_plan_builder, partials, key_idx,
+                         P_: int) -> Block:
+    """One device-side bucketed-merge attempt at ``P_`` buckets.  The
+    agg core and any post-projection (avg division etc.) compile as
+    separate programs.  Raises ``jax.errors.JaxRuntimeError`` through to
+    the fallback ladder when the backend rejects a program."""
+    import copy
+
+    from .cancel import checkpoint
+    from .failpoint import fail_point
+    from .logging import get_logger
+
+    fail_point("compile_failure_in_final_merge")
     buckets: List[List] = [[] for _ in range(P_)]
     for part in partials:
         for p, sub in _split_host_part(part, key_idx, P_):
             buckets[p].append(sub)
     rows = [sum(s[2] for s in b) for b in buckets]
+    if max(rows) > _FINAL_MERGE_ROWS:
+        # name the failure mode (skewed key hash, or the P_ cap) instead
+        # of letting it resurface as a compiler crash on an oversized
+        # program
+        get_logger("tiflash_tpu.outofcore").warning(
+            "bucketed final merge: largest bucket holds %d partial rows,"
+            " above the %d-row program budget at %d buckets — compiling"
+            " an oversized merge program", max(rows), _FINAL_MERGE_ROWS,
+            P_)
     cap = int(-(-max(max(rows), 1) // 8192) * 8192)
 
     final_plan = final_plan_builder()
+    wrappers: List[P.PlanNode] = []
     agg = final_plan
     while not isinstance(agg, P.Aggregation):
+        wrappers.append(agg)
         agg = agg.child
     if agg.num_slots:
         # a bucket holds <= cap group rows — same shrink rule as the
         # per-chunk partial program
         agg.num_slots = min(agg.num_slots, 1 << (2 * cap - 1).bit_length())
-    ffn = compile_fragment(final_plan)
+    ffn = compile_fragment(agg)
+    pfn = None
+    if wrappers:
+        node: P.PlanNode = P.TableScan("__m")
+        for w in reversed(wrappers):
+            w2 = copy.copy(w)
+            w2.child = node
+            w2.children = (node,)
+            node = w2
+        pfn = compile_fragment(node)
 
     outs = []
     for p in range(P_):
@@ -502,7 +582,159 @@ def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
         out, overflows = ffn(
             {"__partials": _stage_host_parts_padded(buckets[p], cap)})
         _check_flags(overflows, "chunked final bucket")
+        if pfn is not None:
+            out, overflows = pfn({"__m": out})
+            _check_flags(overflows, "chunked final bucket post")
         outs.append(_to_host_rows(out))
+    return _concat_host_parts(outs)
+
+
+def _host_final_merge(plan: P.Aggregation, final_plan_builder,
+                      partials) -> Block:
+    """Last ladder rung: merge the partial states entirely on the host
+    with numpy — one stable lexsort by group key, segment reductions per
+    aggregate.  Mirrors the narrow-stored wide-decimal representation
+    (wide result TYPE over 1-D int64 data, exactness checked against a
+    64-bit-mantissa ``longdouble`` shadow sum); any post-projection
+    re-applies through the engine's own compiled elementwise program in
+    uniform slices, so division/rounding semantics stay the engine's."""
+    import numpy as np
+
+    from ..ops.aggregate import agg_result_dtype
+
+    names = list(partials[0][0])
+    ncols = len(names)
+    datas, valids = [], []
+    for i in range(ncols):
+        datas.append(np.concatenate([p[1][i][0] for p in partials]))
+        if any(p[1][i][1] is not None for p in partials):
+            valids.append(np.concatenate([
+                p[1][i][1] if p[1][i][1] is not None
+                else np.ones(len(p[1][i][0]), dtype=bool)
+                for p in partials]))
+        else:
+            valids.append(None)
+    metas = [partials[0][1][i][2] for i in range(ncols)]
+
+    final_plan = final_plan_builder()
+    wrappers: List[P.PlanNode] = []
+    agg = final_plan
+    while not isinstance(agg, P.Aggregation):
+        wrappers.append(agg)
+        agg = agg.child
+
+    key_idx = [names.index(k) for k in agg.keys]
+    used = key_idx + [names.index(a.arg) for a in agg.aggs
+                      if a.arg is not None]
+    for i in used:
+        if datas[i].ndim != 1:
+            raise NotImplementedError(
+                "host final merge over a multi-plane (wide-limb) partial"
+                f" column {names[i]!r} — the device ladder rungs are the"
+                " only exact merge for this shape")
+
+    n = len(datas[0]) if datas else 0
+    sort_keys = []
+    for i in key_idx:
+        sort_keys.append(datas[i])
+        if valids[i] is not None:
+            sort_keys.append(valids[i])
+    if n:
+        order = np.lexsort(sort_keys[::-1]) if sort_keys \
+            else np.arange(n, dtype=np.int64)
+        diff = np.zeros(n, dtype=bool)
+        diff[0] = True
+        for arr in sort_keys:
+            a = arr[order]
+            diff[1:] |= a[1:] != a[:-1]
+        starts = np.nonzero(diff)[0]
+    else:
+        order = np.arange(0, dtype=np.int64)
+        starts = np.zeros(0, dtype=np.int64)
+    g = len(starts)
+
+    out_names: List[str] = []
+    out_cols: List = []
+    for k, i in zip(agg.keys, key_idx):
+        out_names.append(k)
+        kd = datas[i][order][starts]
+        kv = None if valids[i] is None else valids[i][order][starts]
+        out_cols.append((kd, kv, metas[i]))
+    i64max = np.longdouble(2) ** 63
+    for a in agg.aggs:
+        ai = names.index(a.arg)
+        d = datas[ai][order]
+        v = None if valids[ai] is None else valids[ai][order]
+        dtype, dictionary, _stats = metas[ai]
+        rdt = agg_result_dtype(a.func, dtype)
+        ov = None if v is None else (
+            np.add.reduceat(v.astype(np.int64), starts) > 0 if g else
+            np.zeros(0, dtype=bool))
+        if a.func == "sum":
+            contrib = np.where(v, d, d.dtype.type(0)) if v is not None else d
+            s = np.add.reduceat(contrib, starts) if g else contrib[:0]
+            if np.issubdtype(d.dtype, np.integer) and g:
+                shadow = np.add.reduceat(
+                    contrib.astype(np.longdouble), starts)
+                if np.any(np.abs(shadow) >= i64max):
+                    raise RuntimeError(
+                        "host final merge: int64 sum overflow")
+            out = s
+        elif a.func in ("min", "max"):
+            if np.issubdtype(d.dtype, np.floating):
+                ident = np.inf if a.func == "min" else -np.inf
+            else:
+                info = np.iinfo(d.dtype)
+                ident = info.max if a.func == "min" else info.min
+            contrib = np.where(v, d, d.dtype.type(ident)) \
+                if v is not None else d
+            red = np.minimum if a.func == "min" else np.maximum
+            out = red.reduceat(contrib, starts) if g else contrib[:0]
+        elif a.func == "first":
+            # lexsort is stable: within a group the chunk order
+            # survives, so "first" picks the same partial the device
+            # merge would
+            out = d[starts]
+            ov = None if v is None else v[starts]
+        else:
+            raise NotImplementedError(f"host final merge of {a.func}")
+        if rdt.nullable and ov is None:
+            ov = np.ones(g, dtype=bool)
+        out_names.append(a.name)
+        # stats are recomputed, not inherited: a merged sum can exceed
+        # every partial's range
+        out_cols.append((out, ov, (rdt, dictionary, None)))
+
+    merged = (tuple(out_names), out_cols, g)
+    if not wrappers:
+        return _concat_host_parts([merged])
+
+    import copy
+
+    node: P.PlanNode = P.TableScan("__m")
+    for w in reversed(wrappers):
+        w2 = copy.copy(w)
+        w2.child = node
+        w2.children = (node,)
+        node = w2
+    pfn = compile_fragment(node)
+    rows_per = min(max(g, 1), _FINAL_MERGE_ROWS)
+    cap = int(-(-rows_per // 8192) * 8192) or 8192
+    outs = []
+    start = 0
+    while start < g or (g == 0 and start == 0):
+        rows = min(rows_per, g - start) if g else 0
+        sl = (merged[0],
+              [(d[start:start + rows],
+                None if v is None else v[start:start + rows], m)
+               for d, v, m in merged[1]],
+              rows)
+        out, overflows = pfn({"__m": _stage_host_parts_padded([sl], cap)})
+        _check_flags(overflows, "host final merge post")
+        outs.append(_to_host_rows(out))
+        start += rows
+        if g == 0:
+            break
     return _concat_host_parts(outs)
 
 
