@@ -110,6 +110,13 @@ class SqlParser:
         self.toks = tokenize(sql)
         self.i = 0
 
+    @classmethod
+    def from_tokens(cls, toks) -> "SqlParser":
+        p = cls.__new__(cls)
+        p.toks = list(toks)
+        p.i = 0
+        return p
+
     # -- token helpers
     def peek(self, k=0):
         return self.toks[min(self.i + k, len(self.toks) - 1)]
@@ -172,12 +179,61 @@ class SqlParser:
             return Call("not", (self.parse_not(),))
         return self.parse_comparison()
 
+    def _at_subselect(self) -> bool:
+        return (self.at_op("(") and self.peek(1)[0] == "name"
+                and self.peek(1)[1].lower() in ("select", "table"))
+
+    def _capture_subquery(self) -> Expr:
+        """Capture a parenthesized subselect as a token slice (balanced
+        parens), registered on the session; lowered to engine semi/anti
+        joins (or scalar folds) at plan-build time — the TiDB planner's
+        subquery decorrelation, front-end edition."""
+        if getattr(self, "sess", None) is None:
+            raise Unsupported("subquery outside a session")
+        self.expect_op("(")
+        start = self.i
+        depth = 0
+        while True:
+            k, v = self.peek()
+            if k == "eof":
+                raise Unsupported("unterminated subquery")
+            if k == "op" and v == "(":
+                depth += 1
+            elif k == "op" and v == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            self.next()
+        toks = self.toks[start:self.i] + [("eof", "")]
+        self.expect_op(")")
+        if toks and toks[0][0] == "name" and toks[0][1].lower() == "table":
+            # TABLE t == SELECT * FROM t (MySQL 8 table statement)
+            toks = [("name", "select"), ("op", "*"),
+                    ("name", "from")] + toks[1:]
+        sid = self.sess.register_subquery(toks)
+        return Call("__subquery__", (Literal(sid),))
+
     def parse_comparison(self) -> Expr:
         e = self.parse_bitor()
         while True:
             k, v = self.peek()
             if k == "op" and v in _CMP:
                 self.next()
+                if self.at_kw("any", "some", "all") \
+                        and self.peek(1)[0] == "op" \
+                        and self.peek(1)[1] == "(":
+                    quant = self.next()[1].lower()
+                    quant = "any" if quant == "some" else quant
+                    sub = self._capture_subquery()
+                    fn = _CMP[v]
+                    if fn == "equals" and quant == "any":
+                        e = Call("__in_subq__", (e, sub))
+                    elif fn == "not_equals" and quant == "all":
+                        e = Call("__not_in_subq__", (e, sub))
+                    else:
+                        e = Call("__quant_subq__",
+                                 (e, sub, Literal(fn), Literal(quant)))
+                    continue
                 e = Call(_CMP[v], (e, self.parse_bitor()))
             elif self.at_kw("is"):
                 self.next()
@@ -203,6 +259,13 @@ class SqlParser:
                 elif self.eat_kw("regexp") or self.eat_kw("rlike"):
                     e = Call("regexp_like", (e, self.parse_bitor()))
                 elif self.eat_kw("in"):
+                    if self._at_subselect():
+                        sub = self._capture_subquery()
+                        e = Call("__in_subq__", (e, sub))
+                        if neg:
+                            e = Call("__not_in_subq__", (e.args[0], sub))
+                            neg = False
+                        continue
                     self.expect_op("(")
                     vals = [self.parse_expr()]
                     while self.eat_op(","):
@@ -328,23 +391,13 @@ class SqlParser:
         if k == "qident":
             self.next()
             return ColumnRef(v[1:-1])
-        if self.at_op("(") and self.peek(1)[0] == "name" \
-                and self.peek(1)[1].lower() == "select":
-            # scalar subquery: run it now, fold to a literal
-            # (timestamp_literal.test: value = (select max(value) ...))
+        if self._at_subselect():
+            # scalar subquery: captured as a marker; the enclosing
+            # SelectBuilder folds it (uncorrelated -> literal; correlated
+            # aggregate -> the APPLY cross-decorrelation)
             if getattr(self, "sess", None) is None:
                 raise Unsupported("scalar subquery outside a session")
-            self.next()
-            sub = SelectBuilder(self.sess, self, nested=True)
-            blk = sub.run()
-            self.expect_op(")")
-            from . import oracle as O
-
-            tab = O.block_to_pytable(blk.compact())
-            col = tab[blk.names[0]]
-            if len(blk.names) != 1 or len(col) > 1:
-                raise Unsupported("subquery is not scalar")
-            return Literal(col[0] if col else None)
+            return Call("__scalar_subq__", (self._capture_subquery(),))
         if self.eat_op("("):
             e = self.parse_expr()
             if self.eat_op(","):  # row constructor — unsupported
@@ -356,6 +409,10 @@ class SqlParser:
 
         name = v.lower()
         # special forms
+        if name == "exists" and self.peek(1)[0] == "op" \
+                and self.peek(1)[1] == "(":
+            self.next()
+            return Call("__exists_subq__", (self._capture_subquery(),))
         if name == "null":
             self.next()
             return Literal(None)
@@ -836,6 +893,12 @@ class RefTestSession:
         self.unsupported: List[str] = []
         self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
         self.cop_mode = False  # tiflash_cop vs MPP (FROM_DAYS tails)
+        self.subq_tokens: Dict[int, list] = {}  # captured subselects
+
+    def register_subquery(self, toks) -> int:
+        sid = len(self.subq_tokens)
+        self.subq_tokens[sid] = toks
+        return sid
 
     # ---- statement dispatch
     def run_statement(self, sql: str, expected: Optional[List[str]]):
@@ -1354,8 +1417,28 @@ _FUNC_RENAME = {
 }
 
 
+class _EngineFromUnsupported(Exception):
+    """FROM shape outside the engine-join path (non-equi outer joins):
+    fall back to the host nested-loop join."""
+
+
+class _CrossCorrelated(Exception):
+    """A subquery correlated beyond equality conjuncts: the caller
+    lowers it via the generic cross-decorrelation (rid + CrossJoin +
+    per-row match counting) instead of a hash semi join."""
+
+    def __init__(self, table, items, where, aliases, has_agg=False):
+        super().__init__("cross-correlated subquery")
+        self.table = table
+        self.items = items
+        self.where = where
+        self.aliases = aliases
+        self.has_agg = has_agg
+
+
 class SelectBuilder:
-    def __init__(self, session: RefTestSession, sql, nested: bool = False):
+    def __init__(self, session: RefTestSession, sql, nested: bool = False,
+                 outer_schema=None, outer_qualmap=None):
         self.sess = session
         self.p = sql if isinstance(sql, SqlParser) else SqlParser(sql)
         self.p.sess = session  # scalar subqueries run in-session
@@ -1364,6 +1447,14 @@ class SelectBuilder:
         self.schema: Dict[str, dt.DataType] = {}
         # (alias, column) -> internal column name, set by _join_on_host
         self.qualmap: Dict[Tuple[str, str], str] = {}
+        # correlated-subquery scope: the OUTER query's schema/qualmap
+        # (decorrelation pulls equality conjuncts up into join keys)
+        self.outer_schema = outer_schema
+        self.outer_qualmap = outer_qualmap or {}
+        self.corr: List[Tuple[Expr, str]] = []  # (outer ref, local col)
+        self.engine_from = None  # (plan, blocks, schema) from _from_engine
+        self.outer_aliases = set()  # the outer query's FROM aliases
+        self.from_aliases = set()  # this query's FROM aliases
 
     def _qualify(self, e: Expr) -> Expr:
         """Resolve ``t1.a``-style refs against the ON-join alias map."""
@@ -1513,6 +1604,138 @@ class SelectBuilder:
             plan = P.Projection(proj, plan)
         plan = P.Window(part_names, okeys, descs, plan)
         return plan, new_items
+
+    def _from_engine(self, from_items):
+        """Lower a FROM join chain onto the ENGINE's Join/CrossJoin plan
+        nodes (reference: ``PhysicalJoin`` build+probe,
+        ``Flash/Planner/Plans/PhysicalJoin.cpp``) — the MPP corpus
+        exercises these as real engine operators; the host nested loop
+        remains only for shapes the ladder can't express (outer joins
+        with non-equi ON conjuncts).  Returns (plan, blocks, schema,
+        fsps); raises _EngineFromUnsupported to fall back."""
+        import jax.numpy as jnp
+
+        from . import oracle as O
+
+        sides = []
+        for t, alias, jt, cond in from_items:
+            if t not in self.sess.tables:
+                raise Unsupported(f"unknown table {t}")
+            s, r = self.sess.tables[t]
+            sides.append((t, alias, jt, cond, s, r))
+
+        counts: Dict[str, int] = {}
+        for _, _, _, _, s, _ in sides:
+            for c in s:
+                counts[c] = counts.get(c, 0) + 1
+        qualmap: Dict[Tuple[str, str], str] = {}
+        schema: Dict[str, dt.DataType] = {}
+        fsps: Dict[str, int] = {}
+        side_cols: List[List[str]] = []
+        plans = []
+        blocks: Dict[str, object] = {}
+        rowns = []
+        for i, (t, alias, jt, cond, s, r) in enumerate(sides):
+            cols = []
+            for c, ty in s.items():
+                internal = c if counts[c] == 1 else f"{alias}.{c}"
+                if internal in schema:
+                    raise _EngineFromUnsupported(
+                        f"ambiguous join column {internal}")
+                qualmap[(alias, c)] = internal
+                schema[internal] = ty
+                if c in self.sess.fsps.get(t, {}):
+                    fsps[internal] = self.sess.fsps[t][c]
+                cols.append(internal)
+            side_cols.append(cols)
+            bname = f"__f{i}_{alias}"
+            n = len(next(iter(r.values()))) if r else 0
+            if n == 0:
+                pad = {c: [_dummy_value(s[c])] for c in s}
+                blk = O.pytable_to_block(pad, s).and_sel(
+                    jnp.zeros(1, dtype=bool))
+                n = 0
+            else:
+                blk = O.pytable_to_block(r, s)
+            blocks[bname] = blk
+            pl: P.PlanNode = P.TableScan(bname)
+            pl = P.Projection(
+                {internal: ColumnRef(orig)
+                 for internal, orig in zip(cols, s)}, pl)
+            plans.append(pl)
+            rowns.append(n)
+
+        def qualify(e: Expr) -> Expr:
+            if isinstance(e, ColumnRef):
+                if e.qual is not None and (e.qual, e.name) in qualmap:
+                    return ColumnRef(qualmap[(e.qual, e.name)])
+                return e
+            if isinstance(e, Call):
+                return Call(e.func, tuple(qualify(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(qualify(e.arg), e.target)
+            return e
+
+        def conjuncts(e: Expr) -> List[Expr]:
+            if isinstance(e, Call) and e.func == "and":
+                return conjuncts(e.args[0]) + conjuncts(e.args[1])
+            return [e]
+
+        acc = plans[0]
+        acc_cols = set(side_cols[0])
+        acc_rows = max(rowns[0], 1)
+        for i in range(1, len(sides)):
+            _, alias, jt, cond, s, r = sides[i]
+            cur_cols = set(side_cols[i])
+            equi: List[Tuple[str, str]] = []
+            others: List[Expr] = []
+            for c in (conjuncts(qualify(cond)) if cond is not None else []):
+                if (isinstance(c, Call) and c.func == "equals"
+                        and isinstance(c.args[0], ColumnRef)
+                        and isinstance(c.args[1], ColumnRef)):
+                    a, b = c.args[0].name, c.args[1].name
+                    if a in acc_cols and b in cur_cols:
+                        equi.append((a, b))
+                        continue
+                    if b in acc_cols and a in cur_cols:
+                        equi.append((b, a))
+                        continue
+                others.append(c)
+            cap = max(acc_rows * max(rowns[i], 1), acc_rows, 8)
+            rw_local = lambda e: _as_bool(_coerce_temporal(  # noqa: E731
+                _rewrite(e), schema, fsps))
+            if jt in ("left", "right") and (others or not equi):
+                raise _EngineFromUnsupported(
+                    "outer join with non-equi ON condition")
+            if jt == "left":
+                acc = P.Join("left", [a for a, _ in equi],
+                             [b for _, b in equi], acc, plans[i],
+                             output_capacity=cap)
+                for c in side_cols[i]:
+                    schema[c] = schema[c].with_nullable(True)
+            elif jt == "right":
+                # A right join B == B left join A; the output schema
+                # keeps FROM order (selection is by name downstream)
+                acc = P.Join("left", [b for _, b in equi],
+                             [a for a, _ in equi], plans[i], acc,
+                             output_capacity=cap)
+                for c in acc_cols:
+                    schema[c] = schema[c].with_nullable(True)
+            elif equi:
+                acc = P.Join("inner", [a for a, _ in equi],
+                             [b for _, b in equi], acc, plans[i],
+                             output_capacity=cap)
+                for o in others:
+                    acc = P.Selection(rw_local(o), acc)
+            else:
+                acc = P.CrossJoin(probe=acc, build=plans[i],
+                                  output_capacity=cap)
+                for o in others:
+                    acc = P.Selection(rw_local(o), acc)
+            acc_cols |= cur_cols
+            acc_rows = cap
+        self.qualmap = qualmap
+        return acc, blocks, schema, fsps
 
     def _cartesian(self, tables: List[str]) -> str:
         """Materialize a comma-join FROM list as one synthetic table
@@ -1710,16 +1933,23 @@ class SelectBuilder:
                     p.expect_kw("join")
                 else:
                     break
+            # an explicit alias SHADOWS the table name (MySQL scoping:
+            # `from t t1` makes `t.a` resolve to an OUTER t, apply.test)
+            self.from_aliases = {it[1] for it in from_items}
             if len(from_items) > 1:
-                if any(it[3] is not None or it[2] in ("left", "right")
-                       for it in from_items):
-                    # ON / outer joins: host-side nested-loop join over
-                    # alias-qualified rows (enum.test right join on !=)
-                    table = self._join_on_host(from_items)
-                else:
-                    # comma join: host-side Cartesian product (corpus
-                    # tables are tiny); WHERE filters through the engine
-                    table = self._cartesian([it[0] for it in from_items])
+                try:
+                    self.engine_from = self._from_engine(from_items)
+                    table = None
+                except _EngineFromUnsupported:
+                    self.qualmap = {}
+                    if any(it[3] is not None or it[2] in ("left", "right")
+                           for it in from_items):
+                        # non-equi outer joins: host-side nested loop
+                        # (enum.test right join on !=)
+                        table = self._join_on_host(from_items)
+                    else:
+                        table = self._cartesian(
+                            [it[0] for it in from_items])
         where = None
         if p.eat_kw("where"):
             where = p.parse_expr()
@@ -1773,12 +2003,583 @@ class SelectBuilder:
             raise Unsupported(f"trailing sql at {p.peek()[1]!r}")
 
         if star:
-            if table is None or table not in self.sess.tables:
+            if self.engine_from is not None:
+                schema = self.engine_from[2]
+            elif table is not None and table in self.sess.tables:
+                schema, _ = self.sess.tables[table]
+            else:
                 raise Unsupported("SELECT * without a known table")
-            schema, _ = self.sess.tables[table]
             items = [(c, ColumnRef(c)) for c in schema] + items
+        if self.outer_schema is not None and where is not None:
+            where = self._split_correlation(
+                where, table, items, group_by, limit)
+            if self.corr:
+                for i, (_outer, local) in enumerate(self.corr):
+                    items.append((local, ColumnRef(local)))
         return self.build_and_run(items, table, where, group_by, having,
                                   order_by, limit)
+
+    def _split_correlation(self, where, table, items, group_by, limit):
+        """Pull equality conjuncts that reference the OUTER query's
+        columns out of a subquery's WHERE (classic decorrelation: they
+        become extra semi-join keys).  Only legal over a plain filtered
+        scan — aggregation/limit under the correlation would change
+        meaning."""
+        if table is None or table not in self.sess.tables:
+            return where
+        local_schema = self.sess.tables[table][0]
+
+        def refs_outer(e: Expr) -> bool:
+            if isinstance(e, ColumnRef):
+                if e.qual is not None:
+                    # alias-qualified: OUR aliases shadow the outer scope
+                    if e.qual in self.from_aliases:
+                        return False
+                    return ((e.qual, e.name) in self.outer_qualmap
+                            or (e.qual in self.outer_aliases
+                                and e.name in self.outer_schema))
+                if e.name in local_schema:
+                    return False
+                return e.name in self.outer_schema
+            if isinstance(e, Call):
+                return any(refs_outer(a) for a in e.args)
+            if isinstance(e, Cast):
+                return refs_outer(e.arg)
+            return False
+
+        def conjuncts(e: Expr) -> List[Expr]:
+            if isinstance(e, Call) and e.func == "and":
+                return conjuncts(e.args[0]) + conjuncts(e.args[1])
+            return [e]
+
+        keep: List[Expr] = []
+        corr: List[Tuple[Expr, str]] = []
+        beyond_equality = False
+        for c in conjuncts(where):
+            if not refs_outer(c):
+                keep.append(c)
+                continue
+            if (isinstance(c, Call) and c.func == "equals"
+                    and isinstance(c.args[0], ColumnRef)
+                    and isinstance(c.args[1], ColumnRef)):
+                a, b = c.args
+                if refs_outer(a) and not refs_outer(b) \
+                        and b.name in local_schema:
+                    corr.append((a, b.name))
+                    continue
+                if refs_outer(b) and not refs_outer(a) \
+                        and a.name in local_schema:
+                    corr.append((b, a.name))
+                    continue
+            beyond_equality = True
+        if (corr or beyond_equality) and (group_by or limit is not None):
+            raise Unsupported("correlated subquery with GROUP BY/LIMIT")
+        if (corr or beyond_equality) \
+                and any(_has_agg(e) for _, e in items):
+            # correlated scalar aggregate (the APPLY shape): the caller
+            # cross-decorrelates with the full WHERE as the pair filter
+            raise _CrossCorrelated(table, items, where,
+                                   self.from_aliases, has_agg=True)
+        if beyond_equality:
+            # the whole WHERE rides the cross-decorrelation predicate
+            raise _CrossCorrelated(table, items, where,
+                                   self.from_aliases)
+        self.corr = corr
+        if not keep:
+            return None
+        out = keep[0]
+        for c in keep[1:]:
+            out = Call("and", (out, c))
+        return out
+
+    # -- subquery predicate lowering (IN/EXISTS/ANY/ALL -> engine joins)
+    def _run_subquery(self, sid: int):
+        """Parse + execute a captured subselect, decorrelating equality
+        conjuncts against THIS query's scope.  Returns (result block,
+        [(outer ref, sub output column)] correlation pairs)."""
+        sp = SqlParser.from_tokens(self.sess.subq_tokens[sid])
+        sp.sess = self.sess
+        sub = SelectBuilder(self.sess, sp, outer_schema=self.schema,
+                            outer_qualmap=self.qualmap)
+        sub.outer_aliases = self.from_aliases
+        try:
+            blk = sub.run()
+        except _CrossCorrelated as cc:
+            return ("cross", cc, None)
+        return ("block", blk, sub.corr)
+
+    def _lower_subqueries(self, plan, blocks, items, where, having):
+        """Rewrite subquery predicate markers onto the engine's
+        semi-join family (reference kinds: Semi/Anti/NullAware*/
+        LeftOuterSemi, ``Interpreters/Join.h``): WHERE-conjunct IN/EXISTS
+        become semi / null-aware-anti joins; markers inside expressions
+        become LeftOuterSemi matched columns; quantified comparisons
+        (> ANY, <> ALL, ...) fold through scalar aggregates of the
+        engine-executed subquery."""
+        import numpy as np
+
+        from . import oracle as O
+
+        cur_cols = list(self.schema)
+        bound = 1
+        for b in blocks.values():
+            bound = min(bound * max(int(b.capacity), 1), 1 << 22)
+        state = {"plan": plan, "n": 0, "rows": bound}
+        has_agg = any(_has_agg(e) for _, e in items)
+
+        def conjuncts(e: Expr) -> List[Expr]:
+            if isinstance(e, Call) and e.func == "and":
+                return conjuncts(e.args[0]) + conjuncts(e.args[1])
+            return [e]
+
+        def add_hidden(x: Expr) -> str:
+            xq = self._qualify(x)
+            if isinstance(xq, ColumnRef) and xq.name in cur_cols:
+                return xq.name
+            name = f"__sqa{state['n']}"
+            state["n"] += 1
+            proj = {c: ColumnRef(c) for c in cur_cols}
+            proj[name] = self._rw(x)
+            state["plan"] = P.Projection(proj, state["plan"])
+            cur_cols.append(name)
+            return name
+
+        def outer_key(ref: Expr) -> str:
+            q = self._qualify(ref)
+            if isinstance(q, ColumnRef) and q.name in cur_cols:
+                return q.name
+            raise Unsupported("correlated outer column "
+                              f"{getattr(ref, 'name', ref)!r} not in scope")
+
+        def join(kind: str, x_expr, blk, corr) -> None:
+            bname = f"__sqt{state['n']}"
+            state["n"] += 1
+            blocks[bname] = blk
+            probe_keys, build_keys = [], []
+            if x_expr is not None:
+                probe_keys.append(add_hidden(x_expr))
+                build_keys.append(blk.names[0])
+            for outer_ref, local in corr:
+                probe_keys.append(outer_key(outer_ref))
+                build_keys.append(local)
+            if not probe_keys:
+                raise Unsupported("subquery join without keys")
+            state["plan"] = P.Join(kind, probe_keys, build_keys,
+                                   state["plan"], P.TableScan(bname))
+
+        def join_col(kind: str, x_expr, blk, corr) -> str:
+            if has_agg:
+                raise Unsupported(
+                    "subquery predicate under aggregation")
+            join(kind, x_expr, blk, corr)
+            name = f"__sqm{state['n']}"
+            state["n"] += 1
+            proj = {c: ColumnRef(c) for c in cur_cols}
+            proj[name] = ColumnRef("__semi_matched")
+            state["plan"] = P.Projection(proj, state["plan"])
+            cur_cols.append(name)
+            return name
+
+        def sid_of(marker: Expr) -> int:
+            return marker.args[0].value
+
+        def qualify_outer(e: Expr) -> Expr:
+            return self._qualify(e)
+
+        def cross_lower(cc: "_CrossCorrelated", x_expr, mode: str) -> Expr:
+            """Generic decorrelation (arbitrary correlated conjuncts):
+            number the probe rows, CrossJoin with the subquery's table,
+            evaluate the full three-valued predicate per pair, count
+            TRUE/UNKNOWN matches per row id, and join the counts back —
+            the reference's cross-probe semi join with other-conditions
+            (``Interpreters/Join.cpp`` CrossProbe*, null-aware design
+            doc).  Exact for IN / NOT IN / EXISTS at O(n*m), which the
+            corpus tables comfortably afford."""
+            from ..ops.window import WindowDesc
+
+            if cc.table not in self.sess.tables:
+                raise Unsupported(f"unknown table {cc.table}")
+            sub_schema, sub_rows = self.sess.tables[cc.table]
+            k = state["n"]
+            state["n"] += 1
+            n = (len(next(iter(sub_rows.values()))) if sub_rows else 0)
+            bname = f"__sqc{k}"
+            if n == 0:
+                import jax.numpy as jnp
+                pad = {c: [_dummy_value(sub_schema[c])]
+                       for c in sub_schema}
+                blk = O.pytable_to_block(pad, sub_schema).and_sel(
+                    jnp.zeros(1, dtype=bool))
+            else:
+                blk = O.pytable_to_block(sub_rows, sub_schema)
+            blocks[bname] = blk
+            colmap = {c: f"__sc{k}_{c}" for c in sub_schema}
+            build_plan = P.Projection(
+                {colmap[c]: ColumnRef(c) for c in sub_schema},
+                P.TableScan(bname))
+
+            def rwsub(e: Expr) -> Expr:
+                if isinstance(e, ColumnRef):
+                    if e.qual is not None:
+                        if e.qual in cc.aliases and e.name in sub_schema:
+                            return ColumnRef(colmap[e.name])
+                        return qualify_outer(e)
+                    if e.name in sub_schema:
+                        return ColumnRef(colmap[e.name])
+                    return e
+                if isinstance(e, Call):
+                    return Call(e.func, tuple(rwsub(a) for a in e.args))
+                if isinstance(e, Cast):
+                    return Cast(rwsub(e.arg), e.target)
+                return e
+
+            # the sub's WHERE is a TWO-valued filter (NULL rows leave the
+            # subquery result); only the IN comparison itself is
+            # three-valued over the surviving rows
+            wpreds: List[Expr] = []
+            if cc.where is not None:
+                wpreds.extend(rwsub(c) for c in conjuncts(cc.where))
+            wpred: Expr = wpreds[0] if wpreds else Literal(1)
+            for c2 in wpreds[1:]:
+                wpred = Call("and", (wpred, c2))
+            match: Optional[Expr] = None
+            if mode == "in":
+                if not cc.items:
+                    raise Unsupported("IN subquery without a column")
+                match = Call("equals", (qualify_outer(x_expr),
+                                        rwsub(cc.items[0][1])))
+            comb = dict(self.schema)
+            comb.update({colmap[c]: t for c, t in sub_schema.items()})
+
+            def rw_full(e: Expr) -> Expr:
+                return _coerce_temporal(_rewrite(e), comb,
+                                        getattr(self, "col_fsps", {}))
+
+            wpred = Call("is_true", (rw_full(wpred),))
+            if match is not None:
+                match = rw_full(match)
+
+            rid = f"__rid{k}"
+            rid_plan = P.Window([], [], [WindowDesc("row_number", rid)],
+                                state["plan"])
+            cap = state["rows"] * max(n, 1)
+            if cap > 1 << 25:
+                raise Unsupported("cross-decorrelation too large")
+            cj = P.CrossJoin(probe=rid_plan, build=build_plan,
+                             output_capacity=cap)
+            tname, uname = f"__sqT{k}", f"__sqU{k}"
+            if match is None:
+                texpr: Expr = Call("if", (wpred, Literal(1), Literal(0)))
+                uexpr: Expr = Literal(0)
+            else:
+                texpr = Call("if", (Call("and",
+                                         (wpred,
+                                          Call("is_true", (match,)))),
+                                    Literal(1), Literal(0)))
+                uexpr = Call("if", (Call("and",
+                                         (wpred,
+                                          Call("is_null", (match,)))),
+                                    Literal(1), Literal(0)))
+            pp = P.Projection(
+                {rid: ColumnRef(rid), tname: texpr, uname: uexpr}, cj)
+            ct_name, cu_name = f"__sqCT{k}", f"__sqCU{k}"
+            agg = P.Aggregation(
+                [rid], [AggDesc("sum", tname, ct_name),
+                        AggDesc("sum", uname, cu_name)], pp)
+            state["plan"] = P.Join(
+                "left", [rid], [rid], rid_plan, agg, unique_build=True,
+                build_payload=[ct_name, cu_name])
+            cur_cols.extend([rid, ct_name, cu_name])
+            ct = Call("coalesce", (ColumnRef(ct_name), Literal(0)))
+            cu = Call("coalesce", (ColumnRef(cu_name), Literal(0)))
+            matched = Call("greater", (ct, Literal(0)))
+            if mode == "exists":
+                return matched
+            return Call("if", (matched, Literal(1),
+                               Call("if", (Call("greater",
+                                               (cu, Literal(0))),
+                                           Literal(None), Literal(0)))))
+
+        def cross_scalar(cc: "_CrossCorrelated") -> Expr:
+            """Correlated scalar aggregate — the APPLY operator
+            (reference: TiDB rewrites apply to a join when possible;
+            here: rid + CrossJoin + two-valued WHERE filter + per-rid
+            aggregation + unique join-back)."""
+            from ..ops.window import WindowDesc
+
+            if cc.table not in self.sess.tables:
+                raise Unsupported(f"unknown table {cc.table}")
+            if len(cc.items) != 1:
+                raise Unsupported("correlated scalar with >1 column")
+            agg_e = cc.items[0][1]
+            if not (isinstance(agg_e, Call)
+                    and agg_e.func.lower() in ("count", "sum", "avg",
+                                               "min", "max")):
+                raise Unsupported(
+                    f"correlated scalar aggregate {agg_e!r}")
+            func = agg_e.func.lower()
+            sub_schema, sub_rows = self.sess.tables[cc.table]
+            k = state["n"]
+            state["n"] += 1
+            n = (len(next(iter(sub_rows.values()))) if sub_rows else 0)
+            bname = f"__sqc{k}"
+            if n == 0:
+                import jax.numpy as jnp
+                pad = {c: [_dummy_value(sub_schema[c])]
+                       for c in sub_schema}
+                blk = O.pytable_to_block(pad, sub_schema).and_sel(
+                    jnp.zeros(1, dtype=bool))
+            else:
+                blk = O.pytable_to_block(sub_rows, sub_schema)
+            blocks[bname] = blk
+            colmap = {c: f"__sc{k}_{c}" for c in sub_schema}
+            build_plan = P.Projection(
+                {colmap[c]: ColumnRef(c) for c in sub_schema},
+                P.TableScan(bname))
+
+            def rwsub(e2: Expr) -> Expr:
+                if isinstance(e2, ColumnRef):
+                    if e2.qual is not None:
+                        if e2.qual in cc.aliases \
+                                and e2.name in sub_schema:
+                            return ColumnRef(colmap[e2.name])
+                        return qualify_outer(e2)
+                    if e2.name in sub_schema:
+                        return ColumnRef(colmap[e2.name])
+                    return e2
+                if isinstance(e2, Call):
+                    return Call(e2.func,
+                                tuple(rwsub(a) for a in e2.args))
+                if isinstance(e2, Cast):
+                    return Cast(rwsub(e2.arg), e2.target)
+                return e2
+
+            comb = dict(self.schema)
+            comb.update({colmap[c]: t for c, t in sub_schema.items()})
+
+            def rw_full(e2: Expr) -> Expr:
+                return _coerce_temporal(_rewrite(e2), comb,
+                                        getattr(self, "col_fsps", {}))
+
+            rid = f"__rid{k}"
+            rid_plan = P.Window([], [], [WindowDesc("row_number", rid)],
+                                state["plan"])
+            cap = state["rows"] * max(n, 1)
+            if cap > 1 << 25:
+                raise Unsupported("cross-decorrelation too large")
+            node: P.PlanNode = P.CrossJoin(
+                probe=rid_plan, build=build_plan, output_capacity=cap)
+            if cc.where is not None:
+                wpred: Expr = None  # type: ignore[assignment]
+                for c2 in conjuncts(cc.where):
+                    r2 = rwsub(c2)
+                    wpred = r2 if wpred is None \
+                        else Call("and", (wpred, r2))
+                node = P.Selection(
+                    Call("is_true", (rw_full(wpred),)), node)
+            vname = f"__sqV{k}"
+            star = (isinstance(agg_e.args[0], Literal)
+                    and agg_e.args[0].value == "*") \
+                if agg_e.args else True
+            if star and func == "count":
+                agg = P.Aggregation(
+                    [rid], [AggDesc("count", None, vname)], node)
+            else:
+                aname = f"__sqA{k}"
+                node = P.Projection(
+                    {rid: ColumnRef(rid),
+                     aname: rw_full(rwsub(agg_e.args[0]))}, node)
+                agg = P.Aggregation(
+                    [rid], [AggDesc(func, aname, vname)], node)
+            state["plan"] = P.Join(
+                "left", [rid], [rid], rid_plan, agg, unique_build=True,
+                build_payload=[vname])
+            cur_cols.extend([rid, vname])
+            if func == "count":
+                # missing rid = zero matching rows, and COUNT is 0, not
+                # NULL, over an empty group
+                return Call("coalesce", (ColumnRef(vname), Literal(0)))
+            return ColumnRef(vname)
+
+        def scalar_lower(e: Expr) -> Expr:
+            res = self._run_subquery(sid_of(e.args[0]))
+            if res[0] == "cross":
+                if not res[1].has_agg:
+                    raise Unsupported("correlated scalar subquery")
+                return cross_scalar(res[1])
+            blk, corr = res[1], res[2]
+            if corr:
+                raise Unsupported("correlated scalar subquery")
+            tab = O.block_to_pytable(blk.compact())
+            col = tab[blk.names[0]]
+            if len(blk.names) != 1 or len(col) > 1:
+                raise Unsupported("subquery is not scalar")
+            return Literal(col[0] if col else None)
+
+        def walk_expr(e):
+            if isinstance(e, Call):
+                if e.func == "__scalar_subq__":
+                    return scalar_lower(e)
+                if e.func in ("__in_subq__", "__not_in_subq__"):
+                    res = self._run_subquery(sid_of(e.args[1]))
+                    if res[0] == "cross" and res[1].has_agg:
+                        r = Call("equals", (qualify_outer(e.args[0]),
+                                            cross_scalar(res[1])))
+                    elif res[0] == "cross":
+                        r = cross_lower(res[1], e.args[0], "in")
+                    else:
+                        m = join_col("left_outer_semi_null_aware",
+                                     e.args[0], res[1], res[2])
+                        r = ColumnRef(m)
+                    return (Call("not", (r,))
+                            if e.func == "__not_in_subq__" else r)
+                if e.func == "__exists_subq__":
+                    res = self._run_subquery(sid_of(e.args[0]))
+                    if res[0] == "cross":
+                        if res[1].has_agg:
+                            # a scalar aggregate always yields one row
+                            return Literal(1)
+                        return cross_lower(res[1], None, "exists")
+                    blk, corr = res[1], res[2]
+                    if not corr:
+                        live = int(np.asarray(blk.num_rows())) > 0
+                        return Literal(1 if live else 0)
+                    return ColumnRef(join_col("left_outer_semi", None,
+                                              blk, corr))
+                if e.func == "__quant_subq__":
+                    return self._fold_quant(e, cross_scalar)
+                if e.func == "__subquery__":
+                    raise Unsupported("bare subquery expression")
+                return Call(e.func, tuple(walk_expr(a) for a in e.args))
+            if isinstance(e, Cast):
+                return Cast(walk_expr(e.arg), e.target)
+            return e
+
+        def conj_lower(c: Expr):
+            """One WHERE conjunct: absorbed into a join -> None."""
+            neg, inner = False, c
+            if (isinstance(c, Call) and c.func == "not"
+                    and isinstance(c.args[0], Call)
+                    and c.args[0].func in ("__in_subq__",
+                                           "__exists_subq__")):
+                neg, inner = True, c.args[0]
+            if isinstance(inner, Call) and inner.func == "__in_subq__":
+                res = self._run_subquery(sid_of(inner.args[1]))
+                if res[0] == "cross":
+                    if res[1].has_agg:
+                        r = Call("equals", (qualify_outer(inner.args[0]),
+                                            cross_scalar(res[1])))
+                    else:
+                        r = cross_lower(res[1], inner.args[0], "in")
+                    return Call("not", (r,)) if neg else r
+                join("anti_null_aware" if neg else "semi",
+                     inner.args[0], res[1], res[2])
+                return None
+            if isinstance(inner, Call) \
+                    and inner.func == "__not_in_subq__" and not neg:
+                res = self._run_subquery(sid_of(inner.args[1]))
+                if res[0] == "cross":
+                    return Call("not",
+                                (cross_lower(res[1], inner.args[0],
+                                             "in"),))
+                join("anti_null_aware", inner.args[0], res[1], res[2])
+                return None
+            if isinstance(inner, Call) \
+                    and inner.func == "__exists_subq__":
+                res = self._run_subquery(sid_of(inner.args[0]))
+                if res[0] == "cross":
+                    r = (Literal(1) if res[1].has_agg
+                         else cross_lower(res[1], None, "exists"))
+                    return Call("not", (r,)) if neg else r
+                blk, corr = res[1], res[2]
+                if not corr:
+                    live = int(np.asarray(blk.num_rows())) > 0
+                    keep = (not live) if neg else live
+                    return (None if keep
+                            else Call("equals", (Literal(0), Literal(1))))
+                join("anti" if neg else "semi", None, blk, corr)
+                return None
+            return walk_expr(c)
+
+        if where is not None:
+            remaining = [r for r in map(conj_lower, conjuncts(where))
+                         if r is not None]
+            where = None
+            for r in remaining:
+                where = r if where is None else Call("and", (where, r))
+        items = [(a, walk_expr(e)) for a, e in items]
+        if having is not None:
+            having = walk_expr(having)
+        # joined semi columns extend the working schema for later phases
+        for c in cur_cols:
+            if c not in self.schema:
+                self.schema[c] = dt.BOOL.with_nullable(True)
+        return state["plan"], blocks, items, where, having
+
+    def _fold_quant(self, e: Expr, cross_scalar=None) -> Expr:
+        """x <op> ANY/ALL (subquery): MySQL's min/max + distinct-count
+        rewrites, three-valued-correct, over the engine-executed
+        subquery's result."""
+        from . import oracle as O
+
+        x, marker, opl, quantl = e.args
+        op, quant = opl.value, quantl.value
+        res = self._run_subquery(marker.args[0].value)
+        if res[0] == "cross":
+            if res[1].has_agg and cross_scalar is not None:
+                # single-row scalar sub: ANY == ALL == plain comparison
+                return Call(op, (x, cross_scalar(res[1])))
+            raise Unsupported("correlated quantified subquery")
+        if res[2]:
+            raise Unsupported("correlated quantified subquery")
+        blk = res[1]
+        tab = O.block_to_pytable(blk.compact())
+        if len(blk.names) != 1:
+            raise Unsupported("quantified subquery with >1 column")
+        vals = tab[blk.names[0]]
+        nn = [v for v in vals if v is not None]
+        has_null = len(nn) < len(vals)
+
+        def or_null(expr: Expr) -> Expr:
+            return Call("or", (expr, Literal(None))) if has_null else expr
+
+        def and_null(expr: Expr) -> Expr:
+            return Call("and", (expr, Literal(None))) if has_null else expr
+
+        if op in ("greater", "greater_or_equals", "less",
+                  "less_or_equals"):
+            if not vals:
+                return Literal(0 if quant == "any" else 1)
+            if not nn:
+                return Literal(None)
+            lo, hi = min(nn), max(nn)
+            if quant == "any":
+                bound = lo if op.startswith("greater") else hi
+                return or_null(Call(op, (x, Literal(bound))))
+            bound = hi if op.startswith("greater") else lo
+            return and_null(Call(op, (x, Literal(bound))))
+        if op == "equals" and quant == "all":
+            if not vals:
+                return Literal(1)
+            d = sorted(set(nn))
+            if len(d) >= 2:
+                return Literal(0)
+            if not d:
+                return Literal(None)
+            return and_null(Call("equals", (x, Literal(d[0]))))
+        if op == "not_equals" and quant == "any":
+            if not vals:
+                return Literal(0)
+            d = sorted(set(nn))
+            if len(d) >= 2:
+                # x <> v1 OR x <> v2 (v1 != v2): TRUE unless x is NULL
+                return Call("or",
+                            (Call("not_equals", (x, Literal(d[0]))),
+                             Call("not_equals", (x, Literal(d[1])))))
+            if not d:
+                return Literal(None)
+            return or_null(Call("not_equals", (x, Literal(d[0]))))
+        raise Unsupported(f"quantified {op} {quant} subquery")
 
     # -- plan construction
     def build_and_run(self, items, table, where, group_by, having,
@@ -1786,7 +2587,12 @@ class SelectBuilder:
         from ..plan.compiler import compile_fragment
         from . import oracle as O
 
-        if table is None:
+        if self.engine_from is not None:
+            plan, blocks, schema, fsps = self.engine_from
+            self.schema = dict(schema)  # a COPY: lowering adds columns
+            table_schema = self.schema
+            self.col_fsps = fsps
+        elif table is None:
             # SELECT <constants>: evaluate on a one-row dummy table
             schema = {"__one__": dt.INT64}
             blocks = {"dual": O.pytable_to_block({"__one__": [1]}, schema)}
@@ -1808,11 +2614,20 @@ class SelectBuilder:
             else:
                 blocks = {table: O.pytable_to_block(rows, schema)}
                 plan = P.TableScan(table)
-            table_schema = schema
-            self.schema = schema
+            # a COPY: subquery lowering extends the working schema and
+            # must not leak phantom columns into the session table
+            self.schema = dict(schema)
+            table_schema = self.schema
             self.col_fsps = self.sess.fsps.get(table, {})
-            if where is not None:
-                plan = P.Selection(_as_bool(self._rw(where)), plan)
+
+        # subquery predicates -> engine semi-family joins / scalar folds
+        if _any_subq(where) or _any_subq(having) \
+                or any(_any_subq(e) for _, e in items):
+            plan, blocks, items, where, having = self._lower_subqueries(
+                plan, blocks, items, where, having)
+        if where is not None and (table is not None
+                                  or self.engine_from is not None):
+            plan = P.Selection(_as_bool(self._rw(where)), plan)
 
         if any(_has_over(e) for _, e in items):
             plan, items = self._build_window(plan, items, table_schema)
@@ -2092,6 +2907,21 @@ _TEMPORAL_ARG0 = {"date", "last_day", "to_days", "to_seconds", "day",
 # dayname/monthname take their STRING argument raw: the engine's text
 # LUT handles partial-zero dates a DATE cast cannot carry
 _TEMPORAL_ALL_ARGS = {"datediff"}
+
+
+_SUBQ_MARKERS = {"__in_subq__", "__not_in_subq__", "__exists_subq__",
+                 "__quant_subq__", "__subquery__"}
+
+
+def _any_subq(e) -> bool:
+    if e is None:
+        return False
+    if isinstance(e, Call):
+        return (e.func in _SUBQ_MARKERS
+                or any(_any_subq(a) for a in e.args))
+    if isinstance(e, Cast):
+        return _any_subq(e.arg)
+    return False
 
 
 def _has_over(e: Expr) -> bool:
