@@ -374,9 +374,12 @@ class ExprEvaluator:
                         Decimal(18, s), stats=(m, m),
                     )
         if dt.is_string:
-            raise ValueError(
-                f"string literal {value!r} used outside a string-column context"
-            )
+            # a constant string column's domain is trivially host-known:
+            # its own 1-entry dictionary (same encoding the call path
+            # uses via _encode_string_literal; select '518:57:14' and
+            # folded constant window aggregates hit this directly)
+            return Column(jnp.zeros(self.n, dtype=jnp.int32), None,
+                          STRING, dictionary=(str(value),))
         from decimal import Decimal as _D
 
         if isinstance(value, _D):

@@ -226,10 +226,23 @@ def window_block(
                 raise NotImplementedError(
                     "RANGE frames require exactly one order key"
                 )
-            return _range_bounds(
+            lo, hi = _range_bounds(
                 list(sorted_ops[n_part_ops:n_sort_ops]),
                 part_start_idx, part_end_idx, prec, foll,
             )
+            oc = sblock[order_by[0].name]
+            if oc.validity is not None:
+                # MySQL RANGE-with-NULL: a NULL-key row's frame is its
+                # whole null peer set regardless of the offsets (value
+                # arithmetic would otherwise exclude it for frames not
+                # containing the current value, e.g. 1 FOLLOWING..2
+                # FOLLOWING)
+                isn = ~oc.validity
+                if prec is not None:
+                    lo = jnp.where(isn, peer_start_idx, lo)
+                if foll is not None:
+                    hi = jnp.where(isn, peer_end_idx, hi)
+            return lo, hi
         lo = part_start_idx if prec is None else jnp.maximum(
             pos - prec, part_start_idx)
         hi = part_end_idx if foll is None else jnp.minimum(
@@ -288,11 +301,15 @@ def window_block(
             key = (f.frame, f.frame_type)
             if key not in by_frame:
                 lo, hi = frame_lo_hi(f)
-                at_hi = jnp.take(G, hi.astype(jnp.int32), axis=0)
+                empty = hi < lo  # e.g. 3 PRECEDING..1 PRECEDING at the
+                # partition start, or hi clamped below the partition
+                at_hi = jnp.take(G, jnp.clip(hi, 0, n - 1).astype(
+                    jnp.int32), axis=0)
                 lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
                 at_lo_raw = jnp.take(G, lom1, axis=0)
                 at_lo = jnp.where((lo > 0)[:, None], at_lo_raw, 0)
-                by_frame[key] = at_hi - at_lo
+                by_frame[key] = jnp.where(empty[:, None], 0,
+                                          at_hi - at_lo)
             frame_reads[f.name] = by_frame[(f.frame, f.frame_type)]
         if run_aggs:
             # running (unbounded preceding .. current): G[pos] minus the
@@ -301,12 +318,17 @@ def window_block(
             psm1 = jnp.maximum(part_start_idx - 1, 0).astype(jnp.int32)
             at_ps = jnp.where((part_start_idx > 0)[:, None],
                               jnp.take(G, psm1, axis=0), 0)
+            # SQL's default frame with ORDER BY is RANGE UNBOUNDED
+            # PRECEDING..CURRENT ROW — peers INCLUDED: read the prefix
+            # at the PEER-GROUP END, not at this row
+            pe32 = peer_end_idx.astype(jnp.int32)
             for f in run_aggs:
                 cnt_lane, sum_lane, _ = specs[f.name]
                 run_specs[f.name] = (
-                    lanes[cnt_lane] - at_ps[:, cnt_lane],
+                    jnp.take(lanes[cnt_lane], pe32) - at_ps[:, cnt_lane],
                     None if sum_lane is None
-                    else lanes[sum_lane] - at_ps[:, sum_lane],
+                    else jnp.take(lanes[sum_lane], pe32)
+                    - at_ps[:, sum_lane],
                 )
 
         def _frame_lane(f, lane):
@@ -373,14 +395,32 @@ def window_block(
             out_cols[f.name] = Column(data, validity, dt, c.dictionary)
         elif f.func in ("first_value", "last_value"):
             c = sblock[f.arg]
-            if f.func == "first_value":
-                idx = part_start_idx.astype(jnp.int32)
+            if f.frame is not None:
+                # explicit ROWS/RANGE frame: first/last row OF THE FRAME
+                # (reference ``WindowTransformAction`` first/last over
+                # the advanced frame); an empty frame yields NULL
+                lo, hi = frame_lo_hi(f)
+                tgt = lo if f.func == "first_value" else hi
+                ok = lo <= hi
+                idx = jnp.clip(tgt, 0, n - 1).astype(jnp.int32)
+                data = jnp.take(c.data, jnp.where(ok, idx, 0))
+                validity = ok if c.validity is None else (
+                    ok & jnp.take(c.validity, idx))
+                out_cols[f.name] = Column(
+                    jnp.where(ok, data, jnp.zeros_like(data)), validity,
+                    c.dtype.with_nullable(True), c.dictionary)
             else:
-                # default frame: unbounded preceding .. current row
-                idx = pos.astype(jnp.int32)
-            data = jnp.take(c.data, idx)
-            validity = jnp.take(c.validity, idx) if c.validity is not None else None
-            out_cols[f.name] = Column(data, validity, c.dtype, c.dictionary)
+                if f.func == "first_value":
+                    idx = part_start_idx.astype(jnp.int32)
+                else:
+                    # default frame: RANGE unbounded preceding ..
+                    # current row — the current row's last PEER
+                    idx = peer_end_idx.astype(jnp.int32)
+                data = jnp.take(c.data, idx)
+                validity = (jnp.take(c.validity, idx)
+                            if c.validity is not None else None)
+                out_cols[f.name] = Column(data, validity, c.dtype,
+                                          c.dictionary)
         elif f.func == "nth_value":
             # NTH_VALUE(arg, n): n-th row of the frame (default frame:
             # unbounded preceding .. current row); NULL before the n-th
@@ -475,11 +515,12 @@ def window_block(
                 if is_float:
                     lo, hi = frame_lo_hi(f)
                     ps = fl_specs[f.name]
-                    at_hi = jnp.take(ps, hi.astype(jnp.int32))
+                    at_hi = jnp.take(
+                        ps, jnp.clip(hi, 0, n - 1).astype(jnp.int32))
                     lom1 = jnp.maximum(lo - 1, 0).astype(jnp.int32)
                     at_lo = jnp.where(lo > part_start_idx,
                                       jnp.take(ps, lom1), 0.0)
-                    sum_f = at_hi - at_lo
+                    sum_f = jnp.where(hi < lo, 0.0, at_hi - at_lo)
                 else:
                     sum_f = _frame_lane(f, sum_lane)
                 if f.func == "sum":
@@ -555,6 +596,8 @@ def window_block(
                     )
                     vals = jnp.where(c.validity, vals, ident)
                 data = _segmented_prefix(f.func, vals, part_start)
+                # default frame includes PEERS of the current row
+                data = jnp.take(data, peer_end_idx.astype(jnp.int32))
                 rdt = (
                     DataType(TypeKind.DECIMAL, True, 18, c.dtype.scale)
                     if (f.func == "sum" and c.dtype.is_decimal)
@@ -562,9 +605,11 @@ def window_block(
                 )
                 # validity: any non-null seen so far in partition
                 if c.validity is not None:
-                    seen = _segmented_prefix(
-                        "sum", c.validity.astype(jnp.int64), part_start
-                    ) > 0
+                    seen = jnp.take(
+                        _segmented_prefix(
+                            "sum", c.validity.astype(jnp.int64),
+                            part_start),
+                        peer_end_idx.astype(jnp.int32)) > 0
                 else:
                     seen = None
                 out_cols[f.name] = Column(

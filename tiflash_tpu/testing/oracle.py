@@ -1654,7 +1654,14 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
             elif f.func == "first_value":
                 col_out += [table[f.arg][part[0]]] * m
             elif f.func == "last_value":
-                col_out += [table[f.arg][ii] for ii in part]  # frame ..current
+                # default frame = RANGE ..CURRENT ROW: last PEER row
+                t_ = 0
+                while t_ < m:
+                    u = t_
+                    while u < m and okey(part[u]) == okey(part[t_]):
+                        u += 1
+                    col_out += [table[f.arg][part[u - 1]]] * (u - t_)
+                    t_ = u
             elif f.func == "nth_value":
                 nth = max(int(f.offset), 1)
                 fr = getattr(f, "frame", None)
@@ -1711,23 +1718,47 @@ def o_window(table: PyTable, partition_by, order_by, funcs) -> PyTable:
                             sc = -ds.as_tuple().exponent if ds.as_tuple().exponent < 0 else 0
                             col_out.append(_CTX.divide(ds, D(len(nn))).quantize(
                                 D(1).scaleb(-(sc + 4)), context=_CTX))
-            elif f.func in ("sum", "min", "max", "count"):
+            elif f.func in ("sum", "min", "max", "count", "avg"):
+                # SQL default frame with ORDER BY is RANGE UNBOUNDED
+                # PRECEDING .. CURRENT ROW: the current row's PEERS are
+                # included (and with no ORDER BY every row is a peer —
+                # the whole partition)
                 acc = None
                 cnt = 0
-                for ii in part:
-                    v = table[f.arg][ii] if f.arg else 1
-                    if f.arg is None or v is not None:
-                        cnt += 1
-                        if f.arg is not None:
-                            if acc is None:
-                                acc = v
-                            elif f.func == "sum":
-                                acc = acc + v
-                            elif f.func == "min":
-                                acc = min(acc, v)
-                            elif f.func == "max":
-                                acc = max(acc, v)
-                    col_out.append(cnt if f.func == "count" else acc)
+                t_ = 0
+                while t_ < m:
+                    u = t_
+                    while u < m and okey(part[u]) == okey(part[t_]):
+                        u += 1
+                    for ii in part[t_:u]:
+                        v = table[f.arg][ii] if f.arg else 1
+                        if f.arg is None or v is not None:
+                            cnt += 1
+                            if f.arg is not None:
+                                if acc is None:
+                                    acc = v
+                                elif f.func in ("sum", "avg"):
+                                    acc = acc + v
+                                elif f.func == "min":
+                                    acc = min(acc, v)
+                                elif f.func == "max":
+                                    acc = max(acc, v)
+                    if f.func == "count":
+                        val = cnt
+                    elif f.func == "avg" and acc is not None:
+                        sm = acc
+                        if isinstance(sm, float):
+                            val = sm / cnt
+                        else:
+                            ds = D(sm)
+                            sc = (-ds.as_tuple().exponent
+                                  if ds.as_tuple().exponent < 0 else 0)
+                            val = _CTX.divide(ds, D(cnt)).quantize(
+                                D(1).scaleb(-(sc + 4)), context=_CTX)
+                    else:
+                        val = acc
+                    col_out += [val] * (u - t_)
+                    t_ = u
             else:
                 raise NotImplementedError(f.func)
             i = j

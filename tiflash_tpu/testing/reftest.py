@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<qident>`[^`]*`)
   | (?P<name>[A-Za-z_@][A-Za-z0-9_@$]*)
   | (?P<op><=>|->>|->|<<|>>|<=|>=|<>|!=|:=|\|\||&&|[-+*/%=<>(),.;|&^~!])
-""", re.VERBOSE)
+""", re.VERBOSE | re.IGNORECASE)
 
 
 def tokenize(sql: str) -> List[Tuple[str, str]]:
@@ -474,8 +474,10 @@ class SqlParser:
         return ColumnRef(parts[-1], qual=qual)
 
     def parse_window_spec(self):
-        """(PARTITION BY e, ... ORDER BY e [desc], ...) -> a spec tuple
-        (partition exprs, [(order expr, desc)]).  Frames unsupported."""
+        """(PARTITION BY e, ... ORDER BY e [desc], ... [frame]) -> a
+        spec tuple (partition exprs, [(order expr, desc)], frame).
+        frame = None or (type, lo, hi) with each bound one of
+        ("unbounded",), ("current",), ("offset", Expr, side, unit)."""
         part: List[Expr] = []
         order: List[Tuple[Expr, bool]] = []
         if self.eat_kw("partition"):
@@ -493,9 +495,38 @@ class SqlParser:
                 order.append((e, desc))
                 if not self.eat_op(","):
                     break
+        frame = None
         if self.at_kw("rows", "range"):
-            raise Unsupported("window frame clause")
-        return ("__winspec__", tuple(part), tuple(order))
+            ftype = self.next()[1].lower()
+
+            def bound():
+                if self.eat_kw("unbounded"):
+                    if not self.eat_kw("preceding"):
+                        self.expect_kw("following")
+                    return ("unbounded",)
+                if self.eat_kw("current"):
+                    self.expect_kw("row")
+                    return ("current",)
+                unit = None
+                if self.eat_kw("interval"):
+                    e = self.parse_bitor()
+                    unit = self.next()[1].lower()
+                else:
+                    e = self.parse_bitor()
+                side = self.eat_kw("preceding", "following")
+                if side is None:
+                    raise Unsupported("frame bound side")
+                return ("offset", e, side, unit)
+
+            if self.eat_kw("between"):
+                lo = bound()
+                self.expect_kw("and")
+                hi = bound()
+            else:
+                lo = bound()
+                hi = ("current",)
+            frame = (ftype, lo, hi)
+        return ("__winspec__", tuple(part), tuple(order), frame)
 
     def parse_call(self, name: str) -> Expr:
         self.expect_op("(")
@@ -957,6 +988,23 @@ class RefTestSession:
             if re.match(r"alter\s+table\s+[`\w.]+\s+add\s+(index|key|"
                         r"unique|primary)", low):
                 continue  # indexes are storage hints — no-ops here
+            mm = re.match(r"alter\s+table\s+([`\w.]+)\s+modify\s+"
+                          r"(?:column\s+)?`?(\w+)`?\s+(.*)$", stmt,
+                          re.I | re.S)
+            if mm:
+                t = mm.group(1).split(".")[-1].strip("`")
+                cname = mm.group(2)
+                if t in self.tables and cname in self.tables[t][0]:
+                    newt, fsp = parse_col_type(mm.group(3))
+                    schema, rows = self.tables[t]
+                    schema[cname] = newt
+                    if fsp is not None:
+                        self.fsps.setdefault(t, {})[cname] = fsp
+                    rows[cname] = [
+                        None if v is None
+                        else self._coerce_inserted(v, newt)
+                        for v in rows[cname]]
+                continue
             if low.startswith("alter table") and " add " in low:
                 raise Unsupported(f"ALTER TABLE ADD form: {stmt[:60]}")
             if low.startswith(("drop table", "drop database",
@@ -1479,16 +1527,19 @@ class SelectBuilder:
 
     def _build_window(self, plan, items, schema):
         """Lower ``f(...) OVER w`` items onto the engine's Window plan
-        node (ops/window.py).  All OVER clauses in one query must share
-        a spec.  lead/lag defaults apply only OUTSIDE the partition —
-        NULL data values stay NULL — so a same-shift indicator over a
-        constant column marks out-of-partition rows and an if() applies
-        the default (lead_lag.test)."""
+        nodes (ops/window.py): ranks, lead/lag (defaults via a same-shift
+        indicator over a constant column — they apply only OUTSIDE the
+        partition), first/last/nth_value, ntile/percent_rank/cume_dist,
+        and the aggregate family sum/count/avg/min/max with ROWS and
+        RANGE frames.  OVER clauses with DIFFERENT (partition, order)
+        specs chain one Window node per spec."""
+        import math
+
         from ..ops.window import WindowDesc
 
         pre: Dict[str, Expr] = {}
-        descs: List[WindowDesc] = []
-        spec_seen = [None]
+        groups: List[list] = []  # [part_exprs, order_exprs, [descs]]
+        n_descs = [0]
 
         def resolve_spec(v):
             if isinstance(v, str):
@@ -1504,28 +1555,181 @@ class SelectBuilder:
             pre[n] = self._rw(e)
             return n
 
+        def has_colref(e: Expr) -> bool:
+            if isinstance(e, ColumnRef):
+                return True
+            if isinstance(e, Call):
+                return any(has_colref(a) for a in e.args)
+            if isinstance(e, Cast):
+                return has_colref(e.arg)
+            return False
+
+        def descs_of(spec) -> List["WindowDesc"]:
+            # constant partition/order expressions don't partition or
+            # order anything — drop them (fuzz corpus: PARTITION BY
+            # ('-1674028007') BETWEEN ... over literals only)
+            part = tuple(e for e in spec[1] if has_colref(e))
+            order = tuple((e, d) for e, d in spec[2] if has_colref(e))
+            for g in groups:
+                if g[0] == part and g[1] == order:
+                    return g[2]
+            groups.append([part, order, []])
+            return groups[-1][2]
+
+        def conv_frame(spec):
+            """Spec frame -> (WindowDesc.frame, frame_type): offsets in
+            the order key's physical unit (mantissa steps for decimals,
+            days for dates, microseconds for datetimes — ops/window.py
+            ``_range_bounds`` measures value distance in the
+            ascending-transformed space)."""
+            frame = spec[3] if len(spec) > 3 else None
+            order = spec[2]
+            if frame is None:
+                if order:
+                    return None, "rows"  # running default
+                return (None, None), "rows"  # whole partition
+            ftype, lo, hi = frame
+            kdt = None
+            if ftype == "range":
+                if len(order) != 1:
+                    raise Unsupported("RANGE frame needs one order key")
+                oe = order[0][0]
+                if isinstance(oe, ColumnRef):
+                    kdt = schema.get(oe.name)
+                if kdt is None:
+                    raise Unsupported("RANGE frame over a computed key")
+
+            def amount(b, pos_side):
+                if b[0] == "unbounded":
+                    return None
+                if b[0] == "current":
+                    return 0
+                _k, e, side, unit = b
+                if not isinstance(e, Literal) \
+                        or isinstance(e.value, str):
+                    raise Unsupported("frame offset must be numeric")
+                v = e.value
+                sign = 1 if side == pos_side else -1
+                if ftype == "rows":
+                    return sign * int(v)
+                if unit is not None:
+                    if kdt.kind is dt.TypeKind.DATE:
+                        step = {"day": 1, "week": 7}.get(unit)
+                    elif kdt.kind is dt.TypeKind.DATETIME:
+                        step = {"microsecond": 1, "second": 10 ** 6,
+                                "minute": 60 * 10 ** 6,
+                                "hour": 3600 * 10 ** 6,
+                                "day": 86400 * 10 ** 6,
+                                "week": 7 * 86400 * 10 ** 6}.get(unit)
+                    else:
+                        step = None
+                    if step is None:
+                        raise Unsupported(
+                            f"INTERVAL {unit} RANGE frame")
+                    return sign * int(v) * step
+                if kdt.is_decimal:
+                    scaled = D(str(v)) * (10 ** kdt.scale)
+                    return int(math.floor(sign * float(scaled))) \
+                        if scaled != int(scaled) else sign * int(scaled)
+                if kdt.is_float:
+                    return sign * float(v)
+                if kdt.kind in (dt.TypeKind.DATE, dt.TypeKind.DATETIME):
+                    raise Unsupported(
+                        "numeric RANGE offset over a temporal key")
+                # integer key: value-space floor of the signed offset
+                return int(math.floor(sign * float(v)))
+
+            return (amount(lo, "preceding"), amount(hi, "following")), \
+                ftype
+
         def walk(e):
             if isinstance(e, Call) and e.func == "__over__":
                 inner, spec_l = e.args
                 spec = resolve_spec(spec_l.value)
-                if spec_seen[0] is None:
-                    spec_seen[0] = spec
-                elif spec_seen[0] != spec:
-                    raise Unsupported("multiple window specs in a query")
+                descs = descs_of(spec)
                 if not isinstance(inner, Call):
                     raise Unsupported("window over non-call")
                 fname = {"lead": "lead", "lag": "lag",
                          "row_number": "row_number", "rank": "rank",
                          "dense_rank": "dense_rank",
+                         "percent_rank": "percent_rank",
+                         "cume_dist": "cume_dist", "ntile": "ntile",
                          "first_value": "first_value",
-                         "last_value": "last_value"}.get(inner.func)
+                         "last_value": "last_value",
+                         "nth_value": "nth_value",
+                         "sum": "sum", "count": "count", "avg": "avg",
+                         "min": "min", "max": "max"}.get(inner.func)
                 if fname is None:
                     raise Unsupported(f"window function {inner.func}")
-                out_name = f"__wo{len(descs)}"
-                if fname in ("row_number", "rank", "dense_rank"):
+                out_name = f"__wo{n_descs[0]}"
+                n_descs[0] += 1
+                if fname in ("row_number", "rank", "dense_rank",
+                             "percent_rank", "cume_dist"):
                     descs.append(WindowDesc(fname, out_name))
                     return ColumnRef(out_name)
+                if fname == "ntile":
+                    o = inner.args[0]
+                    if not isinstance(o, Literal):
+                        raise Unsupported("ntile bucket must be literal")
+                    descs.append(WindowDesc("ntile", out_name,
+                                            offset=max(int(o.value), 1)))
+                    return ColumnRef(out_name)
+                if fname in ("sum", "count", "avg", "min", "max"):
+                    fr, ft = conv_frame(spec)
+                    a0 = inner.args[0] if inner.args else None
+                    const_str = (isinstance(a0, Literal)
+                                 and isinstance(a0.value, str)
+                                 and a0.value != "*")
+                    if const_str and fr in (None, (None, None)):
+                        # aggregate of a CONSTANT over a never-empty
+                        # frame (fuzz regressions): min/max fold to the
+                        # constant; sum/avg via MySQL's lax double
+                        # prefix; count becomes count(*)
+                        if fname in ("min", "max"):
+                            return Literal(a0.value)
+                        m = re.match(r"\s*[+-]?\d*\.?\d*(?:[eE][+-]?\d+)?",
+                                     a0.value)
+                        num = float(m.group(0) or 0) if m else 0.0
+                        if fname == "avg":
+                            return Literal(num)
+                        if fname == "sum":
+                            if "__wone" not in pre:
+                                pre["__wone"] = Literal(1)
+                            descs.append(WindowDesc(
+                                "count", out_name, arg="__wone",
+                                frame=fr, frame_type=ft))
+                            return Call("multiply",
+                                        (Literal(num),
+                                         ColumnRef(out_name)))
+                        # count of a non-null constant == count(*)
+                    if fname == "count" and (not inner.args or (
+                            isinstance(a0, Literal)
+                            and a0.value == "*") or const_str):
+                        if "__wone" not in pre:
+                            pre["__wone"] = Literal(1)
+                        argn = "__wone"
+                    else:
+                        argn = col_of(inner.args[0])
+                    descs.append(WindowDesc(fname, out_name, arg=argn,
+                                            frame=fr, frame_type=ft))
+                    return ColumnRef(out_name)
                 argn = col_of(inner.args[0])
+                if fname == "nth_value":
+                    o = inner.args[1]
+                    if not isinstance(o, Literal):
+                        raise Unsupported("nth_value n must be literal")
+                    fr, ft = conv_frame(spec)
+                    if ft != "rows":
+                        raise Unsupported("nth_value over a RANGE frame")
+                    descs.append(WindowDesc("nth_value", out_name,
+                                            arg=argn, frame=fr,
+                                            offset=max(int(o.value), 1)))
+                    return ColumnRef(out_name)
+                if fname in ("first_value", "last_value"):
+                    fr, ft = conv_frame(spec)
+                    descs.append(WindowDesc(fname, out_name, arg=argn,
+                                            frame=fr, frame_type=ft))
+                    return ColumnRef(out_name)
                 offset = 1
                 if len(inner.args) > 1:
                     o = inner.args[1]
@@ -1566,7 +1770,8 @@ class SelectBuilder:
                                  and default.value is None)):
                     if "__wone" not in pre:
                         pre["__wone"] = Literal(1)
-                    ind = f"__wi{len(descs)}"
+                    ind = f"__wi{n_descs[0]}"
+                    n_descs[0] += 1
                     descs.append(WindowDesc(fname, ind, arg="__wone",
                                             offset=offset))
                     out_ref: Expr = ColumnRef(out_name)
@@ -1593,16 +1798,17 @@ class SelectBuilder:
             return e
 
         new_items = [(a, walk(e)) for a, e in items]
-        spec = spec_seen[0]
-        if spec is None:
+        if not groups:
             return plan, items
-        part_names = [col_of(e) for e in spec[1]]
-        okeys = [SortKey(col_of(e), desc=d) for e, d in spec[2]]
+        part_names = [[col_of(e) for e in g[0]] for g in groups]
+        okeys = [[SortKey(col_of(e), desc=d) for e, d in g[1]]
+                 for g in groups]
         if pre:
             proj = {c: ColumnRef(c) for c in schema}
             proj.update(pre)
             plan = P.Projection(proj, plan)
-        plan = P.Window(part_names, okeys, descs, plan)
+        for g, pn, ok in zip(groups, part_names, okeys):
+            plan = P.Window(pn, ok, g[2], plan)
         return plan, new_items
 
     def _from_engine(self, from_items):
@@ -1954,11 +2160,15 @@ class SelectBuilder:
         if p.eat_kw("where"):
             where = p.parse_expr()
         group_by: List[Expr] = []
+        self.rollup = False
         if p.eat_kw("group"):
             p.expect_kw("by")
             group_by.append(p.parse_expr())
             while p.eat_op(","):
                 group_by.append(p.parse_expr())
+            if p.eat_kw("with"):
+                p.expect_kw("rollup")
+                self.rollup = True
             # positional form: GROUP BY 1 = first select item; alias
             # form: GROUP BY <select alias> resolves to that item's expr
             alias_map = {a: e for a, e in items if a is not None}
@@ -2664,7 +2874,10 @@ class SelectBuilder:
             exprs: Dict[str, Expr] = {}
             names = []
             for i, (alias, e) in enumerate(items):
-                name = alias or f"c{i}"
+                # same naming rule as out_names above, so ORDER BY
+                # position/name resolution agrees with the projection
+                name = alias or (e.name if isinstance(e, ColumnRef)
+                                 else f"c{i}")
                 if name in exprs:  # duplicate output name: positionally
                     name = f"{name}#{i}"  # distinct (header is dropped)
                 exprs[name] = self._rw(e)
@@ -2699,11 +2912,16 @@ class SelectBuilder:
         pre: Dict[str, Expr] = {}
         key_names: List[str] = []
         key_fp: Dict[str, str] = {}
+        rollup = bool(getattr(self, "rollup", False))
         for i, g in enumerate(group_by):
-            if isinstance(g, ColumnRef):
+            if isinstance(g, ColumnRef) and not rollup:
                 key_names.append(g.name)
                 pre[g.name] = g
             else:
+                # under ROLLUP every key is a CLONE: Expand NULLs the
+                # clone per grouping set while aggregate args keep
+                # reading the original column (TiDB's Expand semantics —
+                # the grand-total row still has sum(a) over real a)
                 kn = f"__k{i}"
                 pre[kn] = self._rw(g)
                 key_names.append(kn)
@@ -2711,18 +2929,53 @@ class SelectBuilder:
 
         def sub_keys(e: Expr) -> Expr:
             """Rewrite select-list subtrees equal to a GROUP BY expression
-            into refs to the key column (MySQL name resolution)."""
+            into refs to the key column (MySQL name resolution).  Under
+            ROLLUP, references inside aggregate calls bind the ORIGINAL
+            column, not the NULLed key clone."""
             if key_fp:
                 kn = key_fp.get(_fingerprint(e))
                 if kn is not None:
                     return ColumnRef(kn)
             if isinstance(e, Call):
+                if rollup and _base_agg_name(e.func) in _AGG_FUNCS:
+                    return e
                 return Call(e.func, tuple(sub_keys(a) for a in e.args))
             if isinstance(e, Cast):
                 return Cast(sub_keys(e.arg), e.target)
             return e
 
         items = [(alias, sub_keys(e)) for alias, e in items]
+        if rollup:
+            # GROUP BY ... WITH ROLLUP -> Expand over the rollup grouping
+            # sets + gid in the agg keys (reference: TiDB's Expand
+            # executor feeding FunctionsGrouping, ops/expand.py).
+            # grouping(k) lowers onto the engine's ModeNumericSet form:
+            # 1 when the gid is NOT among the sets materializing k.
+            member = {k: len(key_names) - i
+                      for i, k in enumerate(key_names)}
+
+            def rw_grouping(e: Expr) -> Expr:
+                if isinstance(e, Call) and e.func == "grouping":
+                    if len(e.args) != 1:
+                        raise Unsupported("grouping() with several args")
+                    a = sub_keys(e.args[0])
+                    if not isinstance(a, ColumnRef) \
+                            or a.name not in member:
+                        raise Unsupported("grouping() of a non-key")
+                    return Call("grouping",
+                                (ColumnRef("groupingID"),
+                                 *[Literal(j) for j in
+                                   range(1, member[a.name] + 1)]))
+                if isinstance(e, Call):
+                    return Call(e.func,
+                                tuple(rw_grouping(a) for a in e.args))
+                if isinstance(e, Cast):
+                    return Cast(rw_grouping(e.arg), e.target)
+                return e
+
+            items = [(alias, rw_grouping(e)) for alias, e in items]
+            if having is not None:
+                having = rw_grouping(having)
         aggs: List[AggDesc] = []
         post: Dict[str, Expr] = {}
         names: List[str] = []
@@ -2781,7 +3034,8 @@ class SelectBuilder:
             """Bare base-column refs alongside aggregates: MySQL (with
             ONLY_FULL_GROUP_BY off) returns any value from the group."""
             if isinstance(e, ColumnRef):
-                if e.name in key_names or re.match(r"__a\d+$", e.name):
+                if e.name in key_names or re.match(r"__a\d+$", e.name) \
+                        or (rollup and e.name == "groupingID"):
                     return e
                 an = any_cache.get(e.name)
                 if an is None:
@@ -2848,7 +3102,13 @@ class SelectBuilder:
             having_expr = _as_bool(self._rw(
                 fix_bare(lower_agg(sub_keys(sub_alias(having))))))
         plan = P.Projection(pre, plan) if pre else plan
-        plan = P.Aggregation(key_names, aggs, plan)
+        agg_keys = list(key_names)
+        if rollup:
+            sets = [key_names[:j]
+                    for j in range(len(key_names), -1, -1)]
+            plan = P.Expand([list(s) for s in sets], plan)
+            agg_keys.append("groupingID")
+        plan = P.Aggregation(agg_keys, aggs, plan)
         if having_expr is not None:
             plan = P.Selection(having_expr, plan)
         plan = P.Projection(post, plan)
