@@ -215,6 +215,28 @@ DURATION_MAX_US = 3_020_399_000_000
 # below 0001-01-01 (-719162).  A zero DATETIME keeps its time-of-day:
 # it lives in [ZERO_DT_BASE_US, ZERO_DT_BASE_US + 1 day).
 ZERO_DATE_DAYS = -3_650_000
+# MySQL PARTIAL zero dates ('2012-00-00': valid storable values with a
+# zero month/day) pack into a sentinel day range far below any civil
+# date the engine produces (year-0 dates bottom out at -719468).
+# Caveat (documented deviation): within this range dates sort packed
+# but the whole range sorts below real dates, while MySQL interleaves
+# '2012-00-00' between 2011-12-31 and 2012-01-01.
+PARTIAL_ZERO_BASE = -30_000_000
+
+
+def partial_zero_days(y: int, m: int, d: int) -> int:
+    return PARTIAL_ZERO_BASE + (y * 13 + m) * 32 + d
+
+
+def partial_zero_civil(days: int):
+    packed = days - PARTIAL_ZERO_BASE
+    ym, d = divmod(packed, 32)
+    y, m = divmod(ym, 13)
+    return y, m, d
+
+
+def is_partial_zero_days(v: int) -> bool:
+    return PARTIAL_ZERO_BASE <= v < PARTIAL_ZERO_BASE + 10_000 * 13 * 32
 ZERO_DT_BASE_US = ZERO_DATE_DAYS * 86_400_000_000
 
 
@@ -261,6 +283,11 @@ class CivilDate:
 
     @property
     def epoch_days(self) -> int:
+        if self.m == 0 or self.d == 0:
+            # partial zero date: civil math would alias ('2012-00-00'
+            # lands on 2011-11-30); the sentinel packing keeps it
+            # distinct and round-trippable
+            return partial_zero_days(self.y, self.m, self.d)
         return civil_to_days(self.y, self.m, self.d)
 
     def __repr__(self):

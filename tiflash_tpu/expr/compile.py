@@ -365,6 +365,17 @@ class ExprEvaluator:
                     )
                 days = _literal_days(value)
                 return Column(jnp.full(self.n, days, dtype=jnp.int32), None, DATE)
+            if cdt.is_numeric and isinstance(value, str):
+                # MySQL compares a numeric column against a string
+                # constant as DOUBLE (lax numeric-prefix parse;
+                # unixTimeStamp.test: decimal(13,3) vs '...314.192')
+                import re as _re
+
+                mnum = _re.match(
+                    r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", value)
+                return self._literal_column(
+                    Literal(float(mnum.group(0)) if mnum else 0.0),
+                    context)
             if cdt.is_decimal and isinstance(value, float):
                 md = _float_to_decimal(value)
                 if md is not None:
@@ -1516,8 +1527,12 @@ class ExprEvaluator:
                                    "document exceeds the maximum "
                                    "depth.")
                     return json_dumps_mysql(doc)
-            return _map_string_to_string(src, jf,
-                                         errors=self.runtime_errors)
+            out = _map_string_to_string(src, jf,
+                                        errors=self.runtime_errors)
+            return Column(out.data, out.validity,
+                          dataclasses.replace(out.dtype,
+                                              mysql_json=True),
+                          out.dictionary)
 
         def render(v):
             if sdt.kind is TypeKind.BOOL or isinstance(v, bool):

@@ -63,6 +63,28 @@ def cast_column(col: Column, target: DataType) -> Column:
                  or src.is_wide_decimal == target.is_wide_decimal)):
         return Column(col.data, col.validity, target, col.dictionary)
     data = col.data
+    if src.is_string and src.mysql_json and not target.is_string:
+        # CastJsonAsTime/Int/Real/... (FunctionsJson.h): a JSON STRING
+        # element converts by its unquoted text ('"2020-01-02 03:04:05"'
+        # -> datetime); non-string documents fall through to the plain
+        # text parse (numbers work, objects -> 0/NULL per target)
+        import dataclasses as _dc
+        import json as _json
+
+        def _unq(s: str) -> str:
+            if s.startswith('"') and s.endswith('"'):
+                try:
+                    v = _json.loads(s)
+                    if isinstance(v, str):
+                        return v
+                except Exception:
+                    pass
+            return s
+
+        col = Column(col.data, col.validity,
+                     _dc.replace(src, mysql_json=False),
+                     tuple(_unq(s) for s in (col.dictionary or ())))
+        src = col.dtype
     if src.is_string and not target.is_string:
         # dictionary LUT parse (MySQL coercion: numeric prefix, invalid
         # number -> 0, invalid date -> NULL); codes must NEVER leak as
@@ -3151,10 +3173,22 @@ def _map_string_to_date(col: Column, fn) -> Column:
     epoch = _dt.date(1970, 1, 1)
     mapped = [fn(s) for s in d]
     nulls = _np.array([m is None for m in mapped] or [False])
-    table = _np.array(
-        [0 if m is None else (m - epoch).days for m in mapped] or [0],
-        dtype=_np.int32,
-    )
+
+    def _days(m):
+        if m is None:
+            return 0
+        if isinstance(m, _dt.date):
+            return (m - epoch).days
+        from ..core.dtypes import ZERO_DATE_DAYS, CivilDate, ZeroDate
+
+        if isinstance(m, ZeroDate):
+            return ZERO_DATE_DAYS
+        if isinstance(m, CivilDate):  # incl. partial zero dates
+            return m.epoch_days
+        raise TypeError(f"unexpected date value {m!r}")
+
+    table = _np.array([_days(m) for m in mapped] or [0],
+                      dtype=_np.int32)
     data = jnp.asarray(table)[jnp.clip(col.data, 0, len(table) - 1)]
     validity, nullable = _lut_validity(col, nulls)
     return Column(data, validity, DataType(TypeKind.DATE, nullable))

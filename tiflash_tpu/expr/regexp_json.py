@@ -663,6 +663,18 @@ def str_to_date(s: str, fmt: str):
         return None
     try:
         return _dt.date(vals["Y"], vals["m"], vals["d"])
+    except ValueError:
+        # MySQL stores PARTIAL zero dates: '0/0/2012' -> 2012-00-00
+        # (str_to_date.test); all-zero -> 0000-00-00
+        from ..core.dtypes import CivilDate, ZeroDate
+
+        y, m, d = vals.get("Y", 0), vals.get("m", 0), vals.get("d", 0)
+        if y == m == d == 0:
+            return ZeroDate()
+        if (0 <= y <= 9999 and 0 <= m <= 12 and 0 <= d <= 31
+                and (m == 0 or d == 0)):
+            return CivilDate(y, m, d)
+        return None
     except Exception:
         return None
 

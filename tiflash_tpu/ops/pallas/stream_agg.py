@@ -104,6 +104,7 @@ def stream_group_sums(
     n_limbs: int,
     n_rows: int,
     interpret: bool = False,
+    plane_fields=None,
 ) -> jnp.ndarray:
     """Run the streaming accumulation kernel.
 
@@ -114,7 +115,16 @@ def stream_group_sums(
       traced inside the kernel per (64, 128) tile; each limb value must be
       in [0, 2**ACC_LIMB_BITS); rows with ``slot not in [0, n_slots)``
       contribute nothing (dead/filtered rows).
-    Returns (n_slots, n_limbs) int64 limb sums.
+    ``plane_fields``: optional PACKED-plane layout — per plane a list of
+      ``(bit_offset, capacity_bits, out_index)`` fields.  Small limbs
+      share one accumulator plane at disjoint bit offsets (each field's
+      flush-window growth stays under its capacity, so fields never
+      carry into each other per element); the reduction extracts fields
+      PER ELEMENT before summing (a summed plane would bleed across
+      offsets).  Cuts the kernel's per-(slot, plane) accumulate passes —
+      the dominant VPU cost for multi-aggregate scans like Q1.
+    Returns (n_slots, n_limbs) int64 limb sums — with ``plane_fields``,
+    (n_slots, n_fields) ordered by ``out_index``.
     """
     names = list(inputs)
     n = n_rows
@@ -163,11 +173,20 @@ def stream_group_sums(
         interpret=interpret,
     )(*args)
     # chunk + plane reduction in XLA (chunks * S*L*8192 int32 once per scan)
-    return (
-        acc.reshape(chunks, n_slots, n_limbs, TILE_SUB * TILE_LANES)
-        .astype(jnp.int64)
-        .sum(axis=(0, 3))
-    )
+    r = acc.reshape(chunks, n_slots, n_limbs, TILE_SUB * TILE_LANES)
+    if plane_fields is None:
+        return r.astype(jnp.int64).sum(axis=(0, 3))
+    n_fields = sum(len(fs) for fs in plane_fields)
+    outs = [None] * n_fields
+    for li, fields in enumerate(plane_fields):
+        plane = r[:, :, li, :].astype(jnp.int64)
+        for off, cap, oi in fields:
+            fld = plane
+            if off:
+                fld = fld >> jnp.int64(off)
+            fld = fld & jnp.int64((1 << cap) - 1)
+            outs[oi] = fld.sum(axis=(0, 2))
+    return jnp.stack(outs, axis=1)
 
 
 __all__ = [

@@ -37,7 +37,7 @@ from ..core.block import Block, Column
 from ..core.dtypes import BOOL, DataType, FLOAT64, INT64, TypeKind
 from ..expr.nodes import Call, ColumnRef, Expr, Literal
 from .pallas.stream_agg import (
-    ACC_LIMB_BITS, MUL_SPLIT_BITS, stream_group_sums,
+    ACC_LIMB_BITS, FLUSH_TILES, MUL_SPLIT_BITS, stream_group_sums,
 )
 
 # wide-product factor split (grade-school multiply) — fixed 16 bit so a
@@ -760,13 +760,48 @@ def _fuse(node, tables, interpret):
 
             part_list.append(Part(build, 0, 1, 0, 1))
 
-    # limb layout
-    limb_of_part: List[List[int]] = []
-    n_limbs = 0
-    for p in part_list:
+    # limb layout with PLANE PACKING: each part splits into
+    # ACC_LIMB_BITS-wide pieces as before, but SMALL pieces (product
+    # high words, tiny counters, the live flag) share one accumulator
+    # plane at disjoint bit offsets.  A field of width w grows to at
+    # most w + log2(FLUSH_TILES) bits per element between flushes, so
+    # capacities of (w + growth) bits never carry into the next field;
+    # the reduction extracts fields per element (stream_agg).  For Q1
+    # this cuts 8 planes to 5 — the kernel's accumulate passes are
+    # S x planes, its dominant VPU cost.
+    growth = FLUSH_TILES.bit_length() - 1
+    pieces: List[List[int]] = []  # (part_idx, limb_j, width_bits)
+    piece_of_part: List[List[int]] = []
+    for pi, p in enumerate(part_list):
         nl = -(-_bits(p.hi) // ACC_LIMB_BITS) if p.hi else 1
-        limb_of_part.append(list(range(n_limbs, n_limbs + nl)))
-        n_limbs += nl
+        idxs = []
+        for j in range(nl):
+            hi_j = p.hi >> (ACC_LIMB_BITS * j)
+            if j + 1 < nl:
+                hi_j = min(hi_j, (1 << ACC_LIMB_BITS) - 1)
+            idxs.append(len(pieces))
+            pieces.append([pi, j, max(_bits(hi_j), 1)])
+        piece_of_part.append(idxs)
+    # first-fit-decreasing into 31-bit planes
+    order = sorted(range(len(pieces)), key=lambda i: -pieces[i][2])
+    plane_layout: List[List] = []  # per plane: [(piece_i, offset, cap)]
+    plane_used: List[int] = []
+    piece_place: Dict[int, Tuple[int, int]] = {}
+    for i in order:
+        need = pieces[i][2] + growth
+        for pl in range(len(plane_layout)):
+            if plane_used[pl] + need <= 31:
+                piece_place[i] = (pl, plane_used[pl])
+                plane_layout[pl].append((i, plane_used[pl], need))
+                plane_used[pl] += need
+                break
+        else:
+            piece_place[i] = (len(plane_layout), 0)
+            plane_layout.append([(i, 0, need)])
+            plane_used.append(need)
+    n_limbs = len(plane_layout)
+    plane_fields = [[(off, cap, piece_i) for piece_i, off, cap in pl]
+                    for pl in plane_layout]
     if domain * n_limbs > MAX_PLANES:
         raise Ineligible("accumulator budget exceeded")
 
@@ -845,7 +880,8 @@ def _fuse(node, tables, interpret):
                  base[kn].validity is not None) for kn in key_names]
     S = domain
     pl_ = part_list
-    lof = limb_of_part
+    pop_ = piece_of_part
+    playout_ = plane_layout
     preds = pred_fns
 
     def make_tile_values(tile: Dict[str, jnp.ndarray], in_bounds):
@@ -868,30 +904,40 @@ def _fuse(node, tables, interpret):
         else:
             slot = jnp.zeros(shape, dtype=jnp.int32)
         slot = jnp.where(live, slot, jnp.int32(S))
-        limbs: List[jnp.ndarray] = [None] * sum(len(x) for x in lof)
-        for p, lidx in zip(pl_, lof):
+        pvals: List = [None] * sum(len(x) for x in pop_)
+        for p, pidx in zip(pl_, pop_):
             v = _part_value(p, tile, shape)
-            if len(lidx) == 1:
-                limbs[lidx[0]] = v
+            if len(pidx) == 1:
+                pvals[pidx[0]] = v
                 continue
-            for j, li in enumerate(lidx):
+            for j, gi in enumerate(pidx):
                 piece = v >> jnp.int32(ACC_LIMB_BITS * j)
-                if j + 1 < len(lidx):
+                if j + 1 < len(pidx):
                     piece = piece & jnp.int32(_ACC_MASK)
-                limbs[li] = piece
+                pvals[gi] = piece
+        limbs: List[jnp.ndarray] = []
+        for plx in playout_:
+            accv = None
+            for gi, off, _cap in plx:
+                x = pvals[gi]
+                if off:
+                    x = x << jnp.int32(off)
+                accv = x if accv is None else accv + x
+            limbs.append(accv)
         return slot, limbs
 
     FUSE_STATS["count"] += 1
     FUSE_STATS["slots"] = S
     FUSE_STATS["limbs"] = n_limbs
     sums = stream_group_sums(inputs, make_tile_values, S, n_limbs,
-                             n_rows=base.capacity, interpret=interpret)
+                             n_rows=base.capacity, interpret=interpret,
+                             plane_fields=plane_fields)
 
     # ---- recombination (XLA, S x L values) ----
     def part_total(pi: int) -> jnp.ndarray:
         p = pl_[pi]
         acc = jnp.zeros(S, dtype=jnp.int64)
-        for j, li in enumerate(lof[pi]):
+        for j, li in enumerate(pop_[pi]):
             acc = acc + (sums[:, li] << jnp.int64(ACC_LIMB_BITS * j))
         if p.shift:
             acc = acc << jnp.int64(p.shift)
@@ -910,7 +956,7 @@ def _fuse(node, tables, interpret):
 
         p = pl_[pi]
         acc = None
-        for j, li in enumerate(lof[pi]):
+        for j, li in enumerate(pop_[pi]):
             w = W.widen_i64(sums[:, li])
             w, _ = W.wide_mul_pow2(w, ACC_LIMB_BITS * j + p.shift)
             acc = w if acc is None else W.wide_add(acc, w)

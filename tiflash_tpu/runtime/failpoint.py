@@ -85,7 +85,8 @@ def fail_point(name: str):
             checkpoint()  # QueryCancelled breaks the pause
             time.sleep(0.01)
         return
-    raise FailPointError(f"failpoint {name!r} triggered")
+    raise FailPointError(
+        f"Fail point FailPoints::{name} is triggered")
 
 
 # the set exercised by tests (extend freely)

@@ -56,10 +56,15 @@ def block_to_pytable(block: Block) -> PyTable:
                                        days_to_civil)
 
             def _d(v):
+                from ..core.dtypes import (is_partial_zero_days,
+                                           partial_zero_civil)
+
                 if v is None:
                     return None
                 if v == ZERO_DATE_DAYS:
                     return ZeroDate()
+                if is_partial_zero_days(int(v)):
+                    return CivilDate(*partial_zero_civil(int(v)))
                 try:
                     return (datetime.date(1970, 1, 1)
                             + datetime.timedelta(days=int(v)))
@@ -361,7 +366,8 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
     # TiDB-name aliases the engine resolves in its compiler
     if f in ("adddate", "subdate") and len(args) == 3:
         f = "date_add" if f == "adddate" else "date_sub"
-    f = {"adddate": "date_add_days", "subdate": "date_sub_days",
+    f = {"substr": "substring", "mid": "substring",
+         "adddate": "date_add_days", "subdate": "date_sub_days",
          "add_months": "date_add_months", "bit_neg": "bit_not",
          "json_array_length": "json_length", "sha": "sha1",
          "day": "day_of_month", "div": "int_div",
@@ -373,11 +379,18 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
 
     a = vals[0]
     b = vals[1] if len(vals) > 1 else None
-    # date vs literal string coercion
-    if isinstance(a, datetime.date) and isinstance(b, str):
-        b = datetime.date.fromisoformat(b)
-    if isinstance(b, datetime.date) and isinstance(a, str):
-        a = datetime.date.fromisoformat(a)
+    # date vs literal string coercion; an INVALID date literal makes
+    # the comparison NULL (MySQL: DATE vs '0' -> NULL with a warning)
+    try:
+        if isinstance(a, datetime.date) and isinstance(b, str):
+            b = datetime.date.fromisoformat(b)
+        if isinstance(b, datetime.date) and isinstance(a, str):
+            a = datetime.date.fromisoformat(a)
+    except ValueError:
+        if f in ("equals", "not_equals", "less", "less_or_equals",
+                 "greater", "greater_or_equals", "null_eq"):
+            return None
+        raise
     # float literal in decimal context -> exact decimal (mirrors TiDB
     # parsing decimal literals as decimals, engine _float_to_decimal)
     if isinstance(a, D) and isinstance(b, float):

@@ -797,6 +797,11 @@ def parse_col_type(spec: str) -> Tuple[dt.DataType, Optional[int]]:
 
 
 def parse_create_table(sql: str):
+    # partitioning is storage layout — the engine reads every partition;
+    # strip the clause (incl. its parenthesized partition list) so the
+    # body/tail split below stays balanced
+    sql = re.sub(r"partition\s+by\s+(range|hash|list|key)\b.*$", "",
+                 sql.strip().rstrip(";"), flags=re.I | re.S)
     m = re.match(
         r"create\s+table\s+(if\s+not\s+exists\s+)?([`\w.]+)\s*\((.*)\)\s*"
         r"([^)]*)$", sql.strip().rstrip(";"), re.I | re.S)
@@ -805,6 +810,7 @@ def parse_create_table(sql: str):
     table = m.group(2).split(".")[-1].strip("`")
     body = m.group(3)
     # split on commas not inside parens
+    generated: Dict[str, str] = {}
     parts, depth, cur = [], 0, ""
     for ch in body:
         if ch == "(":
@@ -824,14 +830,27 @@ def parse_create_table(sql: str):
         p = part.strip()
         if not p:
             continue
-        head = p.split()[0].lower().strip("`")
+        hm = re.match(r"[`\w]+", p)
+        head = (hm.group(0) if hm else "").lower().strip("`")
         if head in ("primary", "unique", "key", "index", "constraint",
                     "fulltext", "foreign"):
-            continue
+            continue  # KEY(...) may have no space before the paren
         name = p.split()[0].strip("`")
         rest = p[len(p.split()[0]):]
-        if re.search(r"\bas\s*\(", rest, re.I):
-            raise Unsupported("generated column")
+        gen = re.search(r"\b(?:generated\s+always\s+)?as\s*\((.*)\)\s*"
+                        r"(virtual|stored)?\s*$", rest, re.I | re.S)
+        if gen:
+            # generated column: type + generating expression (computed
+            # on insert by _materialize_generated, as TiFlash computes
+            # pushed-down generated reads)
+            tpart = rest[:gen.start()]
+            dtype, fsp = parse_col_type(
+                tpart if tpart.strip() else " int")
+            schema[name] = dtype.with_nullable(True)
+            generated[name] = gen.group(1)
+            if fsp is not None:
+                fsps[name] = fsp
+            continue
         schema[name], fsp = parse_col_type(rest)
         if fsp is not None:
             fsps[name] = fsp
@@ -844,7 +863,7 @@ def parse_create_table(sql: str):
         for cn, ct in list(schema.items()):
             if ct.is_string and not ct.mysql_blob:
                 schema[cn] = _dc.replace(ct, mysql_blob=15)
-    return table, schema, fsps
+    return table, schema, fsps, generated
 
 
 def _split_tuples(s: str) -> List[str]:
@@ -925,6 +944,7 @@ class RefTestSession:
         self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
         self.cop_mode = False  # tiflash_cop vs MPP (FROM_DAYS tails)
         self.subq_tokens: Dict[int, list] = {}  # captured subselects
+        self.armed_failpoints: set = set()  # DBGInvoke-armed (by file)
 
     def register_subquery(self, toks) -> int:
         sid = len(self.subq_tokens)
@@ -935,12 +955,24 @@ class RefTestSession:
     def run_statement(self, sql: str, expected: Optional[List[str]]):
         # every `mysql>` line runs in a FRESH client connection
         # (reference tests/run-test.py spawns mysql per line), so
-        # session variables only live within the line
+        # session variables only live within the line — and an open
+        # transaction from a previous line rolled back on disconnect
         self.tz_offset_us = 0
         self.cop_mode = False
+        if getattr(self, "_txn_snapshot", None) is not None:
+            self.tables = self._txn_snapshot
+            self._txn_snapshot = None
         # strip leading SET statements (session vars are TiDB routing
         # hints — tiflash replica / mpp mode — meaningless here)
         parts = [p.strip() for p in _split_semicolons(sql) if p.strip()]
+        # a line with SEVERAL selects records one bordered table per
+        # select (extra_physical_table_column.test's txn probes): queue
+        # them in order
+        exp_queue = None
+        if expected is not None:
+            blocks = _split_expected_tables(expected)
+            if len(blocks) > 1:
+                exp_queue = blocks
         if any(p.lower() == "show warnings" for p in parts):
             # warnings are client-protocol surface (documented
             # unsupported); verify the data table, drop the appended
@@ -975,6 +1007,39 @@ class RefTestSession:
                     self.cop_mode = True
                 if re.search(r"tidb_(enforce|allow)_mpp\s*=\s*1", low):
                     self.cop_mode = False
+                continue
+            if low.startswith("__dbg__"):
+                # debug-DSL failpoint arming (reference DBGInvoke
+                # __enable_fail_point; our registry accepts the
+                # reference's names — Common/FailPoint.cpp analog)
+                from ..runtime.failpoint import FailPoint
+
+                md = re.match(r"__dbg__\s+DBGInvoke\s+__(enable|disable)"
+                              r"_fail_point\((\w+)\)", stmt, re.I)
+                if md:
+                    name = md.group(2)
+                    if md.group(1).lower() == "enable":
+                        FailPoint.enable(name)
+                        self.armed_failpoints.add(name)
+                    else:
+                        FailPoint.disable(name)
+                        self.armed_failpoints.discard(name)
+                continue
+            if low.startswith("source "):
+                # mysql SOURCE: run the referenced .sql (paths are
+                # relative to the reference's tests/ root —
+                # rollup_tpcds.test's tpcds schema)
+                import os as _os
+
+                rel = stmt.split(None, 1)[1].strip().rstrip(";")
+                path = _os.path.join("/root/reference/tests", rel)
+                if not _os.path.exists(path):
+                    raise Unsupported(f"source file missing: {rel}")
+                for sub in _split_semicolons(open(path).read()):
+                    sub = " ".join(ln for ln in sub.splitlines()
+                                   if not ln.strip().startswith("--"))
+                    if sub.strip():
+                        self.run_statement(sub.strip(), None)
                 continue
             if low.startswith(("use ", "split ")):
                 continue  # database selection / region-split hints
@@ -1020,9 +1085,13 @@ class RefTestSession:
             if re.match(r"create\s+(unique\s+)?index\s", low):
                 continue  # indexes are storage hints — no-ops here
             if low.startswith("create table"):
-                name, schema, fsps = parse_create_table(stmt)
+                name, schema, fsps, gens = parse_create_table(stmt)
                 self.tables[name] = (schema, {c: [] for c in schema})
                 self.fsps[name] = fsps
+                if gens:
+                    self.generated[name] = {
+                        c: SqlParser(x).parse_expr()
+                        for c, x in gens.items()}
                 continue
             if low.startswith("insert into"):
                 self._materialize_generated(self._insert(stmt))
@@ -1036,7 +1105,9 @@ class RefTestSession:
                     schema, _ = self.tables[t]
                     self.tables[t] = (schema, {c: [] for c in schema})
                 continue
-            if low.startswith("select"):
+            if low.startswith(("select", "with ", "with(")):
+                if exp_queue:
+                    expected = exp_queue.pop(0)
                 if expected is not None and any(
                         "{#REGEXP}" in ln or "ERROR" in ln
                         for ln in expected):
@@ -1069,8 +1140,23 @@ class RefTestSession:
                         f"engine: {type(e).__name__}: {str(e)[:90]} "
                         f"in: {stmt[:80]}")
                 continue
-            if low.startswith(("desc ", "show ", "begin", "commit",
-                               "update ")):
+            if low == "begin" or low.startswith("begin;") \
+                    or low.startswith("start transaction"):
+                # snapshot txn: inserts apply immediately (the txn sees
+                # its own writes); ROLLBACK or disconnect restores
+                self._txn_snapshot = {
+                    t: (s, {c: list(vs) for c, vs in r.items()})
+                    for t, (s, r) in self.tables.items()}
+                continue
+            if low.startswith("rollback"):
+                if getattr(self, "_txn_snapshot", None) is not None:
+                    self.tables = self._txn_snapshot
+                    self._txn_snapshot = None
+                continue
+            if low.startswith("commit"):
+                self._txn_snapshot = None
+                continue
+            if low.startswith(("desc ", "show ", "update ")):
                 raise Unsupported(f"statement: {stmt.split()[0]}")
             raise Unsupported(f"statement: {stmt[:50]}")
 
@@ -1126,7 +1212,7 @@ class RefTestSession:
 
     def _insert(self, stmt: str):
         ms = re.match(r"insert\s+into\s+([`\w.]+)\s*(?:\(([^)]*)\))?\s*"
-                      r"(select\s+.*)$", stmt, re.I | re.S)
+                      r"((?:with\s.*?)?select\s+.*)$", stmt, re.I | re.S)
         if ms:
             t = ms.group(1).split(".")[-1].strip("`")
             if t not in self.tables:
@@ -1238,8 +1324,21 @@ class RefTestSession:
         s = raw.strip()
         if s.lower() == "null":
             return None
+        if t.is_string and re.fullmatch(r"0x[0-9a-fA-F]*", s):
+            # hex literal into a string/binary column keeps its BYTES
+            # (0x78 -> 'x'), not its numeric value
+            body = s[2:]
+            if len(body) % 2:
+                body = "0" + body
+            return _coerce_host_value(
+                bytes.fromhex(body).decode("latin1"), t)
         expr = SqlParser(s).parse_expr()
         v = _eval_const(expr)
+        if t.kind is dt.TypeKind.DURATION and isinstance(v, int):
+            # a LITERAL numeric TIME is packed HHMMSS (111111 ->
+            # '11:11:11'); insert-select ints stay microseconds and
+            # take the passthrough in _coerce_host_value instead
+            v = D(v)
         v = _coerce_host_value(v, t)
         if v is not None and fsp is not None \
                 and isinstance(v, (datetime.datetime, int)):
@@ -1318,6 +1417,24 @@ class RefTestSession:
                    if not all(isinstance(v, str) and v == "" for v in g)]
         _compare(got, want, out_block, sel.order_sensitive, stmt)
         self.checked += 1
+
+
+def _split_expected_tables(lines: List[str]) -> List[List[str]]:
+    """Split recorded output into consecutive bordered tables (each has
+    exactly three +- border lines: top, header separator, bottom)."""
+    blocks: List[List[str]] = []
+    cur: List[str] = []
+    borders = 0
+    for ln in lines:
+        cur.append(ln)
+        if ln.strip().startswith("+-"):
+            borders += 1
+            if borders == 3:
+                blocks.append(cur)
+                cur, borders = [], 0
+    if cur:
+        blocks.append(cur)
+    return blocks
 
 
 def _split_semicolons(sql: str) -> List[str]:
@@ -1505,10 +1622,18 @@ class SelectBuilder:
         self.from_aliases = set()  # this query's FROM aliases
 
     def _qualify(self, e: Expr) -> Expr:
-        """Resolve ``t1.a``-style refs against the ON-join alias map."""
+        """Resolve ``t1.a``-style refs against the ON-join alias map,
+        and unresolved names case-insensitively (MySQL column names are
+        case-insensitive: late_materialization_generate_column.test
+        mixes COL2/col2)."""
         if isinstance(e, ColumnRef):
             if e.qual is not None and (e.qual, e.name) in self.qualmap:
                 return ColumnRef(self.qualmap[(e.qual, e.name)])
+            if self.schema and e.name not in self.schema:
+                lo = e.name.lower()
+                hits = [c for c in self.schema if c.lower() == lo]
+                if len(hits) == 1:
+                    return ColumnRef(hits[0])
             return e
         if isinstance(e, Call):
             return Call(e.func, tuple(self._qualify(a) for a in e.args))
@@ -1517,8 +1642,7 @@ class SelectBuilder:
         return e
 
     def _rw(self, e: Expr) -> Expr:
-        if self.qualmap:
-            e = self._qualify(e)
+        e = self._qualify(e)
         e = _coerce_temporal(_rewrite(e), self.schema,
                              getattr(self, "col_fsps", {}))
         if self.sess.cop_mode:
@@ -1748,9 +1872,15 @@ class SelectBuilder:
                         # beyond BIGINT UNSIGNED: ER_WRONG_ARGUMENTS
                         raise EngineError(
                             f"Incorrect arguments to {inner.func}")
+                    if ov >= 1 << 63:
+                        # TiDB bit-casts the UNSIGNED offset to int64:
+                        # 2^64-1 behaves as -1, flipping lead<->lag
+                        # (lead_lag.test records lag-by-1 answers)
+                        ov = (1 << 64) - ov
+                        fname = "lag" if fname == "lead" else "lead"
                     # clamp: offsets beyond any table size (the corpus
-                    # probes 2^64-1) behave identically — all rows fall
-                    # outside the partition
+                    # probes 2^63-ish) behave identically — all rows
+                    # fall outside the partition
                     offset = min(ov, 1 << 40)
                 descs.append(WindowDesc(fname, out_name, arg=argn,
                                         offset=offset))
@@ -2047,9 +2177,193 @@ class SelectBuilder:
         self.sess.tables[name] = (schema, cols)
         return name
 
+    def _union_combine(self, out, union):
+        """UNION [ALL]: each side ran through the engine; rows combine
+        by position, UNION DISTINCT dedupes (first occurrence wins)."""
+        from . import oracle as O
+
+        ua, rblk = union
+        lt = O.block_to_pytable(out.compact())
+        rt = O.block_to_pytable(rblk.compact())
+        lnames = list(lt)
+        if len(lnames) != len(list(rt)):
+            raise Unsupported("UNION column count mismatch")
+        schema = {n: c.dtype for n, c in zip(out.names, out.columns)}
+        merged = {n: list(lt[n]) for n in lnames}
+        for n, old in zip(lnames, list(rt)):
+            merged[n] = merged[n] + list(rt[old])
+            if any(v is None for v in merged[n]):
+                schema[n] = schema[n].with_nullable(True)
+        if not ua:
+            seen = set()
+            keep = []
+            nrows = len(merged[lnames[0]]) if lnames else 0
+            for i in range(nrows):
+                key = tuple(repr(merged[n][i]) for n in lnames)
+                if key not in seen:
+                    seen.add(key)
+                    keep.append(i)
+            merged = {n: [merged[n][i] for i in keep] for n in lnames}
+        if not lnames or not merged[lnames[0]]:
+            import jax.numpy as jnp
+
+            pad = {n: [_dummy_value(schema[n])] for n in lnames}
+            return O.pytable_to_block(pad, schema).and_sel(
+                jnp.zeros(1, dtype=bool))
+        return O.pytable_to_block(merged, schema)
+
+    def _register_block(self, name: str, blk, cols=None) -> None:
+        from . import oracle as O
+
+        tab = O.block_to_pytable(blk.compact())
+        schema = {n: c.dtype for n, c in zip(blk.names, blk.columns)}
+        if cols:
+            tab = {nc: tab[old] for nc, old in zip(cols, list(tab))}
+            schema = {nc: schema[old]
+                      for nc, old in zip(cols, list(schema))}
+        self.sess.tables[name] = (schema, tab)
+
+    def _run_ctes(self) -> None:
+        """WITH [RECURSIVE] name [(cols)] AS (select ...) , ... —
+        non-recursive CTEs materialize once (the engine's WithCTE
+        materialize-once analog lives at the plan layer; the corpus
+        front-end materializes to a session temp); recursive CTEs
+        iterate seed UNION ALL step to a fixpoint (bounded)."""
+        p = self.p
+        if not p.at_kw("with"):
+            return
+        p.next()
+        recursive = bool(p.eat_kw("recursive"))
+        while True:
+            cname = p.next()[1].strip("`")
+            cols = None
+            if p.at_op("("):
+                p.next()
+                cols = [p.next()[1].strip("`")]
+                while p.eat_op(","):
+                    cols.append(p.next()[1].strip("`"))
+                p.expect_op(")")
+            p.expect_kw("as")
+            if not recursive:
+                p.expect_op("(")
+                sub = SelectBuilder(self.sess, p, nested=True)
+                blk = sub.run()
+                p.expect_op(")")
+                self._register_block(cname, blk, cols)
+            else:
+                marker = p._capture_subquery()
+                toks = self.sess.subq_tokens[marker.args[0].value]
+                # split seed UNION ALL step at depth 0
+                depth = 0
+                split = None
+                for ti, (k, v) in enumerate(toks):
+                    if k == "op" and v == "(":
+                        depth += 1
+                    elif k == "op" and v == ")":
+                        depth -= 1
+                    elif (k == "name" and v.lower() == "union"
+                          and depth == 0):
+                        split = ti
+                        break
+                if split is None:
+                    raise Unsupported("recursive CTE without UNION")
+                seed_t = toks[:split] + [("eof", "")]
+                step_t = toks[split + 1:]
+                step_all = False
+                if step_t and step_t[0][1].lower() == "all":
+                    step_t = step_t[1:]
+                    step_all = True
+                sp = SqlParser.from_tokens(seed_t)
+                sp.sess = self.sess
+                blk = SelectBuilder(self.sess, sp).run()
+                self._register_block(cname, blk, cols)
+                from . import oracle as O
+
+                schema0, seed_tab = self.sess.tables[cname]
+                acc = {c: list(v) for c, v in seed_tab.items()}
+                last = seed_tab  # the SQL recursive working table:
+                # each step reads only the PREVIOUS iteration's rows.
+                # The step evaluates HOST-side (a fresh row count per
+                # iteration would otherwise recompile an XLA program
+                # per step) — recursion here is DATA SETUP, like the
+                # host Cartesian; verified outputs still run engine-side
+                sp = SqlParser.from_tokens(list(step_t) + [("eof", "")])
+                sp.sess = self.sess
+                sp.expect_kw("select")
+                sitems = []
+                while True:
+                    se = sp.parse_expr()
+                    if sp.eat_kw("as"):
+                        sp.next()
+                    elif sp.peek()[0] in ("name", "qident") \
+                            and not sp.at_kw("from"):
+                        sp.next()  # bare alias (c1+1 c1)
+                    sitems.append(se)
+                    if not sp.eat_op(","):
+                        break
+                sp.expect_kw("from")
+                stbl = sp.next()[1].strip("`")
+                while sp.at_op("."):
+                    sp.next()
+                    stbl = sp.next()[1].strip("`")
+                swhere = sp.parse_expr() if sp.eat_kw("where") else None
+                slimit = None
+                if sp.eat_kw("limit"):
+                    # LIMIT inside a recursive CTE caps the TOTAL rows
+                    slimit = int(sp.next()[1])
+                if stbl != cname or sp.peek()[0] != "eof":
+                    raise Unsupported("recursive CTE step shape")
+                names0 = list(acc)
+                seen = None
+                if not step_all:
+                    # UNION DISTINCT recursion: only new distinct rows
+                    # enter the next working table
+                    seen = {tuple(repr(acc[c][i]) for c in names0)
+                            for i in range(len(acc[names0[0]]))} \
+                        if names0 else set()
+                for _ in range(100000):
+                    if slimit is not None \
+                            and names0 and len(acc[names0[0]]) >= slimit:
+                        for c in names0:
+                            acc[c] = acc[c][:slimit]
+                        break
+                    nrows = []
+                    n = (len(next(iter(last.values()))) if last else 0)
+                    for i in range(n):
+                        row = {c: last[c][i] for c in last}
+                        if swhere is not None:
+                            ok = O.eval_expr_row(swhere, row)
+                            if ok is None or not ok:
+                                continue
+                        nrows.append([O.eval_expr_row(e, row)
+                                      for e in sitems])
+                    if seen is not None:
+                        fresh = []
+                        for r in nrows:
+                            key = tuple(repr(v) for v in r)
+                            if key not in seen:
+                                seen.add(key)
+                                fresh.append(r)
+                        nrows = fresh
+                    if not nrows:
+                        break
+                    last = {c: [r[j] for r in nrows]
+                            for j, c in enumerate(names0)}
+                    for c in names0:
+                        acc[c] = acc[c] + last[c]
+                else:
+                    raise Unsupported("recursive CTE did not converge")
+                self.sess.tables[cname] = (schema0, acc)
+            if not p.eat_op(","):
+                break
+
     def run(self):
         p = self.p
+        self._run_ctes()
         p.expect_kw("select")
+        distinct = bool(p.eat_kw("distinct"))
+        if not distinct:
+            p.eat_kw("all")
         # select list ('*' = all table columns, in schema order)
         items: List[Tuple[Optional[str], Expr]] = []
         star = False
@@ -2172,13 +2486,21 @@ class SelectBuilder:
             # positional form: GROUP BY 1 = first select item; alias
             # form: GROUP BY <select alias> resolves to that item's expr
             alias_map = {a: e for a, e in items if a is not None}
+            if self.engine_from is not None:
+                cur_schema = self.engine_from[2]
+            elif table is not None and table in self.sess.tables:
+                cur_schema = self.sess.tables[table][0]
+            else:
+                cur_schema = {}
             def resolve_g(g):
                 if isinstance(g, Literal) and isinstance(g.value, int) \
                         and 1 <= g.value <= len(items):
                     return items[g.value - 1][1]
-                if isinstance(g, ColumnRef) and g.name in alias_map \
-                        and not isinstance(alias_map[g.name], ColumnRef):
-                    return alias_map[g.name]
+                if isinstance(g, ColumnRef) and g.name in alias_map:
+                    # MySQL: a real column wins over a select alias
+                    if g.name not in cur_schema or not isinstance(
+                            alias_map[g.name], ColumnRef):
+                        return alias_map[g.name]
                 return g
             group_by = [resolve_g(g) for g in group_by]
         having = None
@@ -2209,6 +2531,15 @@ class SelectBuilder:
         limit = None
         if p.eat_kw("limit"):
             limit = int(p.next()[1])
+        union = None
+        if p.eat_kw("union"):
+            ua = bool(p.eat_kw("all"))
+            if not ua:
+                p.eat_kw("distinct")
+            union = (ua,
+                     SelectBuilder(self.sess, p, nested=self.nested,
+                                   outer_schema=self.outer_schema,
+                                   outer_qualmap=self.outer_qualmap).run())
         if p.peek()[0] != "eof" and not (self.nested and p.at_op(")")):
             raise Unsupported(f"trailing sql at {p.peek()[1]!r}")
 
@@ -2220,6 +2551,26 @@ class SelectBuilder:
             else:
                 raise Unsupported("SELECT * without a known table")
             items = [(c, ColumnRef(c)) for c in schema] + items
+        if distinct and not group_by \
+                and not any(_has_agg(e) for _, e in items):
+            # SELECT DISTINCT == GROUP BY every output item
+            group_by = [e for _, e in items]
+        if union is not None:
+            out = self.build_and_run(items, table, where, group_by,
+                                     having, order_by, limit)
+            return self._union_combine(out, union)
+        if (self.outer_schema is not None and limit == 1
+                and len(order_by) == 1 and len(items) == 1
+                and not group_by and not star
+                and _fingerprint(items[0][1])
+                == _fingerprint(order_by[0][0])):
+            # subquery `SELECT k .. ORDER BY k LIMIT 1` == MIN/MAX(k):
+            # lets the APPLY decorrelation handle late-materialization
+            # correlated top-1 probes (apply_with_late_materialization)
+            fn = "max" if order_by[0][1] else "min"
+            items = [(items[0][0], Call(fn, (items[0][1],)))]
+            order_by, limit = [], None
+            self.order_sensitive = False
         if self.outer_schema is not None and where is not None:
             where = self._split_correlation(
                 where, table, items, group_by, limit)
@@ -2894,7 +3245,24 @@ class SelectBuilder:
 
         from ..plan.compiler import compile_fragment
 
+        # fault injection: the reference's MPP failpoints fire at task
+        # launch / mid-run (Flash/Mpp/MPPTask.cpp) — here the fragment
+        # boundary is the analogous host orchestration point
+        from ..runtime.failpoint import fail_point as _fp
+
+        armed = [n for n in sorted(self.sess.armed_failpoints)
+                 if n.startswith("exception") or "failure" in n]
+        # only exception_* / *_failure points THROW; force_/pause_/
+        # tuning points (minimum_block_size_for_cross_join) alter
+        # behavior without raising (reference FailPointHelper)
+        for name in armed:
+            if "before" in name or "register" in name or "make" in name:
+                _fp(name)
         out, flags = compile_fragment(plan)(blocks)
+        for name in armed:
+            if not ("before" in name or "register" in name
+                    or "make" in name):
+                _fp(name)
         from ..runtime.errors import (raise_runtime_errors,
                                       split_runtime_errors)
 
@@ -2913,6 +3281,7 @@ class SelectBuilder:
         key_names: List[str] = []
         key_fp: Dict[str, str] = {}
         rollup = bool(getattr(self, "rollup", False))
+        group_by = [self._qualify(g) for g in group_by]
         for i, g in enumerate(group_by):
             if isinstance(g, ColumnRef) and not rollup:
                 key_names.append(g.name)
@@ -2944,7 +3313,10 @@ class SelectBuilder:
                 return Cast(sub_keys(e.arg), e.target)
             return e
 
-        items = [(alias, sub_keys(e)) for alias, e in items]
+        items = [(alias, sub_keys(self._qualify(e)))
+                 for alias, e in items]
+        if having is not None:
+            having = self._qualify(having)
         if rollup:
             # GROUP BY ... WITH ROLLUP -> Expand over the rollup grouping
             # sets + gid in the agg keys (reference: TiDB's Expand
@@ -3061,25 +3433,6 @@ class SelectBuilder:
         for c in list(pre):
             if isinstance(pre[c], ColumnRef) and pre[c].name == c:
                 pre[c] = ColumnRef(c)
-        # pass every base column the pre-projection mentions through
-        needed = set()
-
-        def cols_of(e: Expr):
-            if isinstance(e, ColumnRef):
-                needed.add(e.name)
-            elif isinstance(e, Call):
-                for a in e.args:
-                    cols_of(a)
-            elif isinstance(e, Cast):
-                cols_of(e.arg)
-
-        for e in pre.values():
-            cols_of(e)
-        for an in [a.arg for a in aggs if a.arg]:
-            needed.add(an)
-        for c in needed - set(pre):
-            if c in schema:
-                pre[c] = ColumnRef(c)
         having_expr = None
         if having is not None:
             # HAVING resolves select aliases first (MySQL), then group
@@ -3101,6 +3454,26 @@ class SelectBuilder:
 
             having_expr = _as_bool(self._rw(
                 fix_bare(lower_agg(sub_keys(sub_alias(having))))))
+        # pass every base column the pre-projection mentions through —
+        # AFTER having lowering, whose aggregates add pre args too
+        needed = set()
+
+        def cols_of(e: Expr):
+            if isinstance(e, ColumnRef):
+                needed.add(e.name)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    cols_of(a)
+            elif isinstance(e, Cast):
+                cols_of(e.arg)
+
+        for e in pre.values():
+            cols_of(e)
+        for an in [a.arg for a in aggs if a.arg]:
+            needed.add(an)
+        for c in needed - set(pre):
+            if c in schema:
+                pre[c] = ColumnRef(c)
         plan = P.Projection(pre, plan) if pre else plan
         agg_keys = list(key_names)
         if rollup:
@@ -3488,6 +3861,11 @@ def _compare(got_rows: List[list], want_rows: List[List[str]],
             f"query: {stmt}\ngot: {got_rows[:8]}\nwant: {want_rows[:8]}")
 
     def row_ok(g, w):
+        if len(w) < len(g) and all(isinstance(x, str) for x in w):
+            # borderless recordings lose TRAILING empty cells (the tab
+            # separators get whitespace-stripped in the reference files:
+            # remote_read_virtual_column.test row `2\t\t` recorded `2`)
+            w = w + [""] * (len(g) - len(w))
         return len(g) == len(w) and all(
             _cell_matches(gv, wc, t) for gv, wc, t in zip(g, w, dtypes))
 
@@ -3539,6 +3917,10 @@ def parse_test_file(path: str) -> List[Tuple[str, Optional[List[str]]]]:
                     cur, cur_expected = None, []
                 if s.startswith("mysql_bin_as_hex>"):
                     raise Unsupported("binary-as-hex client mode")
+                if s.startswith("=> DBGInvoke __"):
+                    # debug-DSL failpoint arming rides the statement
+                    # stream (mpp_fail.test fault injection)
+                    out.append(("__dbg__ " + s[len("=> "):], None))
             else:
                 if cur is not None:
                     # multi-line INSERT ... VALUES continuation: the
