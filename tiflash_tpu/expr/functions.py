@@ -1506,11 +1506,24 @@ def _cmp_eval(op: str):
     def evaluate(cols: Sequence[Column], out: DataType) -> Column:
         a, b = cols
         validity = _and_validity(cols)
-        if a.dtype.is_string or b.dtype.is_string:
+        if a.dtype.is_string and b.dtype.is_string:
             # literals are pre-encoded into the column's dictionary by the
             # compile layer; column-vs-column comparisons re-encode both
             # sides into a merged dictionary (exact for all six operators)
             da, db = _remap_to_merged_dict(a, b)
+        elif a.dtype.is_string or b.dtype.is_string:
+            # mixed string vs numeric/temporal: MySQL casts the STRING
+            # side — numeric comparisons run as DOUBLE ('a0.1' -> 0,
+            # issue_3447.test), temporal ones in the temporal domain
+            s, o = (a, b) if a.dtype.is_string else (b, a)
+            if o.dtype.kind in (TypeKind.DATE, TypeKind.DATETIME,
+                                TypeKind.DURATION):
+                sc = cast_column(s, o.dtype.with_nullable(True))
+            else:
+                sc = cast_column(
+                    s, FLOAT64.with_nullable(s.dtype.nullable))
+            pair = [sc, b] if a.dtype.is_string else [a, sc]
+            return evaluate(pair, out)
         elif a.dtype.is_wide_decimal or b.dtype.is_wide_decimal:
             # two-limb compare: (hi, lo) is lexicographic (lo >= 0)
             from ..core import wide as W

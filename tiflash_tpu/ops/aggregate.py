@@ -1061,15 +1061,22 @@ def aggregate_sort(
 
     operands: List[jnp.ndarray] = [~live]  # False (live) sorts first
     for c in key_cols:
-        if c.validity is not None:
-            operands.append(~c.validity)  # NULLs group together, sort first
+        # a wide-decimal key contributes one operand PER LIMB (limbs are
+        # non-negative, so limb-lexicographic == value order; issue_8111)
+        datas = ([c.data[:, i] for i in range(c.data.shape[1])]
+                 if c.data.ndim == 2 else [c.data])
+        validity = c.validity
+        if validity is not None and validity.ndim == 2:
+            validity = validity.all(axis=1)
+        if validity is not None:
+            operands.append(~validity)  # NULLs group together, sort first
             # canonicalize NULL slots: producers like left-outer joins
             # leave arbitrary payload data under validity=False, which
             # would split the NULL group at boundary detection
-            operands.append(jnp.where(c.validity, c.data,
-                                      jnp.zeros_like(c.data)))
+            operands.extend(jnp.where(validity, d, jnp.zeros_like(d))
+                            for d in datas)
         else:
-            operands.append(c.data)
+            operands.extend(datas)
     num_group_keys = len(operands)
     if in_sort_special:
         sc = block[special[0].arg]

@@ -1065,10 +1065,22 @@ class RefTestSession:
                     schema[cname] = newt
                     if fsp is not None:
                         self.fsps.setdefault(t, {})[cname] = fsp
-                    rows[cname] = [
-                        None if v is None
-                        else self._coerce_inserted(v, newt)
-                        for v in rows[cname]]
+
+                    def _mod(v):
+                        if v is None:
+                            return None
+                        v = self._coerce_inserted(v, newt)
+                        if (fsp is not None
+                                and newt.kind is dt.TypeKind.DURATION
+                                and isinstance(v, int)):
+                            # MODIFY TIME(n) rounds stored fractions
+                            # (issue_8601: time(4) .1235 -> time(2) .12)
+                            q = 10 ** (6 - fsp)
+                            v = ((abs(v) + q // 2) // q * q
+                                 * (1 if v >= 0 else -1))
+                        return v
+
+                    rows[cname] = [_mod(v) for v in rows[cname]]
                 continue
             if low.startswith("alter table") and " add " in low:
                 raise Unsupported(f"ALTER TABLE ADD form: {stmt[:60]}")
@@ -2189,9 +2201,31 @@ class SelectBuilder:
         if len(lnames) != len(list(rt)):
             raise Unsupported("UNION column count mismatch")
         schema = {n: c.dtype for n, c in zip(out.names, out.columns)}
+
+        def join_types(a: dt.DataType, b: dt.DataType) -> dt.DataType:
+            """MySQL UNION result typing (widest side; issue_8111:
+            0.0 literal next to a decimal(30,2) sum keeps scale 2)."""
+            if a.kind == b.kind and not a.is_decimal:
+                return a
+            if a.is_string or b.is_string:
+                return a if a.is_string else b
+            if a.is_float or b.is_float:
+                return dt.FLOAT64.with_nullable(a.nullable or b.nullable)
+            if a.is_decimal or b.is_decimal:
+                sa = a.scale if a.is_decimal else 0
+                sb = b.scale if b.is_decimal else 0
+                pa = a.precision if a.is_decimal else 20
+                pb = b.precision if b.is_decimal else 20
+                return dt.Decimal(
+                    min(max(pa - sa, pb - sb) + max(sa, sb), 65),
+                    max(sa, sb),
+                    nullable=a.nullable or b.nullable)
+            return a
+
         merged = {n: list(lt[n]) for n in lnames}
-        for n, old in zip(lnames, list(rt)):
+        for n, old, rc in zip(lnames, list(rt), rblk.columns):
             merged[n] = merged[n] + list(rt[old])
+            schema[n] = join_types(schema[n], rc.dtype)
             if any(v is None for v in merged[n]):
                 schema[n] = schema[n].with_nullable(True)
         if not ua:
