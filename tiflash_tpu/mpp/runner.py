@@ -440,12 +440,62 @@ def _laned_window(child: Block, node, axis: str) -> Block:
     # carry, then the adjusted quotient is retyped like the local avg
     work_funcs = []
     avg_specs = {}
+    pr_specs = {}     # percent_rank -> local rank temp
+    cd_specs = {}     # cume_dist   -> local cume_dist temp
+    nt_specs = {}     # ntile       -> (local row_number temp, k)
+    lead_specs = {}   # lead/lag    -> original desc (local runs w/o default)
+    head_specs = {}   # first/nth   -> (kind, desc, cume-temp or None)
+    frame_specs = {}  # bounded-ROWS aggs -> (desc, local valid-count temp)
+    favg_specs = {}   # framed avg  -> (sum temp, count temp, desc)
     for f in node.funcs:
-        if f.func == "avg":
+        if f.func == "avg" and f.frame is None:
             s, c2 = f.name + "__ls", f.name + "__lc"
             work_funcs += [_dc.replace(f, func="sum", name=s),
                            _dc.replace(f, func="count", name=c2)]
             avg_specs[f.name] = (s, c2, f)
+        elif f.func == "avg":
+            # framed avg = framed sum / framed valid count, each lane-
+            # stitched through the boundary tables below
+            s, c2 = f.name + "__fs", f.name + "__fc"
+            work_funcs += [_dc.replace(f, func="sum", name=s),
+                           _dc.replace(f, func="count", name=c2)]
+            frame_specs[s] = (_dc.replace(f, func="sum", name=s), c2)
+            favg_specs[f.name] = (s, c2, f)
+        elif f.func == "percent_rank":
+            t = f.name + "__lr"
+            work_funcs.append(_dc.replace(f, func="rank", name=t,
+                                          arg=None, frame=None))
+            pr_specs[f.name] = t
+        elif f.func == "cume_dist":
+            t = f.name + "__lcd"
+            work_funcs.append(_dc.replace(f, func="cume_dist", name=t,
+                                          arg=None, frame=None))
+            cd_specs[f.name] = t
+        elif f.func == "ntile":
+            t = f.name + "__lrn"
+            work_funcs.append(_dc.replace(f, func="row_number", name=t,
+                                          arg=None, frame=None))
+            nt_specs[f.name] = (t, max(int(f.offset), 1))
+        elif f.func in ("lead", "lag"):
+            # the local window must NOT apply the default at lane edges
+            # (those are stitched from neighbor lanes); the TRUE
+            # partition edge applies it below
+            work_funcs.append(_dc.replace(f, default=None))
+            lead_specs[f.name] = f
+        elif f.func == "first_value":
+            head_specs[f.name] = ("first", f, None)
+        elif f.func == "nth_value":
+            t = f.name + "__lcd"
+            work_funcs.append(_dc.replace(f, func="cume_dist", name=t,
+                                          arg=None, frame=None,
+                                          offset=1))
+            head_specs[f.name] = ("nth", f, t)
+        elif f.func in ("sum", "count", "min", "max") \
+                and f.frame is not None:
+            c2 = f.name + "__fc"
+            work_funcs.append(f)
+            work_funcs.append(_dc.replace(f, func="count", name=c2))
+            frame_specs[f.name] = (f, c2)
         else:
             work_funcs.append(f)
     local = window_block(child, list(node.partition_by) + [node.lane_col],
@@ -520,8 +570,16 @@ def _laned_window(child: Block, node, axis: str) -> Block:
             axis=1)
         return exc.reshape(G), ident
 
+    handled_later = set(frame_specs) | {c for _, c in frame_specs.values()}
+    for _k, (_t, _n) in nt_specs.items():
+        handled_later.add(_t)
+    handled_later |= set(pr_specs.values()) | set(cd_specs.values())
+    handled_later |= {t for _, _, t in head_specs.values()
+                      if t is not None}
     out = local
     for f in work_funcs:
+        if f.name in handled_later or f.name in lead_specs:
+            continue
         c = local[f.name]
         if f.func in ("row_number", "rank"):
             adj = c.data + jnp.where(live, cnt_carry, 0)
@@ -564,8 +622,371 @@ def _laned_window(child: Block, node, axis: str) -> Block:
             out = out.with_column(
                 f.name, Column(merged.astype(c.data.dtype), new_valid,
                                c.dtype, c.dictionary))
+        elif f.func == "last_value":
+            # peers never straddle value-bucketed lanes: the lane-local
+            # last peer IS the partition-global one
+            pass
         else:  # planner guarantees this never happens
             raise NotImplementedError(f"laned window func {f.func}")
+    # ---- extended family: global positions + boundary tables --------
+    # (fine-grained shuffle at FULL breadth, VERDICT r4 item 3: lead/
+    # lag/first/nth via per-lane head/tail row tables exchanged with
+    # psum; ntile/percent_rank/cume_dist via partition totals; bounded
+    # ROWS frames via suffix/prefix/full-lane region tables.  Reference:
+    # Flash/Mpp/FineGrainedShuffleWriter.cpp + the window family it
+    # serves.)
+    if (pr_specs or cd_specs or nt_specs or lead_specs or head_specs
+            or frame_specs):
+        from ..ops.segments import forward_fill_positions
+
+        H = max(1, int(getattr(node, "boundary_depth", 1)))
+        newseg = gid != jnp.roll(gid, 1)
+        newseg = newseg.at[0].set(True)
+        seg_start_idx = forward_fill_positions(newseg).astype(jnp.int64)
+        pos = jnp.arange(n, dtype=jnp.int64) - seg_start_idx
+        cntG = jax.lax.psum(counts, axis)
+        cnt2 = cntG.reshape(Pcap, L)
+        carry2 = jnp.cumsum(cnt2, axis=1) - cnt2  # exclusive lane start
+        tot_tab = cnt2.sum(axis=1)
+        pslot_c = jnp.minimum(pslot, Pcap - 1)
+        tot_row = jnp.take(tot_tab, pslot_c)
+        g_row = cnt_carry + pos
+        cnt_local_row = jnp.take(counts, jnp.minimum(gid, G - 1))
+        GH = G * H
+        _tables: dict = {}
+
+        def arg_tables(name):
+            """psum'd (G, H) head/tail row tables + full-lane aggregates
+            for one argument column — each (partition, lane) lives on
+            exactly one device after the exchange, so psum IS the
+            all-gather of owned entries."""
+            if name in _tables:
+                return _tables[name]
+            a = local[name]
+            isf = a.dtype.is_float
+            vals = a.data.astype(jnp.float64 if isf else jnp.int64)
+            av = a.valid_mask() & live
+            zero = jnp.asarray(0, vals.dtype)
+            mvals = jnp.where(av, vals, zero)
+            hs = jnp.where(live & (pos < H), gid * H + pos,
+                           GH).astype(jnp.int32)
+            tpos = H - cnt_local_row + pos
+            ts = jnp.where(live & (tpos >= 0), gid * H + tpos,
+                           GH).astype(jnp.int32)
+
+            def seg(v, slot):
+                return jax.ops.segment_sum(
+                    v, slot, num_segments=GH + 1,
+                    indices_are_sorted=True)[:GH]
+
+            head_v = jax.lax.psum(seg(mvals, hs), axis)
+            head_ok = jax.lax.psum(seg(av.astype(jnp.int64), hs), axis)
+            tail_v = jax.lax.psum(seg(mvals, ts), axis)
+            tail_ok = jax.lax.psum(seg(av.astype(jnp.int64), ts), axis)
+            lane_sum = jax.lax.psum(seg_sum(mvals), axis)
+            lane_vcnt = jax.lax.psum(
+                seg_sum(av.astype(jnp.int64)), axis)
+            big = (jnp.inf if isf else jnp.iinfo(jnp.int64).max)
+            small = (-jnp.inf if isf else jnp.iinfo(jnp.int64).min)
+            mn = jnp.where(av, vals, jnp.asarray(big, vals.dtype))
+            mx = jnp.where(av, vals, jnp.asarray(small, vals.dtype))
+            lane_min = jax.lax.pmin(jax.ops.segment_min(
+                mn, gid, num_segments=G + 1,
+                indices_are_sorted=True)[:G], axis)
+            lane_max = jax.lax.pmax(jax.ops.segment_max(
+                mx, gid, num_segments=G + 1,
+                indices_are_sorted=True)[:G], axis)
+            t = {"head_v": head_v, "head_ok": head_ok, "tail_v": tail_v,
+                 "tail_ok": tail_ok, "lane_sum": lane_sum,
+                 "lane_vcnt": lane_vcnt, "lane_min": lane_min,
+                 "lane_max": lane_max, "isf": isf,
+                 "big": big, "small": small}
+            # prefix/suffix region tables: head_pre*[k] aggregates the
+            # FIRST k rows of the lane, tail_suf*[k] the LAST k (k<=H)
+            hv2 = head_v.reshape(G, H)
+            ho2 = head_ok.reshape(G, H)
+            tv2 = tail_v.reshape(G, H)
+            to2 = tail_ok.reshape(G, H)
+            zcol = jnp.zeros((G, 1), hv2.dtype)
+            zicol = jnp.zeros((G, 1), jnp.int64)
+            t["head_presum"] = jnp.concatenate(
+                [zcol, jnp.cumsum(hv2, axis=1)], axis=1).reshape(-1)
+            t["head_precnt"] = jnp.concatenate(
+                [zicol, jnp.cumsum(ho2, axis=1)], axis=1).reshape(-1)
+            t["tail_sufsum"] = jnp.concatenate(
+                [zcol, jnp.cumsum(tv2[:, ::-1], axis=1)],
+                axis=1).reshape(-1)
+            t["tail_sufcnt"] = jnp.concatenate(
+                [zicol, jnp.cumsum(to2[:, ::-1], axis=1)],
+                axis=1).reshape(-1)
+            # min/max prefix (head) and suffix (tail) — masked by ok
+            bigc = jnp.asarray(big, hv2.dtype)
+            smallc = jnp.asarray(small, hv2.dtype)
+            hmn = jnp.where(ho2 > 0, hv2, bigc)
+            hmx = jnp.where(ho2 > 0, hv2, smallc)
+            tmn = jnp.where(to2 > 0, tv2, bigc)
+            tmx = jnp.where(to2 > 0, tv2, smallc)
+            t["head_premin"] = jnp.concatenate(
+                [jnp.full((G, 1), bigc), jax.lax.cummin(hmn, axis=1)],
+                axis=1).reshape(-1)
+            t["head_premax"] = jnp.concatenate(
+                [jnp.full((G, 1), smallc), jax.lax.cummax(hmx, axis=1)],
+                axis=1).reshape(-1)
+            t["tail_sufmin"] = jnp.concatenate(
+                [jnp.full((G, 1), bigc),
+                 jax.lax.cummin(tmn[:, ::-1], axis=1)],
+                axis=1).reshape(-1)
+            t["tail_sufmax"] = jnp.concatenate(
+                [jnp.full((G, 1), smallc),
+                 jax.lax.cummax(tmx[:, ::-1], axis=1)],
+                axis=1).reshape(-1)
+            _tables[name] = t
+            return t
+
+        lane_row = lane  # per-row lane id (int64)
+        cnt2f = cnt2.reshape(-1)
+        carry2f = carry2.reshape(-1)
+
+        def row_at(name, q, from_tail):
+            """(value, valid, exists) at partition-global index q;
+            exact when q lands within H rows of its lane's head (or
+            tail) — the callers' deficits guarantee that."""
+            t = arg_tables(name)
+            src_v = t["tail_v"] if from_tail else t["head_v"]
+            src_o = t["tail_ok"] if from_tail else t["head_ok"]
+            val = jnp.zeros(n, dtype=src_v.dtype)
+            okv = jnp.zeros(n, dtype=bool)
+            ex = jnp.zeros(n, dtype=bool)
+            for m in range(L):
+                gi = pslot_c * L + m
+                base = jnp.take(carry2f, gi)
+                cm = jnp.take(cnt2f, gi)
+                within = (q >= base) & (q < base + cm)
+                if from_tail:
+                    off = jnp.clip(H - cm + (q - base), 0, H - 1)
+                else:
+                    off = jnp.clip(q - base, 0, H - 1)
+                idx = jnp.minimum(gi * H + off, GH - 1)
+                val = jnp.where(within, jnp.take(src_v, idx), val)
+                okv = jnp.where(within, jnp.take(src_o, idx) > 0, okv)
+                ex = ex | within
+            return val, okv, ex
+
+        def region(name, f_lo, f_hi, before, want):
+            """Aggregate over the OUT-OF-LANE part of the frame
+            [f_lo, f_hi] (global indices): the suffix of a partial lane
+            plus any fully-covered lanes between it and the current
+            one.  want in {sum, vcnt, min, max}."""
+            t = arg_tables(name)
+            if want == "sum":
+                ident = jnp.asarray(0, t["lane_sum"].dtype)
+                full_tab, pre, suf = (t["lane_sum"], t["head_presum"],
+                                      t["tail_sufsum"])
+            elif want == "vcnt":
+                ident = jnp.int64(0)
+                full_tab, pre, suf = (t["lane_vcnt"], t["head_precnt"],
+                                      t["tail_sufcnt"])
+            elif want == "min":
+                ident = jnp.asarray(t["big"], t["lane_min"].dtype)
+                full_tab, pre, suf = (t["lane_min"], t["head_premin"],
+                                      t["tail_sufmin"])
+            else:
+                ident = jnp.asarray(t["small"], t["lane_max"].dtype)
+                full_tab, pre, suf = (t["lane_max"], t["head_premax"],
+                                      t["tail_sufmax"])
+
+            def comb(a, b):
+                if want in ("sum", "vcnt"):
+                    return a + b
+                return jnp.minimum(a, b) if want == "min" \
+                    else jnp.maximum(a, b)
+
+            acc = jnp.full(n, ident)
+            for m in range(L):
+                gi = pslot_c * L + m
+                base = jnp.take(carry2f, gi)
+                cm = jnp.take(cnt2f, gi)
+                lane_end = base + cm - 1
+                side = (lane_row > m) if before else (lane_row < m)
+                ov_lo = jnp.maximum(f_lo, base)
+                ov_hi = jnp.minimum(f_hi, lane_end)
+                any_ = side & (cm > 0) & (ov_lo <= ov_hi)
+                fullc = (ov_lo <= base) & (ov_hi >= lane_end)
+                if before:
+                    # partial overlap is a SUFFIX of lane m
+                    k = jnp.clip(lane_end - ov_lo + 1, 0, H)
+                    part = jnp.take(suf, jnp.minimum(
+                        gi * (H + 1) + k, G * (H + 1) - 1))
+                else:
+                    # partial overlap is a PREFIX of lane m
+                    k = jnp.clip(ov_hi - base + 1, 0, H)
+                    part = jnp.take(pre, jnp.minimum(
+                        gi * (H + 1) + k, G * (H + 1) - 1))
+                c = jnp.where(fullc, jnp.take(full_tab, gi), part)
+                acc = comb(acc, jnp.where(any_, c, ident))
+            return acc
+
+        # percent_rank / cume_dist / ntile (partition totals)
+        from ..core.dtypes import FLOAT64 as _F64
+
+        for name, tmp in pr_specs.items():
+            r_adj = (local[tmp].data.astype(jnp.int64)
+                     + jnp.where(live, cnt_carry, 0))
+            denom = jnp.maximum(tot_row - 1, 1).astype(jnp.float64)
+            out = out.with_column(name, Column(
+                (r_adj - 1).astype(jnp.float64) / denom, None, _F64))
+        for name, tmp in cd_specs.items():
+            cdl = local[tmp].data.astype(jnp.float64)
+            le_local = jnp.round(
+                cdl * cnt_local_row.astype(jnp.float64))
+            le = le_local + jnp.where(live, cnt_carry, 0).astype(
+                jnp.float64)
+            out = out.with_column(name, Column(
+                le / jnp.maximum(tot_row, 1).astype(jnp.float64),
+                None, _F64))
+        for name, (tmp, k) in nt_specs.items():
+            rn0 = (local[tmp].data.astype(jnp.int64)
+                   + jnp.where(live, cnt_carry, 0) - 1)
+            kk = jnp.int64(k)
+            q_ = tot_row // kk
+            r_ = tot_row % kk
+            bigrows = (q_ + 1) * r_
+            bucket = jnp.where(
+                rn0 < bigrows,
+                rn0 // jnp.maximum(q_ + 1, 1),
+                jnp.where(q_ > 0,
+                          r_ + (rn0 - bigrows) // jnp.maximum(q_, 1),
+                          rn0))
+            from ..core.dtypes import INT64 as _I64N
+            out = out.with_column(name, Column(bucket + 1, None, _I64N))
+
+        # lead / lag boundary stitching
+        for name, f in lead_specs.items():
+            c = local[name]
+            a = local[f.arg]
+            off = jnp.int64(f.offset)
+            if f.func == "lead":
+                in_lane = pos + off < cnt_local_row
+                q = g_row + off
+                beyond = q >= tot_row
+                v, ok, ex = row_at(f.arg, q, from_tail=False)
+            else:
+                in_lane = pos >= off
+                q = g_row - off
+                beyond = q < 0
+                v, ok, ex = row_at(f.arg, q, from_tail=True)
+            base_d = c.data
+            lv = c.validity if c.validity is not None \
+                else jnp.ones(n, dtype=bool)
+            stitched = jnp.where(in_lane, base_d,
+                                 v.astype(base_d.dtype))
+            svalid = jnp.where(in_lane, lv, ok & ex & ~beyond)
+            if f.default is not None and not a.dtype.is_string:
+                dflt = jnp.asarray(f.default, dtype=base_d.dtype)
+                use_d = (~in_lane) & beyond
+                stitched = jnp.where(use_d, dflt, stitched)
+                svalid = svalid | use_d
+            out = out.with_column(name, Column(
+                stitched, svalid & live, a.dtype.with_nullable(True),
+                a.dictionary))
+
+        # first_value / nth_value via partition head rows
+        for name, (kind, f, cume_tmp) in head_specs.items():
+            a = local[f.arg]
+            q = (jnp.zeros(n, dtype=jnp.int64) if kind == "first"
+                 else jnp.full(n, jnp.int64(max(int(f.offset), 1) - 1)))
+            v, ok, ex = row_at(f.arg, q, from_tail=False)
+            valid = ok & ex & live
+            if kind == "nth":
+                cdl = local[cume_tmp].data.astype(jnp.float64)
+                le = (jnp.round(cdl * cnt_local_row.astype(jnp.float64))
+                      + jnp.where(live, cnt_carry, 0).astype(
+                          jnp.float64))
+                # default frame start..current-peers: the n-th row must
+                # already be inside it
+                valid = valid & (le - 1 >= q.astype(jnp.float64))
+            dt_out = a.dtype.with_nullable(kind == "nth"
+                                           or a.dtype.nullable)
+            ref = local[f.arg].data
+            out = out.with_column(name, Column(
+                v.astype(ref.dtype), valid, dt_out, a.dictionary))
+
+        # bounded ROWS frames: local in-lane slice + out-of-lane regions
+        for name, (f, cnt_tmp) in frame_specs.items():
+            prec, foll = f.frame
+            a = local[f.arg] if f.arg else None
+            f_lo = jnp.maximum(g_row - jnp.int64(prec), 0)
+            f_hi = jnp.minimum(g_row + jnp.int64(foll), tot_row - 1)
+            argn = f.arg
+            c = local[name]
+            if argn is None:
+                # COUNT(*) over the frame needs no tables: the frame is
+                # a contiguous global row range
+                gcnt = f_hi - f_lo + 1
+                out = out.with_column(name, Column(gcnt, None, c.dtype))
+                continue
+            vb = region(argn, f_lo, f_hi, True, "vcnt")
+            va = region(argn, f_lo, f_hi, False, "vcnt")
+            local_cnt = local[cnt_tmp].data.astype(jnp.int64)
+            gcnt = local_cnt + vb + va
+            if f.func == "count":
+                out = out.with_column(name, Column(
+                    gcnt, None, c.dtype))
+                continue
+            if f.func in ("min", "max"):
+                want = f.func
+                t = arg_tables(argn)
+                ident = jnp.asarray(
+                    t["big"] if want == "min" else t["small"],
+                    t["lane_min"].dtype)
+                rb = region(argn, f_lo, f_hi, True, want)
+                ra = region(argn, f_lo, f_hi, False, want)
+                lv = c.validity if c.validity is not None \
+                    else (local_cnt > 0)
+                base = jnp.where(lv, c.data.astype(ident.dtype), ident)
+                red = (jnp.minimum if want == "min" else jnp.maximum)
+                merged = red(red(base, rb), ra)
+                out = out.with_column(name, Column(
+                    merged.astype(c.data.dtype), (gcnt > 0) & live,
+                    c.dtype.with_nullable(True), c.dictionary))
+                continue
+            # framed SUM (also the framed-avg numerator)
+            sb = region(argn, f_lo, f_hi, True, "sum")
+            sa = region(argn, f_lo, f_hi, False, "sum")
+            isf = arg_tables(argn)["isf"]
+            base = c.data.astype(jnp.float64 if isf else jnp.int64)
+            lv = c.validity if c.validity is not None else None
+            if lv is not None:
+                base = jnp.where(lv, base, jnp.asarray(0, base.dtype))
+            tot_s = base + sb + sa
+            out = out.with_column(name, Column(
+                tot_s.astype(c.data.dtype), (gcnt > 0) & live,
+                c.dtype.with_nullable(True)))
+
+        # framed AVG assembly from the stitched sum/count temps
+        for name, (s, c2, f) in favg_specs.items():
+            from ..core.dtypes import Decimal as _DecT
+            from ..expr.functions import _div_round_half_up as _divr
+
+            sc = out[s]
+            prec, foll = f.frame
+            f_lo = jnp.maximum(g_row - jnp.int64(prec), 0)
+            f_hi = jnp.minimum(g_row + jnp.int64(foll), tot_row - 1)
+            vb = region(f.arg, f_lo, f_hi, True, "vcnt")
+            va = region(f.arg, f_lo, f_hi, False, "vcnt")
+            gcnt = local[c2].data.astype(jnp.int64) + vb + va
+            arg_dt = local[f.arg].dtype
+            if arg_dt.is_decimal:
+                rdt = _DecT(18, arg_dt.scale + 4, nullable=True)
+                d = _divr(sc.data.astype(jnp.int64) * (10 ** 4),
+                          jnp.maximum(gcnt, 1))
+            else:
+                rdt = _F64.with_nullable(True)
+                d = (sc.data.astype(jnp.float64)
+                     / jnp.maximum(gcnt, 1).astype(jnp.float64))
+            out = out.with_column(name, Column(
+                d.astype(rdt.jnp_dtype), (gcnt > 0) & live, rdt))
+
     # adjusted AVG = (sum + carry) / (count + carry), typed like the
     # single-chip running avg
     for name, (s, c2, f) in avg_specs.items():
@@ -589,6 +1010,12 @@ def _laned_window(child: Block, node, axis: str) -> Block:
     drop = {node.lane_col}
     for s, c2, _f in avg_specs.values():
         drop |= {s, c2}
+    for s, c2, _f in favg_specs.values():
+        drop |= {s, c2}
+    drop |= set(pr_specs.values()) | set(cd_specs.values())
+    drop |= {t for t, _k in nt_specs.values()}
+    drop |= {t for _k, _f2, t in head_specs.values() if t is not None}
+    drop |= {c for _f2, c in frame_specs.values()}
     keep = [nm for nm in out.names if nm not in drop]
     cols = dict(zip(out.names, out.columns))
     return Block(names=tuple(keep), columns=tuple(cols[nm] for nm in keep),

@@ -30,6 +30,9 @@ class PlanNode:
     def pretty(self, indent: int = 0) -> str:
         pad = "  " * indent
         head = f"{pad}{self.describe()}"
+        note = getattr(self, "note", None)
+        if note:
+            head += f"  [{note}]"
         return "\n".join([head] + [c.pretty(indent + 1) for c in self.children])
 
     def describe(self) -> str:
@@ -302,6 +305,9 @@ class LanedWindow(PlanNode):
     n_lanes: int = 8
     part_cap: int = 1
     lane_col: str = "__lane__"
+    # per-lane head/tail boundary-table depth: covers lead/lag offsets,
+    # nth_value n, and bounded ROWS frame widths (mpp/runner)
+    boundary_depth: int = 1
     # per partition key: ("dict", span) or ("int", lo, span) — the exact
     # static slot domain the carry tables are sized to
     part_specs: Tuple = ()
