@@ -224,3 +224,73 @@ def test_http_per_request_settings_override(server):
                      "enable_spill": True},
         "distributed": False})
     assert code5 == 200
+
+
+def test_metrics_families_after_spilled_and_distributed_query(server):
+    """The /metrics surface answers "where did this query's time go"
+    (VERDICT r4 item 9): after a SPILLED out-of-core aggregation and a
+    DISTRIBUTED laned-window query, the family counters the reference's
+    Grafana boards read from (TiFlashMetrics.h analogs) are nonzero."""
+    import numpy as np
+
+    import jax
+    import tiflash_tpu.core.dtypes as dt
+    from tiflash_tpu.ops.aggregate import AggDesc
+    from tiflash_tpu.ops.sort import SortKey
+    from tiflash_tpu.ops.window import WindowDesc
+    from tiflash_tpu.plan import nodes as P
+    from tiflash_tpu.runtime.executor import run_query
+    from tiflash_tpu.runtime.settings import Settings
+    from tiflash_tpu.testing import oracle as O
+
+    # spilled chunked aggregation (native spiller files)
+    import tempfile
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    tables = {"t": O.pytable_to_block(
+        {"g": [int(x) % 512 for x in rng.integers(0, 1 << 30, n)],
+         "v": [int(x) for x in rng.integers(-50, 50, n)]},
+        {"g": dt.INT64, "v": dt.INT64})}
+    plan = P.Aggregation(["g"], [AggDesc("sum", "v", "s")],
+                         P.TableScan("t"))
+    with tempfile.TemporaryDirectory() as td:
+        run_query(plan, tables,
+                  settings=Settings(max_bytes_before_external_group_by=50_000,
+                                    spill_dir=td))
+
+    # distributed laned window on the 8-device mesh
+    from jax.sharding import Mesh
+
+    from tiflash_tpu.mpp.runner import (compile_distributed,
+                                        shard_catalog_blocks)
+    from tiflash_tpu.plan.auto import distribute_plan
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    wt = {"w": O.pytable_to_block(
+        {"p": [i % 2 for i in range(512)],
+         "o": list(range(512)),
+         "v": [i % 7 for i in range(512)]},
+        {"p": dt.INT32, "o": dt.INT64, "v": dt.INT64})}
+    wplan = P.Window(["p"], [SortKey("o")],
+                     [WindowDesc("lead", "l", arg="v", offset=2),
+                      WindowDesc("sum", "fs", arg="v", frame=(3, 2))],
+                     P.TableScan("w"))
+    dist = distribute_plan(wplan, {"w": 512}, 8, tables=wt)
+    fn = compile_distributed(dist, mesh)
+    out, _ = fn(shard_catalog_blocks(wt, mesh))
+    jax.block_until_ready(out)
+
+    code, m = _get(server, "/metrics")
+    assert code == 200
+    for family in ("queries_total", "compile_seconds_total",
+                   "fragments_compiled_total", "ooc_chunks_total",
+                   "spill_parts_total", "spill_bytes_total",
+                   "laned_windows_planned_total", "rows_returned_total",
+                   "query_seconds_total"):
+        assert m.get(family, 0) > 0, (family, m)
+    # every documented family is present on the surface
+    for family in ("ooc_grace_joins_total", "ooc_host_merges_total",
+                   "runtime_filters_published_total",
+                   "admission_waits_total", "queries_cancelled_total"):
+        assert family in m, family

@@ -113,6 +113,9 @@ def _publish_runtime_filter(node: P.Join, build: Block, rf_values: Dict[str, lis
     set, the live build keys are kept as a sorted array (dead rows at
     +inf) and membership at apply time is two sort-method searchsorteds —
     a semi-join in exchange for shuffle volume."""
+    from ..runtime.metrics import METRICS
+
+    METRICS.counter("runtime_filters_published_total").inc()
     live = build.sel_mask()
     entries = []
     for kn in node.build_keys:

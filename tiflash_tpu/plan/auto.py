@@ -264,9 +264,14 @@ _LANED_DEPTH = 128
 
 def _plan_laned_window(node: "P.Window", child: P.PlanNode, tables,
                        num_devices: int):
+    from ..runtime.metrics import METRICS
+
     _plan_laned_window.last_decline = None
     res, reason = _plan_laned_window_impl(node, child, tables, num_devices)
     _plan_laned_window.last_decline = reason
+    METRICS.counter("laned_windows_planned_total"
+                    if res is not None
+                    else "laned_windows_declined_total").inc()
     return res
 
 

@@ -203,6 +203,8 @@ class QueryRunner:
             )
         self._compile_s += time.perf_counter() - t0
         METRICS.counter("fragments_compiled_total").inc()
+        METRICS.counter("compile_seconds_total").inc(
+            time.perf_counter() - t0)
         return self._compiled
 
     def run(self, tables: Dict[str, Block]) -> Tuple[Block, ExecutionSummary]:

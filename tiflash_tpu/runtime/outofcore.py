@@ -116,10 +116,13 @@ def run_chunked_aggregate(
     fn = compile_fragment(partial_plan)
     from .cancel import checkpoint
 
+    from .metrics import METRICS
+
     partials: List = []
     start = 0
     while start < n:
         checkpoint()  # cancellable between chunks
+        METRICS.counter("ooc_chunks_total").inc()
         rows = min(chunk_rows, n - start)
         chunk = _slice_block(base, start, rows)
         if rows < chunk_rows:
@@ -505,7 +508,10 @@ def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
         P_ *= 2
     names = partials[0][0]
     key_idx = [names.index(k) for k in plan.keys]
+    from .metrics import METRICS
+
     log = get_logger("tiflash_tpu.outofcore")
+    METRICS.counter("ooc_final_merges_total").inc()
     for p_try in dict.fromkeys((P_, min(P_ * 4, 4096))):
         try:
             return _device_bucket_merge(
@@ -514,11 +520,13 @@ def _bucketed_final_merge(plan: P.Aggregation, final_plan_builder,
             # backend/compile-service failure (or its fault-injection
             # twin, failpoint ``compile_failure_in_final_merge``) — not
             # an engine error; step down the ladder
+            METRICS.counter("ooc_compile_fallbacks_total").inc()
             first = str(e).splitlines()[0] if str(e) else repr(e)
             log.warning(
                 "bucketed final merge at %d buckets failed in the "
                 "backend (%s); stepping down the fallback ladder",
                 p_try, first)
+    METRICS.counter("ooc_host_merges_total").inc()
     log.warning("bucketed final merge: device programs failed to "
                 "compile; falling back to the host-side merge")
     return _host_final_merge(plan, final_plan_builder, partials)
@@ -872,6 +880,10 @@ def run_grace_join(
             out, ov = dist_fn(shard_catalog_blocks(sub, mesh))
             return collect_result(out), ov
 
+    from .metrics import METRICS
+
+    METRICS.counter("ooc_grace_joins_total").inc()
+    METRICS.counter("ooc_grace_partitions_total").inc(P_)
     store = _part_store(spill_dir, "grace", nthreads)
     from .cancel import checkpoint
 

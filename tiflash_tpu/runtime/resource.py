@@ -45,7 +45,12 @@ class TokenBucket:
                 return False
             self._refill()
             deficit = max(ru - self.tokens, 0.0)
-            time.sleep(min(deficit / max(self.fill_rate, 1e-9), 0.25))
+            from .metrics import METRICS
+
+            METRICS.counter("admission_waits_total").inc()
+            wait_s = min(deficit / max(self.fill_rate, 1e-9), 0.25)
+            METRICS.counter("admission_wait_seconds_total").inc(wait_s)
+            time.sleep(wait_s)
 
 
 def to_ru(rows_scanned: int, wall_seconds: float) -> float:

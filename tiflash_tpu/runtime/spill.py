@@ -135,6 +135,13 @@ class PartStore:
 
     def add(self, names: Tuple[str, ...], arrays: List[np.ndarray],
             partition: int = 0) -> None:
+        from .metrics import METRICS
+
+        METRICS.counter("spill_parts_total").inc()
+        METRICS.counter("spill_bytes_total").inc(
+            sum(int(a.nbytes) for a in arrays if a is not None))
+        if self._spiller is not None:
+            METRICS.counter("spill_files_total").inc()
         if self._spiller is None:
             self._parts.append((names, arrays))
             return
