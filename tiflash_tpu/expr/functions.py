@@ -503,139 +503,138 @@ def parse_mysql_time(s: str):
 
 _PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
 
+# zone designator suffix: Z, +HH, +HHMM, or +HH:MM (clean-room: the
+# suffix forms are MySQL-documented; recognizing them is a plain
+# anchored regex, not a position-scoring walk)
+_TZ_SUFFIX_RE = __import__("re").compile(r"(Z|[+-]\d{2}(?::\d{2}|\d{2})?)$")
+
+
+def _split_datetime_fields(body: str):
+    """Digit runs separated by punctuation — plus, POSITIONALLY, the
+    date/time gap (space or 'T' legal only after the third field) and
+    free-form separators after the fifth.  Returns the runs or None on
+    an illegal character.  (Behavior derived from the corpus' accepted/
+    rejected shapes: '2020-01-01T10:10:10' splits at T, '2020T10'
+    doesn't; '2020-01-01 10:10:10 AM'-style trailing junk rejects.)"""
+    runs = []
+    i = 0
+    n = len(body)
+    while i < n:
+        j = i
+        while j < n and body[j].isdigit():
+            j += 1
+        if j == i:
+            return None
+        runs.append(body[i:j])
+        k = j
+        while k < n and not body[k].isdigit():
+            c = body[k]
+            ok = (c in _PUNCT
+                  or (len(runs) == 3 and (c == "T" or c.isspace()))
+                  or len(runs) > 5)
+            if not ok:
+                return None
+            k += 1
+        if k < n and k == j and j < n:
+            return None
+        i = k
+    return runs
+
+
+# single-digit-run layouts: MySQL's numeric datetime literal widths
+# (YYYYMMDD[HHMMSS] and the 2-digit-year variants; trailing field may be
+# a single digit)
+_COMPACT_LAYOUTS = {14: (4, 2, 2, 2, 2, 2), 12: (2, 2, 2, 2, 2, 2),
+                    11: (2, 2, 2, 2, 2, 1), 10: (2, 2, 2, 2, 2),
+                    9: (2, 2, 2, 2, 1), 8: (4, 2, 2), 7: (2, 2, 2, 1),
+                    6: (2, 2, 2), 5: (2, 2, 1)}
+
 
 def mysql_str_to_datetime(s: str, fields_only: bool = False):
-    """String -> datetime.datetime under TiDB/TiFlash rules — a faithful
-    port of the reference's ``parseMyDateTimeAndJudgeIsDate``
-    (dbms/src/Common/MyTime.cpp:804, string path): punctuation runs
-    separate fields; space/'T' separate date from time only after 3 date
-    fields; compact digit strings take per-length layouts (14/8 = 4-digit
-    year, 12/11/10/9/7/6/5 = 2-digit year); for 5/6/8-digit compact
-    forms the '.xxx' tail is a compact TIME (HH[MM[SS]]), for 9/10 it is
-    the SECONDS, and only full hh:mm:ss forms keep it as a rounded
-    6-digit fraction; 2-digit years map <70 -> 20xx; trailing
-    +HH[:MM]/Z is a time-zone shift.  Returns None where the reference
-    returns NULL."""
+    """String -> datetime.datetime under TiDB/TiFlash rules (semantics:
+    MySQL's lax datetime grammar as pinned by the reference corpus and
+    MySQL answers; the reference implements the same observable grammar
+    in ``dbms/src/Common/MyTime.cpp:804``).  Grammar, as this scanner
+    derives it:
+
+        text     :=  fields [ '.' digits ] [ zone ]
+        zone     :=  'Z' | ('+'|'-') HH [ ':' MM | MM ]
+        fields   :=  digit runs split by punctuation; space/'T' only in
+                     the date/time gap (after 3 fields); free-form
+                     separators after 5 fields; OR one compact run with
+                     a per-length layout (YYYYMMDDHHMMSS family,
+                     2-digit years <70 -> 20xx)
+
+    with two LAXNESS rules (the corpus pins both): a trailing '.digits'
+    or a bare '+HH'/'+HH:MM' that would otherwise be a fraction/zone is
+    ABSORBED as the next field while the text has not yet supplied a
+    full date+time (<=5 fields and not a long compact run) — so
+    '2020-10-10' survives its '-10' looking like a zone, and
+    '2020.01.01' parses the trailing '.01' as the day.  A '.xxx' tail
+    of a compact DATE (5/6/8 digits) is a compact TIME (HH[MM[SS]]);
+    of a 9/10-digit compact, the SECONDS.  Zones apply only to full
+    datetimes and shift into UTC.  Returns None where MySQL yields
+    NULL."""
     import datetime as _dt
 
     s = s.strip()
     if not s:
         return None
 
-    # ---- getTimeZone (MyTime.cpp:185) ----
-    l = len(s)
-    zidx = sidx = spidx = -1
-    for i in range(l - 1, -1, -1):
-        c = s[i]
-        if c == "Z":
-            zidx = i
-            break
-        if sidx == -1 and c in "+-":
-            sidx = i
-        if spidx == -1 and c == ":":
-            spidx = i
-    k = 0
-    if l - zidx == 1:
-        k += 100
-    if l - sidx in (3, 5, 6):
-        k += (l - sidx) * 10
-    if l - spidx == 3:
-        k += 3
-    combos = {100: (0, 0), 30: (2, 0), 50: (4, 2), 63: (5, 2)}
-    tz_idx, tz_sign, tz_hour, tz_sep, tz_minute = -1, "", "", "", ""
-    if k in combos:
-        h, m = combos[k]
-        ok = True
-        if sidx != -1:
-            tz_sign = s[sidx]
-            tz_idx = sidx
-        if zidx != -1:
-            tz_idx = zidx
-        if l - spidx == 3:
-            tz_sep = s[spidx]
-        if h:
-            tz_hour = s[l - h:l - h + 2]
-            ok = ok and tz_hour.isdigit()
-        if m:
-            tz_minute = s[l - m:l - m + 2]
-            ok = ok and tz_minute.isdigit()
-        if not ok:
-            tz_idx = -1
-
+    # ---- zone suffix ------------------------------------------------
+    tz_sign = tz_hour = tz_minute = ""
+    tz_sep = False
     has_tz = False
     body = s
-    if tz_idx > 0:
+    m = _TZ_SUFFIX_RE.search(s)
+    if m and m.start() > 0:
+        g = m.group(1)
         has_tz = True
-        e = tz_idx
-        while e > 0 and body[e - 1] in _PUNCT:
+        if g != "Z":
+            tz_sign = g[0]
+            tz_hour = g[1:3]
+            rest = g[3:]
+            tz_sep = rest.startswith(":")
+            tz_minute = rest.lstrip(":")
+        e = m.start()
+        while e > 0 and s[e - 1] in _PUNCT:
             e -= 1
-        body = body[:e]
+        body = s[:e]
 
-    # ---- getFracIndex + frac extraction (MyTime.cpp:254,292) ----
-    frac_idx = -1
-    for i in range(len(body) - 1, -1, -1):
-        c = body[i]
-        if c not in "+-" and c in _PUNCT:
-            if c == ".":
-                frac_idx = i
-            break
+    # ---- trailing fraction ------------------------------------------
     frac_str = ""
-    if frac_idx > 0:
-        fe = frac_idx + 1
-        while fe < len(body) and body[fe].isdigit():
-            fe += 1
-        if fe != len(body):
-            return None  # truncated garbage after the fraction
-        frac_str = body[frac_idx + 1:fe]
-        fi = frac_idx
+    dot = max((i for i in range(len(body) - 1, -1, -1)
+               if body[i] in _PUNCT and body[i] not in "+-"),
+              default=-1)
+    if dot > 0 and body[dot] == ".":
+        tail = body[dot + 1:]
+        if not tail.isdigit() and tail:
+            return None  # garbage after the fraction digits
+        frac_str = tail
+        fi = dot
         while fi > 0 and body[fi - 1] in _PUNCT:
             fi -= 1
         body = body[:fi]
 
-    # ---- parseDateFormat (MyTime.cpp:93) ----
+    # ---- field runs -------------------------------------------------
     body = body.strip()
     if not body or not body[0].isdigit():
         return None
+    runs = _split_datetime_fields(body)
+    if runs is None:
+        return None
 
-    def is_sep(c, prev_parts):
-        if c in _PUNCT:
-            return True
-        if prev_parts == 2 and (c == "T" or c.isspace()):
-            return True
-        return prev_parts > 4 and not c.isdigit()
-
-    seps = []
-    start = 0
-    i = 1
-    while i < len(body) - 1:
-        if is_sep(body[i], len(seps)):
-            prev = len(seps)
-            seps.append(body[start:i])
-            start = i + 1
-            j = i + 1
-            while j < len(body) and is_sep(body[j], prev):
-                start += 1
-                i += 1
-                j += 1
-            i += 1
-            continue
-        if not body[i].isdigit():
-            return None
-        i += 1
-    seps.append(body[start:])
-
-    # ---- frac absorption (no_absorb, MyTime.cpp:819) ----
-    no_absorb = len(seps) > 5 or (len(seps) == 1 and len(seps[0]) > 4)
-    if frac_str and not no_absorb:
-        seps.append(frac_str)
+    # ---- laxness: absorb the fraction / bare zone as fields ---------
+    complete = len(runs) > 5 or (len(runs) == 1 and len(runs[0]) > 4)
+    if frac_str and not complete:
+        runs.append(frac_str)
         frac_str = ""
-    if has_tz and tz_sign:
-        if not no_absorb and (not tz_minute or tz_sep):
-            if tz_hour:
-                seps.append(tz_hour)
-            if tz_minute:
-                seps.append(tz_minute)
-            has_tz = False
+    if has_tz and tz_sign and not complete \
+            and (not tz_minute or tz_sep):
+        runs.append(tz_hour)
+        if tz_minute:
+            runs.append(tz_minute)
+        has_tz = False
 
     def adjust_year(y):
         if 0 <= y <= 69:
@@ -646,62 +645,57 @@ def mysql_str_to_datetime(s: str, fields_only: bool = False):
 
     year = month = day = hour = minute = second = 0
     hhmmss = False
-    n = len(seps)
-    if n == 0:
-        return None
+    n = len(runs)
     if n == 1:
-        d0 = seps[0]
+        d0 = runs[0]
         ld = len(d0)
-        layouts = {14: (4, 2, 2, 2, 2, 2), 12: (2, 2, 2, 2, 2, 2),
-                   11: (2, 2, 2, 2, 2, 1), 10: (2, 2, 2, 2, 2),
-                   9: (2, 2, 2, 2, 1), 8: (4, 2, 2), 7: (2, 2, 2, 1),
-                   6: (2, 2, 2), 5: (2, 2, 1)}
-        if ld not in layouts or not d0.isdigit():
+        widths = _COMPACT_LAYOUTS.get(ld)
+        if widths is None:
             return None
-        widths = layouts[ld]
         vals, p = [], 0
         for w in widths:
             vals.append(int(d0[p:p + w]))
             p += w
         vals += [0] * (6 - len(vals))
         year, month, day, hour, minute, second = vals
-        if ld != 14 and ld != 8:
+        if ld not in (14, 8):
             year = adjust_year(year)
         if ld in (14, 12, 11):
             hhmmss = True
-        if ld in (5, 6, 8):
-            # '.xxx' tail of a date-only compact is a compact TIME
-            if frac_str:
-                t = frac_str
-                if len(t) <= 2:
-                    hour = int(t)
-                elif len(t) <= 4:
-                    hour, minute = int(t[:2]), int(t[2:4])
-                else:
-                    hour, minute, second = (int(t[:2]), int(t[2:4]),
-                                            int(t[4:6]))
-                frac_str = ""
-        if ld in (9, 10):
-            if frac_str:
-                second = int(frac_str[:2]) if frac_str[:2].isdigit() else 0
-                frac_str = ""
-    elif n == 2:
+        if ld in (5, 6, 8) and frac_str:
+            # '.xxx' after a compact DATE is a compact TIME
+            t = frac_str
+            if len(t) <= 2:
+                hour = int(t)
+            elif len(t) <= 4:
+                hour, minute = int(t[:2]), int(t[2:4])
+            else:
+                hour, minute, second = (int(t[:2]), int(t[2:4]),
+                                        int(t[4:6]))
+            frac_str = ""
+        if ld in (9, 10) and frac_str:
+            # '.xx' after [YY]YYMMDDHHMM supplies the SECONDS
+            second = int(frac_str[:2]) if frac_str[:2].isdigit() else 0
+            frac_str = ""
+    elif n == 2 or n == 0:
         return None
     else:
         try:
-            fields = [int(x) for x in seps[:6]]
+            fields = [int(x) for x in runs[:6]]
         except ValueError:
             return None
         fields += [0] * (6 - len(fields))
         year, month, day, hour, minute, second = fields
         if n >= 6:
             hhmmss = True
-        if len(seps[0]) <= 2:
+        if len(runs[0]) <= 2:
+            # all-zero fields keep year 0 ('0-0-0' is the zero date);
+            # anything else reads a 2-digit year
             if (year, month, day, hour, minute, second) != (0,) * 6 \
                     or frac_str:
                 year = adjust_year(year)
 
-    # ---- fraction (parseFrac, fsp=6; MyTime.cpp:748) ----
+    # ---- fraction to microseconds (fsp 6, round half up) ------------
     micro, bump = 0, False
     if hhmmss and frac_str:
         digits = frac_str[:7]
@@ -716,7 +710,7 @@ def mysql_str_to_datetime(s: str, fields_only: bool = False):
             else:
                 micro = v
 
-    # ---- checkTime ----
+    # ---- range checks / zero dates ----------------------------------
     if not (hour <= 23 and minute <= 59 and second <= 59):
         return None
     if fields_only:
@@ -738,11 +732,7 @@ def mysql_str_to_datetime(s: str, fields_only: bool = False):
     except ValueError:
         # year 0 with a REAL month/day ('0000-12-01') is valid TiDB
         # data but outside python's datetime range
-        leap = year % 4 == 0 and (year % 100 != 0
-                                  or (year % 400 == 0 and year != 0))
-        dim = [31, 29 if leap else 28, 31, 30, 31, 30,
-               31, 31, 30, 31, 30, 31][month - 1]
-        if year == 0 and day <= dim:
+        if year == 0 and day <= _days_in_month(year, month):
             from ..core.dtypes import CivilDateTime
 
             return CivilDateTime(year, month, day, hour, minute,
@@ -753,16 +743,16 @@ def mysql_str_to_datetime(s: str, fields_only: bool = False):
 
     if has_tz:
         if not hhmmss:
-            return None
+            return None  # zones only qualify full datetimes
         dh = int(tz_hour) if tz_hour else 0
         dm = int(tz_minute) if tz_minute else 0
         if dh > 14 or dm > 59 or (dh == 14 and dm != 0) \
                 or (tz_sign == "-" and dh == 0 and dm == 0):
-            return None
+            return None  # MySQL zone range: -14:00 .. +14:00
         off = dh * 3600 + dm * 60
         if tz_sign == "-":
             off = -off
-        res -= _dt.timedelta(seconds=off)  # addSeconds(result, -offset)
+        res -= _dt.timedelta(seconds=off)  # normalize to UTC
     return res
 
 
