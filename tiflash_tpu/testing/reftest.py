@@ -944,7 +944,9 @@ class RefTestSession:
         self.tz_offset_us = 0  # SET time_zone (TIMESTAMP columns)
         self.cop_mode = False  # tiflash_cop vs MPP (FROM_DAYS tails)
         self.subq_tokens: Dict[int, list] = {}  # captured subselects
-        self.armed_failpoints: set = set()  # DBGInvoke-armed (by file)
+        # DBGInvoke-armed failpoints: name -> pause seconds (0 = throw)
+        self.armed_failpoints: Dict[str, int] = {}
+        self.replicated: set = set()  # tables with a tiflash replica
 
     def register_subquery(self, toks) -> int:
         sid = len(self.subq_tokens)
@@ -1015,15 +1017,17 @@ class RefTestSession:
                 from ..runtime.failpoint import FailPoint
 
                 md = re.match(r"__dbg__\s+DBGInvoke\s+__(enable|disable)"
-                              r"_fail_point\((\w+)\)", stmt, re.I)
+                              r"(_pause)?_fail_point\((\w+)"
+                              r"(?:\s*,\s*(\d+))?\)", stmt, re.I)
                 if md:
-                    name = md.group(2)
+                    name = md.group(3)
                     if md.group(1).lower() == "enable":
-                        FailPoint.enable(name)
-                        self.armed_failpoints.add(name)
+                        FailPoint.enable(name, pause=bool(md.group(2)))
+                        self.armed_failpoints[name] = int(md.group(4)
+                                                          or 0)
                     else:
                         FailPoint.disable(name)
-                        self.armed_failpoints.discard(name)
+                        self.armed_failpoints.pop(name, None)
                 continue
             if low.startswith("source "):
                 # mysql SOURCE: run the referenced .sql (paths are
@@ -1053,6 +1057,15 @@ class RefTestSession:
             if re.match(r"alter\s+table\s+[`\w.]+\s+add\s+(index|key|"
                         r"unique|primary)", low):
                 continue  # indexes are storage hints — no-ops here
+            mr = re.match(r"alter\s+table\s+([`\w.]+)\s+set\s+tiflash"
+                          r"\s+replica\s+(\d+)", stmt, re.I)
+            if mr:
+                t = mr.group(1).split(".")[-1].strip("`")
+                if int(mr.group(2)) > 0:
+                    self.replicated.add(t)
+                else:
+                    self.replicated.discard(t)
+                continue
             mm = re.match(r"alter\s+table\s+([`\w.]+)\s+modify\s+"
                           r"(?:column\s+)?`?(\w+)`?\s+(.*)$", stmt,
                           re.I | re.S)
@@ -1091,8 +1104,9 @@ class RefTestSession:
                     m = re.search(r"(?:table|truncate)\s+(?:if exists\s+)?"
                                   r"([`\w.]+)", stmt, re.I)
                     if m:
-                        self.tables.pop(
-                            m.group(1).split(".")[-1].strip("`"), None)
+                        tn = m.group(1).split(".")[-1].strip("`")
+                        self.tables.pop(tn, None)
+                        self.replicated.discard(tn)
                 continue
             if re.match(r"create\s+(unique\s+)?index\s", low):
                 continue  # indexes are storage hints — no-ops here
@@ -1118,6 +1132,10 @@ class RefTestSession:
                     self.tables[t] = (schema, {c: [] for c in schema})
                 continue
             if low.startswith(("select", "with ", "with(")):
+                for st in ("tiflash_replica", "tiflash_segments",
+                           "tiflash_tables"):
+                    if st in low:
+                        self._register_system_table(st)
                 if exp_queue:
                     expected = exp_queue.pop(0)
                 if expected is not None and any(
@@ -1173,6 +1191,49 @@ class RefTestSession:
             raise Unsupported(f"statement: {stmt[:50]}")
 
     # ---- INSERT
+    def _register_system_table(self, st: str) -> None:
+        """information_schema.tiflash_* over the session's tables (the
+        engine's real system-table provider is storage/system.py; the
+        corpus front-end mirrors the replica/segments/tables views over
+        its own catalog — fault-inject/mpp_hang.test,
+        system-table/read_system_table.test)."""
+        user = [(n, r) for n, (s, r) in self.tables.items()
+                if n in self.replicated]
+
+        def nrows(r):
+            return len(next(iter(r.values()))) if r else 0
+
+        if st in ("tiflash_segments", "tiflash_tables"):
+            # a segment exists only once data arrived (raftstore v1:
+            # an empty replicated table has no TiFlash segment yet)
+            user = [(n, r) for n, r in user if nrows(r) > 0]
+        if st == "tiflash_replica":
+            tab = {"table_schema": ["test"] * len(user),
+                   "table_name": [n for n, _ in user],
+                   "replica_count": [1] * len(user),
+                   "location_labels": [""] * len(user),
+                   "available": [1] * len(user),
+                   "progress": [1] * len(user)}
+            sch = {"table_schema": dt.STRING, "table_name": dt.STRING,
+                   "replica_count": dt.INT64,
+                   "location_labels": dt.STRING,
+                   "available": dt.INT64, "progress": dt.INT64}
+        elif st == "tiflash_segments":
+            tab = {"tidb_database": ["test"] * len(user),
+                   "tidb_table": [n for n, _ in user],
+                   "rows": [nrows(r) for _, r in user],
+                   "is_tombstone": [0] * len(user)}
+            sch = {"tidb_database": dt.STRING, "tidb_table": dt.STRING,
+                   "rows": dt.INT64, "is_tombstone": dt.INT64}
+        else:  # tiflash_tables
+            tab = {"tidb_database": ["test"] * len(user),
+                   "tidb_table": [n for n, _ in user],
+                   "total_rows": [nrows(r) for _, r in user],
+                   "is_tombstone": [0] * len(user)}
+            sch = {"tidb_database": dt.STRING, "tidb_table": dt.STRING,
+                   "total_rows": dt.INT64, "is_tombstone": dt.INT64}
+        self.tables[st] = (sch, tab)
+
     def _alter_add_column(self, t: str, name: str, spec: str):
         """ALTER TABLE .. ADD COLUMN, plain or ``AS (expr) VIRTUAL``
         (generated columns — TiDB computes these on read; here the
@@ -1592,6 +1653,12 @@ def _parse_duration_us(s: str) -> int:
 _FUNC_RENAME = {
     "bit_and2": "bit_and", "bit_or2": "bit_or", "bit_xor2": "bit_xor",
 }
+
+
+def _FP_PAUSED(sess, name) -> bool:
+    from ..runtime.failpoint import FailPoint
+
+    return FailPoint.get(name).pause
 
 
 class _EngineFromUnsupported(Exception):
@@ -3285,10 +3352,59 @@ class SelectBuilder:
         from ..runtime.failpoint import fail_point as _fp
 
         armed = [n for n in sorted(self.sess.armed_failpoints)
-                 if n.startswith("exception") or "failure" in n]
-        # only exception_* / *_failure points THROW; force_/pause_/
-        # tuning points (minimum_block_size_for_cross_join) alter
-        # behavior without raising (reference FailPointHelper)
+                 if (n.startswith("exception") or "failure" in n)
+                 and not _FP_PAUSED(self.sess, n)]
+        # only exception_* / *_failure points THROW; force_/ tuning
+        # points (minimum_block_size_for_cross_join) alter behavior
+        # without raising (reference FailPointHelper).  PAUSE points
+        # (and hang_in_execution) block the task: run the pause under
+        # the engine's cancel machinery with a watchdog — the reference
+        # cancels a non-activating task from the alarm ("Can't find
+        # task") and a hanging one from the hang monitor
+        import threading as _th
+
+        from ..runtime.cancel import (CancelFlag, QueryCancelled,
+                                      cancel_scope)
+        from ..runtime.errors import EngineError
+        from ..runtime.failpoint import FailPoint as _FP
+
+        # the reference's task alarm / hang monitor threshold is 10s
+        # (mpp task monitor): a pause SHORTER than that just delays and
+        # the query succeeds (async_server_alarm.test pauses 5 vs 15)
+        ALARM_S = 10
+        paused = [n for n, secs in sorted(
+                      self.sess.armed_failpoints.items())
+                  if (_FP.get(n).pause and secs > ALARM_S)
+                  or n == "hang_in_execution"]
+        for name in paused:
+            flag = CancelFlag()
+            timer = _th.Timer(0.5, flag.set)
+            timer.start()
+            try:
+                with cancel_scope(flag):
+                    if _FP.get(name).pause:
+                        _fp(name)
+                    else:
+                        # hang_in_execution: a plain-enabled point that
+                        # HANGS the task; spin on the engine's cancel
+                        # checkpoint until the watchdog fires
+                        import time as _time
+
+                        from ..runtime.cancel import checkpoint as _ck
+
+                        while True:
+                            _ck()
+                            _time.sleep(0.01)
+            except QueryCancelled:
+                if "register" in name or "make" in name:
+                    raise EngineError(
+                        f"Can't find task: the MPP task never became "
+                        f"active under fail point {name}") from None
+                raise EngineError(
+                    "other error for mpp stream: MPP Task canceled "
+                    "because it seems hangs") from None
+            finally:
+                timer.cancel()
         for name in armed:
             if "before" in name or "register" in name or "make" in name:
                 _fp(name)
@@ -3951,10 +4067,10 @@ def parse_test_file(path: str) -> List[Tuple[str, Optional[List[str]]]]:
                     cur, cur_expected = None, []
                 if s.startswith("mysql_bin_as_hex>"):
                     raise Unsupported("binary-as-hex client mode")
-                if s.startswith("=> DBGInvoke __"):
+                if s.startswith(("=> DBGInvoke __", ">> DBGInvoke __")):
                     # debug-DSL failpoint arming rides the statement
                     # stream (mpp_fail.test fault injection)
-                    out.append(("__dbg__ " + s[len("=> "):], None))
+                    out.append(("__dbg__ " + s[3:], None))
             else:
                 if cur is not None:
                     # multi-line INSERT ... VALUES continuation: the
