@@ -278,21 +278,45 @@ def bench_config(config: str, cat, args, vlog) -> dict:
             chain(2)
     vlog(f"[{config}] compile+first {time.time()-t0:.1f}s ({mode[0]})")
 
-    while True:
-        t_k1 = min(chain(k1) for _ in range(2))
-        t_k2 = min(chain(k2) for _ in range(2))
-        # the chain-length difference must clear host/relay jitter
-        # (~5-10ms): sub-ms iterations need longer chains or the slope
-        # drowns (a q6 at ~0.15ms/iter once measured "0.000ms" at K=32)
-        if (t_k2 - t_k1) >= 0.030 or k2 >= 512:
-            break
-        k1, k2 = k1 * 4, k2 * 4
-        vlog(f"[{config}] slope below noise floor; rescaling to "
-             f"K1={k1} K2={k2}")
-    t_iter = max((t_k2 - t_k1) / (k2 - k1), 1e-9)
+    def measure() -> float:
+        nonlocal_k = [k1, k2]
+        while True:
+            a, b = nonlocal_k
+            t_a = min(chain(a) for _ in range(2))
+            t_b = min(chain(b) for _ in range(2))
+            # the chain-length difference must clear host/relay jitter
+            # (~5-10ms): sub-ms iterations need longer chains or the
+            # slope drowns (q6 once measured "0.000ms" at K=32)
+            if (t_b - t_a) >= 0.030 or b >= 512:
+                vlog(f"[{config}] t(K1={a})={t_a*1e3:.1f}ms "
+                     f"t(K2={b})={t_b*1e3:.1f}ms "
+                     f"({mode[0]}) -> {(t_b-t_a)/(b-a)*1e3:.3f}ms/iter")
+                return max((t_b - t_a) / (b - a), 1e-9)
+            nonlocal_k = [a * 4, b * 4]
+            vlog(f"[{config}] slope below noise floor; rescaling to "
+                 f"K1={a * 4} K2={b * 4}")
+
+    t_iter = measure()
+    if mode[0] != "host":
+        # the fused wrapper removes per-dispatch relay cost but the
+        # wrapped program sometimes compiles WORSE (q3 measured 122.9ms
+        # fused_bigvmem vs 107.4ms host-dispatch); the host chain's
+        # number is an upper bound on true cost (it CONTAINS dispatch
+        # overhead), so min(fused, host) is still honest
+        fused_mode = mode[0]
+        mode[0] = "host"
+        try:
+            chain(1)
+            t_host = measure()
+            if t_host < t_iter:
+                vlog(f"[{config}] host-dispatch beat {fused_mode}: "
+                     f"{t_host*1e3:.3f} < {t_iter*1e3:.3f} ms/iter")
+                t_iter = t_host
+            else:
+                mode[0] = fused_mode
+        except Exception:
+            mode[0] = fused_mode
     rows_per_s = n_rows / t_iter
-    vlog(f"[{config}] t(K1={k1})={t_k1*1e3:.1f}ms "
-         f"t(K2={k2})={t_k2*1e3:.1f}ms -> {t_iter*1e3:.3f}ms/iter")
 
     t_floor = floor_seconds(config, n_rows, bytes_per_row)
     return {
