@@ -80,4 +80,4 @@ def test_mpp_manifest_counts():
     assert c["fail"] <= 1, c
     total = sum(v.get("checked", 0) for v in MANIFEST.values()
                 if v["status"] == "pass")
-    assert total >= 329, total
+    assert total >= 345, total

@@ -179,6 +179,9 @@ class SqlParser:
             return Call("not", (self.parse_not(),))
         return self.parse_comparison()
 
+    def _at_row_or_paren(self) -> bool:
+        return self.at_op("(")
+
     def _at_subselect(self) -> bool:
         return (self.at_op("(") and self.peek(1)[0] == "name"
                 and self.peek(1)[1].lower() in ("select", "table"))
@@ -219,6 +222,11 @@ class SqlParser:
             k, v = self.peek()
             if k == "op" and v in _CMP:
                 self.next()
+                if isinstance(e, Call) and e.func == "__row__" \
+                        and self._at_row_or_paren():
+                    rhs = self.parse_bitor()
+                    e = _expand_row_cmp(_CMP[v], e, rhs)
+                    continue
                 if self.at_kw("any", "some", "all") \
                         and self.peek(1)[0] == "op" \
                         and self.peek(1)[1] == "(":
@@ -271,7 +279,25 @@ class SqlParser:
                     while self.eat_op(","):
                         vals.append(self.parse_expr())
                     self.expect_op(")")
-                    e = Call("in", (e, *vals))
+                    if isinstance(e, Call) and e.func == "__row__":
+                        # (a,b) IN ((1,2),(3,4)) -> OR of per-row ANDs
+                        ors = None
+                        for v in vals:
+                            if not (isinstance(v, Call)
+                                    and v.func == "__row__"
+                                    and len(v.args) == len(e.args)):
+                                raise Unsupported(
+                                    "row IN with non-row element")
+                            conj = None
+                            for le, re_ in zip(e.args, v.args):
+                                c2 = Call("equals", (le, re_))
+                                conj = c2 if conj is None else Call(
+                                    "and", (conj, c2))
+                            ors = conj if ors is None else Call(
+                                "or", (ors, conj))
+                        e = ors
+                    else:
+                        e = Call("in", (e, *vals))
                 elif self.eat_kw("between"):
                     lo = self.parse_bitor()
                     self.expect_kw("and")
@@ -400,8 +426,14 @@ class SqlParser:
             return Call("__scalar_subq__", (self._capture_subquery(),))
         if self.eat_op("("):
             e = self.parse_expr()
-            if self.eat_op(","):  # row constructor — unsupported
-                raise Unsupported("row constructor")
+            if self.eat_op(","):
+                # row constructor: (a, b[, ...]) — compared/IN-listed
+                # rows expand to AND/OR forms at comparison sites
+                elems = [e, self.parse_expr()]
+                while self.eat_op(","):
+                    elems.append(self.parse_expr())
+                self.expect_op(")")
+                return Call("__row__", tuple(elems))
             self.expect_op(")")
             return e
         if k != "name":
@@ -2819,8 +2851,16 @@ class SelectBuilder:
             blocks[bname] = blk
             probe_keys, build_keys = [], []
             if x_expr is not None:
-                probe_keys.append(add_hidden(x_expr))
-                build_keys.append(blk.names[0])
+                if isinstance(x_expr, Call) and x_expr.func == "__row__":
+                    # (a,b) IN (select x,y ...): composite-key semi join
+                    if len(x_expr.args) > len(blk.names):
+                        raise Unsupported("row IN arity mismatch")
+                    for j, xe in enumerate(x_expr.args):
+                        probe_keys.append(add_hidden(xe))
+                        build_keys.append(blk.names[j])
+                else:
+                    probe_keys.append(add_hidden(x_expr))
+                    build_keys.append(blk.names[0])
             for outer_ref, local in corr:
                 probe_keys.append(outer_key(outer_ref))
                 build_keys.append(local)
@@ -2908,8 +2948,15 @@ class SelectBuilder:
             if mode == "in":
                 if not cc.items:
                     raise Unsupported("IN subquery without a column")
-                match = Call("equals", (qualify_outer(x_expr),
-                                        rwsub(cc.items[0][1])))
+                if isinstance(x_expr, Call) and x_expr.func == "__row__":
+                    for j, xe in enumerate(x_expr.args):
+                        c2 = Call("equals", (qualify_outer(xe),
+                                             rwsub(cc.items[j][1])))
+                        match = c2 if match is None else Call(
+                            "and", (match, c2))
+                else:
+                    match = Call("equals", (qualify_outer(x_expr),
+                                            rwsub(cc.items[0][1])))
             comb = dict(self.schema)
             comb.update({colmap[c]: t for c, t in sub_schema.items()})
 
@@ -3078,17 +3125,38 @@ class SelectBuilder:
                 raise Unsupported("subquery is not scalar")
             return Literal(col[0] if col else None)
 
+        def block_as_cross(blk, corr, x_row):
+            """Row-constructor [NOT] IN over a materialized subquery:
+            composite NULL semantics are PER-ELEMENT (a NULL field only
+            makes the row comparison UNKNOWN when every other field
+            matches — MySQL row equality is a three-valued AND), which
+            the hash semi-join kinds cannot express; the cross path
+            evaluates the exact predicate per pair."""
+            if corr:
+                raise Unsupported("correlated row-IN subquery")
+            nm = f"__sqb{state['n']}"
+            state["n"] += 1
+            self._register_block(nm, blk)
+            cc = _CrossCorrelated(
+                nm, [(None, ColumnRef(c)) for c in blk.names],
+                None, set())
+            return cross_lower(cc, x_row, "in")
+
         def walk_expr(e):
             if isinstance(e, Call):
                 if e.func == "__scalar_subq__":
                     return scalar_lower(e)
                 if e.func in ("__in_subq__", "__not_in_subq__"):
                     res = self._run_subquery(sid_of(e.args[1]))
+                    is_row = (isinstance(e.args[0], Call)
+                              and e.args[0].func == "__row__")
                     if res[0] == "cross" and res[1].has_agg:
                         r = Call("equals", (qualify_outer(e.args[0]),
                                             cross_scalar(res[1])))
                     elif res[0] == "cross":
                         r = cross_lower(res[1], e.args[0], "in")
+                    elif is_row:
+                        r = block_as_cross(res[1], res[2], e.args[0])
                     else:
                         m = join_col("left_outer_semi_null_aware",
                                      e.args[0], res[1], res[2])
@@ -3127,6 +3195,8 @@ class SelectBuilder:
                 neg, inner = True, c.args[0]
             if isinstance(inner, Call) and inner.func == "__in_subq__":
                 res = self._run_subquery(sid_of(inner.args[1]))
+                is_row = (isinstance(inner.args[0], Call)
+                          and inner.args[0].func == "__row__")
                 if res[0] == "cross":
                     if res[1].has_agg:
                         r = Call("equals", (qualify_outer(inner.args[0]),
@@ -3134,16 +3204,25 @@ class SelectBuilder:
                     else:
                         r = cross_lower(res[1], inner.args[0], "in")
                     return Call("not", (r,)) if neg else r
+                if is_row and neg:
+                    # composite NOT IN: exact per-pair three-valued eval
+                    r = block_as_cross(res[1], res[2], inner.args[0])
+                    return Call("not", (r,))
                 join("anti_null_aware" if neg else "semi",
                      inner.args[0], res[1], res[2])
                 return None
             if isinstance(inner, Call) \
                     and inner.func == "__not_in_subq__" and not neg:
                 res = self._run_subquery(sid_of(inner.args[1]))
+                is_row = (isinstance(inner.args[0], Call)
+                          and inner.args[0].func == "__row__")
                 if res[0] == "cross":
                     return Call("not",
                                 (cross_lower(res[1], inner.args[0],
                                              "in"),))
+                if is_row:
+                    r = block_as_cross(res[1], res[2], inner.args[0])
+                    return Call("not", (r,))
                 join("anti_null_aware", inner.args[0], res[1], res[2])
                 return None
             if isinstance(inner, Call) \
@@ -3690,6 +3769,35 @@ _TEMPORAL_ARG0 = {"date", "last_day", "to_days", "to_seconds", "day",
 # dayname/monthname take their STRING argument raw: the engine's text
 # LUT handles partial-zero dates a DATE cast cannot carry
 _TEMPORAL_ALL_ARGS = {"datediff"}
+
+
+def _expand_row_cmp(fn: str, lhs, rhs):
+    """Row-constructor comparison: (a,b) = (c,d) is the conjunction of
+    element equalities; != the negation; ordered comparisons use the
+    lexicographic expansion."""
+    if not (isinstance(rhs, Call) and rhs.func == "__row__"
+            and len(rhs.args) == len(lhs.args)):
+        raise Unsupported("row comparison with non-row operand")
+    la, ra = lhs.args, rhs.args
+    if fn in ("equals", "not_equals", "null_eq"):
+        base = fn if fn != "not_equals" else "equals"
+        conj = None
+        for x, y in zip(la, ra):
+            c = Call(base, (x, y))
+            conj = c if conj is None else Call("and", (conj, c))
+        return Call("not", (conj,)) if fn == "not_equals" else conj
+    # lexicographic: (a,b) < (c,d) == a<c OR (a=c AND b<d)
+    strict = fn.rstrip("_or_equals") if fn.endswith("_or_equals") else fn
+    out = None
+    for i in range(len(la)):
+        conj = None
+        for j in range(i):
+            c = Call("equals", (la[j], ra[j]))
+            conj = c if conj is None else Call("and", (conj, c))
+        last = Call(fn if i == len(la) - 1 else strict, (la[i], ra[i]))
+        term = last if conj is None else Call("and", (conj, last))
+        out = term if out is None else Call("or", (out, term))
+    return out
 
 
 _SUBQ_MARKERS = {"__in_subq__", "__not_in_subq__", "__exists_subq__",
