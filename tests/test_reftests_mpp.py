@@ -76,8 +76,8 @@ def test_mpp_manifest_counts():
     from collections import Counter
 
     c = Counter(v["status"] for v in MANIFEST.values())
-    assert c["pass"] >= 32, c
-    assert c["fail"] <= 1, c
+    assert c["pass"] >= 33, c
+    assert c["fail"] <= 0, c
     total = sum(v.get("checked", 0) for v in MANIFEST.values()
                 if v["status"] == "pass")
-    assert total >= 345, total
+    assert total >= 358, total

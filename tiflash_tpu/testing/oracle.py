@@ -391,6 +391,36 @@ def eval_expr_row(expr: Expr, row: Dict[str, Any]) -> Any:
                  "greater", "greater_or_equals", "null_eq"):
             return None
         raise
+    # temporal vs NUMBER comparisons run in the temporal's NUMERIC form
+    # (MySQL: DATETIME -> yyyymmddhhmmss[.ffffff], DATE -> yyyymmdd)
+    if f in ("equals", "not_equals", "less", "less_or_equals",
+             "greater", "greater_or_equals", "null_eq"):
+
+        def _tnum(x):
+            if isinstance(x, datetime.datetime):
+                v = (x.year * 10**10 + x.month * 10**8 + x.day * 10**6
+                     + x.hour * 10**4 + x.minute * 100 + x.second)
+                return v + x.microsecond / 1e6 if x.microsecond else v
+            if isinstance(x, datetime.date):
+                return x.year * 10**4 + x.month * 100 + x.day
+            return x
+
+        if isinstance(a, datetime.date) and isinstance(b, (int, float, D)):
+            a = _tnum(a)
+        elif isinstance(b, datetime.date) and isinstance(a, (int, float, D)):
+            b = _tnum(b)
+        # string vs NUMBER compares as DOUBLE (lax numeric prefix)
+        import re as _re
+
+        def _laxnum(s):
+            m2 = _re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?",
+                           s)
+            return float(m2.group(0)) if m2 else 0.0
+
+        if isinstance(a, str) and isinstance(b, (int, float, D)):
+            a, b = _laxnum(a), float(b)
+        elif isinstance(b, str) and isinstance(a, (int, float, D)):
+            a, b = float(a), _laxnum(b)
     # float literal in decimal context -> exact decimal (mirrors TiDB
     # parsing decimal literals as decimals, engine _float_to_decimal)
     if isinstance(a, D) and isinstance(b, float):
