@@ -203,8 +203,12 @@ def partitioned_window(
 ) -> P.PlanNode:
     """Hash-exchange on the partition keys so each device owns whole
     partitions, then the local window kernel (the fine-grained-shuffle
-    analog: ``docs/design/2022-06-14-fine-grained-shuffle.md``)."""
-    x = P.ExchangeReceiver(P.ExchangeSender("hash", partition_by, child))
+    analog: ``docs/design/2022-06-14-fine-grained-shuffle.md``).  With
+    NO partition keys (and no lane split either — the laned planner
+    already declined), the whole stream gathers to one owner: a global
+    window has a single partition by definition."""
+    mode = "hash" if partition_by else "passthrough"
+    x = P.ExchangeReceiver(P.ExchangeSender(mode, partition_by, child))
     return P.Window(partition_by, order_by, funcs, x)
 
 
